@@ -1,0 +1,302 @@
+"""The LMDiskANN index facade — lifecycle, mutation, and query entry points.
+
+Reference parity (public API, ``/root/reference/src/LMDiskANN.jl:12-16``):
+``create_index`` / ``load_index`` / ``save_index`` (``:239-306,351-360``),
+``ann_insert!`` (``:531-584``), ``ann_delete!`` (``:605-646``), ``search``
+(``:455-481``), ``get_embedding_from_id`` / ``_from_key`` (``:658-687``), plus
+the UserIdMapping KV surface (re-exported here via ``lmdiskann_jl_spark.kvmap``).
+
+Spark-first design (SURVEY.md section 1.4): all state lives in three tables —
+
+    vectors(id BIGINT, key STRING, vec ARRAY<FLOAT|DOUBLE>)
+    adjacency(id BIGINT, neighbors ARRAY<BIGINT>)
+    key_map(key STRING, id BIGINT)
+
+— plus ``_index_meta.json`` (dim, maxdegree, metric, eltype, num_points,
+entrypoint, per-table snapshot versions).  The handle below holds only paths
+and a SparkSession; no data on the driver.  Mutations are batch-first: every
+entry point takes a DataFrame (single-row convenience wrappers on top), writes
+a new table snapshot, and commits by swapping the meta pointer — the Parquet
+stand-in for a Delta MERGE (see sources/tables.py).
+
+Differences from the reference, by design (SURVEY.md section 7 "hard parts"):
+- ids are assigned densely per batch (max_id + row_number), no freelist —
+  Spark rewrites files, slots are never reused (``:534-537`` not needed);
+- no capacity doubling (``:538-544``) — appends grow automatically;
+- deletes drop rows instead of zero-tombstoning (``:640-641``);
+- the quality bar is the reference's own: recall@k >= 0.70 vs brute force,
+  not graph isomorphism with the sequential build.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lmdiskann_jl_spark import kvmap
+from lmdiskann_jl_spark.operators.beam import beam_search
+from lmdiskann_jl_spark.operators.graph import (
+    build_adjacency,
+    delete_from_adjacency,
+    insert_batch_adjacency,
+)
+from lmdiskann_jl_spark.operators.topk import batch_topk, exact_topk
+from lmdiskann_jl_spark.sources.tables import TableCatalog, read_meta, write_meta
+
+DEFAULT_MAX_DEGREE = 64  # src/LMDiskANN.jl:18
+DEFAULT_EF_SEARCH = 300  # src/LMDiskANN.jl:20
+
+
+def _vectors_schema(eltype: str) -> T.StructType:
+    el = T.FloatType() if eltype == "float32" else T.DoubleType()
+    return T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("key", T.StringType(), True),
+            T.StructField("vec", T.ArrayType(el, False), False),
+        ]
+    )
+
+
+ADJACENCY_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("neighbors", T.ArrayType(T.LongType(), False), False),
+    ]
+)
+
+
+class LMDiskANNIndex:
+    """Distributed ANN index over Parquet tables (the ``LMDiskANNIndex``
+    struct of src/LMDiskANN.jl:40-59, minus all mmap machinery)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.catalog = TableCatalog(spark, path)
+        self.meta = read_meta(path)
+
+    # ---------------- lifecycle (ops 1-8) ----------------
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        dim: int,
+        maxdegree: int = DEFAULT_MAX_DEGREE,
+        metric: str = "euclidean",
+        eltype: str = "float32",
+    ) -> "LMDiskANNIndex":
+        """create_index (src/LMDiskANN.jl:239-264): fix dim/maxdegree/eltype/
+        metric, write empty snapshots of all three tables."""
+        meta = {
+            "dim": dim,
+            "maxdegree": maxdegree,
+            "metric": metric,
+            "eltype": eltype,
+            "num_points": 0,
+            "entrypoint": -1,
+            "versions": {},
+        }
+        catalog = TableCatalog(spark, path)
+        meta = catalog.write("vectors", spark.createDataFrame([], _vectors_schema(eltype)), meta)
+        meta = catalog.write("adjacency", spark.createDataFrame([], ADJACENCY_SCHEMA), meta)
+        meta = catalog.write("key_map", spark.createDataFrame([], kvmap.KEY_MAP_SCHEMA), meta)
+        write_meta(path, meta)
+        return cls(spark, path)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, metric: str | None = None) -> "LMDiskANNIndex":
+        """load_index (src/LMDiskANN.jl:271-306): validate files, re-derive
+        dtype from meta (without the reference's eval() quirk)."""
+        if not os.path.exists(os.path.join(path, "_index_meta.json")):
+            raise FileNotFoundError(f"no index at {path}")
+        idx = cls(spark, path)
+        if metric is not None:
+            idx.meta["metric"] = metric
+        return idx
+
+    def save(self) -> None:
+        """save_index (src/LMDiskANN.jl:351-360): data snapshots are already
+        durable per write; this flushes the meta pointer."""
+        write_meta(self.path, self.meta)
+
+    # ---------------- table accessors ----------------
+
+    @property
+    def vectors(self) -> DataFrame:
+        return self.catalog.read("vectors", self.meta)
+
+    @property
+    def adjacency(self) -> DataFrame:
+        return self.catalog.read("adjacency", self.meta)
+
+    @property
+    def key_map(self) -> DataFrame:
+        return self.catalog.read("key_map", self.meta)
+
+    # ---------------- mutation (ops 9-10) ----------------
+
+    def insert_batch(
+        self,
+        new_vecs: DataFrame,
+        vec_col: str = "vec",
+        key_col: str | None = None,
+        rebuild_graph: bool = False,
+    ) -> "LMDiskANNIndex":
+        """Batch ann_insert! (src/LMDiskANN.jl:531-584).
+
+        Assigns dense ids (max_id+1 ...) deterministically by input order of
+        ``key_col`` (or vector hash), auto-generates string keys =
+        ``str(id)`` when absent (``:553-556``), appends to ``vectors`` and
+        ``key_map``, and updates ``adjacency`` incrementally (back-links +
+        re-prune touched nodes) — or rebuilds it when ``rebuild_graph``.
+        """
+        eltype = self.meta["eltype"]
+        el = "float" if eltype == "float32" else "double"
+        base = int(self.meta["num_points"])
+        order_expr = F.col(key_col) if key_col else F.hash(F.col(vec_col).cast("array<double>").cast("string"))
+        from pyspark.sql import Window
+
+        w = Window.orderBy(order_expr)
+        prepared = (
+            new_vecs.withColumn("id", F.row_number().over(w).cast("long") + F.lit(base) - 1)
+            .withColumn(
+                "key",
+                F.col(key_col).cast("string") if key_col
+                else (F.col("id") + 1).cast("string"),  # auto-key = string(1-based id), :553-556
+            )
+            .select("id", "key", F.col(vec_col).cast(f"array<{el}>").alias("vec"))
+        )
+        n_new = prepared.count()
+        new_vectors_tbl = self.vectors.unionByName(prepared)
+        new_key_map = kvmap.insert_keys(self.key_map, prepared.select("key", "id"))
+
+        if rebuild_graph or base == 0:
+            new_adj = build_adjacency(
+                new_vectors_tbl, maxdegree=self.meta["maxdegree"], metric=self.meta["metric"]
+            )
+        else:
+            new_adj = insert_batch_adjacency(
+                self.vectors, self.adjacency, prepared,
+                maxdegree=self.meta["maxdegree"], metric=self.meta["metric"],
+            )
+
+        meta = self.catalog.write("vectors", new_vectors_tbl, self.meta)
+        meta = self.catalog.write("adjacency", new_adj, meta)
+        meta = self.catalog.write("key_map", new_key_map, meta)
+        meta["num_points"] = base + n_new
+        if meta["entrypoint"] < 0 and meta["num_points"] > 0:
+            meta["entrypoint"] = base  # first insert seeds entrypoint, :549-561
+        self.meta = meta
+        self.save()
+        return self
+
+    def delete_batch(self, ids: Sequence[int] | None = None, keys: Sequence[str] | None = None) -> "LMDiskANNIndex":
+        """Batch ann_delete! (src/LMDiskANN.jl:605-646): resolve keys -> ids,
+        drop rows from vectors/key_map, array_except ids out of all neighbor
+        lists, repair entrypoint if deleted."""
+        dead_ids = set(int(i) for i in (ids or []))
+        if keys:
+            rows = self.key_map.filter(F.col("key").isin(list(keys))).select("id").collect()
+            dead_ids.update(int(r["id"]) for r in rows)
+        if not dead_ids:
+            return self
+        dead = sorted(dead_ids)
+        new_vectors = self.vectors.filter(~F.col("id").isin(dead))
+        new_adj = delete_from_adjacency(self.adjacency, dead)
+        new_key_map = kvmap.delete_by_ids(self.key_map, dead)
+
+        meta = self.catalog.write("vectors", new_vectors, self.meta)
+        meta = self.catalog.write("adjacency", new_adj, meta)
+        meta = self.catalog.write("key_map", new_key_map, meta)
+        meta["num_points"] = max(0, int(meta["num_points"]) - len(dead))
+        if meta["entrypoint"] in dead_ids:  # entrypoint repair, :630-638
+            live = new_vectors.select("id").orderBy("id").limit(1).collect()
+            meta["entrypoint"] = int(live[0]["id"]) if live else -1
+        self.meta = meta
+        self.save()
+        return self
+
+    # ---------------- query (ops 11-18) ----------------
+
+    def search(
+        self,
+        query: Sequence[float],
+        topk: int = 10,
+        ef: int = DEFAULT_EF_SEARCH,
+        mode: str = "exact",
+    ) -> DataFrame:
+        """search (src/LMDiskANN.jl:455-481): top-k with keys attached.
+
+        ``mode='exact'`` = full-scan TakeOrderedAndProject (the oracle
+        semantics, recall 1.0); ``mode='beam'`` = distributed graph beam search
+        seeded at the entrypoint (sublinear at scale).  ef is promoted to
+        >= topk as in ``:463``.  Returns (key, id, dist) nearest-first.
+        """
+        ef = max(topk, ef)
+        if mode == "beam":
+            result = beam_search(
+                self.vectors, self.adjacency, query,
+                ef=ef, metric=self.meta["metric"],
+                entrypoint=int(self.meta["entrypoint"]),
+            ).orderBy(F.col("dist").asc(), F.col("id").asc()).limit(topk)
+        else:
+            result = exact_topk(self.vectors, query, k=topk, metric=self.meta["metric"])
+        return (
+            result.join(F.broadcast(self.key_map), "id", "left")
+            .select("key", "id", "dist")
+            .orderBy(F.col("dist").asc(), F.col("id").asc())
+        )
+
+    def search_batch(self, queries: DataFrame, topk: int = 10) -> DataFrame:
+        """Batched search: (qid, qvec) -> per-query top-k with keys."""
+        res = batch_topk(queries, self.vectors, k=topk, metric=self.meta["metric"])
+        return res.join(F.broadcast(self.key_map), "id", "left").select(
+            "qid", "key", "id", "dist", "rank"
+        )
+
+    def get_embedding_from_id(self, id_: int) -> list[float]:
+        """get_embedding_from_id (src/LMDiskANN.jl:658-667) — predicate-pushdown
+        point lookup; raises on missing id like the reference's bounds check."""
+        rows = self.vectors.filter(F.col("id") == int(id_)).select("vec").limit(1).collect()
+        if not rows:
+            raise KeyError(f"id {id_} not in index")
+        return list(rows[0]["vec"])
+
+    def get_embedding_from_key(self, key: str) -> list[float]:
+        """get_embedding_from_key (src/LMDiskANN.jl:678-687)."""
+        id_ = kvmap.get_id_from_key(self.key_map, key)
+        if id_ is None:
+            raise KeyError(f"key {key!r} not in index")
+        return self.get_embedding_from_id(id_)
+
+    # ---------------- KV surface (ops 19-29) ----------------
+
+    def get_id_from_key(self, key: str) -> int | None:
+        return kvmap.get_id_from_key(self.key_map, key)
+
+    def get_key_from_id(self, id_: int) -> str | None:
+        return kvmap.get_key_from_id(self.key_map, id_)
+
+    def count_entries(self) -> int:
+        return kvmap.count_entries(self.key_map)
+
+    def list_all_keys(self) -> list[str]:
+        return kvmap.list_all_keys(self.key_map)
+
+    def vacuum(self, keep: int = 1) -> None:
+        self.catalog.vacuum(self.meta, keep=keep)
+
+
+def create_index(spark: SparkSession, path: str, dim: int, **kw) -> LMDiskANNIndex:
+    return LMDiskANNIndex.create(spark, path, dim, **kw)
+
+
+def load_index(spark: SparkSession, path: str, metric: str | None = None) -> LMDiskANNIndex:
+    return LMDiskANNIndex.load(spark, path, metric=metric)

@@ -1,0 +1,156 @@
+"""Bulk graph (adjacency) build, incremental insert, and delete repair.
+
+Reference parity — the three mutation entry points (SURVEY.md section 3):
+
+- ``ann_insert!`` (``/root/reference/src/LMDiskANN.jl:531-584``): search
+  top-``maxdegree`` neighbors for the new point, set its adjacency, then
+  BACK-LINK — append the new id to each neighbor's list and prune each list
+  back to ``maxdegree`` nearest (``:567-573``).
+- ``_prune_neighbors`` (``:491-505``): plain nearest-``maxdegree`` truncation
+  by distance to the node's own vector (the docstring mentions GSNG but the
+  code is simple nearest-m — we replicate the simple semantics).
+- ``ann_delete!`` (``:605-646``): remove the id from every neighbor's list and
+  drop its own row.
+
+Spark-first: each of these is a batch DataFrame pipeline —
+
+    build:   kNN self-join -> forward edges ∪ reversed edges (back-links)
+             -> per-node window prune to maxdegree -> groupBy collect_list
+    insert:  same pipeline on (new batch x existing ∪ new batch x new batch),
+             merged with existing adjacency, re-pruned only where changed
+    delete:  array_except on neighbor lists + anti-join on own rows
+
+The symmetrization (∪ reversed edges) is the batch analog of the reference's
+sequential back-linking: every directed kNN edge is inserted in both
+directions before pruning, keeping the graph navigable.  One shuffle for the
+kNN window, one for the final groupBy — both on the id key, so co-partitioned
+and AQE-coalesced.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lmdiskann_jl_spark.operators.knn_join import brute_force_knn_join, lsh_knn_join
+
+
+def _prune_and_collect(edges: DataFrame, maxdegree: int) -> DataFrame:
+    """edges (id_l, id_r, dist) -> adjacency (id, neighbors ARRAY<BIGINT>).
+
+    The window top-k is the distributed ``_prune_neighbors``
+    (src/LMDiskANN.jl:491-505): keep each node's ``maxdegree`` nearest.
+    Neighbors are stored sorted by (dist, id) — deterministic output.
+    """
+    w = Window.partitionBy("id_l").orderBy(F.col("dist").asc(), F.col("id_r").asc())
+    pruned = (
+        edges.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= maxdegree)
+    )
+    return (
+        pruned.groupBy("id_l")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dist", "id_r"))),
+                lambda s: s["id_r"],
+            ).alias("neighbors")
+        )
+        .select(F.col("id_l").alias("id"), "neighbors")
+    )
+
+
+def build_adjacency(
+    vectors: DataFrame,
+    maxdegree: int = 64,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    use_lsh: bool = False,
+    dim: int | None = None,
+    lsh_tables: int = 4,
+    candidate_factor: int = 1,
+) -> DataFrame:
+    """Bulk-build the kNN graph: the batch replacement for n sequential
+    ``ann_insert!`` calls (SURVEY.md section 2.2 op 9).
+
+    Output: ``adjacency(id BIGINT, neighbors ARRAY<BIGINT>)`` with
+    ``size(neighbors) <= maxdegree``, neighbors sorted nearest-first.
+    """
+    k = maxdegree * max(1, candidate_factor)
+    if use_lsh:
+        assert dim is not None, "dim required for LSH build"
+        knn = lsh_knn_join(
+            vectors, vectors, k=k, dim=dim, metric=metric,
+            n_tables=lsh_tables, left_id=id_col, right_id=id_col, vec_col=vec_col,
+        )
+    else:
+        knn = brute_force_knn_join(
+            vectors, vectors, k=k, metric=metric,
+            left_id=id_col, right_id=id_col, vec_col=vec_col,
+            broadcast_right=True,
+        )
+    lcol, rcol = f"{id_col}_l", f"{id_col}_r"
+    fwd = knn.select(F.col(lcol).alias("id_l"), F.col(rcol).alias("id_r"), "dist")
+    # back-links: the batch form of src/LMDiskANN.jl:568-573
+    rev = knn.select(F.col(rcol).alias("id_l"), F.col(lcol).alias("id_r"), "dist")
+    edges = fwd.unionByName(rev).dropDuplicates(["id_l", "id_r"])
+    return _prune_and_collect(edges, maxdegree)
+
+
+def delete_from_adjacency(adjacency: DataFrame, deleted_ids: Sequence[int]) -> DataFrame:
+    """Batch ``ann_delete!`` graph repair (src/LMDiskANN.jl:622-629):
+    drop deleted nodes' own rows; ``array_except`` the deleted ids out of every
+    remaining neighbor list.  One scan, no shuffle (narrow transforms only)."""
+    ids = [int(i) for i in deleted_ids]
+    dead = F.array(*[F.lit(i).cast("long") for i in ids])
+    return (
+        adjacency.filter(~F.col("id").isin(ids))
+        .withColumn("neighbors", F.array_except(F.col("neighbors"), dead))
+    )
+
+
+def insert_batch_adjacency(
+    vectors: DataFrame,
+    adjacency: DataFrame,
+    new_vectors: DataFrame,
+    maxdegree: int = 64,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Incremental batch insert (micro-batch ``ann_insert!``).
+
+    New points find neighbors among (existing ∪ new); back-link edges are
+    merged into the touched existing rows only — untouched adjacency rows pass
+    through unchanged (at scale: a MERGE touching O(batch * maxdegree) rows,
+    not a rebuild).
+    """
+    all_vecs = vectors.select(id_col, vec_col).unionByName(new_vectors.select(id_col, vec_col))
+    knn = brute_force_knn_join(
+        new_vectors, all_vecs, k=maxdegree, metric=metric,
+        left_id=id_col, right_id=id_col, vec_col=vec_col, broadcast_right=False,
+    )
+    lcol, rcol = f"{id_col}_l", f"{id_col}_r"
+    fwd = knn.select(F.col(lcol).alias("id_l"), F.col(rcol).alias("id_r"), "dist")
+    rev = knn.select(F.col(rcol).alias("id_l"), F.col(lcol).alias("id_r"), "dist")
+    new_edges = fwd.unionByName(rev).dropDuplicates(["id_l", "id_r"])
+
+    # existing adjacency rows of touched nodes -> edge form (need dist to re-prune)
+    touched_ids = new_edges.select(F.col("id_l").alias("id")).distinct()
+    touched = adjacency.join(touched_ids, "id", "left_semi")
+    vec_by_id = all_vecs.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
+    from lmdiskann_jl_spark.functions.vector import resolve_metric
+
+    dist_fn = resolve_metric(metric)
+    old_edges = (
+        touched.select(F.col("id").alias("id_l"), F.explode("neighbors").alias("id_r"))
+        .join(vec_by_id.withColumnRenamed("_vid", "id_l").withColumnRenamed("_v", "_lv"), "id_l")
+        .join(vec_by_id.withColumnRenamed("_vid", "id_r").withColumnRenamed("_v", "_rv"), "id_r")
+        .select("id_l", "id_r", dist_fn(F.col("_lv"), F.col("_rv")).alias("dist"))
+    )
+    merged = new_edges.unionByName(old_edges).dropDuplicates(["id_l", "id_r"])
+    repruned = _prune_and_collect(merged, maxdegree)
+    untouched = adjacency.join(touched_ids, "id", "left_anti")
+    return untouched.unionByName(repruned)

@@ -1,0 +1,80 @@
+"""Index storage: versioned Parquet snapshots + a JSON metadata file.
+
+Reference parity: the reference persists state as three mmapped/serialized
+files — ``.vec`` / ``.adj`` / ``.meta`` — plus two LevelDB directories
+(``/root/reference/src/LMDiskANN.jl:82-100,111-153,243-245``).  Its mutation
+model is in-place slot writes with a freelist (``src/LMDiskANN.jl:534-544,640``).
+
+Spark-first: Spark storage is immutable files, so mutations are copy-on-write
+snapshots — exactly what Delta/Iceberg MERGE/DELETE do via their transaction
+logs.  This container has plain Parquet only, so we implement the minimal
+version of the same idea: every table write lands in ``<table>/v=<n>/`` and
+``_index_meta.json`` records the current version per table (the "transaction
+log").  Readers always read one consistent snapshot; a crashed writer leaves
+the old version intact.  On a real cluster you would swap this class for Delta
+and keep the rest of the engine untouched; the freelist / capacity-doubling /
+``-1``-sentinel machinery of the reference (SURVEY.md section 4) is not needed
+at all.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+META_FILE = "_index_meta.json"
+
+
+def read_meta(path: str) -> dict[str, Any]:
+    with open(os.path.join(path, META_FILE)) as f:
+        return json.load(f)
+
+
+def write_meta(path: str, meta: dict[str, Any]) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, META_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2, sort_keys=True)
+    os.replace(tmp, os.path.join(path, META_FILE))  # atomic pointer swap
+
+
+class TableCatalog:
+    """Versioned parquet tables under one index root directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _table_dir(self, name: str, version: int) -> str:
+        return os.path.join(self.root, name, f"v={version}")
+
+    def read(self, name: str, meta: dict[str, Any]) -> DataFrame:
+        version = meta["versions"][name]
+        return self.spark.read.parquet(self._table_dir(name, version))
+
+    def write(self, name: str, df: DataFrame, meta: dict[str, Any]) -> dict[str, Any]:
+        """Write ``df`` as the next snapshot of ``name``; returns updated meta
+        (caller persists it with ``write_meta`` — the commit point)."""
+        next_version = meta["versions"].get(name, -1) + 1
+        df.write.mode("overwrite").parquet(self._table_dir(name, next_version))
+        new_meta = dict(meta)
+        new_meta["versions"] = dict(meta.get("versions", {}))
+        new_meta["versions"][name] = next_version
+        return new_meta
+
+    def vacuum(self, meta: dict[str, Any], keep: int = 1) -> None:
+        """Drop snapshots older than the current-minus-``keep`` version
+        (Delta VACUUM analog)."""
+        for name, cur in meta["versions"].items():
+            table_root = os.path.join(self.root, name)
+            if not os.path.isdir(table_root):
+                continue
+            for entry in os.listdir(table_root):
+                if entry.startswith("v="):
+                    v = int(entry.split("=", 1)[1])
+                    if v < cur - keep + 1:
+                        shutil.rmtree(os.path.join(table_root, entry), ignore_errors=True)
