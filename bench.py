@@ -1,0 +1,81 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+The headline set exercises every engine subsystem: exact search (scan top-k),
+batched search (crossJoin+window), graph build (kNN join + prune), LSH
+approximate join, the dedup suite, text analysis, and the relational demos.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from lmdiskann_jl_spark.plans import queries as Q
+    from lmdiskann_jl_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="lmdiskann-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    bench_queries = [
+        "v_exact_topk_euclidean",
+        "v_exact_topk_cosine",
+        "v_batch_topk",
+        "v_knn_join",
+        "v_adjacency_build",
+        "a_lsh_knn",
+        "d_dedup_exact",
+        "d_minhash_lsh_pairs",
+        "d_simhash",
+        "d_ngram_jaccard_pairs",
+        "d_embedding_neardup",
+        "t_lang_id",
+        "t_quality_score",
+        "t_fingerprint",
+        "r_tpch_q1",
+        "r_events_hourly",
+    ]
+    qs = Q.queries()
+
+    # warm the JVM + parquet footers once so per-query times measure the work
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in bench_queries:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()  # force full execution
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

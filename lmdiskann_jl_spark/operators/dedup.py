@@ -1,0 +1,255 @@
+"""Deduplication operators for the training-data pipeline.
+
+Beyond the reference's surface (it has none of these — SURVEY.md section 2.6);
+these are the first-class LLM-pipeline components: exact dedup, MinHash+LSH,
+SimHash, n-gram Jaccard, and embedding-cosine near-dup.
+
+Scale design (100 TB):
+- exact dedup: one hash-groupBy — a single shuffle on a 60-bit digest key,
+  perfectly salted by construction (md5 is uniform);
+- minhash: explode shingles -> map-side partial min per (doc, perm) -> one
+  shuffle keyed by doc_id; signature width n_perm is a constant factor;
+- LSH pairs: join keyed on (band, band_hash) — bucket sizes are the classic
+  banding tradeoff, AQE handles residual skew; candidate pairs then verified
+  exactly (here by signature agreement; full-text verify is a rejoin);
+- n-gram Jaccard: shingle-inverted-index join (explode + join on shingle),
+  never an O(n^2) crossJoin; hot shingles can be frequency-capped;
+- embedding near-dup: delegated to the LSH/brute kNN join machinery of
+  ``knn_join.py``.
+
+Every operator is deterministic (md5-derived integer hashing, seeded
+permutation constants) so the DuckDB oracle (plans/oracle_sql.py) reproduces
+results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lmdiskann_jl_spark.functions.text import HASH_MOD, hash_mod, tokens, word_shingles
+from lmdiskann_jl_spark.functions.vector import cosine_similarity
+
+DEFAULT_N_PERM = 16
+DEFAULT_BAND_ROWS = 4
+SHINGLE_N = 3
+MINHASH_SEED = 7
+
+
+def minhash_perms(n_perm: int = DEFAULT_N_PERM, seed: int = MINHASH_SEED) -> list[tuple[int, int, int]]:
+    """(perm_id, a, b) constants for h_i(x) = (a*x + b) mod HASH_MOD —
+    generated from a fixed seed so Spark and the oracle share them."""
+    rng = random.Random(seed)
+    return [(i, rng.randrange(1, HASH_MOD), rng.randrange(0, HASH_MOD)) for i in range(n_perm)]
+
+
+def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content digest.
+
+    Output: (text_hash, n_docs, keep_doc_id) — one row per distinct content,
+    representative = min id (the deterministic "keep" policy).
+    """
+    return (
+        documents.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_doc_id"))
+    )
+
+
+def doc_shingles(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE_N
+) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-gram shingles per document."""
+    return (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    documents: DataFrame,
+    n_perm: int = DEFAULT_N_PERM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    seed: int = MINHASH_SEED,
+) -> DataFrame:
+    """MinHash signatures: (doc_id, perm, minhash).
+
+    Classic permutation-hash minwise sketch: min over shingles of
+    (a*h(shingle)+b) mod p.  The groupBy computes map-side partial mins
+    before the single doc_id shuffle.
+    """
+    perms = minhash_perms(n_perm, seed)
+    spark = documents.sparkSession
+    perms_df = F.broadcast(
+        spark.createDataFrame(perms, "perm int, a long, b long")
+    )
+    hashed = doc_shingles(documents, id_col, text_col, n).select(
+        "doc_id", hash_mod(F.col("shingle")).alias("h")
+    )
+    return (
+        hashed.crossJoin(perms_df)
+        .groupBy("doc_id", "perm")
+        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % HASH_MOD).alias("minhash"))
+    )
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    n_perm: int = DEFAULT_N_PERM,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    seed: int = MINHASH_SEED,
+) -> DataFrame:
+    """LSH candidate duplicate pairs: docs agreeing on ALL rows of >= 1 band.
+
+    Output: (doc_a, doc_b) with doc_a < doc_b, distinct.  Banding: n_perm
+    signature rows split into n_perm/band_rows bands; band key = the ordered
+    minhash values concatenated (md5'd so the join key is fixed-width at
+    scale).
+    """
+    sig = minhash_signatures(documents, n_perm, id_col, text_col, n, seed)
+    bands = (
+        sig.withColumn("band", (F.col("perm") / band_rows).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "-",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
+                        lambda s: s["minhash"].cast("string"),
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(
+    documents: DataFrame,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """32-bit SimHash over word tokens (with multiplicity).
+
+    bit_j(doc) = 1 iff sum over tokens of (2*((h32(token)>>j)&1) - 1) > 0.
+    Output: (doc_id, simhash BIGINT).  Near-duplicate docs differ in few bits
+    (downstream: group by simhash or hamming-ball probing).
+    """
+    from lmdiskann_jl_spark.functions.text import hash32
+
+    tok = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).select("doc_id", hash32(F.col("tok")).alias("h"))
+    bit = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
+        F.col("h"),
+    ).select(
+        "doc_id",
+        "j",
+        # shiftright/shiftleft need Column shift amounts -> SQL expr form
+        (F.expr("shiftright(h, j)").bitwiseAND(F.lit(1)) * 2 - 1).alias("sgn"),
+    )
+    return (
+        bit.groupBy("doc_id", "j")
+        .agg(F.sum("sgn").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Near-duplicate pairs by word n-gram Jaccard similarity >= threshold.
+
+    Inverted-index join on shingle (never a crossJoin): common-shingle counts
+    per pair, set sizes per doc, jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+    Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+    """
+    sh = doc_shingles(documents, id_col, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("common")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity >= threshold.
+
+    Brute-force pair scan here (right side broadcast); at scale swap the
+    candidate generation for ``lsh_knn_join`` and keep the same verify step.
+    Output: (id_a, id_b, cos_sim) with id_a < id_b.
+    """
+    from lmdiskann_jl_spark.operators.knn_join import _spread
+
+    a = _spread(embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")))
+    b = F.broadcast(embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -61,6 +61,56 @@ def _prune_and_collect(edges: DataFrame, maxdegree: int) -> DataFrame:
     )
 
 
+def adjacency_edges(
+    vectors: DataFrame,
+    maxdegree: int = 64,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    use_lsh: bool = False,
+    dim: int | None = None,
+    lsh_tables: int = 4,
+    candidate_factor: int = 1,
+) -> DataFrame:
+    """Pruned symmetrized kNN edges (id, neighbor, rank) — the flat form of
+    the adjacency table (also the oracle-comparable form)."""
+    k = maxdegree * max(1, candidate_factor)
+    if use_lsh:
+        assert dim is not None, "dim required for LSH build"
+        knn = lsh_knn_join(
+            vectors, vectors, k=k, dim=dim, metric=metric,
+            n_tables=lsh_tables, left_id=id_col, right_id=id_col, vec_col=vec_col,
+        )
+    else:
+        knn = brute_force_knn_join(
+            vectors, vectors, k=k, metric=metric,
+            left_id=id_col, right_id=id_col, vec_col=vec_col,
+            broadcast_right=True,
+        )
+    lcol, rcol = f"{id_col}_l", f"{id_col}_r"
+    # back-links (the batch form of src/LMDiskANN.jl:568-573): emit BOTH edge
+    # directions from one pass over the kNN result — explode, not union, so
+    # the expensive join is computed once
+    edges = (
+        knn.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(lcol).alias("id_l"), F.col(rcol).alias("id_r"), F.col("dist")),
+                    F.struct(F.col(rcol).alias("id_l"), F.col(lcol).alias("id_r"), F.col("dist")),
+                )
+            ).alias("e")
+        )
+        .select("e.id_l", "e.id_r", "e.dist")
+        .dropDuplicates(["id_l", "id_r"])
+    )
+    w = Window.partitionBy("id_l").orderBy(F.col("dist").asc(), F.col("id_r").asc())
+    return (
+        edges.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= maxdegree)
+        .select(F.col("id_l").alias("id"), F.col("id_r").alias("neighbor"), "dist", "rank")
+    )
+
+
 def build_adjacency(
     vectors: DataFrame,
     maxdegree: int = 64,
@@ -78,25 +128,21 @@ def build_adjacency(
     Output: ``adjacency(id BIGINT, neighbors ARRAY<BIGINT>)`` with
     ``size(neighbors) <= maxdegree``, neighbors sorted nearest-first.
     """
-    k = maxdegree * max(1, candidate_factor)
-    if use_lsh:
-        assert dim is not None, "dim required for LSH build"
-        knn = lsh_knn_join(
-            vectors, vectors, k=k, dim=dim, metric=metric,
-            n_tables=lsh_tables, left_id=id_col, right_id=id_col, vec_col=vec_col,
+    pruned = adjacency_edges(
+        vectors, maxdegree, metric, id_col, vec_col,
+        use_lsh=use_lsh, dim=dim, lsh_tables=lsh_tables,
+        candidate_factor=candidate_factor,
+    )
+    return (
+        pruned.groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dist", F.col("neighbor").alias("id_r")))),
+                lambda s: s["id_r"],
+            ).alias("neighbors")
         )
-    else:
-        knn = brute_force_knn_join(
-            vectors, vectors, k=k, metric=metric,
-            left_id=id_col, right_id=id_col, vec_col=vec_col,
-            broadcast_right=True,
-        )
-    lcol, rcol = f"{id_col}_l", f"{id_col}_r"
-    fwd = knn.select(F.col(lcol).alias("id_l"), F.col(rcol).alias("id_r"), "dist")
-    # back-links: the batch form of src/LMDiskANN.jl:568-573
-    rev = knn.select(F.col(rcol).alias("id_l"), F.col(lcol).alias("id_r"), "dist")
-    edges = fwd.unionByName(rev).dropDuplicates(["id_l", "id_r"])
-    return _prune_and_collect(edges, maxdegree)
+        .select("id", "neighbors")
+    )
 
 
 def delete_from_adjacency(adjacency: DataFrame, deleted_ids: Sequence[int]) -> DataFrame:
@@ -133,9 +179,18 @@ def insert_batch_adjacency(
         left_id=id_col, right_id=id_col, vec_col=vec_col, broadcast_right=False,
     )
     lcol, rcol = f"{id_col}_l", f"{id_col}_r"
-    fwd = knn.select(F.col(lcol).alias("id_l"), F.col(rcol).alias("id_r"), "dist")
-    rev = knn.select(F.col(rcol).alias("id_l"), F.col(lcol).alias("id_r"), "dist")
-    new_edges = fwd.unionByName(rev).dropDuplicates(["id_l", "id_r"])
+    new_edges = (
+        knn.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(lcol).alias("id_l"), F.col(rcol).alias("id_r"), F.col("dist")),
+                    F.struct(F.col(rcol).alias("id_l"), F.col(lcol).alias("id_r"), F.col("dist")),
+                )
+            ).alias("e")
+        )
+        .select("e.id_l", "e.id_r", "e.dist")
+        .dropDuplicates(["id_l", "id_r"])
+    )
 
     # existing adjacency rows of touched nodes -> edge form (need dist to re-prune)
     touched_ids = new_edges.select(F.col("id_l").alias("id")).distinct()

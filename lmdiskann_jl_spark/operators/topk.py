@@ -74,9 +74,11 @@ def batch_topk(
     broadcast); output is ``(qid, id, dist, rank)`` with rank 1..k per qid.
     """
     dist_fn = resolve_metric(metric)
+    from lmdiskann_jl_spark.operators.knn_join import _spread
+
     scored = (
-        F.broadcast(queries.select(qid_col, qvec_col))
-        .crossJoin(vectors.select(id_col, vec_col))
+        _spread(vectors.select(id_col, vec_col))
+        .crossJoin(F.broadcast(queries.select(qid_col, qvec_col)))
         .select(
             qid_col,
             id_col,

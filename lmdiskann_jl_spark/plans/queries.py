@@ -1,0 +1,604 @@
+"""The engine's declared query surface: every operator from SURVEY.md §2 plus
+the training-data-pipeline extensions, each as a (Spark callable, DuckDB
+oracle SQL) pair.
+
+Contract (driver's correctness gate): for each name, the Spark callable
+``(spark, sf_dir) -> DataFrame`` and the oracle SQL must produce identical
+row sets — same column names, same values (order-insensitive hash).  All
+float outputs are rounded AFTER selection (selection/order always uses
+unrounded bit-exact doubles); ranks/ids cast to BIGINT on both sides.
+
+Queries with no SQL-expressible oracle (approximate LSH kNN, beam search,
+recall evaluation) are registered with ``oracle = None`` — the driver records
+a weaker rows-only check for those, and pytest guards their semantics with
+the reference's own recall >= 0.70 gate instead.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lmdiskann_jl_spark.functions import text as X
+from lmdiskann_jl_spark.functions.vector import cosine_similarity
+from lmdiskann_jl_spark.operators import dedup as D
+from lmdiskann_jl_spark.operators.graph import adjacency_edges
+from lmdiskann_jl_spark.operators.knn_join import brute_force_knn_join, lsh_knn_join
+from lmdiskann_jl_spark.operators.topk import batch_topk, exact_topk, recall_at_k
+from lmdiskann_jl_spark.plans import oracle_sql as O
+
+QUERY_VEC_ID = 0  # the fixed probe vector for single-query search ops
+LOOKUP_VEC_ID = 42
+RADIUS = 1.6  # euclidean radius for range search (~small result set on testdata)
+NEARDUP_COS = 0.45
+JACCARD_T = 0.5
+ADJ_DEGREE = 8
+KNN_K = 4
+BATCH_QUERIES = 8
+BATCH_K = 5
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vid: int = QUERY_VEC_ID) -> list[float]:
+    row = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vid)
+        .select("embedding")
+        .collect()[0]
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+_QV = f"(SELECT embedding AS qv FROM embeddings WHERE vec_id = {QUERY_VEC_ID}) q"
+
+
+# ---------------------------------------------------------------- vector ops
+
+
+def q_exact_topk_euclidean(spark, sf_dir):
+    """search() in exact mode, Euclidean (SURVEY §2 op 11/30)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return exact_topk(emb, q, k=10, metric="euclidean", vec_col="embedding", id_col="vec_id").select(
+        "vec_id", F.round("dist", 4).alias("dist")
+    )
+
+
+def q_exact_topk_cosine(spark, sf_dir):
+    """search() in exact mode, CosineDist (op 11, test/runtests.jl:31-67)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    return exact_topk(emb, q, k=10, metric="cosine", vec_col="embedding", id_col="vec_id").select(
+        "vec_id", F.round("dist", 4).alias("dist")
+    )
+
+
+def q_range_search(spark, sf_dir):
+    """Radius search — the filter form of similarity search."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    from lmdiskann_jl_spark.functions.vector import euclidean_distance, query_vector_lit
+
+    return (
+        emb.select("vec_id", euclidean_distance(F.col("embedding"), query_vector_lit(q)).alias("d"))
+        .filter(F.col("d") <= RADIUS)
+        .select("vec_id", F.round("d", 4).alias("dist"))
+    )
+
+
+def q_batch_topk(spark, sf_dir):
+    """Batched search(): per-query window top-k (op 11, batched)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return batch_topk(queries, emb, k=BATCH_K, metric="euclidean", vec_col="embedding", id_col="vec_id").select(
+        "qid", "vec_id", F.round("dist", 4).alias("dist"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_knn_join(spark, sf_dir):
+    """kNN self-join — the candidate generator of batch ann_insert! (op 9)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_knn_join(
+        emb, emb, k=KNN_K, metric="euclidean", left_id="vec_id", right_id="vec_id", vec_col="embedding"
+    ).select(
+        "vec_id_l", "vec_id_r", F.round("dist", 4).alias("dist"), F.col("rank").cast("long").alias("rank")
+    )
+
+
+def q_adjacency_build(spark, sf_dir):
+    """Bulk graph build: symmetrized kNN edges + per-node degree prune
+    (ops 9/13/15 — back-links at :568-573, prune at :491-505)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return adjacency_edges(
+        emb, maxdegree=ADJ_DEGREE, metric="euclidean", id_col="vec_id", vec_col="embedding"
+    ).select("id", "neighbor", F.col("rank").alias("rank"))
+
+
+def q_delete_repair(spark, sf_dir):
+    """ann_delete! graph repair (op 10): drop deleted rows + array_except
+    deleted ids from every neighbor list (src/LMDiskANN.jl:622-629)."""
+    from lmdiskann_jl_spark.operators.graph import build_adjacency, delete_from_adjacency
+
+    emb = _t(spark, sf_dir, "embeddings")
+    adj = build_adjacency(emb, maxdegree=ADJ_DEGREE, metric="euclidean", id_col="vec_id", vec_col="embedding")
+    dead = [r["vec_id"] for r in emb.filter(F.col("vec_id") % 50 == 0).select("vec_id").collect()]
+    repaired = delete_from_adjacency(adj, dead)
+    return repaired.select("id", F.explode("neighbors").alias("neighbor"))
+
+
+def q_get_embedding(spark, sf_dir):
+    """get_embedding_from_id (op 17): predicate-pushdown point lookup."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.filter(F.col("vec_id") == LOOKUP_VEC_ID).select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("v0"),
+    )
+
+
+# ------------------------------------------------------------- key map ops
+
+
+def _key_map(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings").select(
+        F.concat(F.lit("vec-"), F.col("vec_id").cast("string")).alias("key"),
+        F.col("vec_id").alias("id"),
+    )
+
+
+def q_keymap_count(spark, sf_dir):
+    """count_entries (op 28) — COUNT over the key_map dimension table."""
+    return _key_map(spark, sf_dir).agg(F.count("*").alias("cnt"))
+
+
+def q_keymap_lookup(spark, sf_dir):
+    """get_id_from_key / get_key_from_id (ops 22-23) as predicates."""
+    return _key_map(spark, sf_dir).filter(F.col("key") == f"vec-{LOOKUP_VEC_ID}").select("key", "id")
+
+
+def q_keymap_list(spark, sf_dir):
+    """list_all_keys (op 29)."""
+    return _key_map(spark, sf_dir).select("key")
+
+
+def q_keymap_delete(spark, sf_dir):
+    """delete_by_key!/delete_by_id! (ops 24-25) as batch anti-join."""
+    km = _key_map(spark, sf_dir)
+    return km.filter(~(F.col("id") % 25 == 0)).select("key", "id")
+
+
+# ------------------------------------------------------------ dedup suite
+
+
+def q_dedup_exact(spark, sf_dir):
+    return D.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return D.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return D.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark, sf_dir):
+    return D.simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=JACCARD_T)
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return D.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS)
+
+
+# ------------------------------------------------------------ text analysis
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.langid_expr(F.col("text")).alias("pred_lang"))
+
+
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    feats = X.quality_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    counts = X.token_counts(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in counts.items()])
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", X.fingerprint_expr(F.col("text")).alias("fp"))
+
+
+# ------------------------------------------- relational machinery (demos)
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-shaped aggregate — the groupBy/agg machinery the engine's
+    internals are built on, on the lineitem fixture."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Tumbling-window aggregation over the events stream table (batch view
+    of the Structured Streaming rollup).
+
+    The fixture stores ts as parquet TIMESTAMP(NANOS), which Spark 4 only
+    reads as a raw long (legacy.parquet.nanosAsLong); the hour bucket is then
+    exact integer arithmetic on epoch-nanos — same value as the oracle's
+    epoch(date_trunc('hour', ts)).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.expr("ts div 3600000000000") * 3600).alias("bucket"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def q_top_orders_per_segment(spark, sf_dir):
+    """Window top-N per group (the same shape as the degree prune op 13) on
+    the relational tables — join + window."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "o_orderkey", F.round("o_totalprice", 2).alias("total"), "rank")
+    )
+
+
+# ----------------------------------------- approximate ops (rows-only gate)
+
+
+def q_lsh_knn(spark, sf_dir):
+    """LSH-bucketed approximate kNN join (the 100-TB scale path). Oracle:
+    none (approximate) — quality is gated by q_lsh_recall instead."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_knn_join(
+        emb, emb, k=KNN_K, dim=64, metric="euclidean",
+        left_id="vec_id", right_id="vec_id", vec_col="embedding",
+    ).select("vec_id_l", "vec_id_r", F.round("dist", 4).alias("dist"))
+
+
+def q_lsh_recall(spark, sf_dir):
+    """recall@k of the LSH kNN join vs the exact join — the reference's own
+    quality bar (>= 0.70, test/runtests.jl:454)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exact = brute_force_knn_join(
+        emb, emb, k=KNN_K, metric="euclidean", left_id="vec_id", right_id="vec_id", vec_col="embedding"
+    ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
+    approx = lsh_knn_join(
+        emb, emb, k=KNN_K, dim=64, metric="euclidean",
+        left_id="vec_id", right_id="vec_id", vec_col="embedding",
+    ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
+    r = recall_at_k(approx, exact, k=KNN_K)
+    return spark.createDataFrame([(float(r),)], "recall double")
+
+
+# ---------------------------------------------------------------- oracles
+
+
+def _oracle_map() -> dict[str, str | None]:
+    E = "list_transform(e.embedding, x -> CAST(x AS DOUBLE))"
+    QV = "list_transform(q.qv, x -> CAST(x AS DOUBLE))"
+    toks = O.tokens("text")
+    sh = O.word_shingles("t", D.SHINGLE_N)
+
+    eu = O.euclidean(E, QV)
+    co = O.cosine_dist(E, QV)
+
+    pair_eu = O.euclidean(
+        "list_transform(a.embedding, x -> CAST(x AS DOUBLE))",
+        "list_transform(b.embedding, x -> CAST(x AS DOUBLE))",
+    )
+    pair_cos = O.cosine_sim(
+        "list_transform(a.embedding, x -> CAST(x AS DOUBLE))",
+        "list_transform(b.embedding, x -> CAST(x AS DOUBLE))",
+    )
+
+    key_map = "SELECT 'vec-' || CAST(vec_id AS VARCHAR) AS key, vec_id AS id FROM embeddings"
+
+    shingle_cte = f"""
+      WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+      sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest({sh}) AS s FROM toks))
+    """
+
+    minhash_core = f"""
+      {shingle_cte},
+      h AS (SELECT doc_id, {O.hash_mod('s')} AS h FROM sh),
+      perms(perm, a, b) AS (VALUES {O.perms_values(D.DEFAULT_N_PERM)}),
+      sig AS (
+        SELECT doc_id, CAST(perm AS INT) AS perm,
+               min((CAST(a AS BIGINT) * h + b) % {O.HASH_MOD}) AS minhash
+        FROM h, perms GROUP BY 1, 2
+      )
+    """
+
+    return {
+        "v_exact_topk_euclidean": f"""
+            SELECT e.vec_id, round({eu}, 4) AS dist
+            FROM embeddings e, {_QV}
+            ORDER BY {eu}, e.vec_id LIMIT 10
+        """,
+        "v_exact_topk_cosine": f"""
+            SELECT e.vec_id, round({co}, 4) + 0.0 AS dist
+            FROM embeddings e, {_QV}
+            ORDER BY {co}, e.vec_id LIMIT 10
+        """,
+        "v_range_search": f"""
+            SELECT e.vec_id, round({eu}, 4) AS dist
+            FROM embeddings e, {_QV}
+            WHERE {eu} <= {RADIUS}
+        """,
+        "v_batch_topk": f"""
+            SELECT q.vec_id AS qid, e.vec_id, round({pair_eu.replace('a.embedding', 'e.embedding').replace('b.embedding', 'q.embedding')}, 4) AS dist,
+                   CAST(row_number() OVER (
+                     PARTITION BY q.vec_id
+                     ORDER BY {pair_eu.replace('a.embedding', 'e.embedding').replace('b.embedding', 'q.embedding')}, e.vec_id
+                   ) AS BIGINT) AS rank
+            FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {BATCH_QUERIES}) q
+            QUALIFY rank <= {BATCH_K}
+        """,
+        "v_knn_join": f"""
+            SELECT a.vec_id AS vec_id_l, b.vec_id AS vec_id_r, round({pair_eu}, 4) AS dist,
+                   CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY {pair_eu}, b.vec_id) AS BIGINT) AS rank
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id != b.vec_id
+            QUALIFY rank <= {KNN_K}
+        """,
+        "v_adjacency_build": f"""
+            WITH knn AS (
+              SELECT a.vec_id AS id_l, b.vec_id AS id_r, {pair_eu} AS dist
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id != b.vec_id
+              QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY {pair_eu}, b.vec_id) <= {ADJ_DEGREE}
+            ),
+            edges AS (
+              SELECT id_l, id_r, dist FROM knn
+              UNION
+              SELECT id_r AS id_l, id_l AS id_r, dist FROM knn
+            )
+            SELECT id_l AS id, id_r AS neighbor,
+                   CAST(row_number() OVER (PARTITION BY id_l ORDER BY dist, id_r) AS BIGINT) AS rank
+            FROM edges
+            QUALIFY rank <= {ADJ_DEGREE}
+        """,
+        "v_delete_repair": f"""
+            WITH knn AS (
+              SELECT a.vec_id AS id_l, b.vec_id AS id_r, {pair_eu} AS dist
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id != b.vec_id
+              QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY {pair_eu}, b.vec_id) <= {ADJ_DEGREE}
+            ),
+            edges AS (
+              SELECT id_l, id_r, dist FROM knn
+              UNION
+              SELECT id_r AS id_l, id_l AS id_r, dist FROM knn
+            ),
+            pruned AS (
+              SELECT id_l AS id, id_r AS neighbor
+              FROM edges
+              QUALIFY row_number() OVER (PARTITION BY id_l ORDER BY dist, id_r) <= {ADJ_DEGREE}
+            )
+            SELECT id, neighbor FROM pruned
+            WHERE id % 50 != 0 AND neighbor % 50 != 0
+        """,
+        "v_get_embedding": f"""
+            SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+                   round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS v0
+            FROM embeddings WHERE vec_id = {LOOKUP_VEC_ID}
+        """,
+        "k_keymap_count": f"SELECT count(*) AS cnt FROM ({key_map})",
+        "k_keymap_lookup": f"SELECT key, id FROM ({key_map}) WHERE key = 'vec-{LOOKUP_VEC_ID}'",
+        "k_keymap_list": f"SELECT key FROM ({key_map})",
+        "k_keymap_delete": f"SELECT key, id FROM ({key_map}) WHERE id % 25 != 0",
+        "d_dedup_exact": """
+            SELECT md5(text) AS text_hash, count(*) AS n_docs, min(doc_id) AS keep_doc_id
+            FROM documents GROUP BY 1
+        """,
+        "d_minhash_signatures": f"{minhash_core} SELECT doc_id, perm, minhash FROM sig",
+        "d_minhash_lsh_pairs": f"""
+            {minhash_core},
+            bands AS (
+              SELECT doc_id, CAST(perm // {D.DEFAULT_BAND_ROWS} AS INT) AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm)) AS band_key
+              FROM sig GROUP BY 1, 2
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b USING (band, band_key)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "d_simhash": f"""
+            WITH toks AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+            h AS (SELECT doc_id, {O.hash32('tok')} AS h FROM toks),
+            bitrows AS (
+              SELECT doc_id, j, ((h >> CAST(j AS INT)) & 1) * 2 - 1 AS sgn
+              FROM h, range(0, 32) t(j)
+            ),
+            s AS (SELECT doc_id, j, sum(sgn) AS s FROM bitrows GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+            FROM s GROUP BY 1
+        """,
+        "d_ngram_jaccard_pairs": f"""
+            {shingle_cte},
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM sh a JOIN sh b USING (s)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, jaccard FROM (
+              SELECT doc_a, doc_b,
+                     round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+              FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            ) WHERE jaccard >= {JACCARD_T}
+        """,
+        "d_embedding_neardup": f"""
+            SELECT id_a, id_b, cos_sim FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({pair_cos}, 4) AS cos_sim
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id < b.vec_id
+            ) WHERE cos_sim >= {NEARDUP_COS}
+        """,
+        "t_lang_id": f"""
+            SELECT doc_id, {O.langid_case()} AS pred_lang FROM (
+              SELECT doc_id, {O.langid_hit_columns('t')} FROM (
+                SELECT doc_id, {toks} AS t FROM documents
+              )
+            )
+        """,
+        "t_quality_score": _quality_oracle(),
+        "t_token_count": _token_count_oracle(),
+        "t_fingerprint": f"""
+            SELECT doc_id,
+                   list_min(list_transform(
+                     range(1, greatest(length(lower(text)) - {O.FINGERPRINT_GRAM - 1}, 1) + 1),
+                     i -> {O.hash60(f"substr(lower(text), CAST(i AS INT), {O.FINGERPRINT_GRAM})")}
+                   )) AS fp
+            FROM documents
+        """,
+        "r_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY 1, 2
+        """,
+        "r_events_hourly": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+                   count(*) AS n, round(sum(value), 2) + 0.0 AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "r_top_orders_per_segment": """
+            SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS total,
+                   CAST(row_number() OVER (
+                     PARTITION BY c_mktsegment ORDER BY o_totalprice DESC, o_orderkey ASC
+                   ) AS BIGINT) AS rank
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            QUALIFY rank <= 3
+        """,
+        "a_lsh_knn": None,
+        "a_lsh_recall": None,
+    }
+
+
+def _quality_oracle() -> str:
+    toks = O.tokens("text")
+    sw = O.stopword_hits("t", O.QUALITY_STOPWORDS)
+    return f"""
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               round(mean_tok, 4) AS mean_token_len,
+               round(stop_ratio, 4) AS stopword_ratio,
+               round(alnum_ratio, 4) AS alnum_ratio,
+               round((least(stop_ratio * 4, 1.0)
+                      + (CASE WHEN mean_tok >= 3 AND mean_tok <= 10 THEN 1.0 ELSE 0.0 END)
+                      + alnum_ratio) / 3.0, 4) AS quality_score
+        FROM (
+          SELECT doc_id, n_chars, n_tokens,
+                 CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE) / n_tokens ELSE 0.0 END AS mean_tok,
+                 CASE WHEN n_tokens > 0 THEN CAST(sw_hits AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+                 CASE WHEN n_chars > 0 THEN CAST(alnum_chars AS DOUBLE) / n_chars ELSE 0.0 END AS alnum_ratio
+          FROM (
+            SELECT doc_id,
+                   length(text) AS n_chars,
+                   len(t) AS n_tokens,
+                   COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS tok_chars,
+                   {sw} AS sw_hits,
+                   length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum_chars
+            FROM (SELECT doc_id, text, {toks} AS t FROM documents)
+          )
+        )
+    """
+
+
+def _token_count_oracle() -> str:
+    return r"""
+        SELECT doc_id,
+               CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT) AS n_ws_tokens,
+               CAST(COALESCE(list_sum(list_transform(
+                      list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x != ''),
+                      t -> CAST(ceil(length(t) / 4.0) AS INT))), 0)
+                    + length(regexp_replace(lower(text), '[a-z\s]', '', 'g')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "v_exact_topk_euclidean": q_exact_topk_euclidean,
+        "v_exact_topk_cosine": q_exact_topk_cosine,
+        "v_range_search": q_range_search,
+        "v_batch_topk": q_batch_topk,
+        "v_knn_join": q_knn_join,
+        "v_adjacency_build": q_adjacency_build,
+        "v_delete_repair": q_delete_repair,
+        "v_get_embedding": q_get_embedding,
+        "k_keymap_count": q_keymap_count,
+        "k_keymap_lookup": q_keymap_lookup,
+        "k_keymap_list": q_keymap_list,
+        "k_keymap_delete": q_keymap_delete,
+        "d_dedup_exact": q_dedup_exact,
+        "d_minhash_signatures": q_minhash_signatures,
+        "d_minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "d_simhash": q_simhash,
+        "d_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "d_embedding_neardup": q_embedding_neardup,
+        "t_lang_id": q_lang_id,
+        "t_quality_score": q_quality_score,
+        "t_token_count": q_token_count,
+        "t_fingerprint": q_fingerprint,
+        "r_tpch_q1": q_tpch_q1,
+        "r_events_hourly": q_events_hourly,
+        "r_top_orders_per_segment": q_top_orders_per_segment,
+        "a_lsh_knn": q_lsh_knn,
+        "a_lsh_recall": q_lsh_recall,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v for k, v in _oracle_map().items() if v is not None}

@@ -1,0 +1,98 @@
+"""Structured Streaming ingest: continuous ``ann_insert!`` as micro-batches.
+
+Reference parity: the reference's "dynamic updates" are synchronous point
+inserts/deletes (``/root/reference/paper/paper.md:40``, ``src/LMDiskANN.jl:531-584``)
+— there is no streaming runtime (SURVEY.md §2.6).  The Spark-native
+generalization is a Structured Streaming pipeline: a stream of new vectors is
+consumed with ``readStream``, and ``foreachBatch`` applies the SAME batch
+insert pipeline the index uses for static data — each micro-batch is one
+transactional snapshot commit (exactly-once per epoch via the checkpoint).
+
+At scale: the micro-batch kNN join is the incremental ``insert_batch_adjacency``
+(O(batch x existing) work bounded by LSH bucketing), so ingest cost grows with
+batch size, not index size.  Watermarks/late-data handling are not needed for
+inserts (idempotent MERGE by id); the events-table rollup below shows the
+watermarked windowed-aggregation pattern for completeness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from lmdiskann_jl_spark.index import LMDiskANNIndex
+
+
+def stream_insert(
+    index: LMDiskANNIndex,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    vec_col: str = "vec",
+    key_col: str | None = None,
+    trigger_seconds: int | None = None,
+):
+    """Attach a streaming source of new vectors to the index.
+
+    ``stream_df`` must be a streaming DataFrame (``spark.readStream...``)
+    with a vector column.  Every micro-batch runs the index's batch insert —
+    the streaming analog of calling ``ann_insert!`` per arriving vector.
+    Returns the StreamingQuery handle.
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("stream_insert needs a streaming DataFrame (use spark.readStream)")
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        index.insert_batch(batch_df, vec_col=vec_col, key_col=key_col)
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        # the fixture writes TIMESTAMP(NANOS): Spark 4 reads it as raw long
+        # (legacy.parquet.nanosAsLong) — converted below via timestamp_micros
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def streaming_hourly_rollup(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup over a file stream of events —
+    the streaming twin of plans.queries.q_events_hourly (late rows beyond the
+    watermark are dropped; per-window counts/sums update incrementally)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .parquet(source_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )

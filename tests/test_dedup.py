@@ -1,0 +1,74 @@
+"""Dedup suite semantics on controlled fixtures."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from lmdiskann_jl_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+        (5, "tiny"),  # fewer tokens than shingle width
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["text_hash"]: r for r in D.exact_dedup(docs).collect()}
+    groups = {tuple(sorted((r["n_docs"], r["keep_doc_id"])))for r in out.values()}
+    # 1 and 2 collapse to one group keeping min id 1
+    assert (2, 1) in {(r["n_docs"], r["keep_doc_id"]) for r in out.values()}
+    assert sum(r["n_docs"] for r in out.values()) == 5
+
+
+def test_minhash_identical_docs_have_identical_signatures(docs):
+    sig = D.minhash_signatures(docs).collect()
+    by_doc = {}
+    for r in sig:
+        by_doc.setdefault(r["doc_id"], {})[r["perm"]] = r["minhash"]
+    assert by_doc[1] == by_doc[2]
+    assert by_doc[1] != by_doc[4]
+    # doc 5 has no 3-gram shingles -> absent
+    assert 5 not in by_doc
+    assert len(by_doc[1]) == D.DEFAULT_N_PERM
+
+
+def test_minhash_lsh_finds_exact_and_near_dups(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in D.minhash_lsh_pairs(docs).collect()}
+    assert (1, 2) in pairs  # identical docs always collide in every band
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_similarity_ordering(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in D.simhash(docs).collect()}
+    assert sh[1] == sh[2]
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    # near-dup is closer in hamming distance than unrelated content
+    assert hamming(sh[1], sh[3]) < hamming(sh[1], sh[4])
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert out[(1, 2)] == pytest.approx(1.0)
+    assert (1, 3) in out and out[(1, 3)] < 1.0
+    assert (1, 4) not in out
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0]),  # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in D.embedding_neardup_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
+    assert (1, 3) not in pairs

@@ -1,0 +1,68 @@
+"""Graph build, delete repair, LSH kNN, and the reference's recall gate.
+
+The load-bearing test style of the reference (test/runtests.jl:410-459):
+approximate results vs a brute-force oracle, avg recall@k >= 0.70.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from lmdiskann_jl_spark.operators.beam import beam_search
+from lmdiskann_jl_spark.operators.graph import build_adjacency, delete_from_adjacency
+from lmdiskann_jl_spark.operators.knn_join import brute_force_knn_join, lsh_knn_join
+from lmdiskann_jl_spark.operators.topk import exact_topk, recall_at_k
+
+random.seed(1)
+
+
+@pytest.fixture(scope="module")
+def emb(embeddings):
+    return embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")).cache()
+
+
+def test_build_adjacency_degree_bound_and_symmetry(emb):
+    sub = emb.filter(F.col("id") < 60)
+    adj = build_adjacency(sub, maxdegree=6, metric="euclidean").collect()
+    by_id = {r["id"]: list(r["neighbors"]) for r in adj}
+    assert len(by_id) == 60
+    assert all(1 <= len(n) <= 6 for n in by_id.values())
+    assert all(i not in n for i, n in by_id.items())  # no self-loops
+
+
+def test_delete_from_adjacency(spark):
+    adj = spark.createDataFrame(
+        [(1, [2, 3]), (2, [1, 3]), (3, [1, 2])],
+        "id long, neighbors array<long>",
+    )
+    out = {r["id"]: list(r["neighbors"]) for r in delete_from_adjacency(adj, [3]).collect()}
+    assert out == {1: [2], 2: [1]}
+
+
+def test_lsh_knn_recall_meets_reference_bar(emb):
+    """LSH approximate kNN vs exact — the >= 0.70 bar of test/runtests.jl:454."""
+    k = 10
+    exact = brute_force_knn_join(emb, emb, k=k, metric="euclidean").select(
+        F.col("id_l").alias("qid"), F.col("id_r").alias("id")
+    )
+    approx = lsh_knn_join(emb, emb, k=k, dim=64, metric="euclidean", n_planes=3, n_tables=8).select(
+        F.col("id_l").alias("qid"), F.col("id_r").alias("id")
+    )
+    r = recall_at_k(approx, exact, k=k)
+    assert r >= 0.70, f"LSH recall {r:.3f} below reference bar"
+
+
+def test_beam_search_recall_meets_reference_bar(emb):
+    """Graph beam search vs exact scan — reference bar >= 0.70 avg recall@10."""
+    maxdeg = 16
+    adj = build_adjacency(emb, maxdegree=maxdeg, metric="euclidean").cache()
+    queries = [r["vec"] for r in emb.filter(F.col("id") < 10).collect()]
+    total = 0.0
+    for q in queries:
+        exact_ids = {r["id"] for r in exact_topk(emb, q, k=10, metric="euclidean").collect()}
+        got = beam_search(emb, adj, q, ef=60, metric="euclidean", entrypoint=0)
+        beam_ids = [r["id"] for r in got.orderBy("dist").limit(10).collect()]
+        total += len(exact_ids & set(beam_ids)) / 10.0
+    avg = total / len(queries)
+    assert avg >= 0.70, f"beam recall {avg:.3f} below reference bar"
