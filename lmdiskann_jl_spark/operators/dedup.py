@@ -61,14 +61,46 @@ def exact_dedup(documents: DataFrame, id_col: str = "doc_id", text_col: str = "t
 def doc_shingles(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = SHINGLE_N
 ) -> DataFrame:
-    """(doc_id, shingle) — distinct word n-gram shingles per document."""
+    """(doc_id, h) — distinct word n-gram shingles per document, as 60-bit
+    md5 hashes.  Hashing BEFORE the distinct/shuffle keeps every downstream
+    exchange fixed-width 8-byte keys instead of strings (at 100 TB the
+    shingle text never leaves the scan stage)."""
+    from lmdiskann_jl_spark.functions.text import hash60
+
     return (
         documents.select(
             F.col(id_col).alias("doc_id"),
             F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("shingle"),
         )
+        .select("doc_id", hash60(F.col("shingle")).alias("h"))
         .distinct()
     )
+
+
+def minhash_signatures_wide(
+    documents: DataFrame,
+    n_perm: int = DEFAULT_N_PERM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = SHINGLE_N,
+    seed: int = MINHASH_SEED,
+) -> DataFrame:
+    """MinHash signatures, wide form: (doc_id, mh_0 .. mh_{n_perm-1}).
+
+    One column per permutation, all minimized in a SINGLE groupBy — no
+    16x row explosion, one shuffle with map-side partial mins (shuffle volume
+    = n_docs x n_perm longs regardless of shingle count).  This is the scale
+    form; ``minhash_signatures`` unpivots it to the narrow contract.
+    """
+    perms = minhash_perms(n_perm, seed)
+    hashed = doc_shingles(documents, id_col, text_col, n).select(
+        "doc_id", (F.col("h") % HASH_MOD).alias("h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_MOD).alias(f"mh_{i}")
+        for i, a, b in perms
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_signatures(
@@ -79,24 +111,20 @@ def minhash_signatures(
     n: int = SHINGLE_N,
     seed: int = MINHASH_SEED,
 ) -> DataFrame:
-    """MinHash signatures: (doc_id, perm, minhash).
+    """MinHash signatures, narrow contract: (doc_id, perm, minhash).
 
     Classic permutation-hash minwise sketch: min over shingles of
-    (a*h(shingle)+b) mod p.  The groupBy computes map-side partial mins
-    before the single doc_id shuffle.
+    (a*h(shingle)+b) mod p.  Computed wide (one shuffle), then unpivoted.
     """
-    perms = minhash_perms(n_perm, seed)
-    spark = documents.sparkSession
-    perms_df = F.broadcast(
-        spark.createDataFrame(perms, "perm int, a long, b long")
+    wide = minhash_signatures_wide(documents, n_perm, id_col, text_col, n, seed)
+    pairs = F.array(
+        *[
+            F.struct(F.lit(i).alias("perm"), F.col(f"mh_{i}").alias("minhash"))
+            for i in range(n_perm)
+        ]
     )
-    hashed = doc_shingles(documents, id_col, text_col, n).select(
-        "doc_id", hash_mod(F.col("shingle")).alias("h")
-    )
-    return (
-        hashed.crossJoin(perms_df)
-        .groupBy("doc_id", "perm")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % HASH_MOD).alias("minhash"))
+    return wide.select("doc_id", F.explode(pairs).alias("pm")).select(
+        "doc_id", F.col("pm.perm").alias("perm"), F.col("pm.minhash").alias("minhash")
     )
 
 
@@ -116,21 +144,27 @@ def minhash_lsh_pairs(
     minhash values concatenated (md5'd so the join key is fixed-width at
     scale).
     """
-    sig = minhash_signatures(documents, n_perm, id_col, text_col, n, seed)
-    bands = (
-        sig.withColumn("band", (F.col("perm") / band_rows).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "-",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("perm", "minhash"))),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                )
-            ).alias("band_key")
-        )
+    wide = minhash_signatures_wide(documents, n_perm, id_col, text_col, n, seed)
+    n_bands = n_perm // band_rows
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col(f"mh_{b * band_rows + r}").cast("string")
+                            for r in range(band_rows)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = wide.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
     )
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
@@ -201,10 +235,10 @@ def ngram_jaccard_pairs(
     """
     sh = doc_shingles(documents, id_col, text_col, n).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
     common = (
-        a.join(b, "shingle")
+        a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))

@@ -1,0 +1,121 @@
+"""IVF (inverted-file) index — the clustered scale path for ANN search.
+
+Complements the LSH path (knn_join.py) and the graph path (graph.py/beam.py)
+as the third similarity-search strategy (SURVEY.md §7 step 9; the public
+IVF-Flat design popularized by FAISS).  Everything is DataFrame-native:
+
+- build: MLlib KMeans (seeded, deterministic) fits centroids on a sample;
+  every vector is assigned to its nearest centroid with one broadcast
+  join + window (no shuffle of the vectors beyond the final
+  partitionBy-cell write);
+- search: score the query against the (tiny, broadcast) centroid table,
+  pick ``nprobe`` cells, then scan ONLY those cells — with the vectors
+  table written partitioned by ``cell``, Catalyst partition-prunes the scan
+  down to nprobe/n_cells of the data.  At 100 TB with 4096 cells and
+  nprobe=64, each query touches ~1.5% of the table.
+
+The exact same top-k machinery (TakeOrderedAndProject) runs inside the
+probed cells, so results are exact-within-probed-cells; recall is tuned by
+nprobe (gated by the reference's >= 0.70 bar in tests).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lmdiskann_jl_spark.functions.vector import query_vector_lit, resolve_metric
+
+
+def build_ivf(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Fit centroids and assign every vector to its nearest cell.
+
+    Returns (centroids(cell INT, centroid ARRAY<DOUBLE>),
+             assigned(id, vec, cell)).  KMeans runs on a driver-side sample
+    cap via MLlib (seeded — deterministic); assignment is a broadcast
+    crossJoin + window argmin, one pass over the data.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    fit_df = vectors.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    if sample_fraction:
+        fit_df = fit_df.sample(fraction=sample_fraction, seed=seed)
+    km = KMeans(k=n_cells, seed=seed, initMode="k-means||", maxIter=20)
+    model = km.fit(fit_df)
+    spark = vectors.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, centroid array<double>",
+    )
+    assigned = assign_cells(vectors, centroids, metric, id_col, vec_col)
+    return centroids, assigned
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast centroids, window argmin."""
+    dist_fn = resolve_metric(metric)
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "_cd", dist_fn(F.col(vec_col), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("_cd").asc(), F.col("cell").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cell")
+    )
+
+
+def write_ivf(assigned: DataFrame, path: str) -> None:
+    """Persist the assigned table partitioned by cell — the layout that makes
+    probe-time partition pruning free (scan reads only probed cells)."""
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+
+
+def ivf_search(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Top-k over the nprobe nearest cells only.
+
+    ``assigned.filter(cell IN probes)`` partition-prunes when ``assigned``
+    is read from a cell-partitioned layout (write_ivf).  Returns
+    (id, dist, cell) nearest-first.
+    """
+    dist_fn = resolve_metric(metric)
+    q = query_vector_lit(query)
+    probes = [
+        r["cell"]
+        for r in centroids.select("cell", dist_fn(F.col("centroid"), q).alias("d"))
+        .orderBy(F.col("d").asc(), F.col("cell").asc())
+        .limit(nprobe)
+        .collect()
+    ]
+    return (
+        assigned.filter(F.col("cell").isin(probes))
+        .select(id_col, "cell", dist_fn(F.col(vec_col), q).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

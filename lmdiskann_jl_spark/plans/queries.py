@@ -133,6 +133,34 @@ def q_delete_repair(spark, sf_dir):
     return repaired.select("id", F.explode("neighbors").alias("neighbor"))
 
 
+def q_partial_topk(spark, sf_dir):
+    """partial_brute_force_topk (op 31, test/runtests.jl:465-487): exact
+    top-k over a deterministic subset (the reference samples randomly; the
+    oracle-comparable form uses a modulo subset)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
+    q = _query_vec(spark, sf_dir)
+    return exact_topk(emb, q, k=10, metric="euclidean", vec_col="embedding", id_col="vec_id").select(
+        "vec_id", F.round("dist", 4).alias("dist")
+    )
+
+
+def q_get_embedding_by_key(spark, sf_dir):
+    """get_embedding_from_key (op 18): key -> id via key_map join, then the
+    point lookup — the two-hop path of src/LMDiskANN.jl:678-687."""
+    emb = _t(spark, sf_dir, "embeddings")
+    km = _key_map(spark, sf_dir)
+    hit = km.filter(F.col("key") == f"vec-{LOOKUP_VEC_ID}")
+    return (
+        emb.join(F.broadcast(hit), emb.vec_id == hit.id)
+        .select(
+            "key",
+            "vec_id",
+            F.size("embedding").cast("long").alias("dim"),
+            (F.round(F.element_at("embedding", 1).cast("double"), 4) + F.lit(0.0)).alias("v0"),
+        )
+    )
+
+
 def q_get_embedding(spark, sf_dir):
     """get_embedding_from_id (op 17): predicate-pushdown point lookup."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -282,7 +310,87 @@ def q_top_orders_per_segment(spark, sf_dir):
     )
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3-shaped join+agg+top-N: broadcast dims, shuffle-agg on the
+    fact, TakeOrderedAndProject for the limit."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_revenue_rollup(spark, sf_dir):
+    """ROLLUP grouping-sets aggregation (nation -> region hierarchy)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    j = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+def q_user_sessions(spark, sf_dir):
+    """Sessionization via lag + conditional cumsum windows (30-min gap) —
+    the batch twin of the stateful streaming operator."""
+    from pyspark.sql import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts div 1000000000").alias("sec"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("sec").asc(), F.col("event_id").asc())
+    gap = F.when(
+        F.col("sec") - F.lag("sec", 1).over(w) > 1800, 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_sess", gap).withColumn(
+        "session_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("sec").alias("start_sec"),
+            F.max("sec").alias("end_sec"),
+        )
+    )
+
+
 # ----------------------------------------- approximate ops (rows-only gate)
+
+
+def q_ivf_recall(spark, sf_dir):
+    """recall@10 of IVF search (nprobe=4 of 16 cells) vs the exact scan —
+    reference bar >= 0.70.  KMeans is seeded/deterministic but not
+    SQL-expressible -> rows-only gate."""
+    from lmdiskann_jl_spark.operators.ivf import build_ivf, ivf_search
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).cache()
+    centroids, assigned = build_ivf(emb, n_cells=16)
+    assigned = assigned.cache()
+    hits = 0.0
+    qids = [0, 100, 200, 300, 400]
+    for qid in qids:
+        q = [float(x) for x in emb.filter(F.col("id") == qid).collect()[0]["vec"]]
+        exact_ids = {r["id"] for r in exact_topk(emb, q, k=10, metric="euclidean").collect()}
+        ivf_ids = {r["id"] for r in ivf_search(assigned, centroids, q, k=10, nprobe=4).collect()}
+        hits += len(exact_ids & ivf_ids) / 10.0
+    return spark.createDataFrame([(hits / len(qids),)], "recall double")
 
 
 def q_lsh_knn(spark, sf_dir):
@@ -335,12 +443,13 @@ def _oracle_map() -> dict[str, str | None]:
 
     shingle_cte = f"""
       WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
-      sh AS (SELECT DISTINCT doc_id, s FROM (SELECT doc_id, unnest({sh}) AS s FROM toks))
+      sh AS (SELECT DISTINCT doc_id, {O.hash60('s')} AS h
+             FROM (SELECT doc_id, unnest({sh}) AS s FROM toks))
     """
 
     minhash_core = f"""
       {shingle_cte},
-      h AS (SELECT doc_id, {O.hash_mod('s')} AS h FROM sh),
+      h AS (SELECT doc_id, h % {O.HASH_MOD} AS h FROM sh),
       perms(perm, a, b) AS (VALUES {O.perms_values(D.DEFAULT_N_PERM)}),
       sig AS (
         SELECT doc_id, CAST(perm AS INT) AS perm,
@@ -418,6 +527,18 @@ def _oracle_map() -> dict[str, str | None]:
             SELECT id, neighbor FROM pruned
             WHERE id % 50 != 0 AND neighbor % 50 != 0
         """,
+        "v_partial_topk": f"""
+            SELECT e.vec_id, round({eu}, 4) AS dist
+            FROM (SELECT * FROM embeddings WHERE vec_id % 5 = 0) e, {_QV}
+            ORDER BY {eu}, e.vec_id LIMIT 10
+        """,
+        "v_get_embedding_by_key": f"""
+            SELECT m.key, e.vec_id, CAST(len(e.embedding) AS BIGINT) AS dim,
+                   round(CAST(e.embedding[1] AS DOUBLE), 4) + 0.0 AS v0
+            FROM embeddings e
+            JOIN ({key_map}) m ON e.vec_id = m.id
+            WHERE m.key = 'vec-{LOOKUP_VEC_ID}'
+        """,
         "v_get_embedding": f"""
             SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
                    round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS v0
@@ -460,7 +581,7 @@ def _oracle_map() -> dict[str, str | None]:
             sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
             common AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
-              FROM sh a JOIN sh b USING (s)
+              FROM sh a JOIN sh b USING (h)
               WHERE a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
@@ -512,6 +633,46 @@ def _oracle_map() -> dict[str, str | None]:
                    count(*) AS n, round(sum(value), 2) + 0.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "r_tpch_q3": """
+            SELECT l_orderkey, revenue FROM (
+              SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              WHERE c_mktsegment = 'BUILDING'
+              GROUP BY 1
+            ) ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+        """,
+        "r_revenue_rollup": """
+            SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "r_user_sessions": """
+            WITH ev AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id FROM events
+            ),
+            s AS (
+              SELECT user_id, sec, event_id,
+                     CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM ev
+            ),
+            s2 AS (
+              SELECT user_id, sec,
+                     sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS session_no
+              FROM s
+            )
+            SELECT user_id, CAST(session_no AS BIGINT) AS session_no, count(*) AS n_events,
+                   min(sec) AS start_sec, max(sec) AS end_sec
+            FROM s2 GROUP BY 1, 2
+        """,
         "r_top_orders_per_segment": """
             SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS total,
                    CAST(row_number() OVER (
@@ -522,6 +683,7 @@ def _oracle_map() -> dict[str, str | None]:
         """,
         "a_lsh_knn": None,
         "a_lsh_recall": None,
+        "a_ivf_recall": None,
     }
 
 
@@ -577,7 +739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_knn_join": q_knn_join,
         "v_adjacency_build": q_adjacency_build,
         "v_delete_repair": q_delete_repair,
+        "v_partial_topk": q_partial_topk,
         "v_get_embedding": q_get_embedding,
+        "v_get_embedding_by_key": q_get_embedding_by_key,
         "k_keymap_count": q_keymap_count,
         "k_keymap_lookup": q_keymap_lookup,
         "k_keymap_list": q_keymap_list,
@@ -593,10 +757,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_token_count": q_token_count,
         "t_fingerprint": q_fingerprint,
         "r_tpch_q1": q_tpch_q1,
+        "r_tpch_q3": q_tpch_q3,
+        "r_revenue_rollup": q_revenue_rollup,
+        "r_user_sessions": q_user_sessions,
         "r_events_hourly": q_events_hourly,
         "r_top_orders_per_segment": q_top_orders_per_segment,
         "a_lsh_knn": q_lsh_knn,
         "a_lsh_recall": q_lsh_recall,
+        "a_ivf_recall": q_ivf_recall,
     }
 
 

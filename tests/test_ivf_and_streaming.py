@@ -1,0 +1,105 @@
+"""IVF index path + Structured Streaming operators."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lmdiskann_jl_spark.operators.ivf import assign_cells, build_ivf, ivf_search, write_ivf
+from lmdiskann_jl_spark.operators.topk import exact_topk
+
+
+@pytest.fixture(scope="module")
+def emb(embeddings):
+    return embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")).cache()
+
+
+def test_ivf_build_partitions_all_vectors(emb):
+    centroids, assigned = build_ivf(emb, n_cells=8)
+    assert centroids.count() == 8
+    assert assigned.count() == emb.count()
+    # every vector in exactly one cell
+    assert assigned.select("id").distinct().count() == emb.count()
+    cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
+    assert cells <= set(range(8))
+
+
+def test_ivf_recall_meets_reference_bar(emb):
+    centroids, assigned = build_ivf(emb, n_cells=8)
+    assigned = assigned.cache()
+    hits = 0.0
+    qids = [1, 50, 150, 250, 350]
+    for qid in qids:
+        q = [float(x) for x in emb.filter(F.col("id") == qid).collect()[0]["vec"]]
+        exact_ids = {r["id"] for r in exact_topk(emb, q, k=10, metric="euclidean").collect()}
+        ivf_ids = {r["id"] for r in ivf_search(assigned, centroids, q, k=10, nprobe=3).collect()}
+        hits += len(exact_ids & ivf_ids) / 10.0
+    assert hits / len(qids) >= 0.70
+
+
+def test_ivf_partition_pruned_scan(emb, spark, tmp_path):
+    """The written layout must partition-prune: probing 2 of 8 cells reads
+    only those cell directories."""
+    centroids, assigned = build_ivf(emb, n_cells=8)
+    path = str(tmp_path / "ivf")
+    write_ivf(assigned, path)
+    on_disk = spark.read.parquet(path)
+    q = [float(x) for x in emb.limit(1).collect()[0]["vec"]]
+    res = ivf_search(on_disk, centroids, q, k=5, nprobe=2)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    # partition filter on cell must appear in the scan, not a post-filter
+    assert "PartitionFilters" in plan and "cell" in plan
+    assert len(res.collect()) == 5
+
+
+def test_stateful_running_user_stats(spark, sf_dir, tmp_path):
+    """applyInPandasWithState across two micro-batches accumulates state."""
+    import pandas as pd
+
+    from lmdiskann_jl_spark.streaming.stateful import running_user_stats
+
+    src = str(tmp_path / "src")
+    ck = str(tmp_path / "ck")
+    import os
+
+    os.makedirs(src)
+    rows1 = pd.DataFrame({"user_id": [1, 1, 2], "value": [1.0, 2.0, 5.0], "ts": [10, 20, 30]})
+    rows1.to_parquet(src + "/b1.parquet")
+
+    stream = spark.readStream.schema("user_id long, value double, ts long").parquet(src)
+    out = running_user_stats(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ustats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["user_id"]: r for r in spark.sql("SELECT * FROM ustats").collect()}
+    assert got[1]["n_events"] == 2 and got[1]["total_value"] == pytest.approx(3.0)
+    assert got[2]["n_events"] == 1 and got[2]["last_ts"] == 30
+
+    # second micro-batch: state carries over (memory sink can't recover a
+    # checkpoint, so round 2 drains through foreachBatch, which can)
+    rows2 = pd.DataFrame({"user_id": [1], "value": [10.0], "ts": [40]})
+    rows2.to_parquet(src + "/b2.parquet")
+    collected: dict[int, dict] = {}
+
+    def _drain(batch_df, _epoch):
+        for r in batch_df.collect():
+            collected[r["user_id"]] = r.asDict()
+
+    q2 = (
+        out.writeStream.foreachBatch(_drain)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert collected[1]["n_events"] == 3
+    assert collected[1]["total_value"] == pytest.approx(13.0)
+    assert collected[1]["last_ts"] == 40
