@@ -225,27 +225,71 @@ class LMDiskANNIndex:
 
     # ---------------- query (ops 11-18) ----------------
 
+    def build_ivf(self, n_cells: int = 16, seed: int = 42) -> "LMDiskANNIndex":
+        """Fit and persist the IVF layout: a tiny ``ivf_centroids`` table and
+        a cell-partitioned copy of the vectors (partition pruning makes
+        ``search(mode='ivf')`` scan only the probed cells)."""
+        from lmdiskann_jl_spark.operators.ivf import build_ivf as _build
+
+        centroids, assigned = _build(
+            self.vectors, n_cells=n_cells, metric=self.meta["metric"], seed=seed
+        )
+        meta = self.catalog.write("ivf_centroids", centroids, self.meta)
+        ivf_dir = os.path.join(self.path, "ivf_cells", f"v={meta['versions']['ivf_centroids']}")
+        assigned.select("id", "vec", "cell").write.mode("overwrite").partitionBy("cell").parquet(ivf_dir)
+        meta["ivf"] = {"n_cells": n_cells, "dir": ivf_dir}
+        self.meta = meta
+        self.save()
+        return self
+
     def search(
         self,
         query: Sequence[float],
         topk: int = 10,
         ef: int = DEFAULT_EF_SEARCH,
         mode: str = "exact",
+        nprobe: int = 4,
     ) -> DataFrame:
         """search (src/LMDiskANN.jl:455-481): top-k with keys attached.
 
-        ``mode='exact'`` = full-scan TakeOrderedAndProject (the oracle
-        semantics, recall 1.0); ``mode='beam'`` = distributed graph beam search
-        seeded at the entrypoint (sublinear at scale).  ef is promoted to
-        >= topk as in ``:463``.  Returns (key, id, dist) nearest-first.
+        Modes (physical strategies — see plans/strategy.py):
+        - 'exact': full-scan TakeOrderedAndProject (oracle semantics, recall 1.0)
+        - 'beam':  distributed graph beam search from the entrypoint (:383-431)
+        - 'ivf':   partition-pruned probe of the nprobe nearest cells
+        - 'auto':  cost-based choice among the strategies this index has built
+        ef is promoted to >= topk as in ``:463``.  Returns (key, id, dist)
+        nearest-first.
         """
         ef = max(topk, ef)
+        if mode == "auto":
+            from lmdiskann_jl_spark.plans.strategy import SearchContext, choose_search_strategy
+
+            mode = choose_search_strategy(
+                SearchContext(
+                    n_vectors=int(self.meta["num_points"]),
+                    has_ivf="ivf" in self.meta,
+                    has_graph=True,
+                )
+            )
+            if mode == "lsh":  # single-query LSH degenerates to exact
+                mode = "exact"
         if mode == "beam":
             result = beam_search(
                 self.vectors, self.adjacency, query,
                 ef=ef, metric=self.meta["metric"],
                 entrypoint=int(self.meta["entrypoint"]),
             ).orderBy(F.col("dist").asc(), F.col("id").asc()).limit(topk)
+        elif mode == "ivf":
+            from lmdiskann_jl_spark.operators.ivf import ivf_search
+
+            if "ivf" not in self.meta:
+                raise ValueError("no IVF layout built — call build_ivf() first")
+            assigned = self.spark.read.parquet(self.meta["ivf"]["dir"])
+            centroids = self.catalog.read("ivf_centroids", self.meta)
+            result = ivf_search(
+                assigned, centroids, query, k=topk, nprobe=nprobe,
+                metric=self.meta["metric"],
+            ).select("id", "dist")
         else:
             result = exact_topk(self.vectors, query, k=topk, metric=self.meta["metric"])
         return (

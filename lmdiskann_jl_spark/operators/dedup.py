@@ -66,12 +66,11 @@ def doc_shingles(
     exchange fixed-width 8-byte keys instead of strings (at 100 TB the
     shingle text never leaves the scan stage)."""
     from lmdiskann_jl_spark.functions.text import hash60
+    from lmdiskann_jl_spark.operators.knn_join import _spread
 
     return (
-        documents.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(word_shingles(tokens(F.col(text_col)), n)).alias("shingle"),
-        )
+        _spread(documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")))
+        .select("doc_id", F.explode(word_shingles(tokens(F.col("_text")), n)).alias("shingle"))
         .select("doc_id", hash60(F.col("shingle")).alias("h"))
         .distinct()
     )
@@ -165,7 +164,8 @@ def minhash_lsh_pairs(
     )
     bands = wide.select("doc_id", F.explode(band_structs).alias("bk")).select(
         "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
-    )
+    ).persist()
+    bands.count()  # eager: both self-join branches must reuse, not recompute
     a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
     b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
@@ -189,11 +189,13 @@ def simhash(
     (downstream: group by simhash or hamming-ball probing).
     """
     from lmdiskann_jl_spark.functions.text import hash32
+    from lmdiskann_jl_spark.operators.knn_join import _spread
 
-    tok = documents.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(tokens(F.col(text_col))).alias("tok"),
-    ).select("doc_id", hash32(F.col("tok")).alias("h"))
+    tok = _spread(
+        documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    ).select("doc_id", F.explode(tokens(F.col("_text"))).alias("tok")).select(
+        "doc_id", hash32(F.col("tok")).alias("h")
+    )
     bit = tok.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j"),
@@ -226,14 +228,27 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = SHINGLE_N,
+    df_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word n-gram Jaccard similarity >= threshold.
 
     Inverted-index join on shingle (never a crossJoin): common-shingle counts
     per pair, set sizes per doc, jaccard = |A∩B| / (|A|+|B|-|A∩B|).
     Output: (doc_a, doc_b, jaccard) with doc_a < doc_b.
+
+    ``df_cap``: drop shingles present in more than df_cap documents BEFORE
+    the join — the standard hot-key mitigation at scale (a shingle in f docs
+    contributes f^2 join rows; stopword-like shingles dominate cost while
+    carrying no dedup signal).  Jaccard is then computed over the capped
+    shingle sets (both sizes and intersections), keeping the semantics
+    well-defined and oracle-expressible.
     """
-    sh = doc_shingles(documents, id_col, text_col, n).cache()
+    sh = doc_shingles(documents, id_col, text_col, n)
+    if df_cap is not None:
+        rare = sh.groupBy("h").agg(F.count("*").alias("_df")).filter(F.col("_df") <= df_cap)
+        sh = sh.join(rare.select("h"), "h", "left_semi")
+    sh = sh.persist()
+    sh.count()  # eager: sizes + both join branches reuse one materialization
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")

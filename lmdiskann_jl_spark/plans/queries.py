@@ -225,6 +225,17 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=JACCARD_T)
 
 
+JACCARD_DF_CAP = 150
+
+
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """Scalable jaccard: shingles above the document-frequency cap are
+    dropped before the inverted-index join (hot-key mitigation)."""
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=JACCARD_T, df_cap=JACCARD_DF_CAP
+    )
+
+
 def q_embedding_neardup(spark, sf_dir):
     return D.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS)
 
@@ -252,6 +263,53 @@ def q_token_count(spark, sf_dir):
 def q_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", X.fingerprint_expr(F.col("text")).alias("fp"))
+
+
+def q_normalize_embeddings(spark, sf_dir):
+    """Unit-norm projection — the preprocessing op for cosine/IP search
+    (norm + normalized first component as the checkable fingerprint)."""
+    from lmdiskann_jl_spark.functions.vector import l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = l2_norm(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.round(norm, 4).alias("norm"),
+        F.round(F.element_at("embedding", 1).cast("double") / norm, 4).alias("u0"),
+    )
+
+
+def q_top_terms(spark, sf_dir):
+    """Top-5 tokens per language label by frequency — explode + count +
+    per-group window limit (the text-side shape of op 13's degree prune)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(X.tokens(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+def q_table_stats(spark, sf_dir):
+    """ANALYZE-style profiling: row count, distinct keys, value bounds —
+    the stats a planner would persist for this table."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("d_orderkey"),
+        F.countDistinct("l_partkey").alias("d_partkey"),
+        F.countDistinct("l_suppkey").alias("d_suppkey"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+    )
 
 
 # ------------------------------------------- relational machinery (demos)
@@ -593,6 +651,28 @@ def _oracle_map() -> dict[str, str | None]:
               JOIN sizes sb ON sb.doc_id = doc_b
             ) WHERE jaccard >= {JACCARD_T}
         """,
+        "d_ngram_jaccard_capped": f"""
+            {shingle_cte},
+            capped AS (
+              SELECT sh.doc_id, sh.h FROM sh
+              JOIN (SELECT h FROM sh GROUP BY h HAVING count(*) <= {JACCARD_DF_CAP}) r
+              USING (h)
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM capped GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+              FROM capped a JOIN capped b USING (h)
+              WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, jaccard FROM (
+              SELECT doc_a, doc_b,
+                     round(CAST(c AS DOUBLE) / (sa.sz + sb.sz - c), 4) AS jaccard
+              FROM common
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+            ) WHERE jaccard >= {JACCARD_T}
+        """,
         "d_embedding_neardup": f"""
             SELECT id_a, id_b, cos_sim FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({pair_cos}, 4) AS cos_sim
@@ -616,6 +696,33 @@ def _oracle_map() -> dict[str, str | None]:
                      i -> {O.hash60(f"substr(lower(text), CAST(i AS INT), {O.FINGERPRINT_GRAM})")}
                    )) AS fp
             FROM documents
+        """,
+        "v_normalize": f"""
+            SELECT vec_id,
+                   round({O.norm('list_transform(embedding, x -> CAST(x AS DOUBLE))')}, 4) AS norm,
+                   round(CAST(embedding[1] AS DOUBLE)
+                         / {O.norm('list_transform(embedding, x -> CAST(x AS DOUBLE))')}, 4) + 0.0 AS u0
+            FROM embeddings
+        """,
+        "t_top_terms": f"""
+            SELECT lang, tok, n,
+                   CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS BIGINT) AS rank
+            FROM (
+              SELECT lang, tok, count(*) AS n
+              FROM (SELECT lang, unnest({O.tokens('text')}) AS tok FROM documents)
+              GROUP BY 1, 2
+            )
+            QUALIFY rank <= 5
+        """,
+        "r_table_stats": """
+            SELECT count(*) AS n_rows,
+                   count(DISTINCT l_orderkey) AS d_orderkey,
+                   count(DISTINCT l_partkey) AS d_partkey,
+                   count(DISTINCT l_suppkey) AS d_suppkey,
+                   round(min(l_extendedprice), 2) AS min_price,
+                   round(max(l_extendedprice), 2) AS max_price,
+                   round(avg(l_discount), 4) AS avg_discount
+            FROM lineitem
         """,
         "r_tpch_q1": """
             SELECT l_returnflag, l_linestatus,
@@ -751,7 +858,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "d_simhash": q_simhash,
         "d_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "d_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "d_embedding_neardup": q_embedding_neardup,
+        "v_normalize": q_normalize_embeddings,
+        "t_top_terms": q_top_terms,
+        "r_table_stats": q_table_stats,
         "t_lang_id": q_lang_id,
         "t_quality_score": q_quality_score,
         "t_token_count": q_token_count,
