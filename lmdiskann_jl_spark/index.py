@@ -298,9 +298,26 @@ class LMDiskANNIndex:
             .orderBy(F.col("dist").asc(), F.col("id").asc())
         )
 
-    def search_batch(self, queries: DataFrame, topk: int = 10) -> DataFrame:
-        """Batched search: (qid, qvec) -> per-query top-k with keys."""
-        res = batch_topk(queries, self.vectors, k=topk, metric=self.meta["metric"])
+    def search_batch(self, queries: DataFrame, topk: int = 10, mode: str = "exact", ef: int = DEFAULT_EF_SEARCH) -> DataFrame:
+        """Batched search: (qid, qvec) -> per-query top-k with keys.
+
+        mode='exact' broadcasts queries into one scan; mode='beam' runs the
+        shared-frontier batched graph traversal (beam_search_batch).
+        """
+        if mode == "beam":
+            from pyspark.sql import Window
+
+            from lmdiskann_jl_spark.operators.beam import beam_search_batch
+
+            cand = beam_search_batch(
+                self.vectors, self.adjacency, queries,
+                ef=max(topk, ef), metric=self.meta["metric"],
+                entrypoint=int(self.meta["entrypoint"]),
+            )
+            w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+            res = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
+        else:
+            res = batch_topk(queries, self.vectors, k=topk, metric=self.meta["metric"])
         return res.join(F.broadcast(self.key_map), "id", "left").select(
             "qid", "key", "id", "dist", "rank"
         )

@@ -117,3 +117,105 @@ def beam_search(
         [(i, d) for i, d in sorted(best.items(), key=lambda kv: (kv[1], kv[0]))],
         "id long, dist double",
     )
+
+
+def beam_search_batch(
+    vectors: DataFrame,
+    adjacency: DataFrame,
+    queries: DataFrame,
+    ef: int = 300,
+    metric: str = "euclidean",
+    entrypoint: int | None = None,
+    max_hops: int = 12,
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Beam search for a BATCH of queries in one shared driver loop.
+
+    All queries advance together: each hop expands the union of all
+    frontiers with ONE adjacency join and ONE vectors join (scoring every
+    (query, candidate) pair via a broadcast of the query set), so the
+    per-hop job count is constant in the number of queries — the batch
+    amortization the single-query loop lacks.  Per-query ef-bounded beams
+    and early termination live driver-side (ids + distances only).
+
+    Returns (qid, id, dist) — up to ef candidates per query, true-metric
+    scored; caller applies per-qid window top-k.
+    """
+    spark = vectors.sparkSession
+    dist_fn = resolve_metric(metric)
+    q_small = F.broadcast(queries.select(qid_col, qvec_col))
+
+    def score(cand_df: DataFrame) -> list:
+        """(qid, id) candidates -> collected (qid, id, dist) rows."""
+        return (
+            cand_df.join(vectors.select(F.col(id_col).alias("id"), vec_col), "id")
+            .join(q_small, qid_col)
+            .select(
+                qid_col, "id", dist_fn(F.col(vec_col), F.col(qvec_col)).alias("dist")
+            )
+            .collect()
+        )
+
+    qids = [r[qid_col] for r in queries.select(qid_col).collect()]
+    if not qids:
+        return spark.createDataFrame([], f"{qid_col} long, id long, dist double")
+
+    if entrypoint is None or entrypoint < 0:
+        ep_row = vectors.select(F.col(id_col).alias("id")).orderBy("id").limit(1).collect()
+        if not ep_row:
+            return spark.createDataFrame([], f"{qid_col} long, id long, dist double")
+        entrypoint = int(ep_row[0]["id"])
+
+    seed_df = spark.createDataFrame([(q, entrypoint) for q in qids], f"{qid_col} long, id long")
+    best: dict[int, dict[int, float]] = {q: {} for q in qids}
+    visited: dict[int, set[int]] = {q: set() for q in qids}
+    for r in score(F.broadcast(seed_df)):
+        best[r[qid_col]][int(r["id"])] = float(r["dist"])
+    frontier: dict[int, list[int]] = {q: [entrypoint] for q in qids}
+
+    for _ in range(max_hops):
+        rows = [(q, i) for q, ids in frontier.items() for i in ids]
+        if not rows:
+            break
+        fr_df = F.broadcast(spark.createDataFrame(rows, f"{qid_col} long, id long"))
+        nbrs = (
+            fr_df.join(adjacency.withColumnRenamed("id", "id"), "id")
+            .select(qid_col, F.explode("neighbors").alias("id"))
+            .distinct()
+        )
+        known = F.broadcast(
+            spark.createDataFrame(
+                [(q, i) for q, s in visited.items() for i in s]
+                + [(q, i) for q, b in best.items() for i in b],
+                f"{qid_col} long, id long",
+            )
+        )
+        new_scored = score(nbrs.join(known, [qid_col, "id"], "left_anti"))
+        for q, ids in frontier.items():
+            visited[q].update(ids)
+        if not new_scored:
+            break
+        improved: set[int] = set()
+        for r in new_scored:
+            q, i, d = r[qid_col], int(r["id"]), float(r["dist"])
+            b = best[q]
+            worst = max(b.values()) if len(b) >= ef else float("inf")
+            if len(b) < ef or d < worst:
+                b[i] = d
+                improved.add(q)
+                if len(b) > ef:
+                    del b[max(b, key=b.get)]
+        frontier = {
+            q: sorted((i for i in best[q] if i not in visited[q]), key=lambda i: best[q][i])[
+                : max(1, ef // 4)
+            ]
+            for q in improved
+        }
+
+    return spark.createDataFrame(
+        [(q, i, d) for q, b in best.items() for i, d in b.items()],
+        f"{qid_col} long, id long, dist double",
+    )

@@ -368,6 +368,40 @@ def q_top_orders_per_segment(spark, sf_dir):
     )
 
 
+SIMHASH_HAMMING = 8
+
+
+def q_simhash_neardup(spark, sf_dir):
+    """Near-dup pairs by simhash hamming distance <= threshold — the
+    grouping/probing step that makes simhash a dedup primitive."""
+    sim = D.simhash(_t(spark, sf_dir, "documents")).cache()
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"))
+        .filter(F.col("hamming") <= SIMHASH_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def q_events_props(spark, sf_dir):
+    """Semi-structured extraction: JSON props field -> typed aggregation
+    (get_json_object stays JVM-side; no Python)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+        )
+    )
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3-shaped join+agg+top-N: broadcast dims, shuffle-agg on the
     fact, TakeOrderedAndProject for the limit."""
@@ -740,6 +774,31 @@ def _oracle_map() -> dict[str, str | None]:
                    count(*) AS n, round(sum(value), 2) + 0.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        "d_simhash_neardup": f"""
+            WITH toks AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+            h AS (SELECT doc_id, {O.hash32('tok')} AS h FROM toks),
+            bitrows AS (
+              SELECT doc_id, j, ((h >> CAST(j AS INT)) & 1) * 2 - 1 AS sgn
+              FROM h, range(0, 32) t(j)
+            ),
+            s AS (SELECT doc_id, j, sum(sgn) AS s FROM bitrows GROUP BY 1, 2),
+            sim AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END) AS BIGINT) AS simhash
+              FROM s GROUP BY 1
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sim a, sim b
+            WHERE a.doc_id < b.doc_id
+              AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING}
+        """,
+        "r_events_props": """
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k
+            FROM events GROUP BY 1
+        """,
         "r_tpch_q3": """
             SELECT l_orderkey, revenue FROM (
               SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -857,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_signatures": q_minhash_signatures,
         "d_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "d_simhash": q_simhash,
+        "d_simhash_neardup": q_simhash_neardup,
+        "r_events_props": q_events_props,
         "d_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "d_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "d_embedding_neardup": q_embedding_neardup,

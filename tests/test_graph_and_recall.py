@@ -53,6 +53,25 @@ def test_lsh_knn_recall_meets_reference_bar(emb):
     assert r >= 0.70, f"LSH recall {r:.3f} below reference bar"
 
 
+def test_batched_beam_search_recall(emb, spark):
+    """Shared-frontier batched beam vs exact batch — reference bar >= 0.70."""
+    from pyspark.sql import Window
+
+    from lmdiskann_jl_spark.operators.beam import beam_search_batch
+    from lmdiskann_jl_spark.operators.topk import batch_topk
+
+    adj = build_adjacency(emb, maxdegree=16, metric="euclidean").cache()
+    queries = emb.filter(F.col("id") < 12).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    cand = beam_search_batch(emb, adj, queries, ef=60, metric="euclidean", entrypoint=0)
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    beam10 = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10).select("qid", "id")
+    exact10 = batch_topk(queries, emb, k=10, metric="euclidean").select("qid", "id")
+    r = recall_at_k(beam10, exact10, k=10)
+    assert r >= 0.70, f"batched beam recall {r:.3f} below reference bar"
+
+
 def test_beam_search_recall_meets_reference_bar(emb):
     """Graph beam search vs exact scan — reference bar >= 0.70 avg recall@10."""
     maxdeg = 16
