@@ -36,6 +36,9 @@ def main() -> None:
         "v_exact_topk_euclidean",
         "v_exact_topk_cosine",
         "v_batch_topk",
+        "v_filtered_topk",
+        "v_hybrid_search",
+        "v_quantize",
         "v_knn_join",
         "v_adjacency_build",
         "a_lsh_knn",
@@ -48,6 +51,8 @@ def main() -> None:
         "t_quality_score",
         "t_fingerprint",
         "r_tpch_q1",
+        "r_tpch_q3",
+        "r_user_sessions",
         "r_events_hourly",
     ]
     qs = Q.queries()
@@ -57,10 +62,14 @@ def main() -> None:
 
     times: dict[str, float] = {}
     for name in bench_queries:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()  # force full execution
-        times[name] = round(time.time() - t0, 3)
+        best, n = None, 0
+        for _ in range(2):  # best-of-2: damps co-tenant noise on shared hosts
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            n = df.count()  # force full execution
+            elapsed = time.time() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -265,6 +265,70 @@ def q_fingerprint(spark, sf_dir):
     return docs.select("doc_id", X.fingerprint_expr(F.col("text")).alias("fp"))
 
 
+FILTER_LABEL = 3
+HYBRID_TERMS = ["spark", "join", "vector"]
+
+
+def q_filtered_topk(spark, sf_dir):
+    """Filtered ANN: metadata predicate (label) + top-k — the predicate is
+    pushed into the scan BEFORE any distance work (filter-then-search)."""
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("label") == FILTER_LABEL)
+    q = _query_vec(spark, sf_dir)
+    return exact_topk(
+        emb, q, k=10, metric="euclidean", vec_col="embedding", id_col="vec_id", extra_cols=("label",)
+    ).select("vec_id", F.col("label").cast("long").alias("label"), F.round("dist", 4).alias("dist"))
+
+
+def q_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: vector cosine + term-overlap fusion over the joined
+    documents/embeddings tables (score = cos_sim + 0.1 * matched query
+    terms).  The text leg and vector leg each stay native-expression."""
+    from lmdiskann_jl_spark.functions.vector import cosine_similarity, query_vector_lit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    q = _query_vec(spark, sf_dir)
+    j = emb.join(docs, emb.vec_id == docs.doc_id)
+    toks = X.tokens(F.col("text"))
+    overlap = F.size(
+        F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(w) for w in HYBRID_TERMS]), t))
+    )
+    cos = cosine_similarity(F.col("embedding"), query_vector_lit(q))
+    fused = cos + F.lit(0.1) * overlap
+    return (
+        j.select(
+            "vec_id",
+            F.round(fused, 4).alias("score"),
+            overlap.cast("long").alias("n_hits"),
+        )
+        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def q_quantize(spark, sf_dir):
+    """Scalar int8 quantization of the embedding column (per-dimension
+    min/max codebook -> 0..255 codes): the 4x storage-compression op for
+    100 TB vector tables.  Output fingerprint = per-vector code sum."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pos = emb.select(F.posexplode("embedding").alias("pos", "x"))
+    bounds = pos.groupBy("pos").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    rows = {r["pos"]: (float(r["lo"]), float(r["hi"])) for r in bounds.collect()}
+    lo = F.array(*[F.lit(rows[i][0]).cast("double") for i in range(len(rows))])
+    hi = F.array(*[F.lit(rows[i][1]).cast("double") for i in range(len(rows))])
+    codes = F.zip_with(
+        F.zip_with(F.col("embedding").cast("array<double>"), lo, lambda x, l: x - l),
+        F.zip_with(hi, lo, lambda h, l: h - l),
+        lambda d, r: F.round(d * 255.0 / r, 0).cast("long"),
+    )
+    return emb.select(
+        "vec_id",
+        F.aggregate(codes, F.lit(0).cast("long"), lambda a, c: a + c).alias("code_sum"),
+        F.array_min(codes).alias("code_min"),
+        F.array_max(codes).alias("code_max"),
+    )
+
+
 def q_normalize_embeddings(spark, sf_dir):
     """Unit-norm projection — the preprocessing op for cosine/IP search
     (norm + normalized first component as the checkable fingerprint)."""
@@ -731,6 +795,40 @@ def _oracle_map() -> dict[str, str | None]:
                    )) AS fp
             FROM documents
         """,
+        "v_filtered_topk": f"""
+            SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, round({eu}, 4) AS dist
+            FROM (SELECT * FROM embeddings WHERE label = {FILTER_LABEL}) e, {_QV}
+            ORDER BY {eu}, e.vec_id LIMIT 10
+        """,
+        "v_hybrid_search": f"""
+            SELECT vec_id, round(raw, 4) + 0.0 AS score, CAST(n_hits AS BIGINT) AS n_hits
+            FROM (
+              SELECT e.vec_id,
+                     {O.cosine_sim(E, QV)}
+                     + 0.1 * len(list_filter({O.tokens('d.text')},
+                         t -> list_contains({[w for w in HYBRID_TERMS]!r}, t))) AS raw,
+                     len(list_filter({O.tokens('d.text')},
+                         t -> list_contains({[w for w in HYBRID_TERMS]!r}, t))) AS n_hits
+              FROM embeddings e
+              JOIN documents d ON e.vec_id = d.doc_id, {_QV}
+            )
+            ORDER BY round(raw, 4) DESC, vec_id ASC LIMIT 10
+        """,
+        "v_quantize": """
+            WITH b AS (
+              SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo, max(CAST(embedding[i] AS DOUBLE)) AS hi
+              FROM embeddings, range(1, 65) t(i) GROUP BY i
+            ),
+            codes AS (
+              SELECT e.vec_id,
+                     CAST(round((CAST(e.embedding[CAST(t.i AS INT)] AS DOUBLE) - b.lo) * 255.0 / (b.hi - b.lo), 0) AS BIGINT) AS c
+              FROM embeddings e, range(1, 65) t(i)
+              JOIN b ON b.i = t.i
+            )
+            SELECT vec_id, CAST(sum(c) AS BIGINT) AS code_sum,
+                   min(c) AS code_min, max(c) AS code_max
+            FROM codes GROUP BY 1
+        """,
         "v_normalize": f"""
             SELECT vec_id,
                    round({O.norm('list_transform(embedding, x -> CAST(x AS DOUBLE))')}, 4) AS norm,
@@ -921,6 +1019,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "d_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "d_embedding_neardup": q_embedding_neardup,
+        "v_filtered_topk": q_filtered_topk,
+        "v_hybrid_search": q_hybrid_search,
+        "v_quantize": q_quantize,
         "v_normalize": q_normalize_embeddings,
         "t_top_terms": q_top_terms,
         "r_table_stats": q_table_stats,

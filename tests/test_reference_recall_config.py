@@ -1,0 +1,43 @@
+"""The reference's headline recall configuration, reproduced end-to-end.
+
+BASELINE.md row 1 / test/runtests.jl:410-459: n=2000 vectors, dim=100,
+30 queries, k=10, maxdegree=64, seed fixed -> avg recall@10 >= 0.70 vs the
+brute-force oracle.  Here the graph is the batch-built kNN graph and search
+is the batched beam operator — the engine's equivalents of the reference's
+sequential insert + greedy search.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from lmdiskann_jl_spark.operators.beam import beam_search_batch
+from lmdiskann_jl_spark.operators.graph import build_adjacency
+from lmdiskann_jl_spark.operators.topk import batch_topk, recall_at_k
+
+N, DIM, N_QUERIES, K, MAXDEG = 2000, 100, 30, 10, 64
+
+
+@pytest.fixture(scope="module")
+def ref_vectors(spark):
+    rng = random.Random(1)  # the reference seeds Random.seed!(1)
+    rows = [(i, [rng.random() for _ in range(DIM)]) for i in range(N)]
+    return spark.createDataFrame(rows, "id long, vec array<float>").repartition(8).cache()
+
+
+def test_reference_headline_recall(spark, ref_vectors):
+    adj = build_adjacency(ref_vectors, maxdegree=MAXDEG, metric="euclidean").cache()
+    adj.count()
+    queries = ref_vectors.filter(F.col("id") < N_QUERIES).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    exact = batch_topk(queries, ref_vectors, k=K, metric="euclidean").select("qid", "id")
+    cand = beam_search_batch(
+        ref_vectors, adj, queries, ef=300, metric="euclidean", entrypoint=0
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    beam = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= K).select("qid", "id")
+    r = recall_at_k(beam, exact, k=K)
+    assert r >= 0.70, f"avg recall@10 {r:.3f} below the reference's bar (runtests.jl:454)"
