@@ -466,6 +466,34 @@ def q_events_props(spark, sf_dir):
     )
 
 
+def q_price_quantiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation) per returnflag — the exact
+    quantile machinery (approx sketches are not cross-engine deterministic,
+    so the declared op is the exact form)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    return li.groupBy("l_returnflag").agg(
+        F.round(p[0], 2).alias("p25"),
+        F.round(p[1], 2).alias("p50"),
+        F.round(p[2], 2).alias("p75"),
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """Set operators: customers with both an URGENT and a LOW priority order
+    (INTERSECT), minus those in AUTOMOBILE segment (EXCEPT)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return urgent.intersect(low).subtract(auto).select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
 def q_tpch_q3(spark, sf_dir):
     """TPC-H Q3-shaped join+agg+top-N: broadcast dims, shuffle-agg on the
     fact, TakeOrderedAndProject for the limit."""
@@ -856,6 +884,22 @@ def _oracle_map() -> dict[str, str | None]:
                    round(avg(l_discount), 4) AS avg_discount
             FROM lineitem
         """,
+        "r_price_quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.50), 2) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+            FROM lineitem GROUP BY 1
+        """,
+        "r_set_ops": """
+            SELECT custkey FROM (
+              SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+            )
+            EXCEPT
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        """,
         "r_tpch_q1": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -1029,6 +1073,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality_score": q_quality_score,
         "t_token_count": q_token_count,
         "t_fingerprint": q_fingerprint,
+        "r_price_quantiles": q_price_quantiles,
+        "r_set_ops": q_set_ops,
         "r_tpch_q1": q_tpch_q1,
         "r_tpch_q3": q_tpch_q3,
         "r_revenue_rollup": q_revenue_rollup,
