@@ -29,7 +29,7 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lmdiskann_jl_spark.functions.text import HASH_MOD, hash_mod, tokens, word_shingles
+from lmdiskann_jl_spark.functions.text import HASH_MOD, tokens, word_shingles
 from lmdiskann_jl_spark.functions.vector import cosine_similarity
 
 DEFAULT_N_PERM = 16

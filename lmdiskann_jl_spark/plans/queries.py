@@ -121,6 +121,17 @@ def q_adjacency_build(spark, sf_dir):
     ).select("id", "neighbor", F.col("rank").alias("rank"))
 
 
+def q_degree_histogram(spark, sf_dir):
+    """Graph diagnostics: degree distribution of the built kNN graph — the
+    health check for maxdegree pruning and back-link symmetry."""
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = adjacency_edges(
+        emb, maxdegree=ADJ_DEGREE, metric="euclidean", id_col="vec_id", vec_col="embedding"
+    )
+    deg = edges.groupBy("id").agg(F.count("*").alias("degree"))
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
 def q_delete_repair(spark, sf_dir):
     """ann_delete! graph repair (op 10): drop deleted rows + array_except
     deleted ids from every neighbor list (src/LMDiskANN.jl:622-629)."""
@@ -723,6 +734,26 @@ def _oracle_map() -> dict[str, str | None]:
             JOIN ({key_map}) m ON e.vec_id = m.id
             WHERE m.key = 'vec-{LOOKUP_VEC_ID}'
         """,
+        "v_degree_histogram": f"""
+            WITH knn AS (
+              SELECT a.vec_id AS id_l, b.vec_id AS id_r, {pair_eu} AS dist
+              FROM embeddings a, embeddings b
+              WHERE a.vec_id != b.vec_id
+              QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY {pair_eu}, b.vec_id) <= {ADJ_DEGREE}
+            ),
+            edges AS (
+              SELECT id_l, id_r, dist FROM knn
+              UNION
+              SELECT id_r AS id_l, id_l AS id_r, dist FROM knn
+            ),
+            pruned AS (
+              SELECT id_l AS id, id_r
+              FROM edges
+              QUALIFY row_number() OVER (PARTITION BY id_l ORDER BY dist, id_r) <= {ADJ_DEGREE}
+            ),
+            deg AS (SELECT id, count(*) AS degree FROM pruned GROUP BY 1)
+            SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1
+        """,
         "v_get_embedding": f"""
             SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
                    round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS v0
@@ -1046,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_batch_topk": q_batch_topk,
         "v_knn_join": q_knn_join,
         "v_adjacency_build": q_adjacency_build,
+        "v_degree_histogram": q_degree_histogram,
         "v_delete_repair": q_delete_repair,
         "v_partial_topk": q_partial_topk,
         "v_get_embedding": q_get_embedding,
