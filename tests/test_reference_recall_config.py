@@ -20,6 +20,19 @@ from lmdiskann_jl_spark.operators.topk import batch_topk, recall_at_k
 N, DIM, N_QUERIES, K, MAXDEG = 2000, 100, 30, 10, 64
 
 
+def _beam_recall(spark, vectors, metric, n_queries, k, maxdeg, ef=300):
+    adj = build_adjacency(vectors, maxdegree=maxdeg, metric=metric).cache()
+    adj.count()
+    queries = vectors.filter(F.col("id") < n_queries).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    exact = batch_topk(queries, vectors, k=k, metric=metric).select("qid", "id")
+    cand = beam_search_batch(vectors, adj, queries, ef=ef, metric=metric, entrypoint=0)
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    beam = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).select("qid", "id")
+    return recall_at_k(beam, exact, k=k)
+
+
 @pytest.fixture(scope="module")
 def ref_vectors(spark):
     rng = random.Random(1)  # the reference seeds Random.seed!(1)
@@ -28,16 +41,16 @@ def ref_vectors(spark):
 
 
 def test_reference_headline_recall(spark, ref_vectors):
-    adj = build_adjacency(ref_vectors, maxdegree=MAXDEG, metric="euclidean").cache()
-    adj.count()
-    queries = ref_vectors.filter(F.col("id") < N_QUERIES).select(
-        F.col("id").alias("qid"), F.col("vec").alias("qvec")
-    )
-    exact = batch_topk(queries, ref_vectors, k=K, metric="euclidean").select("qid", "id")
-    cand = beam_search_batch(
-        ref_vectors, adj, queries, ef=300, metric="euclidean", entrypoint=0
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
-    beam = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= K).select("qid", "id")
-    r = recall_at_k(beam, exact, k=K)
+    """BASELINE.md row 1: n=2000, dim=100, 30 queries, k=10, Euclidean."""
+    r = _beam_recall(spark, ref_vectors, "euclidean", N_QUERIES, K, MAXDEG)
     assert r >= 0.70, f"avg recall@10 {r:.3f} below the reference's bar (runtests.jl:454)"
+
+
+def test_reference_cosine_recall(spark):
+    """BASELINE.md row 4: n=500, dim=32, 20 queries, k=10, CosineDist
+    (test/runtests.jl:37-67)."""
+    rng = random.Random(1)
+    rows = [(i, [rng.random() for _ in range(32)]) for i in range(500)]
+    vecs = spark.createDataFrame(rows, "id long, vec array<float>").repartition(8).cache()
+    r = _beam_recall(spark, vecs, "cosine", 20, 10, MAXDEG)
+    assert r >= 0.70, f"avg cosine recall@10 {r:.3f} below the reference's bar (runtests.jl:61)"
