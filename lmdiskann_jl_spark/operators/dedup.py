@@ -222,6 +222,68 @@ def simhash(
     )
 
 
+def simhash_neardup_pairs(
+    documents: DataFrame,
+    hamming_threshold: int = 8,
+    bits: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs with simhash hamming distance <= threshold, via
+    pigeonhole banding — never an O(n^2) crossJoin.
+
+    The simhash is split into ``hamming_threshold + 1`` disjoint bit chunks.
+    Any pair differing in <= threshold bits must agree EXACTLY on at least one
+    chunk (pigeonhole: threshold differing bits cannot touch all threshold+1
+    chunks), so candidates = pairs sharing a (chunk_idx, chunk_value) — a
+    plain bucketed equi-join — then the exact hamming filter verifies.  Same
+    output as the all-pairs scan, by construction (no recall loss).
+
+    Output: (doc_a, doc_b, hamming) with doc_a < doc_b.
+
+    Scale note: bucket selectivity is 2^chunk_width; at 100 TB use
+    ``bits=64`` and a tighter threshold (e.g. 3) so chunks are ~16 bits wide
+    (65k buckets/chunk) — the classic Google-crawl simhash configuration.
+    The banding is correct for any (bits, threshold); width only affects cost.
+    """
+    sim = simhash(documents, bits=bits, id_col=id_col, text_col=text_col).persist()
+    sim.count()  # eager: both self-join branches reuse one materialization
+    n_chunks = hamming_threshold + 1
+    base, extra = divmod(bits, n_chunks)
+    widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
+    offsets = [sum(widths[:c]) for c in range(n_chunks)]
+    chunk_structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << w) - 1))
+                .alias("cv"),
+            )
+            for c, (off, w) in enumerate(zip(offsets, widths))
+        ]
+    )
+    chunks = sim.select("doc_id", "simhash", F.explode(chunk_structs).alias("ck")).select(
+        "doc_id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.cv").alias("cv")
+    )
+    a = chunks.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), "chunk", "cv"
+    )
+    b = chunks.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"), "chunk", "cv"
+    )
+    return (
+        a.join(b, ["chunk", "cv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long")
+        )
+        .filter(F.col("hamming") <= hamming_threshold)
+        .select("doc_a", "doc_b", "hamming")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.5,

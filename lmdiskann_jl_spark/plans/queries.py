@@ -448,16 +448,11 @@ SIMHASH_HAMMING = 8
 
 def q_simhash_neardup(spark, sf_dir):
     """Near-dup pairs by simhash hamming distance <= threshold — the
-    grouping/probing step that makes simhash a dedup primitive."""
-    sim = D.simhash(_t(spark, sf_dir, "documents")).cache()
-    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    return (
-        a.crossJoin(F.broadcast(b))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"))
-        .filter(F.col("hamming") <= SIMHASH_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
+    grouping/probing step that makes simhash a dedup primitive.  Pigeonhole
+    banding (threshold+1 chunks, bucketed equi-join) replaces the all-pairs
+    scan; output is identical by construction."""
+    return D.simhash_neardup_pairs(
+        _t(spark, sf_dir, "documents"), hamming_threshold=SIMHASH_HAMMING
     )
 
 

@@ -72,3 +72,27 @@ def test_embedding_neardup(spark):
     pairs = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in D.embedding_neardup_pairs(df, threshold=0.9).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] > 0.99
     assert (1, 3) not in pairs
+
+
+def test_simhash_neardup_banding_matches_all_pairs(spark, documents):
+    """The pigeonhole-banded join must return EXACTLY the all-pairs result
+    (it is a lossless candidate generator), and its plan must be a bucketed
+    equi-join — no BroadcastNestedLoopJoin / CartesianProduct."""
+    docs = documents.limit(300)
+    banded = D.simhash_neardup_pairs(docs, hamming_threshold=8)
+    sim = D.simhash(docs).cache()
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"))
+        .filter(F.col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    got = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in banded.collect()}
+    want = {(r["doc_a"], r["doc_b"], r["hamming"]) for r in brute.collect()}
+    assert got == want
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
