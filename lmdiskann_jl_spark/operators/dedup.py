@@ -338,18 +338,136 @@ def ngram_jaccard_pairs(
     )
 
 
+def lsh_neardup_params(
+    threshold: float,
+    miss_target: float = 1e-4,
+    max_planes: int = 16,
+    max_tables: int = 32,
+) -> tuple[int, int, float]:
+    """Pick (n_planes, n_tables, est_candidate_fraction) for a cosine
+    threshold from sign-random-projection theory.
+
+    Per-plane collision probability for a pair at exactly ``threshold``:
+    p = 1 - arccos(threshold)/pi.  A k-plane table collides with p^k; T
+    tables miss with (1-p^k)^T, so T = ceil(log(miss)/log(1-p^k)).  The
+    estimated candidate volume (fraction of all n^2/2 pairs examined,
+    uniform-bucket assumption) is T/2^k — minimized over k among configs
+    whose required T stays within the operational ``max_tables`` cap (the
+    cap also guards the uniformity assumption: real buckets are skewed, and
+    huge-T/huge-k configs lose their paper advantage to the hot buckets).
+
+    This makes the brute/LSH tradeoff QUANTITATIVE: at threshold 0.45 the
+    minimum is ~3.6 (LSH examines MORE pairs than the full scan — the
+    threshold is too close to the background similarity for hashing to
+    help; measured 1.56x on the test fixtures at recall 1.0), while at 0.9
+    it is ~0.1 (10x fewer).  ``embedding_neardup_pairs(method='auto')``
+    switches on this estimate.
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    best = None
+    for k in range(1, max_planes + 1):
+        pk = p**k
+        if pk >= 1.0:
+            continue
+        tables = max(1, math.ceil(math.log(miss_target) / math.log(1.0 - pk)))
+        if tables > max_tables:
+            continue
+        cost = tables / float(2**k)
+        if best is None or cost < best[2]:
+            best = (k, tables, cost)
+    assert best is not None, "no feasible LSH config — threshold too low"
+    return best
+
+
+def lsh_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    seed: int = 42,
+    miss_target: float = 1e-4,
+) -> DataFrame:
+    """Threshold-radius near-dup pairs via LSH candidates + exact verify.
+
+    Candidate generation: sign-random-projection bucketing (the same
+    machinery as ``knn_join.add_lsh_buckets``); candidates = pairs sharing a
+    (table, bucket).  Exact cosine re-scores every candidate, the pair-dedup
+    shuffle moves only (id_a, id_b, cos_sim) triples — vectors never leave
+    the bucketing stage — and the threshold filter verifies.  Same output
+    contract as the brute path for every pair the buckets surface;
+    (n_planes, n_tables) defaults come from ``lsh_neardup_params`` so the
+    per-pair miss probability is <= ``miss_target`` at the threshold.
+
+    This is the 100-TB path for REALISTIC near-dup thresholds (>= ~0.8),
+    where a k-plane bucket is selective; see ``lsh_neardup_params`` for why
+    low thresholds are fundamentally brute-force territory.
+    """
+    from lmdiskann_jl_spark.operators.knn_join import (
+        _spread,
+        add_lsh_buckets,
+        random_hyperplanes,
+    )
+
+    if n_planes is None or n_tables is None:
+        k, tables, _ = lsh_neardup_params(threshold, miss_target)
+        n_planes = n_planes or k
+        n_tables = n_tables or tables
+    sel = _spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
+    dim = len(sel.select("_v").first()["_v"])
+    planes = random_hyperplanes(dim, n_planes, n_tables, seed)
+    bucketed = add_lsh_buckets(sel, planes, vec_col="_v").persist()
+    bucketed.count()  # eager: both self-join branches reuse one materialization
+    a = bucketed.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), "lsh_table", "bucket"
+    )
+    b = bucketed.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "lsh_table", "bucket"
+    )
+    return (
+        a.join(b, ["lsh_table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        # multi-table collisions re-score cheaply in codegen; dedupe moves
+        # only 24-byte triples (same shape as lsh_knn_join's pair dedup)
+        .groupBy("id_a", "id_b")
+        .agg(F.min("cos_sim").alias("cos_sim"))
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
+    **lsh_kw,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity >= threshold.
-
-    Brute-force pair scan here (right side broadcast); at scale swap the
-    candidate generation for ``lsh_knn_join`` and keep the same verify step.
     Output: (id_a, id_b, cos_sim) with id_a < id_b.
+
+    ``method``: 'brute' = exact all-pairs scan (right side broadcast);
+    'lsh' = bucketed candidates + exact verify (``lsh_neardup_pairs``);
+    'auto' = LSH iff its estimated candidate volume beats the all-pairs
+    scan's (``lsh_neardup_params``) — which selects LSH exactly for the
+    high-threshold regimes where it is sound, and the exact scan for
+    low thresholds where hashing cannot prune (there the exact scan IS
+    the optimal plan, not a fallback).
     """
+    if method == "auto":
+        _, _, est_frac = lsh_neardup_params(threshold)
+        method = "lsh" if est_frac < 0.5 else "brute"
+    if method == "lsh":
+        return lsh_neardup_pairs(embeddings, threshold, id_col, vec_col, **lsh_kw)
+
     from lmdiskann_jl_spark.operators.knn_join import _spread
 
     a = _spread(embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")))

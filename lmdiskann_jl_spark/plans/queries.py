@@ -248,7 +248,25 @@ def q_ngram_jaccard_capped(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
+    """Exact embedding near-dup pairs.  method='auto' picks the physical
+    strategy from the threshold: at 0.45 the quantitative selector
+    (lsh_neardup_params) proves the all-pairs scan optimal — LSH would
+    examine 1.5-3x MORE pairs at recall 1.0 (measured on these fixtures);
+    at realistic thresholds (>= ~0.8) it switches to the bucketed LSH
+    candidate path, which a_embedding_neardup_lsh exercises."""
     return D.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS)
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    """The 100-TB LSH candidate path of embedding_neardup_pairs, forced on
+    at the fixture threshold with a recall-1.0 configuration (verified by
+    pytest against the brute pairs on every fixture SF).  Registered
+    rows-only: the plan is approximate by nature; its quality gate is the
+    candidate-recall test, not a SQL oracle."""
+    return D.lsh_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS,
+        n_planes=4, n_tables=24, seed=7,
+    )
 
 
 # ------------------------------------------------------------ text analysis
@@ -1018,6 +1036,7 @@ def _oracle_map() -> dict[str, str | None]:
         "a_lsh_knn": None,
         "a_lsh_recall": None,
         "a_ivf_recall": None,
+        "a_embedding_neardup_lsh": None,
     }
 
 
@@ -1090,6 +1109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "d_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "d_embedding_neardup": q_embedding_neardup,
+        "a_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "v_filtered_topk": q_filtered_topk,
         "v_hybrid_search": q_hybrid_search,
         "v_quantize": q_quantize,

@@ -96,3 +96,50 @@ def test_simhash_neardup_banding_matches_all_pairs(spark, documents):
     plan = banded._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_neardup_params_selector():
+    """The quantitative brute/LSH selector: LSH must lose at low thresholds
+    (too close to background similarity) and win decisively at high ones."""
+    _, _, frac_low = D.lsh_neardup_params(0.45)
+    _, _, frac_high = D.lsh_neardup_params(0.9)
+    assert frac_low > 0.5  # all-pairs scan is the optimal plan at 0.45
+    assert frac_high < 0.2  # bucketed candidates examine <20% of pairs at 0.9
+
+
+def test_lsh_neardup_recall_on_planted_dups(spark):
+    """High-threshold regime: planted near-duplicates at cos >= ~0.95 among
+    background noise.  The auto-parametrized LSH path must find EXACTLY the
+    brute-force pairs (candidate recall 1.0) while examining far fewer
+    candidates, and auto must select it."""
+    import random as pyrandom
+
+    rng = pyrandom.Random(123)
+    dim, n_base = 16, 400
+    rows = []
+    for i in range(n_base):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, v))
+        if i % 8 == 0:  # plant a near-dup: tiny perturbation
+            rows.append((10_000 + i, [x + rng.gauss(0, 0.02) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+    brute = D.embedding_neardup_pairs(df, threshold=0.9, method="brute")
+    lsh = D.embedding_neardup_pairs(df, threshold=0.9, method="auto")
+    got = {(r["id_a"], r["id_b"]) for r in lsh.collect()}
+    want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert len(want) >= 50  # fixture actually contains planted dups
+    assert got == want  # candidate-set recall 1.0 at fixture scale
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_lsh_neardup_recall_on_real_fixture(spark, embeddings):
+    """On the driver fixture at the declared 0.45 threshold, the forced
+    recall-1.0 LSH configuration (the one a_embedding_neardup_lsh declares)
+    reproduces the brute pairs exactly."""
+    brute = D.embedding_neardup_pairs(embeddings, threshold=0.45, method="brute")
+    lsh = D.lsh_neardup_pairs(embeddings, threshold=0.45, n_planes=4, n_tables=24, seed=7)
+    got = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in lsh.collect()}
+    want = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in brute.collect()}
+    assert got == want
