@@ -33,6 +33,8 @@ from __future__ import annotations
 import os
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -51,8 +53,13 @@ DEFAULT_MAX_DEGREE = 64  # src/LMDiskANN.jl:18
 DEFAULT_EF_SEARCH = 300  # src/LMDiskANN.jl:20
 
 
+SUPPORTED_ELTYPES = ("float16", "float32", "float64")
+
+
 def _vectors_schema(eltype: str) -> T.StructType:
-    el = T.FloatType() if eltype == "float32" else T.DoubleType()
+    # float16: Spark/Parquet have no half type — stored as float32 whose
+    # values are exact IEEE-half roundings (see _float16_quantize)
+    el = T.DoubleType() if eltype == "float64" else T.FloatType()
     return T.StructType(
         [
             T.StructField("id", T.LongType(), False),
@@ -60,6 +67,23 @@ def _vectors_schema(eltype: str) -> T.StructType:
             T.StructField("vec", T.ArrayType(el, False), False),
         ]
     )
+
+
+def _float16_quantize(col):
+    """Round every element through IEEE float16 (the reference's ``T=Float16``
+    storage conversion, src/LMDiskANN.jl:40,462,546; tolerance semantics
+    test/runtests.jl:631-634).  Arrow-batched numpy cast — insert-time only,
+    never in the query hot path."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<float>")
+    def _q(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return v
+        x = np.vstack(v.to_numpy()).astype(np.float16).astype(np.float32)
+        return pd.Series(list(x))
+
+    return _q(col)
 
 
 ADJACENCY_SCHEMA = T.StructType(
@@ -93,13 +117,23 @@ class LMDiskANNIndex:
         eltype: str = "float32",
     ) -> "LMDiskANNIndex":
         """create_index (src/LMDiskANN.jl:239-264): fix dim/maxdegree/eltype/
-        metric, write empty snapshots of all three tables."""
+        metric, write empty snapshots of all three tables.
+
+        eltype: 'float32' (default), 'float64', or 'float16' — the
+        reference's three tested element types (test/runtests.jl:552-638).
+        float16 is emulated: float32 storage holding exact half-precision
+        roundings (Spark has no half type; numeric semantics match the
+        reference's within-half-precision tolerance, :631-634).
+        """
+        if eltype not in SUPPORTED_ELTYPES:
+            raise ValueError(f"eltype must be one of {SUPPORTED_ELTYPES}, got {eltype!r}")
         meta = {
             "dim": dim,
             "maxdegree": maxdegree,
             "metric": metric,
             "eltype": eltype,
             "num_points": 0,
+            "next_id": 0,
             "entrypoint": -1,
             "versions": {},
         }
@@ -158,14 +192,39 @@ class LMDiskANNIndex:
         re-prune touched nodes) — or rebuilds it when ``rebuild_graph``.
         """
         eltype = self.meta["eltype"]
-        el = "float" if eltype == "float32" else "double"
-        base = int(self.meta["num_points"])
+        el = "double" if eltype == "float64" else "float"
+        base = self._next_id()
         order_expr = F.col(key_col) if key_col else F.hash(F.col(vec_col).cast("array<double>").cast("string"))
         from pyspark.sql import Window
 
-        w = Window.orderBy(order_expr)
+        # Scalable dense-id assignment: range-partition by the order key, then
+        # rank WITHIN each partition and add the partition's cumulative offset
+        # (a tiny driver-side exchange of per-partition counts).  A global
+        # Window.orderBy would funnel the whole batch through ONE partition —
+        # fine for micro-batches, a bulk-load killer at 100 TB.
+        npart = max(1, min(new_vecs.rdd.getNumPartitions(),
+                           self.spark.sparkContext.defaultParallelism))
+        parted = (
+            new_vecs.withColumn("_ord", order_expr)
+            .repartitionByRange(npart, F.col("_ord"))
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()  # pin partition identity: the counts job and the main
+            # job must see the SAME range placement
+        )
+        counts = {r["_pid"]: r["cnt"] for r in
+                  parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+        n_new = sum(counts.values())
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off_df = F.broadcast(self.spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"
+        ))
+        w = Window.partitionBy("_pid").orderBy("_ord")
         prepared = (
-            new_vecs.withColumn("id", F.row_number().over(w).cast("long") + F.lit(base) - 1)
+            parted.join(off_df, "_pid")
+            .withColumn("id", F.row_number().over(w).cast("long") + F.col("_off") + F.lit(base) - 1)
             .withColumn(
                 "key",
                 F.col(key_col).cast("string") if key_col
@@ -173,7 +232,8 @@ class LMDiskANNIndex:
             )
             .select("id", "key", F.col(vec_col).cast(f"array<{el}>").alias("vec"))
         )
-        n_new = prepared.count()
+        if eltype == "float16":
+            prepared = prepared.withColumn("vec", _float16_quantize(F.col("vec")))
         new_vectors_tbl = self.vectors.unionByName(prepared)
         new_key_map = kvmap.insert_keys(self.key_map, prepared.select("key", "id"))
 
@@ -190,35 +250,82 @@ class LMDiskANNIndex:
         meta = self.catalog.write("vectors", new_vectors_tbl, self.meta)
         meta = self.catalog.write("adjacency", new_adj, meta)
         meta = self.catalog.write("key_map", new_key_map, meta)
-        meta["num_points"] = base + n_new
+        parted.unpersist()
+        meta["num_points"] = int(meta["num_points"]) + n_new
+        # next_id is monotone — NEVER decremented by deletes, so freed ids are
+        # not reused and insert-after-delete cannot collide (the reference
+        # reuses slots via its freelist, src/LMDiskANN.jl:534-537; Spark
+        # rewrites files, so uniqueness-forever is the simpler invariant)
+        meta["next_id"] = base + n_new
         if meta["entrypoint"] < 0 and meta["num_points"] > 0:
             meta["entrypoint"] = base  # first insert seeds entrypoint, :549-561
         self.meta = meta
         self.save()
         return self
 
-    def delete_batch(self, ids: Sequence[int] | None = None, keys: Sequence[str] | None = None) -> "LMDiskANNIndex":
+    def _next_id(self) -> int:
+        """First id for the next insert batch.  Prefers the persisted
+        ``next_id`` watermark; legacy indexes without one derive it from the
+        live max id (NOT num_points, which shrinks on delete)."""
+        nid = self.meta.get("next_id")
+        if nid is not None:
+            return int(nid)
+        row = self.vectors.agg(F.max("id").alias("m")).collect()[0]
+        return int(row["m"]) + 1 if row["m"] is not None else 0
+
+    def delete_batch(
+        self,
+        ids: Sequence[int] | DataFrame | None = None,
+        keys: Sequence[str] | DataFrame | None = None,
+    ) -> "LMDiskANNIndex":
         """Batch ann_delete! (src/LMDiskANN.jl:605-646): resolve keys -> ids,
-        drop rows from vectors/key_map, array_except ids out of all neighbor
-        lists, repair entrypoint if deleted."""
-        dead_ids = set(int(i) for i in (ids or []))
-        if keys:
-            rows = self.key_map.filter(F.col("key").isin(list(keys))).select("id").collect()
-            dead_ids.update(int(r["id"]) for r in rows)
-        if not dead_ids:
+        drop rows from vectors/key_map, remove the ids from all neighbor
+        lists, repair entrypoint if deleted.
+
+        The dead-id set is carried as a DataFrame end-to-end — anti-joins,
+        never ``isin`` literal lists — so a 10^6-id delete is the same plan
+        as a 10-id delete (no plan-size blowup, broadcast-hash anti-joins).
+        ``ids``/``keys`` accept a DataFrame (columns ``id`` / ``key``) or a
+        driver-side sequence.
+        """
+        dead: DataFrame | None = None
+        if ids is not None:
+            dead = (
+                ids.select(F.col("id").cast("long"))
+                if isinstance(ids, DataFrame)
+                else self.spark.createDataFrame([(int(i),) for i in ids], "id long")
+            )
+        if keys is not None:
+            keys_df = (
+                keys.select(F.col("key").cast("string"))
+                if isinstance(keys, DataFrame)
+                else self.spark.createDataFrame([(str(k),) for k in keys], "key string")
+            )
+            by_key = self.key_map.join(F.broadcast(keys_df), "key", "left_semi").select("id")
+            dead = by_key if dead is None else dead.unionByName(by_key)
+        if dead is None:
             return self
-        dead = sorted(dead_ids)
-        new_vectors = self.vectors.filter(~F.col("id").isin(dead))
+        # only ids actually present count toward num_points (the reference
+        # raises on unknown ids, :614-620; we drop them silently but must not
+        # corrupt the count)
+        dead = dead.distinct().join(self.vectors.select("id"), "id", "left_semi").persist()
+        n_dead = dead.count()
+        if n_dead == 0:
+            dead.unpersist()
+            return self
+        new_vectors = self.vectors.join(dead, "id", "left_anti")
         new_adj = delete_from_adjacency(self.adjacency, dead)
         new_key_map = kvmap.delete_by_ids(self.key_map, dead)
 
         meta = self.catalog.write("vectors", new_vectors, self.meta)
         meta = self.catalog.write("adjacency", new_adj, meta)
         meta = self.catalog.write("key_map", new_key_map, meta)
-        meta["num_points"] = max(0, int(meta["num_points"]) - len(dead))
-        if meta["entrypoint"] in dead_ids:  # entrypoint repair, :630-638
+        meta["num_points"] = max(0, int(meta["num_points"]) - n_dead)
+        ep = int(meta["entrypoint"])
+        if ep >= 0 and dead.filter(F.col("id") == ep).count() > 0:  # repair, :630-638
             live = new_vectors.select("id").orderBy("id").limit(1).collect()
             meta["entrypoint"] = int(live[0]["id"]) if live else -1
+        dead.unpersist()
         self.meta = meta
         self.save()
         return self

@@ -31,12 +31,13 @@ KEY_MAP_SCHEMA = T.StructType(
 def insert_keys(key_map: DataFrame, new_pairs: DataFrame) -> DataFrame:
     """insert_key! (UserIdMapping.jl:45-51) batched: upsert (key, id) pairs.
 
-    Last-writer-wins on key collision, mirroring LevelDB put overwriting.
+    Last-writer-wins on key collision, mirroring LevelDB put overwriting —
+    including WITHIN the new batch: duplicate keys in ``new_pairs`` collapse
+    to the max id (the batch analog of "last put wins"), preserving the
+    one-row-per-key invariant both lookup directions rely on.
     """
-    return (
-        key_map.join(new_pairs.select("key"), "key", "left_anti")
-        .unionByName(new_pairs.select("key", "id"))
-    )
+    deduped = new_pairs.select("key", "id").groupBy("key").agg(F.max("id").alias("id"))
+    return key_map.join(deduped.select("key"), "key", "left_anti").unionByName(deduped)
 
 
 def get_id_from_key(key_map: DataFrame, key: str) -> int | None:
@@ -51,14 +52,29 @@ def get_key_from_id(key_map: DataFrame, id_: int) -> str | None:
     return str(rows[0]["key"]) if rows else None
 
 
-def delete_by_keys(key_map: DataFrame, keys: Sequence[str]) -> DataFrame:
-    """delete_by_key! (UserIdMapping.jl:113-127) batched anti-join."""
-    return key_map.filter(~F.col("key").isin(list(keys)))
+_SMALL = 256  # literal-filter path below this; anti-join above (plan size)
 
 
-def delete_by_ids(key_map: DataFrame, ids: Sequence[int]) -> DataFrame:
-    """delete_by_id! (UserIdMapping.jl:135-147) batched anti-join."""
-    return key_map.filter(~F.col("id").isin([int(i) for i in ids]))
+def delete_by_keys(key_map: DataFrame, keys: Sequence[str] | DataFrame) -> DataFrame:
+    """delete_by_key! (UserIdMapping.jl:113-127) batched.  Large or
+    DataFrame-borne key sets anti-join (no literal-list plan blowup)."""
+    if not isinstance(keys, DataFrame):
+        ks = [str(k) for k in keys]
+        if len(ks) <= _SMALL:
+            return key_map.filter(~F.col("key").isin(ks))
+        keys = key_map.sparkSession.createDataFrame([(k,) for k in ks], "key string")
+    return key_map.join(F.broadcast(keys.select("key")), "key", "left_anti")
+
+
+def delete_by_ids(key_map: DataFrame, ids: Sequence[int] | DataFrame) -> DataFrame:
+    """delete_by_id! (UserIdMapping.jl:135-147) batched.  Same strategy
+    split as ``delete_by_keys``."""
+    if not isinstance(ids, DataFrame):
+        vals = [int(i) for i in ids]
+        if len(vals) <= _SMALL:
+            return key_map.filter(~F.col("id").isin(vals))
+        ids = key_map.sparkSession.createDataFrame([(i,) for i in vals], "id long")
+    return key_map.join(F.broadcast(ids.select("id")), "id", "left_anti")
 
 
 def clear(key_map: DataFrame) -> DataFrame:

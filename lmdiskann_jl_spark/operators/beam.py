@@ -147,6 +147,9 @@ def beam_search_batch(
     spark = vectors.sparkSession
     dist_fn = resolve_metric(metric)
     q_small = F.broadcast(queries.select(qid_col, qvec_col))
+    # qid type follows the caller's queries schema (nothing restricts it to
+    # long — string qids are valid); all driver-built frames use it
+    qid_type = queries.schema[qid_col].dataType.simpleString()
 
     def score(cand_df: DataFrame) -> list:
         """(qid, id) candidates -> collected (qid, id, dist) rows."""
@@ -161,15 +164,15 @@ def beam_search_batch(
 
     qids = [r[qid_col] for r in queries.select(qid_col).collect()]
     if not qids:
-        return spark.createDataFrame([], f"{qid_col} long, id long, dist double")
+        return spark.createDataFrame([], f"{qid_col} {qid_type}, id long, dist double")
 
     if entrypoint is None or entrypoint < 0:
         ep_row = vectors.select(F.col(id_col).alias("id")).orderBy("id").limit(1).collect()
         if not ep_row:
-            return spark.createDataFrame([], f"{qid_col} long, id long, dist double")
+            return spark.createDataFrame([], f"{qid_col} {qid_type}, id long, dist double")
         entrypoint = int(ep_row[0]["id"])
 
-    seed_df = spark.createDataFrame([(q, entrypoint) for q in qids], f"{qid_col} long, id long")
+    seed_df = spark.createDataFrame([(q, entrypoint) for q in qids], f"{qid_col} {qid_type}, id long")
     best: dict[int, dict[int, float]] = {q: {} for q in qids}
     visited: dict[int, set[int]] = {q: set() for q in qids}
     for r in score(F.broadcast(seed_df)):
@@ -180,7 +183,7 @@ def beam_search_batch(
         rows = [(q, i) for q, ids in frontier.items() for i in ids]
         if not rows:
             break
-        fr_df = F.broadcast(spark.createDataFrame(rows, f"{qid_col} long, id long"))
+        fr_df = F.broadcast(spark.createDataFrame(rows, f"{qid_col} {qid_type}, id long"))
         nbrs = (
             fr_df.join(adjacency.withColumnRenamed("id", "id"), "id")
             .select(qid_col, F.explode("neighbors").alias("id"))
@@ -190,7 +193,7 @@ def beam_search_batch(
             spark.createDataFrame(
                 [(q, i) for q, s in visited.items() for i in s]
                 + [(q, i) for q, b in best.items() for i in b],
-                f"{qid_col} long, id long",
+                f"{qid_col} {qid_type}, id long",
             )
         )
         new_scored = score(nbrs.join(known, [qid_col, "id"], "left_anti"))
@@ -217,5 +220,5 @@ def beam_search_batch(
 
     return spark.createDataFrame(
         [(q, i, d) for q, b in best.items() for i, d in b.items()],
-        f"{qid_col} long, id long, dist double",
+        f"{qid_col} {qid_type}, id long, dist double",
     )

@@ -145,15 +145,53 @@ def build_adjacency(
     )
 
 
-def delete_from_adjacency(adjacency: DataFrame, deleted_ids: Sequence[int]) -> DataFrame:
+def delete_from_adjacency(
+    adjacency: DataFrame,
+    deleted_ids: Sequence[int] | DataFrame,
+    small_threshold: int = 256,
+) -> DataFrame:
     """Batch ``ann_delete!`` graph repair (src/LMDiskANN.jl:622-629):
-    drop deleted nodes' own rows; ``array_except`` the deleted ids out of every
-    remaining neighbor list.  One scan, no shuffle (narrow transforms only)."""
-    ids = [int(i) for i in deleted_ids]
-    dead = F.array(*[F.lit(i).cast("long") for i in ids])
+    drop deleted nodes' own rows; remove the deleted ids from every remaining
+    neighbor list.
+
+    Two physical strategies by dead-set size:
+    - small (sequence under ``small_threshold``): literal ``array_except`` —
+      one scan, no shuffle (narrow transforms only);
+    - large (or any DataFrame): posexplode -> broadcast anti-join -> rebuild,
+      preserving neighbor order via the original position.  Literal ``isin``
+      lists at this size are a plan-size/codegen blowup; the anti-join keeps
+      the dead set data-side.
+    """
+    if not isinstance(deleted_ids, DataFrame):
+        ids = [int(i) for i in deleted_ids]
+        if len(ids) <= small_threshold:
+            dead_arr = F.array(*[F.lit(i).cast("long") for i in ids])
+            return (
+                adjacency.filter(~F.col("id").isin(ids))
+                .withColumn("neighbors", F.array_except(F.col("neighbors"), dead_arr))
+            )
+        deleted_ids = adjacency.sparkSession.createDataFrame(
+            [(i,) for i in ids], "id long"
+        )
+    dead = deleted_ids.select(F.col("id").cast("long")).distinct()
+    survivors = adjacency.join(F.broadcast(dead), "id", "left_anti")
+    exploded = survivors.select("id", F.posexplode("neighbors").alias("pos", "nbr"))
+    kept = exploded.join(
+        F.broadcast(dead.select(F.col("id").alias("nbr"))), "nbr", "left_anti"
+    )
+    rebuilt = kept.groupBy("id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "nbr"))), lambda s: s["nbr"]
+        ).alias("neighbors")
+    )
+    # restore rows whose whole neighbor list was deleted (groupBy dropped them)
     return (
-        adjacency.filter(~F.col("id").isin(ids))
-        .withColumn("neighbors", F.array_except(F.col("neighbors"), dead))
+        survivors.select("id")
+        .join(rebuilt, "id", "left")
+        .withColumn(
+            "neighbors",
+            F.coalesce(F.col("neighbors"), F.array().cast("array<bigint>")),
+        )
     )
 
 

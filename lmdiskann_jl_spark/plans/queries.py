@@ -198,8 +198,15 @@ def q_keymap_count(spark, sf_dir):
 
 
 def q_keymap_lookup(spark, sf_dir):
-    """get_id_from_key / get_key_from_id (ops 22-23) as predicates."""
+    """get_id_from_key (op 22) as a predicate point-get."""
     return _key_map(spark, sf_dir).filter(F.col("key") == f"vec-{LOOKUP_VEC_ID}").select("key", "id")
+
+
+def q_keymap_reverse_lookup(spark, sf_dir):
+    """get_key_from_id (op 23, UserIdMapping.jl:86-101): the reverse
+    direction — id -> user key.  The reference keeps a second LevelDB for
+    this; here it is the same dimension table probed on the other column."""
+    return _key_map(spark, sf_dir).filter(F.col("id") == LOOKUP_VEC_ID).select("id", "key")
 
 
 def q_keymap_list(spark, sf_dir):
@@ -774,6 +781,7 @@ def _oracle_map() -> dict[str, str | None]:
         """,
         "k_keymap_count": f"SELECT count(*) AS cnt FROM ({key_map})",
         "k_keymap_lookup": f"SELECT key, id FROM ({key_map}) WHERE key = 'vec-{LOOKUP_VEC_ID}'",
+        "k_keymap_reverse_lookup": f"SELECT id, key FROM ({key_map}) WHERE id = {LOOKUP_VEC_ID}",
         "k_keymap_list": f"SELECT key FROM ({key_map})",
         "k_keymap_delete": f"SELECT key, id FROM ({key_map}) WHERE id % 25 != 0",
         "d_dedup_exact": """
@@ -1098,6 +1106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_get_embedding_by_key": q_get_embedding_by_key,
         "k_keymap_count": q_keymap_count,
         "k_keymap_lookup": q_keymap_lookup,
+        "k_keymap_reverse_lookup": q_keymap_reverse_lookup,
         "k_keymap_list": q_keymap_list,
         "k_keymap_delete": q_keymap_delete,
         "d_dedup_exact": q_dedup_exact,

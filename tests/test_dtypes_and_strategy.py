@@ -12,7 +12,17 @@ from lmdiskann_jl_spark.plans.strategy import SearchContext, choose_search_strat
 random.seed(1)
 
 
-@pytest.mark.parametrize("eltype,sql_type,tol", [("float32", "float", 1e-6), ("float64", "double", 1e-12)])
+@pytest.mark.parametrize(
+    "eltype,sql_type,tol",
+    [
+        ("float32", "float", 1e-5),
+        ("float64", "double", 1e-12),
+        # float16: the reference's third tested eltype (runtests.jl:610-638);
+        # emulated as float32 storage of exact half roundings, so the
+        # round-trip tolerance is half precision (:631-634 uses atol=1e-2)
+        ("float16", "float", 1e-2),
+    ],
+)
 def test_index_eltype_roundtrip(spark, tmp_path, eltype, sql_type, tol):
     """Create with eltype, insert float64 python values, retrieve within
     dtype tolerance (the reference's cross-type conversion, :462,546)."""
@@ -24,10 +34,22 @@ def test_index_eltype_roundtrip(spark, tmp_path, eltype, sql_type, tol):
     el = dict(idx.vectors.dtypes)["vec"]
     assert el == f"array<{sql_type}>"
     got = idx.get_embedding_from_key("k3")
-    assert got == pytest.approx(rows[3][1], abs=1e-5 if eltype == "float32" else tol)
+    assert got == pytest.approx(rows[3][1], abs=tol)
+    if eltype == "float16":
+        # stored values are EXACT half-precision numbers, not merely close
+        import numpy as np
+
+        assert all(
+            float(np.float16(x)) == x for x in got
+        ), "float16 storage must hold exact half roundings"
     # search still exact on the coerced values
     top = idx.search(rows[5][1], topk=1).collect()[0]
     assert top["key"] == "k5"
+
+
+def test_unsupported_eltype_raises(spark, tmp_path):
+    with pytest.raises(ValueError, match="eltype"):
+        pkg.create_index(spark, str(tmp_path / "bad"), dim=4, eltype="int8")
 
 
 def test_strategy_selector():

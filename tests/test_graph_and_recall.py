@@ -85,3 +85,29 @@ def test_beam_search_recall_meets_reference_bar(emb):
         total += len(exact_ids & set(beam_ids)) / 10.0
     avg = total / len(queries)
     assert avg >= 0.70, f"beam recall {avg:.3f} below reference bar"
+
+
+def test_lsh_built_adjacency_beam_recall(emb, spark):
+    """The 100-TB build path: adjacency built from LSH candidates
+    (build_adjacency(use_lsh=True)) must still support beam search at the
+    reference's >= 0.70 recall bar — gating graph QUALITY, not just the
+    kNN-join recall."""
+    from pyspark.sql import Window
+
+    from lmdiskann_jl_spark.operators.beam import beam_search_batch
+    from lmdiskann_jl_spark.operators.topk import batch_topk
+
+    adj = build_adjacency(
+        emb, maxdegree=16, metric="euclidean", use_lsh=True, dim=64,
+        lsh_tables=8, candidate_factor=2,
+    ).cache()
+    adj.count()
+    queries = emb.filter(F.col("id") < 12).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    cand = beam_search_batch(emb, adj, queries, ef=60, metric="euclidean", entrypoint=0)
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    beam10 = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 10).select("qid", "id")
+    exact10 = batch_topk(queries, emb, k=10, metric="euclidean").select("qid", "id")
+    r = recall_at_k(beam10, exact10, k=10)
+    assert r >= 0.70, f"beam recall over LSH-built graph {r:.3f} below reference bar"

@@ -109,3 +109,87 @@ def test_incremental_insert_two_batches(spark, idx_path, small_batch):
     # new points are searchable
     top = idx.search(list(rows[8]["vec"]), topk=1).collect()[0]
     assert top["key"] == rows[8]["k"]
+
+
+def test_insert_after_delete_no_id_reuse(spark, idx_path, small_batch):
+    """Freed ids must never be reassigned (next_id watermark): insert 10,
+    delete 5, insert 10 more — all 20 original keys' rows stay distinct and
+    the re-insert collides with nothing."""
+    idx = pkg.create_index(spark, idx_path, dim=5, maxdegree=4)
+    idx.insert_batch(small_batch, vec_col="vec", key_col="k")
+    first_ids = {r["id"] for r in idx.vectors.select("id").collect()}
+    idx.delete_batch(keys=[f"key-{i}" for i in range(5)])
+    assert idx.meta["num_points"] == 5
+
+    batch2 = small_batch.select(
+        F.concat(F.lit("new-"), F.col("k")).alias("k"), "vec"
+    )
+    idx.insert_batch(batch2, vec_col="vec", key_col="k")
+    assert idx.meta["num_points"] == 15
+    ids = [r["id"] for r in idx.vectors.select("id").collect()]
+    assert len(ids) == len(set(ids)) == 15  # no collisions
+    new_ids = {r["id"] for r in idx.vectors.join(
+        idx.key_map.filter(F.col("key").startswith("new-")), "id", "left_semi"
+    ).select("id").collect()}
+    assert new_ids.isdisjoint(first_ids)  # freed ids not reused
+    # every key resolves to exactly one live row
+    assert idx.count_entries() == 15
+    for k in ["key-7", "new-key-0"]:
+        assert idx.get_embedding_from_key(k) is not None
+    # deleting an already-gone id must not corrupt the count
+    idx.delete_batch(keys=["key-0"])
+    assert idx.meta["num_points"] == 15
+
+
+def test_large_delete_batch_via_antijoin(spark, idx_path):
+    """10^4-id delete set: must go through the anti-join path (no literal
+    isin plan blowup) and leave exactly the survivors."""
+    import random
+
+    random.seed(7)
+    n = 2000
+    rows = [(f"k-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(n)]
+    batch = spark.createDataFrame(rows, "k string, vec array<float>")
+    idx = pkg.create_index(spark, idx_path, dim=4, maxdegree=4)
+    idx.insert_batch(batch, vec_col="vec", key_col="k")
+    # delete 10^4 ids, most of them absent (tests the matched-only counting)
+    dead = spark.range(0, 10_000).select((F.col("id") * 2).alias("id"))  # evens incl. absent
+    idx.delete_batch(ids=dead)
+    live = idx.vectors.select("id").collect()
+    assert all(r["id"] % 2 == 1 for r in live)
+    assert idx.meta["num_points"] == len(live) == n // 2
+    # neighbor lists contain no deleted ids
+    bad = idx.adjacency.select(F.explode("neighbors").alias("n")).filter(
+        F.col("n") % 2 == 0
+    ).count()
+    assert bad == 0
+
+
+def test_insert_keys_dedupes_within_batch(spark):
+    """Duplicate keys inside ONE batch collapse last-writer-wins (max id) —
+    the LevelDB put-overwrite analog; both lookups stay deterministic."""
+    km = spark.createDataFrame([("a", 1), ("b", 2)], kvmap.KEY_MAP_SCHEMA)
+    new = spark.createDataFrame([("c", 3), ("c", 9), ("b", 7)], kvmap.KEY_MAP_SCHEMA)
+    out = kvmap.insert_keys(km, new)
+    rows = {r["key"]: r["id"] for r in out.collect()}
+    assert rows == {"a": 1, "b": 7, "c": 9}
+    assert out.count() == 3  # one row per key, both-column uniqueness holds
+
+
+def test_batch_beam_string_qids(spark, idx_path, small_batch):
+    """beam_search_batch must honor non-long qid types from the caller's
+    schema instead of hard-coding bigint."""
+    idx = pkg.create_index(spark, idx_path, dim=5, maxdegree=4)
+    idx.insert_batch(small_batch, vec_col="vec", key_col="k")
+    queries = spark.createDataFrame(
+        [(r["k"], r["vec"]) for r in small_batch.collect()[:3]],
+        "qid string, qvec array<float>",
+    )
+    res = idx.search_batch(queries, topk=2, mode="beam").collect()
+    assert {r["qid"] for r in res} == {"key-0", "key-1", "key-2"}
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["qid"], []).append(r)
+    for q, rs in by_q.items():
+        best = min(rs, key=lambda r: r["dist"])
+        assert best["key"] == q and best["dist"] == pytest.approx(0.0, abs=1e-5)

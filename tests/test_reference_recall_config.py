@@ -54,3 +54,21 @@ def test_reference_cosine_recall(spark):
     vecs = spark.createDataFrame(rows, "id long, vec array<float>").repartition(8).cache()
     r = _beam_recall(spark, vecs, "cosine", 20, 10, MAXDEG)
     assert r >= 0.70, f"avg cosine recall@10 {r:.3f} below the reference's bar (runtests.jl:61)"
+
+
+@pytest.mark.parametrize(
+    "n,dim,n_queries,k",
+    [
+        (3000, 100, 10, 20),  # runtests.jl:540-541 scenario 1
+        (10_000, 10, 10, 20),  # runtests.jl:544-545 scenario 2
+    ],
+)
+def test_reference_scenario_recall(spark, n, dim, n_queries, k):
+    """The reference's two 'Larger Tests' scenarios
+    (test/runtests.jl:490-546): n random vectors, 10 queries drawn from the
+    dataset, top-20 vs full brute force, avg recall >= 0.70."""
+    rng = random.Random(1)
+    rows = [(i, [rng.random() for _ in range(dim)]) for i in range(n)]
+    vecs = spark.createDataFrame(rows, "id long, vec array<float>").repartition(16).cache()
+    r = _beam_recall(spark, vecs, "euclidean", n_queries, k, MAXDEG)
+    assert r >= 0.70, f"scenario dim={dim} n={n}: recall@{k} {r:.3f} < 0.70 (runtests.jl:532)"
