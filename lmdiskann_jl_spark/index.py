@@ -52,6 +52,12 @@ from lmdiskann_jl_spark.sources.tables import TableCatalog, read_meta, write_met
 DEFAULT_MAX_DEGREE = 64  # src/LMDiskANN.jl:18
 DEFAULT_EF_SEARCH = 300  # src/LMDiskANN.jl:20
 
+# vectors/adjacency snapshots are hive-partitioned by _b = id % N_ID_BUCKETS:
+# the Spark analog of the reference's mmap O(1) record addressing — beam-hop
+# and point-get fetches prune to the buckets holding the requested ids
+# (sources/tables.py).  At 100 TB raise this so each bucket is a few GB.
+N_ID_BUCKETS = 64
+
 
 SUPPORTED_ELTYPES = ("float16", "float32", "float64")
 
@@ -174,6 +180,43 @@ class LMDiskANNIndex:
     def key_map(self) -> DataFrame:
         return self.catalog.read("key_map", self.meta)
 
+    def _write_bucketed(self, name: str, df: DataFrame, meta: dict, empty: bool) -> dict:
+        """Snapshot ``vectors``/``adjacency`` partitioned by the id bucket.
+        An empty frame is written flat (a partitioned write of 0 rows leaves
+        nothing to re-read); readers handle both layouts."""
+        if empty:
+            return self.catalog.write(name, df, meta)
+        bucketed = df.withColumn(
+            "_b", F.pmod(F.col("id"), F.lit(N_ID_BUCKETS)).cast("int")
+        )
+        return self.catalog.write(name, bucketed, meta, partition_by=["_b"])
+
+    def _fetcher(self, table: str):
+        """Point-lookup fetch over a bucketed snapshot: prune partitions by
+        the ids' buckets, then filter (literal isin for small sets, broadcast
+        semi-join for large — no plan-size blowup)."""
+        raw = self.catalog.read(table, self.meta, raw=True)
+        has_bucket = "_b" in raw.columns
+        spark = self.spark
+
+        def fetch(ids):
+            vals = sorted({int(i) for i in ids})
+            df = raw
+            if has_bucket:
+                df = df.filter(
+                    F.col("_b").isin(sorted({v % N_ID_BUCKETS for v in vals}))
+                )
+            if len(vals) <= 512:
+                df = df.filter(F.col("id").isin(vals))
+            else:
+                ids_df = F.broadcast(
+                    spark.createDataFrame([(v,) for v in vals], "id long")
+                )
+                df = df.join(ids_df, "id", "left_semi")
+            return df.drop("_b") if has_bucket else df
+
+        return fetch
+
     # ---------------- mutation (ops 9-10) ----------------
 
     def insert_batch(
@@ -247,10 +290,11 @@ class LMDiskANNIndex:
                 maxdegree=self.meta["maxdegree"], metric=self.meta["metric"],
             )
 
-        meta = self.catalog.write("vectors", new_vectors_tbl, self.meta)
-        meta = self.catalog.write("adjacency", new_adj, meta)
+        meta = self._write_bucketed("vectors", new_vectors_tbl, self.meta, empty=False)
+        meta = self._write_bucketed("adjacency", new_adj, meta, empty=False)
         meta = self.catalog.write("key_map", new_key_map, meta)
         parted.unpersist()
+        meta.pop("ivf", None)  # cell layout no longer covers the new rows
         meta["num_points"] = int(meta["num_points"]) + n_new
         # next_id is monotone — NEVER decremented by deletes, so freed ids are
         # not reused and insert-after-delete cannot collide (the reference
@@ -317,9 +361,11 @@ class LMDiskANNIndex:
         new_adj = delete_from_adjacency(self.adjacency, dead)
         new_key_map = kvmap.delete_by_ids(self.key_map, dead)
 
-        meta = self.catalog.write("vectors", new_vectors, self.meta)
-        meta = self.catalog.write("adjacency", new_adj, meta)
+        all_deleted = int(self.meta["num_points"]) - n_dead <= 0
+        meta = self._write_bucketed("vectors", new_vectors, self.meta, empty=all_deleted)
+        meta = self._write_bucketed("adjacency", new_adj, meta, empty=all_deleted)
         meta = self.catalog.write("key_map", new_key_map, meta)
+        meta.pop("ivf", None)  # stale probes would surface deleted ids
         meta["num_points"] = max(0, int(meta["num_points"]) - n_dead)
         ep = int(meta["entrypoint"])
         if ep >= 0 and dead.filter(F.col("id") == ep).count() > 0:  # repair, :630-638
@@ -344,10 +390,24 @@ class LMDiskANNIndex:
         meta = self.catalog.write("ivf_centroids", centroids, self.meta)
         ivf_dir = os.path.join(self.path, "ivf_cells", f"v={meta['versions']['ivf_centroids']}")
         assigned.select("id", "vec", "cell").write.mode("overwrite").partitionBy("cell").parquet(ivf_dir)
-        meta["ivf"] = {"n_cells": n_cells, "dir": ivf_dir}
+        # version-stamp the layout with the vectors snapshot it was built
+        # from: any later mutation bumps that version, so a stale IVF can be
+        # detected (and is also dropped eagerly by insert/delete)
+        meta["ivf"] = {
+            "n_cells": n_cells,
+            "dir": ivf_dir,
+            "built_from": meta["versions"]["vectors"],
+        }
         self.meta = meta
         self.save()
         return self
+
+    def _ivf_fresh(self) -> bool:
+        """True iff an IVF layout exists AND matches the current vectors
+        snapshot (mutations invalidate it — stale probes would return
+        deleted ids / miss new ones)."""
+        ivf = self.meta.get("ivf")
+        return bool(ivf) and ivf.get("built_from") == self.meta["versions"]["vectors"]
 
     def search(
         self,
@@ -374,7 +434,7 @@ class LMDiskANNIndex:
             mode = choose_search_strategy(
                 SearchContext(
                     n_vectors=int(self.meta["num_points"]),
-                    has_ivf="ivf" in self.meta,
+                    has_ivf=self._ivf_fresh(),  # stale layouts never auto-selected
                     has_graph=True,
                 )
             )
@@ -385,12 +445,19 @@ class LMDiskANNIndex:
                 self.vectors, self.adjacency, query,
                 ef=ef, metric=self.meta["metric"],
                 entrypoint=int(self.meta["entrypoint"]),
+                vectors_fetch=self._fetcher("vectors"),
+                adjacency_fetch=self._fetcher("adjacency"),
             ).orderBy(F.col("dist").asc(), F.col("id").asc()).limit(topk)
         elif mode == "ivf":
             from lmdiskann_jl_spark.operators.ivf import ivf_search
 
             if "ivf" not in self.meta:
                 raise ValueError("no IVF layout built — call build_ivf() first")
+            if not self._ivf_fresh():
+                raise ValueError(
+                    "IVF layout is stale (vectors mutated since build_ivf) — "
+                    "rebuild with build_ivf() or search with mode='exact'/'beam'"
+                )
             assigned = self.spark.read.parquet(self.meta["ivf"]["dir"])
             centroids = self.catalog.read("ivf_centroids", self.meta)
             result = ivf_search(
@@ -420,6 +487,8 @@ class LMDiskANNIndex:
                 self.vectors, self.adjacency, queries,
                 ef=max(topk, ef), metric=self.meta["metric"],
                 entrypoint=int(self.meta["entrypoint"]),
+                vectors_fetch=self._fetcher("vectors"),
+                adjacency_fetch=self._fetcher("adjacency"),
             )
             w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
             res = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
@@ -430,9 +499,9 @@ class LMDiskANNIndex:
         )
 
     def get_embedding_from_id(self, id_: int) -> list[float]:
-        """get_embedding_from_id (src/LMDiskANN.jl:658-667) — predicate-pushdown
+        """get_embedding_from_id (src/LMDiskANN.jl:658-667) — bucket-pruned
         point lookup; raises on missing id like the reference's bounds check."""
-        rows = self.vectors.filter(F.col("id") == int(id_)).select("vec").limit(1).collect()
+        rows = self._fetcher("vectors")([int(id_)]).select("vec").limit(1).collect()
         if not rows:
             raise KeyError(f"id {id_} not in index")
         return list(rows[0]["vec"])

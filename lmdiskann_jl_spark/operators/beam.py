@@ -10,8 +10,8 @@ data-dependent iteration — not expressible as one Catalyst plan — so the
 driver orchestrates a bounded loop of set-at-a-time jobs (the GraphFrames/
 Pregel pattern).  Each hop:
 
-    frontier ids -> semi-join adjacency -> explode(neighbors)
-                 -> anti-join visited -> join vectors -> score -> keep best ef
+    frontier ids -> FETCH adjacency rows (point lookup) -> neighbor ids
+                 -> FETCH unseen vectors (point lookup) -> score -> keep best ef
 
 Instead of popping ONE nearest candidate per iteration (the reference's
 ``:401-402``), each hop expands the WHOLE frontier — a set-at-a-time
@@ -19,21 +19,50 @@ generalization that converges in O(graph diameter) hops instead of O(ef)
 pops.  Termination mirrors ``:404-406``: stop when no unvisited candidate
 improves on the current ef-worst, or after ``max_hops``.
 
-Scale notes: the frontier and result sets are <= ef rows (tiny) and are
-broadcast into the adjacency/vectors joins, so each hop is one scan-sided
-broadcast join, no large-table shuffle.  Per-hop results are collected to the
-driver (<= ef * maxdegree scored ids) — the same driver<->executor boundary
-any Pregel superstep pays.
+Scale notes — this is the reference's mmap O(1) record addressing
+re-expressed as storage pruning: the index stores ``vectors`` and
+``adjacency`` hive-partitioned by an id bucket (``_b = id % N``,
+sources/tables.py), and the ``vectors_fetch`` / ``adjacency_fetch``
+callables (index.py builds them) turn each hop into a PARTITION-PRUNED point
+lookup — the scan touches only the buckets holding frontier/neighbor ids
+and scores only the fetched rows.  The earlier shape (score ALL vectors,
+semi-join per hop) re-scanned the full table every hop: ~12 full scans per
+query loses to one exact scan at 100x scale, which would make the graph
+path pointless.  Distances are computed on <= ef*maxdegree fetched rows per
+hop; driver state is ids+distances only (KBs).  ``stats`` (optional dict)
+records rows fetched/scored so tests can assert the per-hop scan volume
+stays far below table size.
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from lmdiskann_jl_spark.functions.vector import query_vector_lit, resolve_metric
+
+# literal-isin fetch below this many ids; broadcast semi-join above (plan size)
+_ISIN_LIMIT = 512
+
+
+def default_fetcher(df: DataFrame, id_col: str = "id") -> Callable[[Sequence[int]], DataFrame]:
+    """Row fetch for tables WITHOUT a bucket layout: literal isin for small
+    id sets, broadcast semi-join beyond (same split as the delete path).
+    Index-managed tables get the partition-pruned fetcher from index.py
+    instead."""
+
+    def fetch(ids: Sequence[int]) -> DataFrame:
+        vals = sorted({int(i) for i in ids})
+        if len(vals) <= _ISIN_LIMIT:
+            return df.filter(F.col(id_col).isin(vals))
+        ids_df = F.broadcast(
+            df.sparkSession.createDataFrame([(i,) for i in vals], f"{id_col} long")
+        )
+        return df.join(ids_df, id_col, "left_semi")
+
+    return fetch
 
 
 def beam_search(
@@ -46,6 +75,9 @@ def beam_search(
     max_hops: int = 12,
     id_col: str = "id",
     vec_col: str = "vec",
+    vectors_fetch: Callable[[Sequence[int]], DataFrame] | None = None,
+    adjacency_fetch: Callable[[Sequence[int]], DataFrame] | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Approximate top-ef candidates for ``query`` via graph traversal.
 
@@ -56,15 +88,27 @@ def beam_search(
     spark = vectors.sparkSession
     dist_fn = resolve_metric(metric)
     q = query_vector_lit(query)
+    fetch_vec = vectors_fetch or default_fetcher(vectors, id_col)
+    fetch_adj = adjacency_fetch or default_fetcher(adjacency, "id")
 
-    scored_vectors = vectors.select(
-        F.col(id_col).alias("id"), dist_fn(F.col(vec_col), q).alias("dist")
-    )
+    def score_ids(ids: Sequence[int]) -> list:
+        if not ids:
+            return []
+        rows = (
+            fetch_vec(ids)
+            .select(F.col(id_col).alias("id"), dist_fn(F.col(vec_col), q).alias("dist"))
+            .collect()
+        )
+        if stats is not None:
+            stats["rows_scored"] = stats.get("rows_scored", 0) + len(rows)
+        return rows
 
     if entrypoint is None or entrypoint < 0:
-        seed = scored_vectors.orderBy("id").limit(1).collect()
-    else:
-        seed = scored_vectors.filter(F.col("id") == entrypoint).limit(1).collect()
+        ep_row = vectors.select(F.col(id_col).alias("id")).orderBy("id").limit(1).collect()
+        if not ep_row:
+            return spark.createDataFrame([], "id long, dist double")
+        entrypoint = int(ep_row[0]["id"])
+    seed = score_ids([entrypoint])
     if not seed:
         return spark.createDataFrame([], "id long, dist double")
 
@@ -77,21 +121,12 @@ def beam_search(
     for _ in range(max_hops):
         if not frontier:
             break
-        frontier_df = F.broadcast(spark.createDataFrame([(i,) for i in frontier], "id long"))
-        nbrs = (
-            adjacency.join(frontier_df, "id", "left_semi")
-            .select(F.explode("neighbors").alias("id"))
-            .distinct()
-        )
-        known = F.broadcast(
-            spark.createDataFrame([(i,) for i in visited | set(best)], "id long")
-        )
-        new_scored = (
-            scored_vectors.join(F.broadcast(nbrs), "id", "left_semi")
-            .join(known, "id", "left_anti")
-            .collect()
-        )
+        adj_rows = fetch_adj(frontier).select("id", "neighbors").collect()
+        if stats is not None:
+            stats["hops"] = stats.get("hops", 0) + 1
         visited.update(frontier)
+        nbr_ids = {int(n) for r in adj_rows for n in r["neighbors"]}
+        new_scored = score_ids(sorted(nbr_ids - visited - set(best)))
         if not new_scored:
             break
         worst = max(best.values()) if len(best) >= ef else float("inf")
@@ -131,15 +166,20 @@ def beam_search_batch(
     vec_col: str = "vec",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    vectors_fetch: Callable[[Sequence[int]], DataFrame] | None = None,
+    adjacency_fetch: Callable[[Sequence[int]], DataFrame] | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Beam search for a BATCH of queries in one shared driver loop.
 
-    All queries advance together: each hop expands the union of all
-    frontiers with ONE adjacency join and ONE vectors join (scoring every
-    (query, candidate) pair via a broadcast of the query set), so the
-    per-hop job count is constant in the number of queries — the batch
+    All queries advance together: each hop fetches the union of all
+    frontiers' adjacency rows in ONE pruned lookup, derives per-query
+    candidates driver-side (set arithmetic on ids — KBs), then fetches and
+    scores the union of unseen candidate vectors in ONE more pruned lookup
+    (every (query, candidate) pair scored via a broadcast of the query set).
+    The per-hop job count is constant in the number of queries — the batch
     amortization the single-query loop lacks.  Per-query ef-bounded beams
-    and early termination live driver-side (ids + distances only).
+    and early termination live driver-side.
 
     Returns (qid, id, dist) — up to ef candidates per query, true-metric
     scored; caller applies per-qid window top-k.
@@ -150,17 +190,31 @@ def beam_search_batch(
     # qid type follows the caller's queries schema (nothing restricts it to
     # long — string qids are valid); all driver-built frames use it
     qid_type = queries.schema[qid_col].dataType.simpleString()
+    fetch_vec = vectors_fetch or default_fetcher(vectors, id_col)
+    fetch_adj = adjacency_fetch or default_fetcher(adjacency, "id")
 
-    def score(cand_df: DataFrame) -> list:
-        """(qid, id) candidates -> collected (qid, id, dist) rows."""
-        return (
-            cand_df.join(vectors.select(F.col(id_col).alias("id"), vec_col), "id")
+    def score(pairs: list) -> list:
+        """[(qid, id)] candidate pairs -> collected (qid, id, dist) rows.
+        One pruned vector fetch for the id union; pairs and queries are
+        broadcast so the only scan is the fetched rows."""
+        if not pairs:
+            return []
+        ids = sorted({i for _, i in pairs})
+        fetched = fetch_vec(ids).select(F.col(id_col).alias("id"), vec_col)
+        pairs_df = F.broadcast(
+            spark.createDataFrame(pairs, f"{qid_col} {qid_type}, id long")
+        )
+        rows = (
+            fetched.join(pairs_df, "id")
             .join(q_small, qid_col)
             .select(
                 qid_col, "id", dist_fn(F.col(vec_col), F.col(qvec_col)).alias("dist")
             )
             .collect()
         )
+        if stats is not None:
+            stats["rows_scored"] = stats.get("rows_scored", 0) + len(rows)
+        return rows
 
     qids = [r[qid_col] for r in queries.select(qid_col).collect()]
     if not qids:
@@ -172,36 +226,36 @@ def beam_search_batch(
             return spark.createDataFrame([], f"{qid_col} {qid_type}, id long, dist double")
         entrypoint = int(ep_row[0]["id"])
 
-    seed_df = spark.createDataFrame([(q, entrypoint) for q in qids], f"{qid_col} {qid_type}, id long")
-    best: dict[int, dict[int, float]] = {q: {} for q in qids}
-    visited: dict[int, set[int]] = {q: set() for q in qids}
-    for r in score(F.broadcast(seed_df)):
+    best: dict = {q: {} for q in qids}
+    visited: dict = {q: set() for q in qids}
+    for r in score([(q, entrypoint) for q in qids]):
         best[r[qid_col]][int(r["id"])] = float(r["dist"])
-    frontier: dict[int, list[int]] = {q: [entrypoint] for q in qids}
+    frontier: dict = {q: [entrypoint] for q in qids}
 
     for _ in range(max_hops):
-        rows = [(q, i) for q, ids in frontier.items() for i in ids]
-        if not rows:
+        frontier_union = sorted({i for ids in frontier.values() for i in ids})
+        if not frontier_union:
             break
-        fr_df = F.broadcast(spark.createDataFrame(rows, f"{qid_col} {qid_type}, id long"))
-        nbrs = (
-            fr_df.join(adjacency.withColumnRenamed("id", "id"), "id")
-            .select(qid_col, F.explode("neighbors").alias("id"))
-            .distinct()
-        )
-        known = F.broadcast(
-            spark.createDataFrame(
-                [(q, i) for q, s in visited.items() for i in s]
-                + [(q, i) for q, b in best.items() for i in b],
-                f"{qid_col} {qid_type}, id long",
-            )
-        )
-        new_scored = score(nbrs.join(known, [qid_col, "id"], "left_anti"))
+        adj_map = {
+            int(r["id"]): [int(n) for n in r["neighbors"]]
+            for r in fetch_adj(frontier_union).select("id", "neighbors").collect()
+        }
+        if stats is not None:
+            stats["hops"] = stats.get("hops", 0) + 1
+        pairs = []
+        for q, ids in frontier.items():
+            cand: set[int] = set()
+            for i in ids:
+                cand.update(adj_map.get(i, ()))
+            cand -= visited[q]
+            cand -= best[q].keys()
+            pairs.extend((q, c) for c in sorted(cand))
         for q, ids in frontier.items():
             visited[q].update(ids)
+        new_scored = score(pairs)
         if not new_scored:
             break
-        improved: set[int] = set()
+        improved: set = set()
         for r in new_scored:
             q, i, d = r[qid_col], int(r["id"]), float(r["dist"])
             b = best[q]

@@ -52,15 +52,37 @@ class TableCatalog:
     def _table_dir(self, name: str, version: int) -> str:
         return os.path.join(self.root, name, f"v={version}")
 
-    def read(self, name: str, meta: dict[str, Any]) -> DataFrame:
+    def read(self, name: str, meta: dict[str, Any], raw: bool = False) -> DataFrame:
+        """Current snapshot of ``name``.  Physical layout columns (the ``_b``
+        id-bucket partition key) are dropped unless ``raw`` — point-lookup
+        paths read raw to keep the partition-pruning column visible."""
         version = meta["versions"][name]
-        return self.spark.read.parquet(self._table_dir(name, version))
+        df = self.spark.read.parquet(self._table_dir(name, version))
+        if not raw and "_b" in df.columns:
+            df = df.drop("_b")
+        return df
 
-    def write(self, name: str, df: DataFrame, meta: dict[str, Any]) -> dict[str, Any]:
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        meta: dict[str, Any],
+        partition_by: list[str] | None = None,
+    ) -> dict[str, Any]:
         """Write ``df`` as the next snapshot of ``name``; returns updated meta
-        (caller persists it with ``write_meta`` — the commit point)."""
+        (caller persists it with ``write_meta`` — the commit point).
+
+        ``partition_by`` lays the snapshot out hive-partitioned (the Spark
+        stand-in for bucketing/Z-order): readers filtering on the partition
+        column scan only matching directories.  Callers must not partition
+        an empty frame (a partitioned write of 0 rows leaves no schema to
+        read back).
+        """
         next_version = meta["versions"].get(name, -1) + 1
-        df.write.mode("overwrite").parquet(self._table_dir(name, next_version))
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self._table_dir(name, next_version))
         new_meta = dict(meta)
         new_meta["versions"] = dict(meta.get("versions", {}))
         new_meta["versions"][name] = next_version

@@ -193,3 +193,42 @@ def test_batch_beam_string_qids(spark, idx_path, small_batch):
     for q, rs in by_q.items():
         best = min(rs, key=lambda r: r["dist"])
         assert best["key"] == q and best["dist"] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_beam_hops_are_pruned_point_lookups(spark, idx_path):
+    """Beam hops must fetch only frontier/neighbor rows from the bucketed
+    layout: the fetch plan partition-prunes on the id bucket, and the total
+    rows scored across ALL hops stays well under one full table scan (the
+    pre-bucketing shape re-scanned the whole table every hop)."""
+    import random
+
+    from lmdiskann_jl_spark.operators.beam import beam_search
+
+    random.seed(5)
+    n = 400
+    rows = [(f"k-{i}", [random.gauss(0, 1) for _ in range(8)]) for i in range(n)]
+    batch = spark.createDataFrame(rows, "k string, vec array<float>")
+    idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=8)
+    idx.insert_batch(batch, vec_col="vec", key_col="k")
+
+    # the stored snapshot is bucket-partitioned and the fetch plan prunes
+    raw = idx.catalog.read("vectors", idx.meta, raw=True)
+    assert "_b" in raw.columns
+    plan = idx._fetcher("vectors")([3, 5])._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_b" in plan.split("PartitionFilters", 1)[1][:200]
+
+    stats = {}
+    res = beam_search(
+        idx.vectors, idx.adjacency, rows[7][1], ef=32,
+        metric="euclidean", entrypoint=int(idx.meta["entrypoint"]),
+        vectors_fetch=idx._fetcher("vectors"),
+        adjacency_fetch=idx._fetcher("adjacency"),
+        stats=stats,
+    )
+    top = res.orderBy("dist").limit(1).collect()[0]
+    assert top["dist"] == pytest.approx(0.0, abs=1e-5)
+    assert stats["hops"] >= 2
+    assert stats["rows_scored"] < 0.6 * n, (
+        f"beam scored {stats['rows_scored']} rows of {n} — hops are not "
+        f"point lookups"
+    )

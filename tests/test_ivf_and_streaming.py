@@ -103,3 +103,38 @@ def test_stateful_running_user_stats(spark, sf_dir, tmp_path):
     assert collected[1]["n_events"] == 3
     assert collected[1]["total_value"] == pytest.approx(13.0)
     assert collected[1]["last_ts"] == 40
+
+
+def test_ivf_invalidated_by_mutation(spark, tmp_path):
+    """A mutation after build_ivf must invalidate the cell layout: auto mode
+    stops selecting it, explicit ivf mode refuses with a clear error, and a
+    rebuild restores it — stale probes would return deleted ids and miss
+    inserts."""
+    import random
+
+    import pytest as _pytest
+
+    import lmdiskann_jl_spark as pkg
+
+    random.seed(3)
+    rows = [(f"k-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(120)]
+    batch = spark.createDataFrame(rows, "k string, vec array<float>")
+    idx = pkg.create_index(spark, str(tmp_path / "ivfidx"), dim=4, maxdegree=4)
+    idx.insert_batch(batch, vec_col="vec", key_col="k")
+    idx.build_ivf(n_cells=4)
+    assert idx._ivf_fresh()
+    q = rows[5][1]
+    assert idx.search(q, topk=3, mode="ivf").count() == 3
+
+    idx.delete_batch(keys=["k-5"])
+    assert not idx._ivf_fresh()
+    with _pytest.raises(ValueError, match="stale|IVF"):
+        idx.search(q, topk=3, mode="ivf")
+    # auto silently falls back to a fresh strategy — and must NOT return k-5
+    res = idx.search(q, topk=3, mode="auto").collect()
+    assert "k-5" not in {r["key"] for r in res}
+
+    idx.build_ivf(n_cells=4)
+    assert idx._ivf_fresh()
+    res2 = idx.search(q, topk=3, mode="ivf").collect()
+    assert "k-5" not in {r["key"] for r in res2}
