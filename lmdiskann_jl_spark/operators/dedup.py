@@ -482,3 +482,84 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    pair_a: str = "doc_a",
+    pair_b: str = "doc_b",
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs -> dedup clusters.
+
+    The canonical LLM-pipeline step AFTER pair detection: near-dup relations
+    are not transitive, so keep/drop decisions need the transitive closure —
+    each component keeps exactly one canonical document.
+
+    Output: (doc_id, cluster_id, cluster_size, keep) for EVERY node —
+    cluster_id = min doc_id in the component (singletons cluster to
+    themselves), keep = (doc_id == cluster_id), the deterministic
+    min-id canonical policy (same policy as ``exact_dedup``).
+
+    Algorithm: min-label propagation — each sweep every node takes the min
+    label over itself and its neighbors; converges in O(component diameter)
+    sweeps.  Near-dup components are shallow (stars/cliques around a shared
+    band bucket), so diameter is tiny regardless of corpus size — the 100-TB
+    cost driver is the per-sweep shuffle keyed by node id, not the sweep
+    count.  Each sweep is one join + one groupBy on the (small) edge set;
+    ``localCheckpoint`` truncates the plan lineage so iteration N does not
+    replay sweeps 1..N-1, and the loop exits as soon as a sweep changes no
+    label (worst-case path graphs are bounded by ``max_iter``).  For
+    adversarial deep components at scale, swap the sweep for the
+    large-star/small-star edge rewrite (O(log n) rounds) — same output
+    contract.
+
+    The DuckDB oracle computes the same closure via WITH RECURSIVE
+    reachability, so this is hash-gated end to end (plans/queries.py
+    ``d_dup_clusters``).
+    """
+    edges = (
+        pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
+        .union(pairs.select(F.col(pair_b).alias("src"), F.col(pair_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("nid"), F.col(id_col).alias("lbl")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.nid)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.nid == nbr_min.src, "left")
+            .select(
+                "nid",
+                F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "nid")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    w = Window.partitionBy("cluster_id")
+    return labels.select(
+        F.col("nid").alias(id_col), F.col("lbl").alias("cluster_id")
+    ).select(
+        id_col,
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+    )

@@ -239,6 +239,17 @@ def q_simhash(spark, sf_dir):
     return D.simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Transitive closure of the MinHash-LSH near-dup relation: connected
+    components -> (cluster_id, cluster_size, keep) per document — the
+    keep/drop decision a dedup pipeline actually applies (pairs alone are
+    not transitive).  Oracle: WITH RECURSIVE reachability over the same
+    pair CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    return D.dup_clusters(pairs, docs.select("doc_id"))
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=JACCARD_T)
 
@@ -800,6 +811,30 @@ def _oracle_map() -> dict[str, str | None]:
             FROM bands a JOIN bands b USING (band, band_key)
             WHERE a.doc_id < b.doc_id
         """,
+        "d_dup_clusters": f"""
+            {minhash_core.replace("WITH ", "WITH RECURSIVE ", 1)},
+            bands AS (
+              SELECT doc_id, CAST(perm // {D.DEFAULT_BAND_ROWS} AS INT) AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm)) AS band_key
+              FROM sig GROUP BY 1, 2
+            ),
+            prs AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+              FROM bands a JOIN bands b USING (band, band_key)
+              WHERE a.doc_id < b.doc_id
+            ),
+            edges AS (SELECT a AS src, b AS dst FROM prs UNION SELECT b, a FROM prs),
+            reach(nid, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.nid = e.dst
+            ),
+            cl AS (SELECT nid AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+            SELECT doc_id, cluster_id,
+                   count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                   (doc_id = cluster_id) AS keep
+            FROM cl
+        """,
         "d_simhash": f"""
             WITH toks AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
             h AS (SELECT doc_id, {O.hash32('tok')} AS h FROM toks),
@@ -1114,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_minhash_lsh_pairs": q_minhash_lsh_pairs,
         "d_simhash": q_simhash,
         "d_simhash_neardup": q_simhash_neardup,
+        "d_dup_clusters": q_dup_clusters,
         "r_events_props": q_events_props,
         "d_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "d_ngram_jaccard_capped": q_ngram_jaccard_capped,
