@@ -1,0 +1,154 @@
+"""Training-data pipeline composition operators.
+
+Beyond the reference's surface (SURVEY.md section 2.6 — it has no relational/
+pipeline layer): the keep/drop and batching decisions an LLM data pipeline
+applies AFTER the per-document signals (language ID, quality score, token
+counts — functions/text.py) are computed.  Everything here is pure column
+expressions + shard-parallel windows: no UDFs, no driver loops, and every
+operator is deterministic (md5-derived hashing) so the DuckDB oracles
+reproduce results bit-for-bit.
+
+Scale design (100 TB):
+- stratified sampling: a per-row hash comparison — evaluated inside the scan
+  stage, zero shuffles; changing the mix is a constant change, not a re-read;
+- sequence packing: the window runs PER SHARD (hash-derived), so packing
+  parallelizes across executors — a single global window would funnel the
+  corpus through one partition, the classic window anti-pattern;
+- quality filter: scan-stage expressions; the reason column makes drop
+  accounting (a groupBy(reason).count()) free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lmdiskann_jl_spark.functions.text import (
+    hash60,
+    langid_expr,
+    quality_features,
+    token_counts,
+)
+
+# deterministic per-language sampling rates (percent kept) for the declared
+# query — the shape of a training-mix config; shared with the oracle
+SAMPLE_RATES: dict[str, int] = {"en": 35, "und": 15}
+SAMPLE_DEFAULT_RATE = 25
+SAMPLE_SALT = "sample:"
+
+PACK_BUDGET = 512  # tokens per packed sequence
+PACK_SHARDS = 8
+
+
+def stratified_sample(
+    documents: DataFrame,
+    rates: dict[str, int] | None = None,
+    default_rate: int = SAMPLE_DEFAULT_RATE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-language document sampling (training-mix shaping).
+
+    A document is kept iff ``hash(salt || id) % 100 < rate[lang]`` — the
+    standard reproducible-sampling idiom: membership is a pure function of
+    the id, so reruns, backfills, and incremental loads agree row-for-row
+    (``.sample()`` is seed-and-partitioning dependent; this is not).
+
+    Output: (doc_id, lang, sample_bucket) for kept rows only.
+    """
+    rates = SAMPLE_RATES if rates is None else rates
+    bucket = (
+        hash60(F.concat(F.lit(SAMPLE_SALT), F.col(id_col).cast("string"))) % 100
+    ).alias("sample_bucket")
+    rate = F.lit(default_rate)
+    for lang, pct in sorted(rates.items()):
+        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    return (
+        documents.select(
+            F.col(id_col), langid_expr(F.col(text_col)).alias("lang"), bucket
+        )
+        .filter(F.col("sample_bucket") < rate)
+        .select(id_col, "lang", F.col("sample_bucket").cast("long").alias("sample_bucket"))
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    budget: int = PACK_BUDGET,
+    n_shards: int = PACK_SHARDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Shard-parallel next-fit sequence packing under a token budget.
+
+    Documents are hashed into ``n_shards`` shards; within each shard, docs in
+    id order accumulate into bins: a doc starts a new bin when the running
+    token total would pass ``budget`` (bin = floor(start_offset / budget) —
+    contiguous cumsum binning, the set-at-a-time form of next-fit; bins may
+    overflow by at most one document, the standard large-scale relaxation of
+    sequential first-fit).
+
+    The window partitions BY SHARD, so packing is embarrassingly parallel —
+    at 100 TB raise ``n_shards`` so each shard's window state fits one task.
+    Output: (doc_id, shard, seq_id, n_tokens) — seq_id unique across shards.
+    """
+    n_tok = token_counts(F.col(text_col))["n_bpe_tokens"]
+    shard = (hash60(F.col(id_col).cast("string")) % n_shards).cast("int")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        documents.select(F.col(id_col), shard.alias("shard"), n_tok.alias("n_tokens"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            id_col,
+            F.col("shard").cast("long").alias("shard"),
+            (
+                F.col("shard").cast("long") * F.lit(1_000_000_000).cast("long")
+                + F.floor((F.col("cum") - F.col("n_tokens")) / budget)
+            ).alias("seq_id"),
+            "n_tokens",
+        )
+    )
+
+
+def quality_filter(
+    documents: DataFrame,
+    min_score: float = 0.5,
+    allowed_langs: tuple[str, ...] = ("en",),
+    min_tokens: int = 5,
+    max_tokens: int = 5000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Composed keep/drop decision from the per-document signals.
+
+    First-failing-rule semantics (evaluation order: language, length bounds,
+    quality score) with the reason recorded — drop accounting is then a free
+    ``groupBy('reason').count()``.  Output: (doc_id, pred_lang, n_tokens,
+    quality_score, reason, keep).
+    """
+    feats = quality_features(F.col(text_col))
+    base = documents.select(
+        F.col(id_col),
+        langid_expr(F.col(text_col)).alias("pred_lang"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["quality_score"].alias("quality_score"),
+    )
+    reason = (
+        F.when(~F.col("pred_lang").isin(*allowed_langs), F.lit("lang"))
+        .when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("quality_score") < min_score, F.lit("low_quality"))
+        .otherwise(F.lit("ok"))
+    )
+    return base.select(
+        id_col,
+        "pred_lang",
+        "n_tokens",
+        "quality_score",
+        reason.alias("reason"),
+        (reason == "ok").alias("keep"),
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from lmdiskann_jl_spark.functions import text as X
 from lmdiskann_jl_spark.functions.vector import cosine_similarity
 from lmdiskann_jl_spark.operators import dedup as D
+from lmdiskann_jl_spark.operators import pipeline as P
 from lmdiskann_jl_spark.operators.graph import adjacency_edges
 from lmdiskann_jl_spark.operators.knn_join import brute_force_knn_join, lsh_knn_join
 from lmdiskann_jl_spark.operators.topk import batch_topk, exact_topk, recall_at_k
@@ -310,6 +311,24 @@ def q_token_count(spark, sf_dir):
 def q_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", X.fingerprint_expr(F.col("text")).alias("fp"))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language training-mix sampling — membership is a
+    pure hash of the doc id, so reruns/backfills agree row-for-row."""
+    return P.stratified_sample(_t(spark, sf_dir, "documents"))
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Shard-parallel next-fit packing of documents into token-budget
+    sequences (window per shard — no global single-partition window)."""
+    return P.pack_sequences(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_filter(spark, sf_dir):
+    """Composed keep/drop decision (language, length bounds, quality score)
+    with first-failing-rule reasons."""
+    return P.quality_filter(_t(spark, sf_dir, "documents"))
 
 
 FILTER_LABEL = 3
@@ -902,6 +921,76 @@ def _oracle_map() -> dict[str, str | None]:
         """,
         "t_quality_score": _quality_oracle(),
         "t_token_count": _token_count_oracle(),
+        "p_stratified_sample": f"""
+            SELECT doc_id, lang, CAST(sample_bucket AS BIGINT) AS sample_bucket
+            FROM (
+              SELECT doc_id, {O.langid_case()} AS lang,
+                     {O.hash60(f"'{P.SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")} % 100 AS sample_bucket
+              FROM (
+                SELECT doc_id, {O.langid_hit_columns('t')} FROM (
+                  SELECT doc_id, {toks} AS t FROM documents
+                )
+              )
+            )
+            WHERE sample_bucket < (CASE lang
+              {' '.join(f"WHEN '{lang}' THEN {pct}" for lang, pct in sorted(P.SAMPLE_RATES.items()))}
+              ELSE {P.SAMPLE_DEFAULT_RATE} END)
+        """,
+        "p_pack_sequences": rf"""
+            WITH tc AS (
+              SELECT doc_id,
+                     CAST(COALESCE(list_sum(list_transform(
+                            list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x != ''),
+                            t -> CAST(ceil(length(t) / 4.0) AS INT))), 0)
+                          + length(regexp_replace(lower(text), '[a-z\s]', '', 'g')) AS BIGINT) AS n_tokens,
+                     {O.hash60('CAST(doc_id AS VARCHAR)')} % {P.PACK_SHARDS} AS shard
+              FROM documents
+            )
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                   shard * 1000000000
+                     + CAST(floor((cum - n_tokens) / {P.PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+                   n_tokens
+            FROM (
+              SELECT doc_id, shard, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+                     ) AS cum
+              FROM tc
+            )
+        """,
+        "p_quality_filter": f"""
+            SELECT doc_id, pred_lang, n_tokens, quality_score, reason,
+                   (reason = 'ok') AS keep
+            FROM (
+              SELECT doc_id, pred_lang, n_tokens, quality_score,
+                     CASE WHEN pred_lang NOT IN ('en') THEN 'lang'
+                          WHEN n_tokens < 5 THEN 'too_short'
+                          WHEN n_tokens > 5000 THEN 'too_long'
+                          WHEN quality_score < 0.5 THEN 'low_quality'
+                          ELSE 'ok' END AS reason
+              FROM (
+                SELECT doc_id, {O.langid_case()} AS pred_lang,
+                       CAST(n_tokens AS BIGINT) AS n_tokens,
+                       round((least(stop_ratio * 4, 1.0)
+                              + (CASE WHEN mean_tok >= 3 AND mean_tok <= 10 THEN 1.0 ELSE 0.0 END)
+                              + alnum_ratio) / 3.0, 4) AS quality_score
+                FROM (
+                  SELECT doc_id, {O.langid_hit_columns('t')},
+                         len(t) AS n_tokens,
+                         CASE WHEN len(t) > 0
+                              THEN CAST(COALESCE(list_sum(list_transform(t, x -> length(x))), 0) AS DOUBLE) / len(t)
+                              ELSE 0.0 END AS mean_tok,
+                         CASE WHEN len(t) > 0
+                              THEN CAST({O.stopword_hits('t', O.QUALITY_STOPWORDS)} AS DOUBLE) / len(t)
+                              ELSE 0.0 END AS stop_ratio,
+                         CASE WHEN length(text) > 0
+                              THEN CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS DOUBLE) / length(text)
+                              ELSE 0.0 END AS alnum_ratio
+                  FROM (SELECT doc_id, text, {toks} AS t FROM documents)
+                )
+              )
+            )
+        """,
         "t_fingerprint": f"""
             SELECT doc_id,
                    list_min(list_transform(
@@ -1165,6 +1254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_quality_score": q_quality_score,
         "t_token_count": q_token_count,
         "t_fingerprint": q_fingerprint,
+        "p_stratified_sample": q_stratified_sample,
+        "p_pack_sequences": q_pack_sequences,
+        "p_quality_filter": q_quality_filter,
         "r_price_quantiles": q_price_quantiles,
         "r_set_ops": q_set_ops,
         "r_tpch_q1": q_tpch_q1,

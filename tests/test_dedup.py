@@ -143,3 +143,24 @@ def test_lsh_neardup_recall_on_real_fixture(spark, embeddings):
     got = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in lsh.collect()}
     want = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in brute.collect()}
     assert got == want
+
+
+def test_dup_clusters_transitive_closure(spark):
+    """Chains must close transitively (a-b, b-c -> one cluster) — the exact
+    property pairwise near-dup output lacks; singletons keep themselves."""
+    import lmdiskann_jl_spark.operators.dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (9, 8)], "doc_a long, doc_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "doc_id long")
+    res = {r["doc_id"]: r for r in D.dup_clusters(pairs, nodes).collect()}
+
+    assert {res[i]["cluster_id"] for i in (1, 2, 3)} == {1}
+    assert {res[i]["cluster_id"] for i in (7, 8, 9)} == {7}
+    for i in (4, 5, 6, 10):  # singletons
+        assert res[i]["cluster_id"] == i and res[i]["cluster_size"] == 1 and res[i]["keep"]
+    assert res[1]["cluster_size"] == 3 and res[7]["cluster_size"] == 3
+    # exactly one canonical keeper per cluster, min-id policy
+    assert [i for i in (1, 2, 3) if res[i]["keep"]] == [1]
+    assert [i for i in (7, 8, 9) if res[i]["keep"]] == [7]
