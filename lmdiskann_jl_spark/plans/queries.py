@@ -331,6 +331,36 @@ def q_quality_filter(spark, sf_dir):
     return P.quality_filter(_t(spark, sf_dir, "documents"))
 
 
+MEDIA_CHUNK_BYTES = 4096
+
+
+def q_media_payload_stats(spark, sf_dir):
+    """Binary-payload metadata rollup through the multimodal plumbing
+    (operators/multimodal.py): documents become opaque UTF-8 payloads with a
+    deterministic modality tag, byte lengths are derived server-side
+    (attach_media_metadata — no Python), and per-modality totals include the
+    byte-budget chunk counts the mapInPandas decode stages partition by."""
+    from lmdiskann_jl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    media = M.attach_media_metadata(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video")
+            .alias("modality"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+        )
+    )
+    return media.groupBy("modality").agg(
+        F.count("*").alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+        F.sum(F.ceil(F.col("n_bytes") / MEDIA_CHUNK_BYTES)).alias("n_chunks"),
+    )
+
+
 FILTER_LABEL = 3
 HYBRID_TERMS = ["spark", "join", "vector"]
 
@@ -958,6 +988,19 @@ def _oracle_map() -> dict[str, str | None]:
               FROM tc
             )
         """,
+        "m_payload_stats": f"""
+            SELECT modality,
+                   count(*) AS n_media,
+                   CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+                   max(n_bytes) AS max_bytes,
+                   CAST(sum(CAST(ceil(n_bytes / {MEDIA_CHUNK_BYTES}.0) AS BIGINT)) AS BIGINT) AS n_chunks
+            FROM (
+              SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+              FROM documents
+            )
+            GROUP BY 1
+        """,
         "p_quality_filter": f"""
             SELECT doc_id, pred_lang, n_tokens, quality_score, reason,
                    (reason = 'ok') AS keep
@@ -1257,6 +1300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_stratified_sample": q_stratified_sample,
         "p_pack_sequences": q_pack_sequences,
         "p_quality_filter": q_quality_filter,
+        "m_payload_stats": q_media_payload_stats,
         "r_price_quantiles": q_price_quantiles,
         "r_set_ops": q_set_ops,
         "r_tpch_q1": q_tpch_q1,
