@@ -475,6 +475,13 @@ def q_table_stats(spark, sf_dir):
 # ------------------------------------------- relational machinery (demos)
 
 
+TPCH_Q5_REGION = "ASIA"
+TPCH_Q5_DATE_LO = "1996-01-01 00:00:00"
+TPCH_Q5_DATE_HI = "1997-01-01 00:00:00"
+TPCH_Q6_DATE_LO = "1996-01-01 00:00:00"
+TPCH_Q6_DATE_HI = "1997-01-01 00:00:00"
+
+
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1-shaped aggregate — the groupBy/agg machinery the engine's
     internals are built on, on the lineitem fixture."""
@@ -598,6 +605,52 @@ def q_tpch_q3(spark, sf_dir):
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-shaped local-supplier revenue: the star-join pattern — one
+    shuffle join on the fact pair (lineitem x orders), every dimension
+    broadcast, agg keyed by nation."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == TPCH_Q5_REGION)
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(TPCH_Q5_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(TPCH_Q5_DATE_HI).cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+    )
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6-shaped forecasting filter: every predicate reaches the
+    parquet scan (PushedFilters), one partial+final agg, no join at all —
+    the pure scan-throughput query."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(TPCH_Q6_DATE_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(TPCH_Q6_DATE_HI).cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
     )
 
 
@@ -1170,6 +1223,27 @@ def _oracle_map() -> dict[str, str | None]:
               GROUP BY 1
             ) ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
         """,
+        "r_tpch_q5": f"""
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = '{TPCH_Q5_REGION}'
+              AND o_orderdate >= TIMESTAMP '{TPCH_Q5_DATE_LO}'
+              AND o_orderdate < TIMESTAMP '{TPCH_Q5_DATE_HI}'
+            GROUP BY 1
+        """,
+        "r_tpch_q6": f"""
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{TPCH_Q6_DATE_LO}'
+              AND l_shipdate < TIMESTAMP '{TPCH_Q6_DATE_HI}'
+              AND l_discount >= 0.03 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
         "r_revenue_rollup": """
             SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
             FROM orders
@@ -1305,6 +1379,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_set_ops": q_set_ops,
         "r_tpch_q1": q_tpch_q1,
         "r_tpch_q3": q_tpch_q3,
+        "r_tpch_q5": q_tpch_q5,
+        "r_tpch_q6": q_tpch_q6,
         "r_revenue_rollup": q_revenue_rollup,
         "r_user_sessions": q_user_sessions,
         "r_events_hourly": q_events_hourly,
