@@ -96,3 +96,73 @@ def streaming_hourly_rollup(
             "sum_value",
         )
     )
+
+
+def stream_dedup_ingest(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_seconds: int | None = None,
+):
+    """Streaming exact-dedup ingest: accept each document's content once,
+    across micro-batches.
+
+    Per batch (the streaming twin of ``operators.dedup.exact_dedup``):
+
+    1. in-batch dedup — keep the min-id row per content digest (window per
+       digest, parallel across digests);
+    2. cross-batch dedup — anti-join the batch's digests against the
+       accumulated seen-digest table (shuffle keyed on the digest only:
+       fixed-width keys, uniform by construction — document bodies never
+       join);
+    3. append accepted rows to ``out_dir/accepted`` and their digests to
+       ``out_dir/digests``.
+
+    The seen-digest state lives in parquet, not executor memory, so state
+    size is bounded by disk and restarts resume from it.  The two appends
+    are not one atomic commit: a crash between them can re-accept (never
+    silently drop) a batch on replay — production swaps this seam for a
+    transactional MERGE (the versioned-snapshot pattern in
+    ``sources/tables.py``).  Returns the StreamingQuery handle.
+    """
+    import os
+
+    accepted_dir = os.path.join(out_dir, "accepted")
+    digests_dir = os.path.join(out_dir, "digests")
+
+    if not stream_df.isStreaming:
+        raise ValueError("stream_dedup_ingest needs a streaming DataFrame")
+
+    from pyspark.sql import Window
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        hashed = batch_df.withColumn("text_hash", F.md5(F.col(text_col)))
+        w = Window.partitionBy("text_hash").orderBy(id_col)
+        first = (
+            hashed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.isdir(digests_dir):
+            seen = spark.read.parquet(digests_dir)
+            fresh = first.join(seen, "text_hash", "left_anti")
+        else:
+            fresh = first
+        fresh = fresh.persist()
+        fresh.drop("text_hash").write.mode("append").parquet(accepted_dir)
+        fresh.select("text_hash").write.mode("append").parquet(digests_dir)
+        fresh.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

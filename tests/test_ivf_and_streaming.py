@@ -138,3 +138,45 @@ def test_ivf_invalidated_by_mutation(spark, tmp_path):
     assert idx._ivf_fresh()
     res2 = idx.search(q, topk=3, mode="ivf").collect()
     assert "k-5" not in {r["key"] for r in res2}
+
+
+def test_stream_dedup_ingest_across_batches(spark, tmp_path):
+    """Content accepted once across micro-batches: in-batch dups collapse to
+    the min id, later batches drop digests already seen, and restarts resume
+    from the on-disk digest state."""
+    from pyspark.sql import functions as F
+
+    from lmdiskann_jl_spark.streaming.ingest import stream_dedup_ingest
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], schema  # 3 dups 1 in-batch
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "b1"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
+    q = stream_dedup_ingest(stream, str(out), str(ckpt))
+    q.awaitTermination(120)
+
+    acc1 = {(r["doc_id"], r["text"]) for r in spark.read.parquet(str(out / "accepted")).collect()}
+    assert acc1 == {(1, "alpha"), (2, "beta")}
+
+    # second wave: one seen content, one new — only the new one lands
+    spark.createDataFrame([(10, "beta"), (11, "gamma")], schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "b2"))
+    q2 = stream_dedup_ingest(
+        spark.readStream.schema(schema).parquet(str(src) + "/*"),
+        str(out),
+        str(ckpt),
+    )
+    q2.awaitTermination(120)
+
+    acc2 = {(r["doc_id"], r["text"]) for r in spark.read.parquet(str(out / "accepted")).collect()}
+    assert acc2 == {(1, "alpha"), (2, "beta"), (11, "gamma")}
+    n_digests = spark.read.parquet(str(out / "digests")).distinct().count()
+    assert n_digests == 3
