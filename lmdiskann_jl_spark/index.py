@@ -225,6 +225,7 @@ class LMDiskANNIndex:
         vec_col: str = "vec",
         key_col: str | None = None,
         rebuild_graph: bool = False,
+        maintain_ivf: bool = False,
     ) -> "LMDiskANNIndex":
         """Batch ann_insert! (src/LMDiskANN.jl:531-584).
 
@@ -290,11 +291,31 @@ class LMDiskANNIndex:
                 maxdegree=self.meta["maxdegree"], metric=self.meta["metric"],
             )
 
+        ivf_live = maintain_ivf and self._ivf_fresh()
         meta = self._write_bucketed("vectors", new_vectors_tbl, self.meta, empty=False)
         meta = self._write_bucketed("adjacency", new_adj, meta, empty=False)
         meta = self.catalog.write("key_map", new_key_map, meta)
+        if ivf_live:
+            # incremental IVF maintenance: assign the new rows to their
+            # nearest EXISTING centroid (broadcast centroids — no KMeans
+            # refit, no rescan of old rows) and append them to the cell
+            # layout.  Centroids are frozen, so recall drifts as appends
+            # accumulate; n_appended records the drift for rebuild policy.
+            # The append is not transactional with the meta commit —
+            # production swaps it for a MERGE (sources/tables.py pattern).
+            from lmdiskann_jl_spark.operators.ivf import assign_cells
+
+            centroids = self.catalog.read("ivf_centroids", self.meta)
+            assign_cells(prepared, centroids, self.meta["metric"]).write.mode(
+                "append"
+            ).partitionBy("cell").parquet(self.meta["ivf"]["dir"])
+            ivf = dict(self.meta["ivf"])
+            ivf["built_from"] = meta["versions"]["vectors"]
+            ivf["n_appended"] = int(ivf.get("n_appended", 0)) + n_new
+            meta["ivf"] = ivf
+        else:
+            meta.pop("ivf", None)  # cell layout no longer covers the new rows
         parted.unpersist()
-        meta.pop("ivf", None)  # cell layout no longer covers the new rows
         meta["num_points"] = int(meta["num_points"]) + n_new
         # next_id is monotone — NEVER decremented by deletes, so freed ids are
         # not reused and insert-after-delete cannot collide (the reference
@@ -321,6 +342,7 @@ class LMDiskANNIndex:
         self,
         ids: Sequence[int] | DataFrame | None = None,
         keys: Sequence[str] | DataFrame | None = None,
+        maintain_ivf: bool = False,
     ) -> "LMDiskANNIndex":
         """Batch ann_delete! (src/LMDiskANN.jl:605-646): resolve keys -> ids,
         drop rows from vectors/key_map, remove the ids from all neighbor
@@ -361,11 +383,22 @@ class LMDiskANNIndex:
         new_adj = delete_from_adjacency(self.adjacency, dead)
         new_key_map = kvmap.delete_by_ids(self.key_map, dead)
 
+        ivf_live = maintain_ivf and self._ivf_fresh()
         all_deleted = int(self.meta["num_points"]) - n_dead <= 0
         meta = self._write_bucketed("vectors", new_vectors, self.meta, empty=all_deleted)
         meta = self._write_bucketed("adjacency", new_adj, meta, empty=all_deleted)
         meta = self.catalog.write("key_map", new_key_map, meta)
-        meta.pop("ivf", None)  # stale probes would surface deleted ids
+        if ivf_live:
+            # incremental IVF maintenance: tombstone the dead ids (probe-time
+            # anti-join filters them) instead of dropping the whole layout —
+            # the cell copy is immutable, so deletes are metadata-sized.
+            dead.write.mode("append").parquet(self.meta["ivf"]["dir"] + "_tombstones")
+            ivf = dict(self.meta["ivf"])
+            ivf["built_from"] = meta["versions"]["vectors"]
+            ivf["tombstones"] = True
+            meta["ivf"] = ivf
+        else:
+            meta.pop("ivf", None)  # stale probes would surface deleted ids
         meta["num_points"] = max(0, int(meta["num_points"]) - n_dead)
         ep = int(meta["entrypoint"])
         if ep >= 0 and dead.filter(F.col("id") == ep).count() > 0:  # repair, :630-638
@@ -459,6 +492,9 @@ class LMDiskANNIndex:
                     "rebuild with build_ivf() or search with mode='exact'/'beam'"
                 )
             assigned = self.spark.read.parquet(self.meta["ivf"]["dir"])
+            if self.meta["ivf"].get("tombstones"):
+                tombs = self.spark.read.parquet(self.meta["ivf"]["dir"] + "_tombstones")
+                assigned = assigned.join(F.broadcast(tombs), "id", "left_anti")
             centroids = self.catalog.read("ivf_centroids", self.meta)
             result = ivf_search(
                 assigned, centroids, query, k=topk, nprobe=nprobe,

@@ -180,3 +180,35 @@ def test_stream_dedup_ingest_across_batches(spark, tmp_path):
     assert acc2 == {(1, "alpha"), (2, "beta"), (11, "gamma")}
     n_digests = spark.read.parquet(str(out / "digests")).distinct().count()
     assert n_digests == 3
+
+
+def test_ivf_incremental_maintenance(spark, tmp_path):
+    """maintain_ivf=True keeps the cell layout live across mutations: deletes
+    become probe-time tombstones, inserts are assigned to existing centroids
+    and appended — no KMeans rebuild, and mode='ivf' keeps answering."""
+    import random
+
+    import lmdiskann_jl_spark as pkg
+
+    random.seed(11)
+    rows = [(f"k-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(120)]
+    batch = spark.createDataFrame(rows, "k string, vec array<float>")
+    idx = pkg.create_index(spark, str(tmp_path / "ivfinc"), dim=4, maxdegree=4)
+    idx.insert_batch(batch, vec_col="vec", key_col="k")
+    idx.build_ivf(n_cells=4)
+
+    q = rows[5][1]
+    idx.delete_batch(keys=["k-5"], maintain_ivf=True)
+    assert idx._ivf_fresh()  # layout survives the delete
+    res = idx.search(q, topk=3, mode="ivf").collect()
+    assert "k-5" not in {r["key"] for r in res} and len(res) == 3
+
+    new = spark.createDataFrame([("new-1", q)], "k string, vec array<float>")
+    idx.insert_batch(new, vec_col="vec", key_col="k", maintain_ivf=True)
+    assert idx._ivf_fresh() and idx.meta["ivf"]["n_appended"] == 1
+    res2 = idx.search(q, topk=3, mode="ivf").collect()
+    assert res2[0]["key"] == "new-1" and res2[0]["dist"] == pytest.approx(0.0, abs=1e-6)
+
+    # a rebuild clears the incremental state (fresh dir, no tombstones)
+    idx.build_ivf(n_cells=4)
+    assert "tombstones" not in idx.meta["ivf"] and idx.meta["ivf"].get("n_appended", 0) == 0
