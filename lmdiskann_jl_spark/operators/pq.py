@@ -1,0 +1,195 @@
+"""Product quantization (PQ) — vector compression for the 100-TB memory path.
+
+Complements IVF/LSH/graph as the footprint lever (the public PQ design
+popularized by FAISS; the reference stores raw Float16/32 vectors via mmap —
+src/LMDiskANN.jl:40 — and has no compression story, SURVEY.md §2.6): the
+vector dimension is split into ``m`` subspaces, each subspace gets its own
+``k``-codeword codebook (seeded MLlib KMeans — deterministic), and every
+vector is stored as ``m`` small codes (m bytes at k<=256 vs 4*dim raw — 32x
+for dim=64/m=8).
+
+Everything is DataFrame-native and JVM-side:
+
+- build: one KMeans fit per subspace on slice(vec) — m tiny fits;
+- encode: explode vectors into (id, sub, subvec), broadcast-join the m*k-row
+  codebook, window-argmin per (id, sub), groupBy id to collect the code
+  array — ONE shuffle keyed by id, codebook never shuffled;
+- ADC search: the query's distance to every codeword is a driver-side
+  m*k lookup table, embedded as an array-of-arrays literal; each row's
+  approximate distance is a pure HOF expression over its code array
+  (aggregate + element_at) — evaluated inside the scan stage, zero
+  shuffles before the final top-k (TakeOrderedAndProject).
+
+Quality gate: recall@k vs the exact scan (pytest + a_pq_recall rows-only
+query) — KMeans is not SQL-expressible, so no DuckDB value oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_M = 8
+DEFAULT_K = 32
+PQ_SEED = 42
+
+
+def build_pq(
+    vectors: DataFrame,
+    dim: int,
+    m: int = DEFAULT_M,
+    k: int = DEFAULT_K,
+    vec_col: str = "vec",
+    seed: int = PQ_SEED,
+) -> DataFrame:
+    """Fit per-subspace codebooks.  Returns (sub INT, code INT,
+    centroid ARRAY<DOUBLE>) — m*k rows, broadcast-sized.
+
+    ``dim`` must divide evenly by ``m`` (subspace width = dim/m).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    width = dim // m
+    spark = vectors.sparkSession
+    rows = []
+    for sub in range(m):
+        sub_df = vectors.select(
+            array_to_vector(
+                F.slice(F.col(vec_col).cast("array<double>"), sub * width + 1, width)
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + sub, initMode="k-means||", maxIter=20).fit(sub_df)
+        rows.extend(
+            (sub, code, [float(x) for x in c])
+            for code, c in enumerate(model.clusterCenters())
+        )
+    return spark.createDataFrame(rows, "sub int, code int, centroid array<double>")
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = DEFAULT_M,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest codewords.
+
+    Returns (id, codes ARRAY<INT>) with codes[sub] = argmin_code
+    ||subvec - centroid||.  One explode (xm rows), one broadcast join, one
+    groupBy-id shuffle — encode cost is linear in the corpus, codebook
+    never leaves the driver/broadcast.
+    """
+    width = dim // m
+    subs = vectors.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("sub"),
+                    F.slice(
+                        F.col(vec_col).cast("array<double>"), s * width + 1, width
+                    ).alias("subvec"),
+                ),
+            )
+        ).alias("e"),
+    ).select(id_col, F.col("e.sub").alias("sub"), F.col("e.subvec").alias("subvec"))
+    scored = subs.join(F.broadcast(codebook), "sub").withColumn(
+        "_d",
+        F.aggregate(
+            F.zip_with(F.col("subvec"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(F.col("_d").asc(), F.col("code").asc())
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("_sc"))
+        .select(id_col, F.transform(F.col("_sc"), lambda s: s["code"]).alias("codes"))
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    m: int = DEFAULT_M,
+    id_col: str = "id",
+) -> DataFrame:
+    """Asymmetric-distance top-k: exact query-to-codeword distances, coded
+    database side.
+
+    The m x n_codes lookup table is computed driver-side from the collected
+    (tiny) codebook and embedded as a nested array literal, so each row's
+    approximate distance is scan-stage arithmetic over its code array —
+    no join, no shuffle, then one TakeOrderedAndProject for the top-k.
+    Returns (id, adc_dist) nearest-first.
+    """
+    cb = codebook.collect()
+    n_codes = max(r["code"] for r in cb) + 1
+    width = len(cb[0]["centroid"])
+    lut: list[list[float]] = [[0.0] * n_codes for _ in range(m)]
+    for r in cb:
+        sub, code, c = r["sub"], r["code"], r["centroid"]
+        qs = query[sub * width : (sub + 1) * width]
+        lut[sub][code] = float(sum((float(a) - float(b)) ** 2 for a, b in zip(qs, c)))
+    lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda code, sub: F.element_at(
+                    F.element_at(lut_lit, sub + 1), code + 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    return (
+        codes.select(F.col(id_col), dist.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def pq_search(
+    codes: DataFrame,
+    codebook: DataFrame,
+    vectors: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    rerank: int = 100,
+    m: int = DEFAULT_M,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """PQ search with exact rerank — the production shape: the compressed
+    scan (ADC) shortlists ``rerank`` candidates, then ONLY those rows' raw
+    vectors are fetched (broadcast semi-join — at 100 TB this is the whole
+    point: the full-precision table is touched for `rerank` rows, not
+    scanned) and re-scored exactly.  Returns (id, dist) nearest-first."""
+    from lmdiskann_jl_spark.functions.vector import query_vector_lit, resolve_metric
+
+    shortlist = pq_adc_topk(codes, codebook, query, k=rerank, m=m, id_col=id_col)
+    dist_fn = resolve_metric(metric)
+    q = query_vector_lit(query)
+    return (
+        vectors.join(F.broadcast(shortlist.select(id_col)), id_col, "left_semi")
+        .select(F.col(id_col), dist_fn(F.col(vec_col), q).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -721,6 +721,29 @@ def q_ivf_recall(spark, sf_dir):
     return spark.createDataFrame([(hits / len(qids),)], "recall double")
 
 
+def q_pq_recall(spark, sf_dir):
+    """recall@10 of PQ-compressed search (32x compression: m=8 subspaces,
+    32 codewords each, ADC shortlist + exact rerank of 100) vs the exact
+    scan — reference bar >= 0.70.  KMeans codebooks are seeded/deterministic
+    but not SQL-expressible -> rows-only gate."""
+    from lmdiskann_jl_spark.operators.pq import build_pq, pq_encode, pq_search
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).cache()
+    dim = 64
+    cb = build_pq(emb, dim=dim).cache()
+    codes = pq_encode(emb, cb, dim=dim).cache()
+    hits = 0.0
+    qids = [0, 100, 200, 300, 400]
+    for qid in qids:
+        q = [float(x) for x in emb.filter(F.col("id") == qid).collect()[0]["vec"]]
+        exact_ids = {r["id"] for r in exact_topk(emb, q, k=10, metric="euclidean").collect()}
+        got = {r["id"] for r in pq_search(codes, cb, emb, q, k=10, rerank=100).collect()}
+        hits += len(exact_ids & got) / 10.0
+    return spark.createDataFrame([(hits / len(qids),)], "recall double")
+
+
 def q_lsh_knn(spark, sf_dir):
     """LSH-bucketed approximate kNN join (the 100-TB scale path). Oracle:
     none (approximate) — quality is gated by q_lsh_recall instead."""
@@ -1388,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_lsh_knn": q_lsh_knn,
         "a_lsh_recall": q_lsh_recall,
         "a_ivf_recall": q_ivf_recall,
+        "a_pq_recall": q_pq_recall,
     }
 
 
