@@ -375,6 +375,22 @@ def q_filtered_topk(spark, sf_dir):
     ).select("vec_id", F.col("label").cast("long").alias("label"), F.round("dist", 4).alias("dist"))
 
 
+def q_label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (the mean-pool/cluster-centroid
+    aggregation): posexplode to (label, dim, value), one partial+final agg
+    keyed by (label, dim) — map-side combine does dim-local sums before the
+    shuffle, so shuffle volume is n_labels x dim regardless of row count."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            F.col("label").cast("long").alias("label"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+        )
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg("val"), 4).alias("centroid_val"))
+    )
+
+
 def q_hybrid_search(spark, sf_dir):
     """Hybrid retrieval: vector cosine + term-overlap fusion over the joined
     documents/embeddings tables (score = cos_sim + 0.1 * matched query
@@ -1137,6 +1153,13 @@ def _oracle_map() -> dict[str, str | None]:
             )
             ORDER BY round(raw, 4) DESC, vec_id ASC LIMIT 10
         """,
+        "v_label_centroids": """
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(i - 1 AS BIGINT) AS pos,
+                   round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid_val
+            FROM embeddings, range(1, 65) t(i)
+            GROUP BY 1, 2
+        """,
         "v_quantize": """
             WITH b AS (
               SELECT i, min(CAST(embedding[i] AS DOUBLE)) AS lo, max(CAST(embedding[i] AS DOUBLE)) AS hi
@@ -1386,6 +1409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "v_filtered_topk": q_filtered_topk,
         "v_hybrid_search": q_hybrid_search,
+        "v_label_centroids": q_label_centroids,
         "v_quantize": q_quantize,
         "v_normalize": q_normalize_embeddings,
         "t_top_terms": q_top_terms,
