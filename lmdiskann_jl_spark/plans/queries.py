@@ -624,6 +624,30 @@ def q_tpch_q3(spark, sf_dir):
     )
 
 
+def q_asof_attribution(spark, sf_dir):
+    """Click-to-purchase attribution via the as-of join: each purchase event
+    gets the same user's most recent click at-or-before it.  One shuffle on
+    user_id + one per-key sorted window — never a range join.  Oracle:
+    DuckDB's native ASOF JOIN."""
+    from lmdiskann_jl_spark.operators.asof import asof_join
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("click_id"),
+        F.round("value", 2).alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("t")
+    )
+    return asof_join(
+        purchases, clicks, key_col="user_id", left_time="t", right_time="t",
+        payload_cols=["click_id", "click_value"],
+    ).select("event_id", "user_id", "click_id", "click_value")
+
+
 def q_tpch_q5(spark, sf_dir):
     """TPC-H Q5-shaped local-supplier revenue: the star-join pattern — one
     shuffle join on the fact pair (lineitem x orders), every dimension
@@ -1269,6 +1293,16 @@ def _oracle_map() -> dict[str, str | None]:
               GROUP BY 1
             ) ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
         """,
+        "r_asof_attribution": """
+            WITH clicks AS (
+              SELECT user_id, ts, event_id AS click_id, round(value, 2) AS click_value
+              FROM events WHERE event_type = 'click'
+            ),
+            purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id, c.click_id, c.click_value
+            FROM purch p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
         "r_tpch_q5": f"""
             SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem
@@ -1428,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_tpch_q3": q_tpch_q3,
         "r_tpch_q5": q_tpch_q5,
         "r_tpch_q6": q_tpch_q6,
+        "r_asof_attribution": q_asof_attribution,
         "r_revenue_rollup": q_revenue_rollup,
         "r_user_sessions": q_user_sessions,
         "r_events_hourly": q_events_hourly,
