@@ -166,6 +166,18 @@ class LMDiskANNIndex:
         durable per write; this flushes the meta pointer."""
         write_meta(self.path, self.meta)
 
+    def compact(self, target_bytes: int = 128 * 2**20) -> "LMDiskANNIndex":
+        """OPTIMIZE-style maintenance: coalesce each table's accumulated
+        small files (incremental inserts write shuffle-partition-many files
+        per snapshot) into right-sized ones, as new versions — run off the
+        hot path; ``catalog.vacuum`` reclaims old snapshots."""
+        meta = self.meta
+        for name in ("vectors", "adjacency", "key_map"):
+            meta = self.catalog.compact(name, meta, target_bytes)
+        self.meta = meta
+        self.save()
+        return self
+
     # ---------------- table accessors ----------------
 
     @property

@@ -88,6 +88,43 @@ class TableCatalog:
         new_meta["versions"][name] = next_version
         return new_meta
 
+    def compact(
+        self,
+        name: str,
+        meta: dict[str, Any],
+        target_bytes: int = 128 * 2**20,
+    ) -> dict[str, Any]:
+        """OPTIMIZE-style small-file compaction: rewrite the current snapshot
+        with file count sized to the data (ceil(bytes / target_bytes)), as a
+        NEW version — readers of the old snapshot are unaffected, vacuum
+        reclaims it later.
+
+        Incremental workloads accrue small files (every insert/delete
+        snapshot writes shuffle-partition-many files); small files tax the
+        scan path (footer reads, scheduling) — at 100 TB this is the routine
+        maintenance job, run off the write path.  Bucketed layouts keep
+        their partition column (files coalesce WITHIN buckets).
+        """
+        import math
+
+        src = self._table_dir(name, meta["versions"][name])
+        size = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        df = self.spark.read.parquet(src)
+        part_cols = [c for c in df.columns if c == "_b"]
+        n_files = max(1, math.ceil(size / target_bytes))
+        if part_cols:
+            from pyspark.sql import functions as F
+
+            out = df.repartition(*[F.col(c) for c in part_cols])
+        else:
+            out = df.repartition(n_files)
+        return self.write(name, out, meta, partition_by=part_cols or None)
+
     def vacuum(self, meta: dict[str, Any], keep: int = 1) -> None:
         """Drop snapshots older than the current-minus-``keep`` version
         (Delta VACUUM analog)."""

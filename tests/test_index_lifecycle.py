@@ -232,3 +232,34 @@ def test_beam_hops_are_pruned_point_lookups(spark, idx_path):
         f"beam scored {stats['rows_scored']} rows of {n} — hops are not "
         f"point lookups"
     )
+
+
+def test_compact_coalesces_small_files(spark, idx_path):
+    """After several incremental inserts the snapshots hold many small
+    files; compact() must shrink the file count without changing contents."""
+    import glob
+    import random
+
+    random.seed(13)
+    idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=8)
+    for wave in range(3):
+        rows = [
+            (f"w{wave}-{i}", [random.gauss(0, 1) for _ in range(8)]) for i in range(40)
+        ]
+        idx.insert_batch(
+            spark.createDataFrame(rows, "k string, vec array<float>"),
+            vec_col="vec", key_col="k",
+        )
+
+    def n_files(name):
+        v = idx.meta["versions"][name]
+        return len(glob.glob(f"{idx_path}/{name}/v={v}/**/*.parquet", recursive=True))
+
+    before = {(r["id"], r["key"]) for r in idx.vectors.select("id", "key").collect()}
+    files_before = n_files("vectors")
+    idx.compact()
+    assert n_files("vectors") < files_before
+    after = {(r["id"], r["key"]) for r in idx.vectors.select("id", "key").collect()}
+    assert after == before and len(after) == 120
+    # bucketed layout survives compaction (point lookups still prune)
+    assert "_b" in idx.catalog.read("vectors", idx.meta, raw=True).columns
