@@ -331,6 +331,40 @@ def q_quality_filter(spark, sf_dir):
     return P.quality_filter(_t(spark, sf_dir, "documents"))
 
 
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def q_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (RAG / training context prep):
+    tokenize once, explode per-chunk start offsets, slice the token array —
+    pure scan-stage array expressions, no UDF, no shuffle at all.  Chunk
+    identity (doc_id, chunk_idx) is deterministic, so reruns align."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    starts = F.sequence(F.lit(0), F.size(F.col("t")) - 1, F.lit(CHUNK_STRIDE))
+    return (
+        docs.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
+        .filter(F.col("n") > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda s: F.array_join(
+                        F.slice(F.col("t"), s + 1, CHUNK_SIZE), " "
+                    ),
+                )
+            ).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk_text",
+        )
+    )
+
+
 MEDIA_CHUNK_BYTES = 4096
 
 
@@ -1104,6 +1138,14 @@ def _oracle_map() -> dict[str, str | None]:
               FROM tc
             )
         """,
+        "t_chunk_documents": f"""
+            WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
+            sized AS (SELECT doc_id, t FROM toks WHERE len(t) > 0)
+            SELECT doc_id,
+                   CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+                   array_to_string(list_slice(t, s + 1, s + {CHUNK_SIZE}), ' ') AS chunk_text
+            FROM (SELECT doc_id, t, unnest(range(0, len(t), {CHUNK_STRIDE})) AS s FROM sized)
+        """,
         "m_payload_stats": f"""
             SELECT modality,
                    count(*) AS n_media,
@@ -1456,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_pack_sequences": q_pack_sequences,
         "p_quality_filter": q_quality_filter,
         "m_payload_stats": q_media_payload_stats,
+        "t_chunk_documents": q_chunk_documents,
         "r_price_quantiles": q_price_quantiles,
         "r_set_ops": q_set_ops,
         "r_tpch_q1": q_tpch_q1,
