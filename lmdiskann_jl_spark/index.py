@@ -166,6 +166,42 @@ class LMDiskANNIndex:
         durable per write; this flushes the meta pointer."""
         write_meta(self.path, self.meta)
 
+    def stats(self) -> dict:
+        """Index diagnostics in one pass per table: point count, graph degree
+        distribution (avg/max/min — the prune invariant says max <=
+        maxdegree), key count, and on-disk bytes per current snapshot.
+        Driver-side result is a handful of scalars."""
+        import os as _os
+
+        deg = self.adjacency.agg(
+            F.count("*").alias("n"),
+            F.avg(F.size("neighbors")).alias("avg_degree"),
+            F.max(F.size("neighbors")).alias("max_degree"),
+            F.min(F.size("neighbors")).alias("min_degree"),
+        ).collect()[0]
+        sizes = {}
+        for name, v in self.meta["versions"].items():
+            d = _os.path.join(self.path, name, f"v={v}")
+            sizes[name] = sum(
+                _os.path.getsize(_os.path.join(dp, f))
+                for dp, _, fs in _os.walk(d)
+                for f in fs
+            ) if _os.path.isdir(d) else 0
+        return {
+            "num_points": int(self.meta["num_points"]),
+            "next_id": int(self.meta.get("next_id", 0)),
+            "entrypoint": int(self.meta["entrypoint"]),
+            "metric": self.meta["metric"],
+            "maxdegree": int(self.meta["maxdegree"]),
+            "n_keys": self.key_map.count(),
+            "graph_nodes": int(deg["n"]),
+            "avg_degree": float(deg["avg_degree"] or 0.0),
+            "max_degree": int(deg["max_degree"] or 0),
+            "min_degree": int(deg["min_degree"] or 0),
+            "ivf_fresh": self._ivf_fresh(),
+            "storage_bytes": sizes,
+        }
+
     def compact(self, target_bytes: int = 128 * 2**20) -> "LMDiskANNIndex":
         """OPTIMIZE-style maintenance: coalesce each table's accumulated
         small files (incremental inserts write shuffle-partition-many files

@@ -263,3 +263,13 @@ def test_compact_coalesces_small_files(spark, idx_path):
     assert after == before and len(after) == 120
     # bucketed layout survives compaction (point lookups still prune)
     assert "_b" in idx.catalog.read("vectors", idx.meta, raw=True).columns
+
+
+def test_stats_reports_invariants(spark, idx_path, small_batch):
+    idx = pkg.create_index(spark, idx_path, dim=5, maxdegree=8)
+    idx.insert_batch(small_batch, vec_col="vec", key_col="k")
+    s = idx.stats()
+    assert s["num_points"] == s["graph_nodes"] == s["n_keys"]
+    assert 0 < s["max_degree"] <= s["maxdegree"]
+    assert s["storage_bytes"]["vectors"] > 0
+    assert not s["ivf_fresh"]
