@@ -193,3 +193,50 @@ def pq_search(
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_search(
+    assigned_codes: DataFrame,
+    cell_centroids: DataFrame,
+    codebook: DataFrame,
+    vectors: DataFrame,
+    query: Sequence[float],
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 100,
+    m: int = DEFAULT_M,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """IVF+PQ composition — the production ANN shape at 100 TB: partition
+    pruning cuts the scan to nprobe/n_cells of the corpus, PQ codes cut the
+    scanned bytes ~30x, and only the final ``rerank`` shortlist touches raw
+    vectors.
+
+    ``assigned_codes`` is (id, cell, codes) — the IVF cell assignment joined
+    with PQ codes, stored partitioned by cell so the probe filter prunes at
+    the file level (same layout contract as ``operators/ivf.write_ivf``).
+    Returns (id, dist) nearest-first, exact distances on the shortlist.
+    """
+    from lmdiskann_jl_spark.functions.vector import query_vector_lit, resolve_metric
+
+    dist_fn = resolve_metric(metric)
+    q = query_vector_lit(query)
+    probes = [
+        r["cell"]
+        for r in cell_centroids.select(
+            "cell", dist_fn(F.col("centroid"), q).alias("d")
+        )
+        .orderBy(F.col("d").asc(), F.col("cell").asc())
+        .limit(nprobe)
+        .collect()
+    ]
+    cand = assigned_codes.filter(F.col("cell").isin(probes))
+    shortlist = pq_adc_topk(cand, codebook, query, k=rerank, m=m, id_col=id_col)
+    return (
+        vectors.join(F.broadcast(shortlist.select(id_col)), id_col, "left_semi")
+        .select(F.col(id_col), dist_fn(F.col(vec_col), q).alias("dist"))
+        .orderBy(F.col("dist").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

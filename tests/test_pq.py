@@ -65,3 +65,27 @@ def test_pq_rerank_recall_meets_reference_bar(emb, pq):
         got = {r["id"] for r in pq_search(codes, cb, emb, q, k=10, rerank=100).collect()}
         hits += len(exact_ids & got) / 10.0
     assert hits / len(qids) >= 0.70  # the reference's own recall bar
+
+
+def test_ivfpq_recall_meets_reference_bar(emb, pq, spark):
+    """The composed IVF+PQ path (cell pruning + compressed scoring + exact
+    rerank) must clear the same recall bar as each piece alone."""
+    from lmdiskann_jl_spark.operators.ivf import build_ivf
+    from lmdiskann_jl_spark.operators.pq import ivfpq_search
+
+    cb, codes = pq
+    cell_centroids, assigned = build_ivf(emb, n_cells=16)
+    assigned_codes = assigned.select("id", "cell").join(codes, "id").cache()
+    hits = 0.0
+    qids = [1, 50, 150, 250, 350]
+    for qid in qids:
+        q = [float(x) for x in emb.filter(F.col("id") == qid).collect()[0]["vec"]]
+        exact_ids = {r["id"] for r in exact_topk(emb, q, k=10, metric="euclidean").collect()}
+        got = {
+            r["id"]
+            for r in ivfpq_search(
+                assigned_codes, cell_centroids, cb, emb, q, k=10, nprobe=6, rerank=100
+            ).collect()
+        }
+        hits += len(exact_ids & got) / 10.0
+    assert hits / len(qids) >= 0.70
