@@ -152,3 +152,45 @@ def quality_filter(
         reason.alias("reason"),
         (reason == "ok").alias("keep"),
     )
+
+
+CHUNK_SIZE = 32
+CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+
+
+def chunk_documents(
+    documents: DataFrame,
+    chunk_size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Overlapping token-window chunking (RAG / training context prep).
+
+    Tokenize once, explode per-chunk start offsets, slice the token array —
+    scan-stage array expressions, no UDF, zero exchanges.  Chunk identity
+    (doc_id, chunk_idx) is deterministic so reruns align; zero-token docs
+    produce zero chunks.  Output: (doc_id, chunk_idx, chunk_text).
+    """
+    from lmdiskann_jl_spark.functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    starts = F.sequence(F.lit(0), F.size(F.col("_t")) - 1, F.lit(stride))
+    return (
+        documents.select(F.col(id_col), toks.alias("_t"), F.size(toks).alias("_n"))
+        .filter(F.col("_n") > 0)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    starts,
+                    lambda s: F.array_join(F.slice(F.col("_t"), s + 1, chunk_size), " "),
+                )
+            ).alias("chunk_idx", "chunk_text"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            "chunk_text",
+        )
+    )

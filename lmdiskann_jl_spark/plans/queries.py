@@ -331,38 +331,15 @@ def q_quality_filter(spark, sf_dir):
     return P.quality_filter(_t(spark, sf_dir, "documents"))
 
 
-CHUNK_SIZE = 32
-CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
+CHUNK_SIZE = P.CHUNK_SIZE
+CHUNK_STRIDE = P.CHUNK_STRIDE
 
 
 def q_chunk_documents(spark, sf_dir):
-    """Overlapping token-window chunking (RAG / training context prep):
-    tokenize once, explode per-chunk start offsets, slice the token array —
-    pure scan-stage array expressions, no UDF, no shuffle at all.  Chunk
-    identity (doc_id, chunk_idx) is deterministic, so reruns align."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = X.tokens(F.col("text"))
-    starts = F.sequence(F.lit(0), F.size(F.col("t")) - 1, F.lit(CHUNK_STRIDE))
-    return (
-        docs.select("doc_id", toks.alias("t"), F.size(toks).alias("n"))
-        .filter(F.col("n") > 0)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    starts,
-                    lambda s: F.array_join(
-                        F.slice(F.col("t"), s + 1, CHUNK_SIZE), " "
-                    ),
-                )
-            ).alias("chunk_idx", "chunk_text"),
-        )
-        .select(
-            "doc_id",
-            F.col("chunk_idx").cast("long").alias("chunk_idx"),
-            "chunk_text",
-        )
-    )
+    """Overlapping token-window chunking (RAG / training context prep) —
+    scan-stage array expressions, no UDF, no shuffle (operators/pipeline
+    chunk_documents)."""
+    return P.chunk_documents(_t(spark, sf_dir, "documents"))
 
 
 MEDIA_CHUNK_BYTES = 4096
