@@ -331,6 +331,45 @@ def q_quality_filter(spark, sf_dir):
     return P.quality_filter(_t(spark, sf_dir, "documents"))
 
 
+def q_langid_accuracy(spark, sf_dir):
+    """Language-ID evaluation against the fixture's ground-truth lang column:
+    per-language doc count, correct predictions, and accuracy — the model-eval
+    rollup a pipeline runs before trusting a classifier at scale."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = X.langid_expr(F.col("text"))
+    return (
+        docs.select(F.col("lang"), (pred == F.col("lang")).cast("int").alias("ok"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ok").alias("n_correct"),
+            F.round(F.avg("ok"), 4).alias("accuracy"),
+        )
+    )
+
+
+def q_source_mix(spark, sf_dir):
+    """Per-source corpus composition (the domain-mix table a training run is
+    weighted by): docs, token totals, and each source's share of corpus
+    tokens — share via a window over the aggregated (tiny) rollup, so the
+    second pass costs nothing at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = X.token_counts(F.col("text"))["n_bpe_tokens"]
+    agg = docs.select("source", n_tok.alias("t")).groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("t").alias("total_tokens")
+    )
+    from pyspark.sql import Window as W
+
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(
+            F.col("total_tokens") / F.sum("total_tokens").over(W.partitionBy()), 4
+        ).alias("token_share"),
+    )
+
+
 CHUNK_SIZE = P.CHUNK_SIZE
 CHUNK_STRIDE = P.CHUNK_STRIDE
 
@@ -1115,6 +1154,35 @@ def _oracle_map() -> dict[str, str | None]:
               FROM tc
             )
         """,
+        "t_langid_accuracy": f"""
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(ok) AS BIGINT) AS n_correct,
+                   round(avg(ok), 4) AS accuracy
+            FROM (
+              SELECT lang, CASE WHEN ({O.langid_case()}) = lang THEN 1 ELSE 0 END AS ok
+              FROM (
+                SELECT doc_id, lang, {O.langid_hit_columns('t')} FROM (
+                  SELECT doc_id, lang, {toks} AS t FROM documents
+                )
+              )
+            )
+            GROUP BY 1
+        """,
+        "r_source_mix": rf"""
+            WITH agg AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(
+                       CAST(COALESCE(list_sum(list_transform(
+                              list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x != ''),
+                              t -> CAST(ceil(length(t) / 4.0) AS INT))), 0)
+                            + length(regexp_replace(lower(text), '[a-z\s]', '', 'g')) AS BIGINT)
+                     ) AS BIGINT) AS total_tokens
+              FROM documents GROUP BY 1
+            )
+            SELECT source, n_docs, total_tokens,
+                   round(CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER (), 4) AS token_share
+            FROM agg
+        """,
         "t_chunk_documents": f"""
             WITH toks AS (SELECT doc_id, {toks} AS t FROM documents),
             sized AS (SELECT doc_id, t FROM toks WHERE len(t) > 0)
@@ -1476,6 +1544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_quality_filter": q_quality_filter,
         "m_payload_stats": q_media_payload_stats,
         "t_chunk_documents": q_chunk_documents,
+        "t_langid_accuracy": q_langid_accuracy,
+        "r_source_mix": q_source_mix,
         "r_price_quantiles": q_price_quantiles,
         "r_set_ops": q_set_ops,
         "r_tpch_q1": q_tpch_q1,
