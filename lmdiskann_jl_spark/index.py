@@ -180,13 +180,13 @@ class LMDiskANNIndex:
             F.min(F.size("neighbors")).alias("min_degree"),
         ).collect()[0]
         sizes = {}
-        for name, v in self.meta["versions"].items():
-            d = _os.path.join(self.path, name, f"v={v}")
+        for name in self.meta["versions"]:
             sizes[name] = sum(
                 _os.path.getsize(_os.path.join(dp, f))
-                for dp, _, fs in _os.walk(d)
+                for v in self.catalog._segments(name, self.meta)
+                for dp, _, fs in _os.walk(_os.path.join(self.path, name, f"v={v}"))
                 for f in fs
-            ) if _os.path.isdir(d) else 0
+            )
         return {
             "num_points": int(self.meta["num_points"]),
             "next_id": int(self.meta.get("next_id", 0)),
@@ -209,7 +209,10 @@ class LMDiskANNIndex:
         hot path; ``catalog.vacuum`` reclaims old snapshots."""
         meta = self.meta
         for name in ("vectors", "adjacency", "key_map"):
-            meta = self.catalog.compact(name, meta, target_bytes)
+            meta = self.catalog.compact(
+                name, meta, target_bytes,
+                merge_key="key" if name == "key_map" else "id",
+            )
         self.meta = meta
         self.save()
         return self
@@ -222,11 +225,15 @@ class LMDiskANNIndex:
 
     @property
     def adjacency(self) -> DataFrame:
-        return self.catalog.read("adjacency", self.meta)
+        # merge-on-read: incremental inserts append only the touched rows
+        # (stamped segments); the read resolves latest-wins per id
+        return self.catalog.read("adjacency", self.meta, merge_key="id")
 
     @property
     def key_map(self) -> DataFrame:
-        return self.catalog.read("key_map", self.meta)
+        # merge-on-read by KEY: incremental inserts append (key, id) pairs
+        # as stamped segments; latest segment wins = LevelDB put-overwrite
+        return self.catalog.read("key_map", self.meta, merge_key="key")
 
     def _write_bucketed(self, name: str, df: DataFrame, meta: dict, empty: bool) -> dict:
         """Snapshot ``vectors``/``adjacency`` partitioned by the id bucket.
@@ -242,7 +249,11 @@ class LMDiskANNIndex:
     def _fetcher(self, table: str):
         """Point-lookup fetch over a bucketed snapshot: prune partitions by
         the ids' buckets, then filter (literal isin for small sets, broadcast
-        semi-join for large — no plan-size blowup)."""
+        semi-join for large — no plan-size blowup).  MOR tables resolve
+        latest-wins AFTER the pruned filter (few rows), so the window never
+        blocks pruning."""
+        from lmdiskann_jl_spark.sources.tables import merge_rows
+
         raw = self.catalog.read(table, self.meta, raw=True)
         has_bucket = "_b" in raw.columns
         spark = self.spark
@@ -261,6 +272,7 @@ class LMDiskANNIndex:
                     spark.createDataFrame([(v,) for v in vals], "id long")
                 )
                 df = df.join(ids_df, "id", "left_semi")
+            df = merge_rows(df, "id")
             return df.drop("_b") if has_bucket else df
 
         return fetch
@@ -326,23 +338,46 @@ class LMDiskANNIndex:
         )
         if eltype == "float16":
             prepared = prepared.withColumn("vec", _float16_quantize(F.col("vec")))
-        new_vectors_tbl = self.vectors.unionByName(prepared)
-        new_key_map = kvmap.insert_keys(self.key_map, prepared.select("key", "id"))
 
+        ivf_live = maintain_ivf and self._ivf_fresh()
         if rebuild_graph or base == 0:
+            # initial load / explicit rebuild: full snapshots
+            new_key_map = kvmap.insert_keys(self.key_map, prepared.select("key", "id"))
+            new_vectors_tbl = self.vectors.unionByName(prepared)
             new_adj = build_adjacency(
                 new_vectors_tbl, maxdegree=self.meta["maxdegree"], metric=self.meta["metric"]
             )
+            meta = self._write_bucketed("vectors", new_vectors_tbl, self.meta, empty=False)
+            meta = self._write_bucketed("adjacency", new_adj, meta, empty=False)
+            meta = self.catalog.write("key_map", new_key_map, meta)
         else:
-            new_adj = insert_batch_adjacency(
+            # O(batch) incremental commit — existing data is neither read nor
+            # rewritten: new vectors append as a plain segment (ids are
+            # unique forever, union-read IS the merge); the adjacency MERGE
+            # delta (new + touched rows only) appends as a stamped segment
+            # resolved latest-wins at read (merge-on-read).  This is the
+            # manifest-append Delta/Iceberg would commit; a full
+            # copy-on-write per batch would make ingest O(table) at 100 TB.
+            adj_delta = insert_batch_adjacency(
                 self.vectors, self.adjacency, prepared,
                 maxdegree=self.meta["maxdegree"], metric=self.meta["metric"],
+                changed_only=True,
             )
-
-        ivf_live = maintain_ivf and self._ivf_fresh()
-        meta = self._write_bucketed("vectors", new_vectors_tbl, self.meta, empty=False)
-        meta = self._write_bucketed("adjacency", new_adj, meta, empty=False)
-        meta = self.catalog.write("key_map", new_key_map, meta)
+            bucket = F.pmod(F.col("id"), F.lit(N_ID_BUCKETS)).cast("int")
+            meta = self.catalog.append(
+                "vectors", prepared.withColumn("_b", bucket), self.meta,
+                partition_by=["_b"],
+            )
+            meta = self.catalog.append(
+                "adjacency", adj_delta.withColumn("_b", bucket), meta,
+                partition_by=["_b"], stamp_segment=True,
+            )
+            # key_map: upsert = append the (deduped-per-key) pairs as a
+            # stamped segment; latest segment wins per key at read
+            new_pairs = (
+                prepared.select("key", "id").groupBy("key").agg(F.max("id").alias("id"))
+            )
+            meta = self.catalog.append("key_map", new_pairs, meta, stamp_segment=True)
         if ivf_live:
             # incremental IVF maintenance: assign the new rows to their
             # nearest EXISTING centroid (broadcast centroids — no KMeans

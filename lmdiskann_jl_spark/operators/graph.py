@@ -203,13 +203,16 @@ def insert_batch_adjacency(
     metric: str = "euclidean",
     id_col: str = "id",
     vec_col: str = "vec",
+    changed_only: bool = False,
 ) -> DataFrame:
     """Incremental batch insert (micro-batch ``ann_insert!``).
 
     New points find neighbors among (existing ∪ new); back-link edges are
     merged into the touched existing rows only — untouched adjacency rows pass
     through unchanged (at scale: a MERGE touching O(batch * maxdegree) rows,
-    not a rebuild).
+    not a rebuild).  ``changed_only=True`` returns JUST the touched/new rows
+    (the MERGE delta) for the caller to append as a merge-on-read segment —
+    the O(batch) write path; default returns the full merged table.
     """
     all_vecs = vectors.select(id_col, vec_col).unionByName(new_vectors.select(id_col, vec_col))
     knn = brute_force_knn_join(
@@ -245,5 +248,7 @@ def insert_batch_adjacency(
     )
     merged = new_edges.unionByName(old_edges).dropDuplicates(["id_l", "id_r"])
     repruned = _prune_and_collect(merged, maxdegree)
+    if changed_only:
+        return repruned
     untouched = adjacency.join(touched_ids, "id", "left_anti")
     return untouched.unionByName(repruned)

@@ -252,8 +252,10 @@ def test_compact_coalesces_small_files(spark, idx_path):
         )
 
     def n_files(name):
-        v = idx.meta["versions"][name]
-        return len(glob.glob(f"{idx_path}/{name}/v={v}/**/*.parquet", recursive=True))
+        return sum(
+            len(glob.glob(f"{idx_path}/{name}/v={v}/**/*.parquet", recursive=True))
+            for v in idx.catalog._segments(name, idx.meta)
+        )
 
     before = {(r["id"], r["key"]) for r in idx.vectors.select("id", "key").collect()}
     files_before = n_files("vectors")
@@ -273,3 +275,87 @@ def test_stats_reports_invariants(spark, idx_path, small_batch):
     assert 0 < s["max_degree"] <= s["maxdegree"]
     assert s["storage_bytes"]["vectors"] > 0
     assert not s["ivf_fresh"]
+
+
+def test_incremental_insert_is_o_batch_append(spark, idx_path):
+    """Incremental inserts must append segments, not rewrite the table: the
+    first batch's files stay byte-identical on disk, the manifest grows, and
+    reads/searches resolve the union (vectors) and latest-wins (adjacency)
+    correctly.  Compaction collapses segments back to one."""
+    import glob
+    import os
+    import random
+
+    random.seed(21)
+
+    def batch(tag, n):
+        rows = [(f"{tag}-{i}", [random.gauss(0, 1) for _ in range(6)]) for i in range(n)]
+        return spark.createDataFrame(rows, "k string, vec array<float>")
+
+    idx = pkg.create_index(spark, idx_path, dim=6, maxdegree=6)
+    idx.insert_batch(batch("a", 50), vec_col="vec", key_col="k")
+    v1 = idx.meta["versions"]["vectors"]
+    seg1_files = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(f"{idx_path}/vectors/v={v1}/**/*.parquet", recursive=True)
+    }
+    assert seg1_files
+
+    idx.insert_batch(batch("b", 30), vec_col="vec", key_col="k")
+    # manifest grew; the first segment was not touched
+    assert len(idx.meta["segments"]["vectors"]) == 2
+    assert len(idx.meta["segments"]["adjacency"]) == 2
+    for p, mtime in seg1_files.items():
+        assert os.path.getmtime(p) == mtime, f"segment rewritten: {p}"
+
+    # union/MOR reads are correct
+    assert idx.vectors.count() == 80
+    assert idx.adjacency.count() == 80  # latest-wins: no duplicate ids
+    assert idx.adjacency.select("id").distinct().count() == 80
+    s = idx.stats()
+    assert s["max_degree"] <= 6
+
+    # search still finds the new batch exactly
+    q = [float(x) for x in idx.get_embedding_from_key("b-3")]
+    top = idx.search(q, topk=1).collect()[0]
+    assert top["key"] == "b-3" and top["dist"] == pytest.approx(0.0, abs=1e-5)
+    top_beam = idx.search(q, topk=1, mode="beam").collect()[0]
+    assert top_beam["dist"] == pytest.approx(0.0, abs=1e-5)
+
+    # compaction collapses the manifest, contents unchanged
+    before = {r["id"] for r in idx.vectors.select("id").collect()}
+    idx.compact()
+    assert "vectors" not in idx.meta.get("segments", {})
+    assert {r["id"] for r in idx.vectors.select("id").collect()} == before
+    assert idx.adjacency.count() == 80
+
+
+def test_keymap_upsert_across_segments(spark, idx_path):
+    """Re-inserting an existing key in a later batch must resolve to the NEW
+    id (LevelDB put-overwrite) through the merge-on-read key_map — and the
+    earlier batch's key_map segment stays untouched on disk."""
+    import random
+
+    random.seed(31)
+    mk = lambda tag, n: spark.createDataFrame(
+        [(f"{tag}-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(n)],
+        "k string, vec array<float>",
+    )
+    idx = pkg.create_index(spark, idx_path, dim=4, maxdegree=4)
+    idx.insert_batch(mk("a", 20), vec_col="vec", key_col="k")
+    old_id = idx.get_id_from_key("a-3")
+
+    # second batch re-uses key a-3 (plus new keys)
+    batch2 = mk("b", 10).union(
+        spark.createDataFrame(
+            [("a-3", [0.0, 0.0, 0.0, 0.0])], "k string, vec array<float>"
+        )
+    )
+    idx.insert_batch(batch2, vec_col="vec", key_col="k")
+    assert len(idx.meta["segments"]["key_map"]) == 2
+
+    new_id = idx.get_id_from_key("a-3")
+    assert new_id != old_id and new_id >= 20  # remapped to the new row
+    assert idx.get_embedding_from_key("a-3") == [0.0, 0.0, 0.0, 0.0]
+    # one row per key in the merged view
+    assert idx.key_map.count() == idx.key_map.select("key").distinct().count() == 30
