@@ -595,9 +595,29 @@ class LMDiskANNIndex:
         """Batched search: (qid, qvec) -> per-query top-k with keys.
 
         mode='exact' broadcasts queries into one scan; mode='beam' runs the
-        shared-frontier batched graph traversal (beam_search_batch).
+        shared-frontier batched graph traversal (beam_search_batch);
+        mode='ivf' probes the cell layout for the whole batch in one job
+        (union of probed cells, partition-pruned).
         """
-        if mode == "beam":
+        if mode == "ivf":
+            from lmdiskann_jl_spark.operators.ivf import ivf_search_batch
+
+            if "ivf" not in self.meta:
+                raise ValueError("no IVF layout built — call build_ivf() first")
+            if not self._ivf_fresh():
+                raise ValueError(
+                    "IVF layout is stale (vectors mutated since build_ivf) — "
+                    "rebuild with build_ivf() or search with mode='exact'/'beam'"
+                )
+            assigned = self.spark.read.parquet(self.meta["ivf"]["dir"])
+            if self.meta["ivf"].get("tombstones"):
+                tombs = self.spark.read.parquet(self.meta["ivf"]["dir"] + "_tombstones")
+                assigned = assigned.join(F.broadcast(tombs), "id", "left_anti")
+            centroids = self.catalog.read("ivf_centroids", self.meta)
+            res = ivf_search_batch(
+                assigned, centroids, queries, k=topk, metric=self.meta["metric"]
+            )
+        elif mode == "beam":
             from pyspark.sql import Window
 
             from lmdiskann_jl_spark.operators.beam import beam_search_batch

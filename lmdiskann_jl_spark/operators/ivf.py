@@ -119,3 +119,47 @@ def ivf_search(
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivf_search_batch(
+    assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched IVF probe: per-query top-k for a whole queries DataFrame in
+    ONE job — the batch amortization the single-query probe lacks.
+
+    Per-query probe cells are computed against the broadcast centroid table
+    (tiny crossJoin + window — no collect, no driver loop); the scan is then
+    filtered to the UNION of all probed cells (partition-pruned) and each
+    row is scored only against the queries that probed its cell (equi-join
+    on cell, never queries x corpus).  Returns (qid, id, dist, rank <= k).
+    """
+    dist_fn = resolve_metric(metric)
+    cw = Window.partitionBy(qid_col).orderBy(F.col("_cd").asc(), F.col("cell").asc())
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("_cd", dist_fn(F.col(qvec_col), F.col("centroid")))
+        .withColumn("_rn", F.row_number().over(cw))
+        .filter(F.col("_rn") <= nprobe)
+        .select(qid_col, qvec_col, "cell")
+    )
+    # the union of probed cells collects to a tiny literal list so the scan
+    # partition-prunes statically (a derived semi-join would rely on DPP)
+    cell_list = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    cand = assigned.filter(F.col("cell").isin(cell_list))
+    scored = cand.join(F.broadcast(probes), "cell").select(
+        qid_col, id_col, dist_fn(F.col(vec_col), F.col(qvec_col)).alias("dist")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -212,3 +212,25 @@ def test_ivf_incremental_maintenance(spark, tmp_path):
     # a rebuild clears the incremental state (fresh dir, no tombstones)
     idx.build_ivf(n_cells=4)
     assert "tombstones" not in idx.meta["ivf"] and idx.meta["ivf"].get("n_appended", 0) == 0
+
+
+def test_ivf_search_batch_matches_single_probes(emb, spark):
+    """The batched probe must return the same per-query top-k as running the
+    single-query probe per qid, in one job, with the scan pruned to the
+    probed-cell union."""
+    centroids, assigned = build_ivf(emb, n_cells=8)
+    assigned = assigned.cache()
+    from lmdiskann_jl_spark.operators.ivf import ivf_search_batch
+
+    qids = [1, 50, 150]
+    queries = emb.filter(F.col("id").isin(qids)).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    batch = ivf_search_batch(assigned, centroids, queries, k=5, nprobe=3)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["id"]))
+    for qid in qids:
+        q = [float(x) for x in emb.filter(F.col("id") == qid).collect()[0]["vec"]]
+        single = [r["id"] for r in ivf_search(assigned, centroids, q, k=5, nprobe=3).collect()]
+        assert [i for _, i in sorted(got[qid])] == single
