@@ -111,3 +111,39 @@ def test_lsh_built_adjacency_beam_recall(emb, spark):
     exact10 = batch_topk(queries, emb, k=10, metric="euclidean").select("qid", "id")
     r = recall_at_k(beam10, exact10, k=10)
     assert r >= 0.70, f"beam recall over LSH-built graph {r:.3f} below reference bar"
+
+
+def test_beam_recall_survives_churn(spark, tmp_path):
+    """After interleaved insert/delete waves (exercising segment appends,
+    merge-on-read adjacency, and delete repair), graph beam search must
+    still clear the reference's 0.70 recall bar against the exact scan."""
+    import random
+
+    import lmdiskann_jl_spark as pkg
+    from lmdiskann_jl_spark.operators.topk import recall_at_k
+
+    random.seed(42)
+    dim = 16
+
+    def mk(tag, n):
+        return spark.createDataFrame(
+            [(f"{tag}-{i}", [random.gauss(0, 1) for _ in range(dim)]) for i in range(n)],
+            "k string, vec array<float>",
+        )
+
+    idx = pkg.create_index(spark, str(tmp_path / "churn"), dim=dim, maxdegree=12)
+    idx.insert_batch(mk("a", 120), vec_col="vec", key_col="k")
+    idx.delete_batch(keys=[f"a-{i}" for i in range(0, 120, 4)])  # drop 30
+    idx.insert_batch(mk("b", 80), vec_col="vec", key_col="k")
+    idx.delete_batch(keys=[f"b-{i}" for i in range(0, 80, 8)])  # drop 10
+    idx.insert_batch(mk("c", 40), vec_col="vec", key_col="k")
+    assert idx.meta["num_points"] == 120 - 30 + 80 - 10 + 40
+
+    hits = 0.0
+    probe_keys = ["a-1", "b-3", "c-7", "a-33", "c-39"]
+    for pk in probe_keys:
+        q = idx.get_embedding_from_key(pk)
+        exact_ids = [r["id"] for r in idx.search(q, topk=10).collect()]
+        beam_ids = [r["id"] for r in idx.search(q, topk=10, mode="beam", ef=80).collect()]
+        hits += len(set(exact_ids) & set(beam_ids)) / 10.0
+    assert hits / len(probe_keys) >= 0.70  # runtests.jl:454 bar
