@@ -234,3 +234,69 @@ def test_ivf_search_batch_matches_single_probes(emb, spark):
         q = [float(x) for x in emb.filter(F.col("id") == qid).collect()[0]["vec"]]
         single = [r["id"] for r in ivf_search(assigned, centroids, q, k=5, nprobe=3).collect()]
         assert [i for _, i in sorted(got[qid])] == single
+
+
+def test_streaming_rollup_drops_late_rows(spark, tmp_path):
+    """Rows older than the watermark (2h) when it advances must be dropped:
+    after batch 1 moves the watermark forward, batch 2's very-late row never
+    surfaces in append-mode output while its fresh row does."""
+    import os
+
+    import pandas as pd
+
+    from lmdiskann_jl_spark.streaming.ingest import streaming_hourly_rollup
+
+    src = str(tmp_path / "ev")
+    ck = str(tmp_path / "ck")
+    os.makedirs(src)
+    H = 3_600
+    NS = 1_000_000_000
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "event_id": list(range(len(rows))),
+                "ts": [int(t * NS) for t, _ in rows],
+                "user_id": [1] * len(rows),
+                "event_type": [e for _, e in rows],
+                "value": [1.0] * len(rows),
+                "props": ["{}"] * len(rows),
+            }
+        ).to_parquet(f"{src}/{name}.parquet")
+
+    # batch 1: events across hours 0 and 10 — watermark advances to 10h-2h=8h
+    write("b1", [(0 * H + 10, "w0"), (10 * H + 10, "w10")])
+    out = streaming_hourly_rollup(spark, src)
+
+    def drain():
+        rows = []
+
+        def _collect(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        q = (
+            out.writeStream.foreachBatch(_collect)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r["bucket"], r["event_type"]): r["n"] for r in rows}
+
+    got1 = drain()
+    # append mode emits only windows below the watermark: hour-0 is closed
+    assert (0, "w0") in got1 and (10 * H, "w10") not in got1
+
+    # batch 2: one row in closed hour 1 (LATE — dropped), one fresh at hour 11
+    write("b2", [(1 * H + 5, "late"), (11 * H + 5, "w11")])
+    got2 = drain()
+    assert all(et != "late" for _, et in got2)  # late row dropped by watermark
+
+    # batch 3 advances the watermark to 12h, closing hours 10 and 11 — the
+    # late hour-1 row must STILL never surface
+    write("b3", [(14 * H + 5, "w14")])
+    got3 = drain()
+    assert any(et == "w10" for _, et in got3)
+    assert any(et == "w11" for _, et in got3)
+    assert all(et != "late" for _, et in got3)
