@@ -532,6 +532,7 @@ class LMDiskANNIndex:
         ef: int = DEFAULT_EF_SEARCH,
         mode: str = "exact",
         nprobe: int = 4,
+        where: str | None = None,
     ) -> DataFrame:
         """search (src/LMDiskANN.jl:455-481): top-k with keys attached.
 
@@ -542,8 +543,29 @@ class LMDiskANNIndex:
         - 'auto':  cost-based choice among the strategies this index has built
         ef is promoted to >= topk as in ``:463``.  Returns (key, id, dist)
         nearest-first.
+
+        ``where``: optional SQL predicate over key-map keys (filtered ANN,
+        pre-filter form): candidates are restricted to matching keys BEFORE
+        ranking, so the top-k is exact within the filtered set.  Applied to
+        exact mode; approximate modes raise (post-filtering an approximate
+        candidate set silently under-fills k — the caller should over-fetch
+        instead).
         """
         ef = max(topk, ef)
+        if where is not None:
+            if mode not in ("exact", "auto"):
+                raise ValueError(
+                    "filtered search supports mode='exact' (pre-filter); "
+                    "for approximate modes over-fetch and filter the result"
+                )
+            allowed = self.key_map.filter(where).select("id")
+            filtered = self.vectors.join(F.broadcast(allowed), "id", "left_semi")
+            result = exact_topk(filtered, query, k=topk, metric=self.meta["metric"])
+            return (
+                result.join(F.broadcast(self.key_map), "id", "left")
+                .select("key", "id", "dist")
+                .orderBy(F.col("dist").asc(), F.col("id").asc())
+            )
         if mode == "auto":
             from lmdiskann_jl_spark.plans.strategy import SearchContext, choose_search_strategy
 

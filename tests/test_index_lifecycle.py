@@ -359,3 +359,22 @@ def test_keymap_upsert_across_segments(spark, idx_path):
     assert idx.get_embedding_from_key("a-3") == [0.0, 0.0, 0.0, 0.0]
     # one row per key in the merged view
     assert idx.key_map.count() == idx.key_map.select("key").distinct().count() == 30
+
+
+def test_filtered_search_prefilters_exactly(spark, idx_path, small_batch):
+    """where= restricts candidates BEFORE ranking: the top-k is exact within
+    the filtered key set, keys outside never appear, and approximate modes
+    refuse (post-filtering would silently under-fill k)."""
+    idx = pkg.create_index(spark, idx_path, dim=5, maxdegree=4)
+    idx.insert_batch(small_batch, vec_col="vec", key_col="k")
+    q = idx.get_embedding_from_key("key-0")
+
+    res = idx.search(q, topk=3, where="key LIKE 'key-%' AND key != 'key-0'").collect()
+    keys = [r["key"] for r in res]
+    assert "key-0" not in keys and len(keys) == 3
+    # equals brute-force over the filtered set
+    brute = idx.search(q, topk=4).collect()  # unfiltered top-4 = key-0 + next 3
+    assert keys == [r["key"] for r in brute if r["key"] != "key-0"][:3]
+
+    with pytest.raises(ValueError, match="over-fetch"):
+        idx.search(q, topk=3, mode="beam", where="key != 'key-0'")
