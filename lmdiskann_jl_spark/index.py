@@ -58,6 +58,12 @@ DEFAULT_EF_SEARCH = 300  # src/LMDiskANN.jl:20
 # (sources/tables.py).  At 100 TB raise this so each bucket is a few GB.
 N_ID_BUCKETS = 64
 
+# auto insert-path switch: above this many existing points, incremental
+# graph candidates come from LSH bucketing instead of batch x table brute
+# force (the crossJoin is exact but O(batch * table) — the ingest
+# bottleneck at scale)
+LSH_INSERT_THRESHOLD = 200_000
+
 
 SUPPORTED_ELTYPES = ("float16", "float32", "float64")
 
@@ -286,6 +292,7 @@ class LMDiskANNIndex:
         key_col: str | None = None,
         rebuild_graph: bool = False,
         maintain_ivf: bool = False,
+        graph_knn: str = "auto",
     ) -> "LMDiskANNIndex":
         """Batch ann_insert! (src/LMDiskANN.jl:531-584).
 
@@ -358,10 +365,19 @@ class LMDiskANNIndex:
             # resolved latest-wins at read (merge-on-read).  This is the
             # manifest-append Delta/Iceberg would commit; a full
             # copy-on-write per batch would make ingest O(table) at 100 TB.
+            # candidate generation: brute is exact and right for small
+            # indexes; past the threshold the batch x table crossJoin is the
+            # ingest bottleneck and LSH bucketing is the scale path
+            # (graph_knn='auto' switches on index size)
+            use_lsh = graph_knn == "lsh" or (
+                graph_knn == "auto"
+                and int(self.meta["num_points"]) > LSH_INSERT_THRESHOLD
+            )
             adj_delta = insert_batch_adjacency(
                 self.vectors, self.adjacency, prepared,
                 maxdegree=self.meta["maxdegree"], metric=self.meta["metric"],
                 changed_only=True,
+                use_lsh=use_lsh, dim=int(self.meta["dim"]),
             )
             bucket = F.pmod(F.col("id"), F.lit(N_ID_BUCKETS)).cast("int")
             meta = self.catalog.append(

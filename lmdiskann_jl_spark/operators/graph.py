@@ -204,6 +204,9 @@ def insert_batch_adjacency(
     id_col: str = "id",
     vec_col: str = "vec",
     changed_only: bool = False,
+    use_lsh: bool = False,
+    dim: int | None = None,
+    lsh_tables: int = 4,
 ) -> DataFrame:
     """Incremental batch insert (micro-batch ``ann_insert!``).
 
@@ -215,10 +218,20 @@ def insert_batch_adjacency(
     the O(batch) write path; default returns the full merged table.
     """
     all_vecs = vectors.select(id_col, vec_col).unionByName(new_vectors.select(id_col, vec_col))
-    knn = brute_force_knn_join(
-        new_vectors, all_vecs, k=maxdegree, metric=metric,
-        left_id=id_col, right_id=id_col, vec_col=vec_col, broadcast_right=False,
-    )
+    if use_lsh:
+        # the 100-TB ingest path: candidate generation via bucketed
+        # sign-random-projection instead of batch x table brute force —
+        # same shape as the bulk build's use_lsh (adjacency_edges)
+        assert dim is not None, "dim required for LSH insert"
+        knn = lsh_knn_join(
+            new_vectors, all_vecs, k=maxdegree, dim=dim, metric=metric,
+            n_tables=lsh_tables, left_id=id_col, right_id=id_col, vec_col=vec_col,
+        )
+    else:
+        knn = brute_force_knn_join(
+            new_vectors, all_vecs, k=maxdegree, metric=metric,
+            left_id=id_col, right_id=id_col, vec_col=vec_col, broadcast_right=False,
+        )
     lcol, rcol = f"{id_col}_l", f"{id_col}_r"
     new_edges = (
         knn.select(

@@ -147,3 +147,34 @@ def test_beam_recall_survives_churn(spark, tmp_path):
         beam_ids = [r["id"] for r in idx.search(q, topk=10, mode="beam", ef=80).collect()]
         hits += len(set(exact_ids) & set(beam_ids)) / 10.0
     assert hits / len(probe_keys) >= 0.70  # runtests.jl:454 bar
+
+
+def test_lsh_insert_path_recall(spark, tmp_path):
+    """graph_knn='lsh' (the 100-TB ingest path — bucketed candidates instead
+    of batch x table brute force) must keep beam recall above the bar after
+    an incremental insert."""
+    import random
+
+    import lmdiskann_jl_spark as pkg
+
+    random.seed(17)
+    dim = 16
+
+    def mk(tag, n):
+        return spark.createDataFrame(
+            [(f"{tag}-{i}", [random.gauss(0, 1) for _ in range(dim)]) for i in range(n)],
+            "k string, vec array<float>",
+        )
+
+    idx = pkg.create_index(spark, str(tmp_path / "lshins"), dim=dim, maxdegree=12)
+    idx.insert_batch(mk("a", 150), vec_col="vec", key_col="k")
+    idx.insert_batch(mk("b", 100), vec_col="vec", key_col="k", graph_knn="lsh")
+
+    hits = 0.0
+    probes = ["b-5", "b-42", "a-10", "b-77", "a-99"]
+    for pk in probes:
+        q = idx.get_embedding_from_key(pk)
+        exact_ids = [r["id"] for r in idx.search(q, topk=10).collect()]
+        beam_ids = [r["id"] for r in idx.search(q, topk=10, mode="beam", ef=80).collect()]
+        hits += len(set(exact_ids) & set(beam_ids)) / 10.0
+    assert hits / len(probes) >= 0.70
