@@ -834,6 +834,36 @@ def q_pq_recall(spark, sf_dir):
     return spark.createDataFrame([(hits / len(qids),)], "recall double")
 
 
+def q_ivfpq_recall(spark, sf_dir):
+    """recall@10 of the composed IVF+PQ path (cell pruning + compressed ADC
+    scoring + exact rerank — the production ANN shape) vs the exact scan —
+    reference bar >= 0.70.  Rows-only gate (KMeans not SQL-expressible)."""
+    from lmdiskann_jl_spark.operators.ivf import build_ivf
+    from lmdiskann_jl_spark.operators.pq import build_pq, ivfpq_search, pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    ).cache()
+    dim = 64
+    cb = build_pq(emb, dim=dim).cache()
+    codes = pq_encode(emb, cb, dim=dim)
+    cell_centroids, assigned = build_ivf(emb, n_cells=16)
+    assigned_codes = assigned.select("id", "cell").join(codes, "id").cache()
+    hits = 0.0
+    qids = [0, 100, 200, 300, 400]
+    for qid in qids:
+        q = [float(x) for x in emb.filter(F.col("id") == qid).collect()[0]["vec"]]
+        exact_ids = {r["id"] for r in exact_topk(emb, q, k=10, metric="euclidean").collect()}
+        got = {
+            r["id"]
+            for r in ivfpq_search(
+                assigned_codes, cell_centroids, cb, emb, q, k=10, nprobe=6, rerank=100
+            ).collect()
+        }
+        hits += len(exact_ids & got) / 10.0
+    return spark.createDataFrame([(hits / len(qids),)], "recall double")
+
+
 def q_lsh_knn(spark, sf_dir):
     """LSH-bucketed approximate kNN join (the 100-TB scale path). Oracle:
     none (approximate) — quality is gated by q_lsh_recall instead."""
@@ -1561,6 +1591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_lsh_recall": q_lsh_recall,
         "a_ivf_recall": q_ivf_recall,
         "a_pq_recall": q_pq_recall,
+        "a_ivfpq_recall": q_ivfpq_recall,
     }
 
 
