@@ -89,6 +89,15 @@ def main() -> None:
                 "headline_total": round(
                     sum(times[q] for q in headline if q in times), 3
                 ),
+                # a_* entries are index-build + recall QUALITY GATES (KMeans
+                # fits, multi-query eval loops), not per-query latencies —
+                # split out so query time is comparable round over round
+                "gates_total": round(
+                    sum(t for q, t in times.items() if q.startswith("a_")), 3
+                ),
+                "queries_total": round(
+                    sum(t for q, t in times.items() if not q.startswith("a_")), 3
+                ),
             }
         )
     )
