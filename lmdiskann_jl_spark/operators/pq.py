@@ -82,41 +82,44 @@ def pq_encode(
     """Encode every vector as its per-subspace nearest codewords.
 
     Returns (id, codes ARRAY<INT>) with codes[sub] = argmin_code
-    ||subvec - centroid||.  One explode (xm rows), one broadcast join, one
-    groupBy-id shuffle — encode cost is linear in the corpus, codebook
-    never leaves the driver/broadcast.
+    ||subvec - centroid||.  The codebook (m*k rows, collected — it is
+    broadcast-sized by construction) is embedded as a nested array literal,
+    so the whole encode is ONE scan-stage expression: per row, per
+    subspace, distances to the k codewords fold inside a HOF and
+    ``array_position(min)`` picks the argmin (first-min tie-break = lowest
+    code, deterministic).  Zero shuffles, zero joins — encoding 100 TB
+    costs exactly one pass over the data (the earlier explode + window +
+    groupBy shape shuffled m x corpus rows twice).
     """
     width = dim // m
-    subs = vectors.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.alias("sub"),
-                    F.slice(
-                        F.col(vec_col).cast("array<double>"), s * width + 1, width
-                    ).alias("subvec"),
-                ),
-            )
-        ).alias("e"),
-    ).select(id_col, F.col("e.sub").alias("sub"), F.col("e.subvec").alias("subvec"))
-    scored = subs.join(F.broadcast(codebook), "sub").withColumn(
-        "_d",
-        F.aggregate(
-            F.zip_with(F.col("subvec"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+    cb = codebook.collect()
+    books: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(cb, key=lambda r: (r["sub"], r["code"])):
+        books[r["sub"]].append([float(x) for x in r["centroid"]])
+    books_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(v) for v in c]) for c in book])
+            for book in books
+        ]
+    )
+    vec = F.col(vec_col).cast("array<double>")
+
+    def sq_dist(subvec, cent):
+        return F.aggregate(
+            F.zip_with(subvec, cent, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0),
             lambda acc, x: acc + x,
-        ),
-    )
-    w = Window.partitionBy(id_col, "sub").orderBy(F.col("_d").asc(), F.col("code").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("sub", "code"))).alias("_sc"))
-        .select(id_col, F.transform(F.col("_sc"), lambda s: s["code"]).alias("codes"))
-    )
+        )
+
+    def code_for(s):
+        subvec = F.slice(vec, s * width + 1, width)
+        dists = F.transform(
+            F.element_at(books_lit, s + 1), lambda cent: sq_dist(subvec, cent)
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+    return vectors.select(F.col(id_col), codes.alias("codes"))
 
 
 def pq_adc_topk(
