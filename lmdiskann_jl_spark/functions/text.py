@@ -27,6 +27,11 @@ TOKEN_SPLIT_RE = "[^a-z0-9]+"
 HASH_MOD = 1_000_000_007  # keeps a*h below 2^60 in both engines' BIGINT math
 FINGERPRINT_GRAM = 8  # char-gram width for the winnowing-style fingerprint
 
+# PII patterns — restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): literal classes, +, and bounded repetition only
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_NUMBER_RE = "[0-9]{7,}"  # long digit runs: phone numbers, SSNs, card numbers
+
 # tiny per-language stopword lists for the language-ID heuristic
 LANG_STOPWORDS: dict[str, list[str]] = {
     "en": ["the", "a", "and", "of", "to", "in", "is", "that", "for", "it"],
@@ -145,6 +150,72 @@ def token_counts(text: Column) -> dict[str, Column]:
     return {
         "n_ws_tokens": ws.cast("long"),
         "n_bpe_tokens": (bpe_alpha + others).cast("long"),
+    }
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher-style repetition quality signals (Rae et al. 2021, table A1):
+    the fraction of duplicate tokens, the share of the most frequent token,
+    and the share of the most frequent word bigram.  Repetitive documents
+    (boilerplate, keyword stuffing, generation loops) score high and are
+    dropped by training-data quality filters.
+
+    All ratios are exact integer divisions rounded at the output — the
+    DuckDB oracle reproduces them bit-for-bit.  Per-row cost is
+    O(unique x total) HOF work inside the scan stage: no shuffle, no UDF.
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+
+    def top_count(arr: Column) -> Column:
+        # max multiplicity via one run-length pass over the sorted array.
+        # NOT transform(distinct, g -> size(filter(arr, = g))): HOF lambdas
+        # re-evaluate captured expression trees per element (no CSE on the
+        # interpreted path), which made the nested form ~100x slower.
+        init = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+
+        def step(st: Column, x: Column) -> Column:
+            run = F.when(x == st["prev"], st["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.greatest(st["best"], run).alias("best"),
+            )
+
+        return F.aggregate(F.array_sort(arr), init, step, lambda st: st["best"])
+
+    def top_frac(arr: Column, size_col: Column) -> Column:
+        return F.when(
+            size_col > 0, top_count(arr).cast("double") / size_col
+        ).otherwise(F.lit(0.0))
+
+    bigrams = word_shingles(toks, 2)
+    nb = F.size(bigrams)
+    dup_frac = F.when(n > 0, (n - n_uniq).cast("double") / n).otherwise(F.lit(0.0))
+    return {
+        "n_tokens": n.cast("long"),
+        "dup_token_frac": F.round(dup_frac, 4),
+        "top_token_frac": F.round(top_frac(toks, n), 4),
+        "top_bigram_frac": F.round(top_frac(bigrams, nb), 4),
+    }
+
+
+def pii_features(text: Column) -> dict[str, Column]:
+    """PII detection + redaction: emails and long digit runs are counted and
+    replaced with typed placeholders.  Pure regexp expressions (Spark
+    replaces globally by default; the oracle passes the 'g' flag) — at
+    100 TB this is a scan-stage rewrite with zero shuffles.
+    """
+    redacted = F.regexp_replace(
+        F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>"), PII_NUMBER_RE, "<NUMBER>"
+    )
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), F.lit(0))).cast("long"),
+        "n_numbers": F.size(F.regexp_extract_all(text, F.lit(PII_NUMBER_RE), F.lit(0))).cast("long"),
+        "redacted_text": redacted,
     }
 
 

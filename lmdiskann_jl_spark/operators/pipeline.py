@@ -154,6 +154,94 @@ def quality_filter(
     )
 
 
+SPLIT_SALT = "split:"
+SPLIT_PCTS: tuple[tuple[str, int], ...] = (("train", 90), ("val", 5), ("test", 5))
+
+
+def dataset_split(
+    documents: DataFrame,
+    pcts: tuple[tuple[str, int], ...] = SPLIT_PCTS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment by id hash.
+
+    split = first bucket whose cumulative percentage covers
+    ``hash(salt || id) % 100`` — a pure function of the id, so the split is
+    stable under reruns, repartitioning, and incremental appends (the
+    properties ``randomSplit`` lacks).  Zero shuffles: evaluated in the scan
+    stage.  Output: (doc_id, split_bucket, split).
+    """
+    bucket = hash60(F.concat(F.lit(SPLIT_SALT), F.col(id_col).cast("string"))) % 100
+    expr = F.lit(pcts[-1][0])
+    cum = 0
+    branches = []
+    for name, pct in pcts[:-1]:
+        cum += pct
+        branches.append((name, cum))
+    for name, bound in reversed(branches):
+        expr = F.when(bucket < bound, F.lit(name)).otherwise(expr)
+    return documents.select(
+        F.col(id_col),
+        bucket.cast("long").alias("split_bucket"),
+        expr.alias("split"),
+    )
+
+
+DECON_NGRAM = 5  # token-shingle width for benchmark-overlap decontamination
+
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    n: int = DECON_NGRAM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    ``n``-token shingle with an eval/benchmark corpus (the standard n-gram
+    overlap check run before training, e.g. GPT-3 appendix C).
+
+    Shape: explode each side's DISTINCT shingles, equi-join on the shingle
+    string, count matches per document.  The benchmark shingle set is
+    broadcast by default (eval suites are tiny next to a 100 TB corpus), so
+    the only shuffle is the per-doc count; set
+    ``broadcast_benchmark=False`` for benchmark sets beyond broadcast size
+    (falls back to a hash join on the shingle).
+
+    Output: (doc_id, n_contaminated_ngrams, contaminated) for EVERY input
+    document — clean docs carry a zero count.
+    """
+    from lmdiskann_jl_spark.functions.text import tokens, word_shingles
+
+    def shingles(df: DataFrame, *cols: str) -> DataFrame:
+        sh = F.array_distinct(word_shingles(tokens(F.col(text_col)), n))
+        return df.select(*cols, F.explode(sh).alias("_sh"))
+
+    bench_sh = shingles(benchmark).distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    hits = (
+        shingles(documents, id_col)
+        .join(bench_sh, "_sh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_ngrams"))
+    )
+    return (
+        documents.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)).alias(
+                "n_contaminated_ngrams"
+            ),
+            (F.coalesce(F.col("n_contaminated_ngrams"), F.lit(0)) > 0).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 CHUNK_SIZE = 32
 CHUNK_STRIDE = 24  # 8-token overlap between consecutive chunks
 

@@ -348,6 +348,40 @@ def q_langid_accuracy(spark, sf_dir):
     )
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (dup-token / top-token / top-bigram
+    fractions) — scan-stage HOFs, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = X.repetition_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII counting + typed-placeholder redaction (emails, long digit runs)
+    — a pure regexp scan-stage rewrite."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = X.pii_features(F.col("text"))
+    return docs.select("doc_id", *[c.alias(n) for n, c in feats.items()])
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic hash-based train/val/test assignment — stable under
+    reruns, repartitioning, and appends, unlike randomSplit."""
+    return P.dataset_split(_t(spark, sf_dir, "documents"))
+
+
+DECON_BENCH_MOD = 97  # every 97th doc plays the held-out benchmark corpus
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark n-gram decontamination: flag training docs sharing any
+    5-token shingle with the (deterministic) benchmark subset; the benchmark
+    shingle set is broadcast so the only shuffle is the per-doc count."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    return P.decontaminate(docs, bench)
+
+
 def q_source_mix(spark, sf_dir):
     """Per-source corpus composition (the domain-mix table a training run is
     weighted by): docs, token totals, and each source's share of corpus
@@ -892,6 +926,21 @@ def q_lsh_recall(spark, sf_dir):
 # ---------------------------------------------------------------- oracles
 
 
+def _TOP_COUNT(arr: str) -> str:
+    """Occurrence count of the most frequent element — mirror of
+    repetition_features' top_frac numerator."""
+    return f"list_max(list_transform(list_distinct({arr}), g -> len(list_filter({arr}, x -> x = g))))"
+
+
+def _SPLIT_CASE() -> str:
+    """CASE mirroring pipeline.dataset_split's cumulative bucket bounds."""
+    branches, cum = [], 0
+    for name, pct in P.SPLIT_PCTS[:-1]:
+        cum += pct
+        branches.append(f"WHEN b < {cum} THEN '{name}'")
+    return f"CASE {' '.join(branches)} ELSE '{P.SPLIT_PCTS[-1][0]}' END"
+
+
 def _oracle_map() -> dict[str, str | None]:
     E = "list_transform(e.embedding, x -> CAST(x AS DOUBLE))"
     QV = "list_transform(q.qv, x -> CAST(x AS DOUBLE))"
@@ -1275,6 +1324,60 @@ def _oracle_map() -> dict[str, str | None]:
                    )) AS fp
             FROM documents
         """,
+        "t_repetition": f"""
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   round(CASE WHEN len(t) > 0
+                         THEN CAST(len(t) - len(list_distinct(t)) AS DOUBLE) / len(t)
+                         ELSE 0.0 END, 4) AS dup_token_frac,
+                   round(CASE WHEN len(t) > 0
+                         THEN CAST({_TOP_COUNT('t')} AS DOUBLE) / len(t)
+                         ELSE 0.0 END, 4) AS top_token_frac,
+                   round(CASE WHEN len(b) > 0
+                         THEN CAST({_TOP_COUNT('b')} AS DOUBLE) / len(b)
+                         ELSE 0.0 END, 4) AS top_bigram_frac
+            FROM (
+              SELECT doc_id, t, {O.word_shingles('t', 2)} AS b
+              FROM (SELECT doc_id, {toks} AS t FROM documents)
+            )
+        """,
+        "t_pii_redact": f"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '{X.PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{X.PII_NUMBER_RE}')) AS BIGINT) AS n_numbers,
+                   regexp_replace(regexp_replace(text, '{X.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{X.PII_NUMBER_RE}', '<NUMBER>', 'g') AS redacted_text
+            FROM documents
+        """,
+        "p_dataset_split": f"""
+            SELECT doc_id, CAST(b AS BIGINT) AS split_bucket, {_SPLIT_CASE()} AS split
+            FROM (
+              SELECT doc_id,
+                     {O.hash60(f"'{P.SPLIT_SALT}' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+              FROM documents
+            )
+        """,
+        "p_decontaminate": f"""
+            WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
+            doc_sh AS (
+              SELECT doc_id, unnest(list_distinct({O.word_shingles('t', P.DECON_NGRAM)})) AS sh
+              FROM tok
+            ),
+            bench_sh AS (
+              SELECT DISTINCT sh FROM (
+                SELECT unnest(list_distinct({O.word_shingles('t', P.DECON_NGRAM)})) AS sh
+                FROM tok WHERE doc_id % {DECON_BENCH_MOD} = 0
+              )
+            ),
+            hits AS (
+              SELECT doc_id, count(*) AS n
+              FROM doc_sh JOIN bench_sh USING (sh) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(h.n, 0) AS BIGINT) AS n_contaminated_ngrams,
+                   coalesce(h.n, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+        """,
         "v_filtered_topk": f"""
             SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, round({eu}, 4) AS dist
             FROM (SELECT * FROM embeddings WHERE label = {FILTER_LABEL}) e, {_QV}
@@ -1572,6 +1675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_stratified_sample": q_stratified_sample,
         "p_pack_sequences": q_pack_sequences,
         "p_quality_filter": q_quality_filter,
+        "p_dataset_split": q_dataset_split,
+        "p_decontaminate": q_decontaminate,
+        "t_repetition": q_repetition,
+        "t_pii_redact": q_pii_redact,
         "m_payload_stats": q_media_payload_stats,
         "t_chunk_documents": q_chunk_documents,
         "t_langid_accuracy": q_langid_accuracy,
