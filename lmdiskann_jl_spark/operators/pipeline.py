@@ -187,6 +187,54 @@ def dataset_split(
     )
 
 
+WEIGHTED_SALT = "wsamp:"
+WEIGHTED_RATE_SALT = "rate:"
+WEIGHTED_RATE_MIN_BPS = 2500  # every source keeps at least 25%
+WEIGHTED_RATE_SPAN_BPS = 7500
+
+
+def source_rates(documents: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-source keep-rate dimension (basis points), hash-derived from the
+    source name — a self-contained stand-in for a real domain-mix config
+    table.  Output: (source, rate_bps) — one row per distinct source."""
+    rate = WEIGHTED_RATE_MIN_BPS + F.pmod(
+        hash60(F.concat(F.lit(WEIGHTED_RATE_SALT), F.col(group_col))),
+        F.lit(WEIGHTED_RATE_SPAN_BPS),
+    )
+    return (
+        documents.select(group_col)
+        .distinct()
+        .select(group_col, rate.cast("long").alias("rate_bps"))
+    )
+
+
+def weighted_sample(
+    documents: DataFrame,
+    rates: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mix resampling: keep a document iff
+    ``hash(salt || id) % 10000 < rate_bps(source)``.
+
+    The rates config is a tiny dimension BROADCAST into the scan (the
+    realistic shape — mix weights live in a config table, not a literal
+    CASE), so at 100 TB this is a broadcast-join + scan-stage filter with
+    zero shuffles; membership is a pure hash of the id, so reruns and
+    incremental loads agree row-for-row.  Output: kept rows only,
+    (doc_id, source, rate_bps).
+    """
+    keep = F.pmod(
+        hash60(F.concat(F.lit(WEIGHTED_SALT), F.col(id_col).cast("string"))),
+        F.lit(10_000),
+    )
+    return (
+        documents.join(F.broadcast(rates), group_col)
+        .filter(keep < F.col("rate_bps"))
+        .select(id_col, group_col, "rate_bps")
+    )
+
+
 DECON_NGRAM = 5  # token-shingle width for benchmark-overlap decontamination
 
 

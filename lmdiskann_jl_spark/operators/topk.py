@@ -92,6 +92,63 @@ def batch_topk(
     )
 
 
+def knn_classify(
+    queries: DataFrame,
+    vectors: DataFrame,
+    k: int = 5,
+    metric: str = "euclidean",
+    label_col: str = "label",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    vec_col: str = "vec",
+    id_col: str = "id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """k-NN majority-vote classification: each query takes the modal label of
+    its k nearest labeled vectors.  ``exclude_self`` drops id == qid matches
+    (for queries drawn from the corpus itself — leave-one-out scoring); set
+    it False when qids are not in the vectors' id space.
+
+    Same physical shape as ``batch_topk`` — broadcast queries, scan-side
+    distance, ``WindowGroupLimit``-pruned per-query top-k — plus one tiny
+    (n_queries x n_labels) vote aggregation.  Vectors are never shuffled;
+    the label ride-along adds one column to the triples.  Ties: most votes,
+    then smallest label (deterministic for the oracle hash-compare).
+
+    Returns ``(qid, pred_label, votes)``.
+    """
+    dist_fn = resolve_metric(metric)
+    from lmdiskann_jl_spark.operators.knn_join import _spread
+
+    scored = (
+        _spread(vectors.select(id_col, label_col, vec_col))
+        .crossJoin(F.broadcast(queries.select(qid_col, qvec_col)))
+    )
+    if exclude_self:
+        scored = scored.filter(F.col(id_col) != F.col(qid_col))
+    scored = (
+        scored.select(
+            qid_col,
+            id_col,
+            label_col,
+            dist_fn(F.col(vec_col), F.col(qvec_col)).alias("dist"),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    votes = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .groupBy(qid_col, label_col)
+        .agg(F.count("*").alias("votes"))
+    )
+    wv = Window.partitionBy(qid_col).orderBy(F.col("votes").desc(), F.col(label_col).asc())
+    return (
+        votes.withColumn("_vr", F.row_number().over(wv))
+        .filter(F.col("_vr") == 1)
+        .select(qid_col, F.col(label_col).alias("pred_label"), "votes")
+    )
+
+
 def recall_at_k(
     approx: DataFrame,
     exact: DataFrame,

@@ -370,6 +370,32 @@ def q_dataset_split(spark, sf_dir):
     return P.dataset_split(_t(spark, sf_dir, "documents"))
 
 
+def q_source_weighted_sample(spark, sf_dir):
+    """Domain-mix resampling: per-source keep rates live in a tiny dimension
+    broadcast into the scan; membership is a pure id hash (rerun-stable)."""
+    docs = _t(spark, sf_dir, "documents")
+    return P.weighted_sample(docs, P.source_rates(docs))
+
+
+KNN_CLASSIFY_K = 5
+
+
+def q_knn_classify(spark, sf_dir):
+    """k-NN majority-vote label prediction for the batch queries —
+    leave-one-out over the embeddings table (broadcast queries, windowed
+    top-k, tiny vote aggregation)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    from lmdiskann_jl_spark.operators.topk import knn_classify
+
+    return knn_classify(
+        queries, emb, k=KNN_CLASSIFY_K, metric="euclidean",
+        vec_col="embedding", id_col="vec_id",
+    ).select("qid", F.col("pred_label").cast("long").alias("pred_label"), "votes")
+
+
 DECON_BENCH_MOD = 97  # every 97th doc plays the held-out benchmark corpus
 
 
@@ -580,6 +606,9 @@ TPCH_Q5_DATE_LO = "1996-01-01 00:00:00"
 TPCH_Q5_DATE_HI = "1997-01-01 00:00:00"
 TPCH_Q6_DATE_LO = "1996-01-01 00:00:00"
 TPCH_Q6_DATE_HI = "1997-01-01 00:00:00"
+TPCH_Q4_DATE_LO = "1996-01-01 00:00:00"
+TPCH_Q4_DATE_HI = "1996-07-01 00:00:00"
+Q4_LATE_DAYS = 60
 
 
 def q_tpch_q1(spark, sf_dir):
@@ -776,6 +805,27 @@ def q_tpch_q6(spark, sf_dir):
         )
         .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
     )
+
+
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4-shaped correlated EXISTS: orders in a quarter-year window
+    that have at least one lineitem shipped > 60 days after the order date,
+    counted per priority.  The EXISTS compiles to a left-semi hash join on
+    orderkey with the lateness predicate as join condition — orders rows
+    stream through once, lineitem is shuffled only on its join key, and
+    the date filter is pushed to the orders scan."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(TPCH_Q4_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(TPCH_Q4_DATE_HI).cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
 
 
 def q_revenue_rollup(spark, sf_dir):
@@ -1357,6 +1407,48 @@ def _oracle_map() -> dict[str, str | None]:
               FROM documents
             )
         """,
+        "p_source_weighted_sample": f"""
+            WITH rates AS (
+              SELECT source,
+                     CAST({P.WEIGHTED_RATE_MIN_BPS} +
+                          {O.hash60(f"'{P.WEIGHTED_RATE_SALT}' || source")} % {P.WEIGHTED_RATE_SPAN_BPS}
+                          AS BIGINT) AS rate_bps
+              FROM (SELECT DISTINCT source FROM documents)
+            )
+            SELECT d.doc_id, d.source, r.rate_bps
+            FROM documents d JOIN rates r USING (source)
+            WHERE {O.hash60(f"'{P.WEIGHTED_SALT}' || CAST(doc_id AS VARCHAR)")} % 10000 < r.rate_bps
+        """,
+        "v_knn_classify": f"""
+            WITH ranked AS (
+              SELECT q.vec_id AS qid, e.vec_id AS id, e.label,
+                     row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {pair_eu.replace('a.embedding', 'e.embedding').replace('b.embedding', 'q.embedding')}, e.vec_id
+                     ) AS rnk
+              FROM embeddings e,
+                   (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {BATCH_QUERIES}) q
+              WHERE e.vec_id != q.vec_id
+            ),
+            votes AS (
+              SELECT qid, label, count(*) AS votes
+              FROM ranked WHERE rnk <= {KNN_CLASSIFY_K} GROUP BY qid, label
+            )
+            SELECT qid, CAST(label AS BIGINT) AS pred_label, votes
+            FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY votes DESC, label) AS vr
+                  FROM votes)
+            WHERE vr = 1
+        """,
+        "r_tpch_q4": f"""
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= TIMESTAMP '{TPCH_Q4_DATE_LO}'
+              AND o_orderdate < TIMESTAMP '{TPCH_Q4_DATE_HI}'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+            GROUP BY o_orderpriority
+        """,
         "p_decontaminate": f"""
             WITH tok AS (SELECT doc_id, {toks} AS t FROM documents),
             doc_sh AS (
@@ -1677,6 +1769,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_quality_filter": q_quality_filter,
         "p_dataset_split": q_dataset_split,
         "p_decontaminate": q_decontaminate,
+        "p_source_weighted_sample": q_source_weighted_sample,
+        "v_knn_classify": q_knn_classify,
         "t_repetition": q_repetition,
         "t_pii_redact": q_pii_redact,
         "m_payload_stats": q_media_payload_stats,
@@ -1688,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_tpch_q1": q_tpch_q1,
         "r_tpch_q3": q_tpch_q3,
         "r_tpch_q5": q_tpch_q5,
+        "r_tpch_q4": q_tpch_q4,
         "r_tpch_q6": q_tpch_q6,
         "r_asof_attribution": q_asof_attribution,
         "r_revenue_rollup": q_revenue_rollup,

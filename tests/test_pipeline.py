@@ -48,3 +48,29 @@ def test_quality_filter_first_failing_rule(docs):
         elif r["quality_score"] >= 0.5 and r["n_tokens"] <= 5000:
             assert r["reason"] == "ok" and r["keep"]
     assert any(r["keep"] for r in res) and any(not r["keep"] for r in res)
+
+
+def test_weighted_sample_membership_is_exact_hash(docs):
+    import hashlib
+
+    rates = P.source_rates(docs)
+    kept = P.weighted_sample(docs, rates)
+    res = kept.collect()
+    a = sorted(map(tuple, res))
+    b = sorted(map(tuple, P.weighted_sample(docs, rates).collect()))
+    assert a == b  # pure function of (id, source)
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    # rates are bounded and membership matches the documented hash rule exactly
+    rate_by_src = {r["source"]: r["rate_bps"] for r in rates.collect()}
+    for src, bps in rate_by_src.items():
+        assert P.WEIGHTED_RATE_MIN_BPS <= bps < P.WEIGHTED_RATE_MIN_BPS + P.WEIGHTED_RATE_SPAN_BPS
+        assert bps == P.WEIGHTED_RATE_MIN_BPS + h60(P.WEIGHTED_RATE_SALT + src) % P.WEIGHTED_RATE_SPAN_BPS
+    expected = {
+        (r["doc_id"], r["source"])
+        for r in docs.select("doc_id", "source").collect()
+        if h60(P.WEIGHTED_SALT + str(r["doc_id"])) % 10000 < rate_by_src[r["source"]]
+    }
+    assert {(r["doc_id"], r["source"]) for r in res} == expected

@@ -78,3 +78,23 @@ def test_recall_at_k_perfect_and_partial(spark):
     assert recall_at_k(exact, exact, k=2) == pytest.approx(1.0)
     approx = spark.createDataFrame([(1, 10), (1, 99), (2, 98), (2, 97)], "qid long, id long")
     assert recall_at_k(approx, exact, k=2) == pytest.approx(0.25)
+
+
+def test_knn_classify_majority_and_leave_one_out(spark):
+    from lmdiskann_jl_spark.operators.topk import knn_classify
+
+    # two well-separated labeled clusters
+    rows = [(i, 0, [0.0 + i * 0.01, 0.0]) for i in range(5)]
+    rows += [(10 + i, 1, [10.0 + i * 0.01, 10.0]) for i in range(5)]
+    vecs = spark.createDataFrame(rows, "id long, label long, vec array<float>")
+
+    # external query near cluster 1 (qid outside the id space)
+    q = spark.createDataFrame([(100, [10.0, 10.0])], "qid long, qvec array<float>")
+    r = knn_classify(q, vecs, k=3, exclude_self=False).collect()
+    assert len(r) == 1 and r[0]["pred_label"] == 1 and r[0]["votes"] == 3
+
+    # leave-one-out: corpus point 0 must be classified by its PEERS (its own
+    # row excluded), still label 0
+    q0 = spark.createDataFrame([(0, [0.0, 0.0])], "qid long, qvec array<float>")
+    r0 = knn_classify(q0, vecs, k=3, exclude_self=True).collect()
+    assert r0[0]["pred_label"] == 0 and r0[0]["votes"] == 3
