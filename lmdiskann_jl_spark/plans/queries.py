@@ -45,6 +45,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events_sec(ev: DataFrame) -> F.Column:
+    """Epoch-seconds for the events ``ts`` column, robust to the fixture's
+    physical type: current fixtures write parquet TIMESTAMP (micros), which
+    Spark reads as timestamp_ntz; older fixtures wrote TIMESTAMP(NANOS),
+    which Spark 4 only reads as a raw nanos long.  Session timezone is pinned
+    to UTC (session.py), so ntz -> epoch is deterministic and matches
+    DuckDB's epoch(ts)."""
+    dt = dict(ev.dtypes).get("ts")
+    if dt in ("bigint", "long"):
+        return F.expr("ts div 1000000000")
+    return F.unix_timestamp(F.col("ts").cast("timestamp"))
+
+
 def _query_vec(spark: SparkSession, sf_dir: str, vid: int = QUERY_VEC_ID) -> list[float]:
     row = (
         _t(spark, sf_dir, "embeddings")
@@ -630,18 +643,14 @@ def q_tpch_q1(spark, sf_dir):
 
 def q_events_hourly(spark, sf_dir):
     """Tumbling-window aggregation over the events stream table (batch view
-    of the Structured Streaming rollup).
-
-    The fixture stores ts as parquet TIMESTAMP(NANOS), which Spark 4 only
-    reads as a raw long (legacy.parquet.nanosAsLong); the hour bucket is then
-    exact integer arithmetic on epoch-nanos — same value as the oracle's
-    epoch(date_trunc('hour', ts)).
+    of the Structured Streaming rollup).  The hour bucket is integer
+    arithmetic on epoch-seconds — same value as the oracle's
+    epoch(date_trunc('hour', ts)) under the UTC session timezone.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(
-            (F.expr("ts div 3600000000000") * 3600).alias("bucket"),
+            ((F.floor(_events_sec(ev) / 3600) * 3600).cast("long")).alias("bucket"),
             "event_type",
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
@@ -680,7 +689,6 @@ def q_simhash_neardup(spark, sf_dir):
 def q_events_props(spark, sf_dir):
     """Semi-structured extraction: JSON props field -> typed aggregation
     (get_json_object stays JVM-side; no Python)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (
@@ -744,7 +752,6 @@ def q_asof_attribution(spark, sf_dir):
     DuckDB's native ASOF JOIN."""
     from lmdiskann_jl_spark.operators.asof import asof_join
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = _t(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
@@ -850,10 +857,8 @@ def q_user_sessions(spark, sf_dir):
     the batch twin of the stateful streaming operator."""
     from pyspark.sql import Window
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = _t(spark, sf_dir, "events").select(
-        "user_id", F.expr("ts div 1000000000").alias("sec"), "event_id"
-    )
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.select("user_id", _events_sec(ev).alias("sec"), "event_id")
     w = Window.partitionBy("user_id").orderBy(F.col("sec").asc(), F.col("event_id").asc())
     gap = F.when(
         F.col("sec") - F.lag("sec", 1).over(w) > 1800, 1

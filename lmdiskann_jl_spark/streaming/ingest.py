@@ -60,9 +60,9 @@ def stream_insert(
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        # the fixture writes TIMESTAMP(NANOS): Spark 4 reads it as raw long
-        # (legacy.parquet.nanosAsLong) — converted below via timestamp_micros
-        T.StructField("ts", T.LongType()),
+        # the fixture writes parquet TIMESTAMP (micros, no tz); session tz is
+        # pinned UTC so the cast to TimestampType below is deterministic
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -79,11 +79,10 @@ def streaming_hourly_rollup(
     """Watermarked tumbling-window rollup over a file stream of events —
     the streaming twin of plans.queries.q_events_hourly (late rows beyond the
     watermark are dropped; per-window counts/sums update incrementally)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     stream = (
         spark.readStream.schema(EVENT_SCHEMA)
         .parquet(source_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
     )
     return (
         stream.withWatermark("ts", watermark)

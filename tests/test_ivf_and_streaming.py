@@ -250,13 +250,14 @@ def test_streaming_rollup_drops_late_rows(spark, tmp_path):
     ck = str(tmp_path / "ck")
     os.makedirs(src)
     H = 3_600
-    NS = 1_000_000_000
 
     def write(name, rows):
         pd.DataFrame(
             {
                 "event_id": list(range(len(rows))),
-                "ts": [int(t * NS) for t, _ in rows],
+                "ts": pd.to_datetime([int(t) for t, _ in rows], unit="s").astype(
+                    "datetime64[us]"
+                ),
                 "user_id": [1] * len(rows),
                 "event_type": [e for _, e in rows],
                 "value": [1.0] * len(rows),
