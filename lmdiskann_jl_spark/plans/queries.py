@@ -484,6 +484,35 @@ def q_media_payload_stats(spark, sf_dir):
     )
 
 
+FRAME_EVERY_MS = 1000
+MS_PER_CHAR = 40
+
+
+def q_frame_plan(spark, sf_dir):
+    """Video frame-sampling plan through the multimodal plumbing
+    (operators/multimodal.frame_sample_plan): video-tagged payloads get a
+    deterministic duration (MS_PER_CHAR per char), and the plan explodes one
+    row per sampled frame timestamp (1 fps).  The explode runs BEFORE the
+    (stubbed) decode kernel so per-frame work distributes across executors
+    instead of hiding inside one fat row."""
+    from lmdiskann_jl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("modality"),
+        F.lit("h264").alias("codec"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        (F.col("n_chars") * MS_PER_CHAR).cast("long").alias("duration_ms"),
+    )
+    return M.frame_sample_plan(media, every_ms=FRAME_EVERY_MS).select(
+        "media_id", "frame_ts_ms"
+    )
+
+
 FILTER_LABEL = 3
 HYBRID_TERMS = ["spark", "join", "vector"]
 
@@ -593,6 +622,44 @@ def q_top_terms(spark, sf_dir):
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Corpus TF-IDF: smoothed idf = ln((N+1)/(df+1)) + 1 over document
+    frequency, summed tf.idf per (source, term), top terms per source —
+    the term-weighting step behind quality scoring and corpus mixing.
+
+    Shape: one doc-term agg (shuffle on (doc, term)), one source-term agg,
+    one equi-join tf x df on term (both sides already term-partitioned, AQE
+    reuses the exchange), and a per-source window limit.  N comes from a
+    broadcast 1-row agg, not a driver collect."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", "source", F.explode(X.tokens(F.col("text"))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "source", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = (
+        tf.groupBy("source", "term")
+        .agg(F.sum("tf").alias("tf_sum"))
+        .join(df, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "source", "term", F.round(F.col("tf_sum") * idf, 4).alias("tfidf")
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
     )
 
 
@@ -833,6 +900,134 @@ def q_tpch_q4(spark, sf_dir):
         "left_semi",
     )
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+TPCH_Q7_NATION_A = "NATION_1"
+TPCH_Q7_NATION_B = "NATION_2"
+TPCH_Q10_DATE_LO = "1996-01-01 00:00:00"
+TPCH_Q10_DATE_HI = "1996-04-01 00:00:00"
+TPCH_Q14_DATE_LO = "1996-01-01 00:00:00"
+TPCH_Q14_DATE_HI = "1996-02-01 00:00:00"
+TPCH_Q18_MIN_QTY = 250
+
+
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7-shaped volume shipping: bilateral trade between two nations
+    per year.  The only shuffle is lineitem x orders on orderkey; supplier,
+    customer, and nation are all broadcast, and the nation-pair predicate
+    prunes before the fact join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sn = supp.join(F.broadcast(n1), supp.s_nationkey == n1.s_nk).select("s_suppkey", "supp_nation")
+    cn = cust.join(F.broadcast(n2), cust.c_nationkey == n2.c_nk).select("c_custkey", "cust_nation")
+    pair_ok = (
+        (F.col("supp_nation") == TPCH_Q7_NATION_A) & (F.col("cust_nation") == TPCH_Q7_NATION_B)
+    ) | ((F.col("supp_nation") == TPCH_Q7_NATION_B) & (F.col("cust_nation") == TPCH_Q7_NATION_A))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .join(F.broadcast(cn), orders.o_custkey == cn.c_custkey)
+        .filter(pair_ok)
+    )
+    return (
+        j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year")
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10-shaped returned-item report: revenue lost to returns per
+    customer in a quarter, top 20.  One fact shuffle (lineitem x orders),
+    customer+nation broadcast, then a global top-k that compiles to
+    TakeOrderedAndProject (no full sort)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(TPCH_Q10_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(TPCH_Q10_DATE_HI).cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    # exact decimal money math: a double sum is order-sensitive at the last
+    # ulp, which flips the 2-decimal rounding (and the top-20 cut) between
+    # engines; decimals make the sum associative and the cut deterministic
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14-shaped promotion effect: share of one month's revenue from
+    PROMO parts.  part is broadcast against the date-pruned lineitem scan;
+    the conditional sum folds into one partial+final agg."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(TPCH_Q14_DATE_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(TPCH_Q14_DATE_HI).cast("timestamp"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume customers: orders whose total quantity
+    exceeds a threshold, with customer detail, top 20 by price.  The HAVING
+    compiles to one partial+final agg on the fact's own join key (no extra
+    shuffle); the qualifying-order set is tiny, so the joins back to orders
+    and customer broadcast it."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > TPCH_Q18_MIN_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
 
 
 def q_revenue_rollup(spark, sf_dir):
@@ -1641,6 +1836,91 @@ def _oracle_map() -> dict[str, str | None]:
               AND l_discount >= 0.03 AND l_discount <= 0.07
               AND l_quantity < 24
         """,
+        "r_tpch_q7": f"""
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = '{TPCH_Q7_NATION_A}' AND n2.n_name = '{TPCH_Q7_NATION_B}')
+               OR (n1.n_name = '{TPCH_Q7_NATION_B}' AND n2.n_name = '{TPCH_Q7_NATION_A}')
+            GROUP BY 1, 2, 3
+        """,
+        "r_tpch_q10": f"""
+            SELECT c_custkey, c_name, n_name, revenue FROM (
+              SELECT c_custkey, c_name, n_name,
+                     CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                          AS DOUBLE) AS revenue
+              FROM lineitem
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              WHERE l_returnflag = 'R'
+                AND o_orderdate >= TIMESTAMP '{TPCH_Q10_DATE_LO}'
+                AND o_orderdate < TIMESTAMP '{TPCH_Q10_DATE_HI}'
+              GROUP BY 1, 2, 3
+            )
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "r_tpch_q14": f"""
+            SELECT round(
+                     100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                           / sum(l_extendedprice * (1 - l_discount)), 4
+                   ) AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '{TPCH_Q14_DATE_LO}'
+              AND l_shipdate < TIMESTAMP '{TPCH_Q14_DATE_HI}'
+        """,
+        "r_tpch_q18": f"""
+            SELECT c_custkey, c_name, o_orderkey,
+                   CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+                   round(o_totalprice, 2) AS total_price, total_qty
+            FROM (
+              SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+              FROM lineitem GROUP BY 1
+              HAVING total_qty > {TPCH_Q18_MIN_QTY}
+            ) big
+            JOIN orders ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_price DESC, o_orderkey ASC
+            LIMIT 20
+        """,
+        "t_tfidf_top_terms": f"""
+            WITH tf AS (
+              SELECT doc_id, source, term, count(*) AS tf
+              FROM (SELECT doc_id, source, unnest({O.tokens('text')}) AS term FROM documents)
+              GROUP BY 1, 2, 3
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            scored AS (
+              SELECT source, term,
+                     round(tf_sum * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+              FROM (SELECT source, term, sum(tf) AS tf_sum FROM tf GROUP BY 1, 2)
+              JOIN df USING (term) CROSS JOIN n
+            )
+            SELECT source, term, tfidf,
+                   CAST(row_number() OVER (
+                     PARTITION BY source ORDER BY tfidf DESC, term ASC
+                   ) AS BIGINT) AS rank
+            FROM scored
+            QUALIFY rank <= {TFIDF_TOP_K}
+        """,
+        "m_frame_plan": f"""
+            SELECT media_id, unnest(range(0, dur, {FRAME_EVERY_MS})) AS frame_ts_ms
+            FROM (
+              SELECT doc_id AS media_id, n_chars * {MS_PER_CHAR} AS dur
+              FROM documents WHERE doc_id % 3 = 2
+            )
+        """,
         "r_revenue_rollup": """
             SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
             FROM orders
@@ -1789,6 +2069,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_tpch_q5": q_tpch_q5,
         "r_tpch_q4": q_tpch_q4,
         "r_tpch_q6": q_tpch_q6,
+        "r_tpch_q7": q_tpch_q7,
+        "r_tpch_q10": q_tpch_q10,
+        "r_tpch_q14": q_tpch_q14,
+        "r_tpch_q18": q_tpch_q18,
+        "t_tfidf_top_terms": q_tfidf_top_terms,
+        "m_frame_plan": q_frame_plan,
         "r_asof_attribution": q_asof_attribution,
         "r_revenue_rollup": q_revenue_rollup,
         "r_user_sessions": q_user_sessions,
