@@ -41,21 +41,23 @@ def build_ivf(
     """Fit centroids and assign every vector to its nearest cell.
 
     Returns (centroids(cell INT, centroid ARRAY<DOUBLE>),
-             assigned(id, vec, cell)).  KMeans runs on a driver-side sample
-    cap via MLlib (seeded — deterministic); assignment is a broadcast
-    crossJoin + window argmin, one pass over the data.
+             assigned(id, vec, cell)).  Centroid training runs driver-side
+    on a bounded seeded sample (operators/_kmeans — deterministic);
+    assignment is a broadcast crossJoin + window argmin, one distributed
+    pass over the data.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from lmdiskann_jl_spark.operators._kmeans import fit_kmeans, sample_matrix
 
-    fit_df = vectors.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    fit_vecs = vectors
     if sample_fraction:
-        fit_df = fit_df.sample(fraction=sample_fraction, seed=seed)
-    km = KMeans(k=n_cells, seed=seed, initMode="k-means||", maxIter=20)
-    model = km.fit(fit_df)
+        fit_vecs = vectors.sample(fraction=sample_fraction, seed=seed)
+    X = sample_matrix(fit_vecs, vec_col, seed=seed)
     spark = vectors.sparkSession
     centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(fit_kmeans(X, n_cells, seed=seed))
+        ],
         "cell int, centroid array<double>",
     )
     assigned = assign_cells(vectors, centroids, metric, id_col, vec_col)

@@ -48,25 +48,24 @@ def build_pq(
     centroid ARRAY<DOUBLE>) — m*k rows, broadcast-sized.
 
     ``dim`` must divide evenly by ``m`` (subspace width = dim/m).
+
+    Training runs driver-side on a bounded seeded sample (operators/_kmeans:
+    the FAISS-style contract — quantizer training saturates on a sample,
+    encoding/search stay distributed); ONE sample collect covers all m
+    subspace fits.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from lmdiskann_jl_spark.operators._kmeans import fit_kmeans, sample_matrix
 
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     width = dim // m
     spark = vectors.sparkSession
+    X = sample_matrix(vectors, vec_col, seed=seed)
     rows = []
     for sub in range(m):
-        sub_df = vectors.select(
-            array_to_vector(
-                F.slice(F.col(vec_col).cast("array<double>"), sub * width + 1, width)
-            ).alias("features")
-        )
-        model = KMeans(k=k, seed=seed + sub, initMode="k-means||", maxIter=20).fit(sub_df)
+        centers = fit_kmeans(X[:, sub * width : (sub + 1) * width], k, seed=seed + sub)
         rows.extend(
-            (sub, code, [float(x) for x in c])
-            for code, c in enumerate(model.clusterCenters())
+            (sub, code, [float(x) for x in c]) for code, c in enumerate(centers)
         )
     return spark.createDataFrame(rows, "sub int, code int, centroid array<double>")
 
@@ -243,3 +242,149 @@ def ivfpq_search(
         .orderBy(F.col("dist").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def _lut_rows(codebook_rows, queries, m: int, qid_col: str, qvec_col: str):
+    """Driver-side (qid, lut) rows: one m x n_codes squared-distance lookup
+    table per collected query (both inputs are tiny by contract)."""
+    n_codes = max(r["code"] for r in codebook_rows) + 1
+    width = len(codebook_rows[0]["centroid"])
+    out = []
+    for qr in queries:
+        q = qr[qvec_col]
+        lut = [[0.0] * n_codes for _ in range(m)]
+        for r in codebook_rows:
+            sub, code, c = r["sub"], r["code"], r["centroid"]
+            qs = q[sub * width : (sub + 1) * width]
+            lut[sub][code] = float(
+                sum((float(a) - float(b)) ** 2 for a, b in zip(qs, c))
+            )
+        out.append((int(qr[qid_col]), lut))
+    return out
+
+
+def _adc_batch_scores(codes_with_qid: DataFrame, m: int) -> F.Column:
+    """ADC distance over (codes, lut) columns — scan-stage HOF arithmetic."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("codes"),
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda code, sub: F.element_at(
+                    F.element_at(F.col("lut"), sub + 1), code + 1
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def pq_search_batch(
+    codes: DataFrame,
+    codebook: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 100,
+    m: int = DEFAULT_M,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched PQ search: per-query ADC shortlist + exact rerank for a whole
+    queries DataFrame in ONE scan job (vs one scan per query in the driver
+    loop).  The per-query LUTs are computed driver-side from the collected
+    (tiny, m x k rows) codebook and broadcast as a (qid, lut) table; each
+    code row is scored against every query's LUT inside the scan stage, a
+    per-qid window keeps ``rerank`` candidates, and only those rows' raw
+    vectors are fetched for the exact re-score.  Returns (qid, id, dist,
+    rank <= k)."""
+    from lmdiskann_jl_spark.functions.vector import resolve_metric
+
+    spark = codes.sparkSession
+    cb = codebook.collect()
+    qrows = queries.select(qid_col, qvec_col).collect()
+    luts = spark.createDataFrame(
+        _lut_rows(cb, qrows, m, qid_col, qvec_col),
+        f"{qid_col} long, lut array<array<double>>",
+    )
+    scored = codes.crossJoin(F.broadcast(luts)).select(
+        qid_col, F.col(id_col), _adc_batch_scores(codes, m).alias("adc_dist")
+    )
+    sw = Window.partitionBy(qid_col).orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+    shortlist = (
+        scored.withColumn("_rn", F.row_number().over(sw))
+        .filter(F.col("_rn") <= rerank)
+        .select(qid_col, id_col)
+    )
+    dist_fn = resolve_metric(metric)
+    exact = (
+        vectors.join(F.broadcast(shortlist), id_col)
+        .join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col)
+        .select(qid_col, F.col(id_col), dist_fn(F.col(vec_col), F.col(qvec_col)).alias("dist"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivfpq_search_batch(
+    assigned_codes: DataFrame,
+    cell_centroids: DataFrame,
+    codebook: DataFrame,
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 100,
+    m: int = DEFAULT_M,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Batched IVF+PQ: per-query cell probing (broadcast centroids, window
+    <= nprobe), one partition-pruned scan of the union of probed cells, ADC
+    scoring against each probing query's LUT, exact rerank — the production
+    batch shape.  Returns (qid, id, dist, rank <= k)."""
+    from lmdiskann_jl_spark.functions.vector import resolve_metric
+
+    dist_fn = resolve_metric(metric)
+    spark = assigned_codes.sparkSession
+    cw = Window.partitionBy(qid_col).orderBy(F.col("_cd").asc(), F.col("cell").asc())
+    probes = (
+        queries.crossJoin(F.broadcast(cell_centroids))
+        .withColumn("_cd", dist_fn(F.col(qvec_col), F.col("centroid")))
+        .withColumn("_rn", F.row_number().over(cw))
+        .filter(F.col("_rn") <= nprobe)
+        .select(qid_col, "cell")
+    )
+    cell_list = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    cb = codebook.collect()
+    qrows = queries.select(qid_col, qvec_col).collect()
+    luts = spark.createDataFrame(
+        _lut_rows(cb, qrows, m, qid_col, qvec_col),
+        f"{qid_col} long, lut array<array<double>>",
+    )
+    cand = (
+        assigned_codes.filter(F.col("cell").isin(cell_list))
+        .join(F.broadcast(probes), "cell")
+        .join(F.broadcast(luts), qid_col)
+    )
+    scored = cand.select(qid_col, F.col(id_col), _adc_batch_scores(cand, m).alias("adc_dist"))
+    sw = Window.partitionBy(qid_col).orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+    shortlist = (
+        scored.withColumn("_rn", F.row_number().over(sw))
+        .filter(F.col("_rn") <= rerank)
+        .select(qid_col, id_col)
+    )
+    exact = (
+        vectors.join(F.broadcast(shortlist), id_col)
+        .join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col)
+        .select(qid_col, F.col(id_col), dist_fn(F.col(vec_col), F.col(qvec_col)).alias("dist"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
+    return exact.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

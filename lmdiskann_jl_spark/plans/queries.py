@@ -1074,33 +1074,45 @@ def q_user_sessions(spark, sf_dir):
 # ----------------------------------------- approximate ops (rows-only gate)
 
 
+RECALL_QIDS = [0, 100, 200, 300, 400]
+
+
+def _recall_queries(emb: DataFrame) -> DataFrame:
+    """The fixed probe set for the approximate-path recall gates, as a
+    (qid, qvec) DataFrame — consumed by the batch search ops so the whole
+    gate runs as a constant number of jobs regardless of query count."""
+    return emb.filter(F.col("id").isin(RECALL_QIDS)).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+
+
 def q_ivf_recall(spark, sf_dir):
-    """recall@10 of IVF search (nprobe=4 of 16 cells) vs the exact scan —
+    """recall@10 of IVF search (nprobe=6 of 16 cells) vs the exact scan —
     reference bar >= 0.70.  KMeans is seeded/deterministic but not
-    SQL-expressible -> rows-only gate."""
-    from lmdiskann_jl_spark.operators.ivf import build_ivf, ivf_search
+    SQL-expressible -> rows-only gate.  Batched shape: all probe queries run
+    as ONE partition-pruned scan job (ivf_search_batch), the exact baseline
+    as ONE batch_topk job — no per-query driver loop."""
+    from lmdiskann_jl_spark.operators.ivf import build_ivf, ivf_search_batch
 
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     ).cache()
     centroids, assigned = build_ivf(emb, n_cells=16)
-    assigned = assigned.cache()
-    hits = 0.0
-    qids = [0, 100, 200, 300, 400]
-    for qid in qids:
-        q = [float(x) for x in emb.filter(F.col("id") == qid).collect()[0]["vec"]]
-        exact_ids = {r["id"] for r in exact_topk(emb, q, k=10, metric="euclidean").collect()}
-        ivf_ids = {r["id"] for r in ivf_search(assigned, centroids, q, k=10, nprobe=4).collect()}
-        hits += len(exact_ids & ivf_ids) / 10.0
-    return spark.createDataFrame([(hits / len(qids),)], "recall double")
+    qdf = _recall_queries(emb)
+    exact = batch_topk(qdf, emb, k=10, metric="euclidean")
+    approx = ivf_search_batch(assigned, centroids, qdf, k=10, nprobe=6)
+    r = recall_at_k(approx, exact, k=10)
+    return spark.createDataFrame([(float(r),)], "recall double")
 
 
 def q_pq_recall(spark, sf_dir):
     """recall@10 of PQ-compressed search (32x compression: m=8 subspaces,
     32 codewords each, ADC shortlist + exact rerank of 100) vs the exact
     scan — reference bar >= 0.70.  KMeans codebooks are seeded/deterministic
-    but not SQL-expressible -> rows-only gate."""
-    from lmdiskann_jl_spark.operators.pq import build_pq, pq_encode, pq_search
+    but not SQL-expressible -> rows-only gate.  Batched shape: one compressed
+    ADC scan scores every query (pq_search_batch), one batch_topk for the
+    exact baseline — no per-query driver loop."""
+    from lmdiskann_jl_spark.operators.pq import build_pq, pq_encode, pq_search_batch
 
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
@@ -1108,22 +1120,21 @@ def q_pq_recall(spark, sf_dir):
     dim = 64
     cb = build_pq(emb, dim=dim).cache()
     codes = pq_encode(emb, cb, dim=dim).cache()
-    hits = 0.0
-    qids = [0, 100, 200, 300, 400]
-    for qid in qids:
-        q = [float(x) for x in emb.filter(F.col("id") == qid).collect()[0]["vec"]]
-        exact_ids = {r["id"] for r in exact_topk(emb, q, k=10, metric="euclidean").collect()}
-        got = {r["id"] for r in pq_search(codes, cb, emb, q, k=10, rerank=100).collect()}
-        hits += len(exact_ids & got) / 10.0
-    return spark.createDataFrame([(hits / len(qids),)], "recall double")
+    qdf = _recall_queries(emb)
+    exact = batch_topk(qdf, emb, k=10, metric="euclidean")
+    approx = pq_search_batch(codes, cb, emb, qdf, k=10, rerank=100)
+    r = recall_at_k(approx, exact, k=10)
+    return spark.createDataFrame([(float(r),)], "recall double")
 
 
 def q_ivfpq_recall(spark, sf_dir):
     """recall@10 of the composed IVF+PQ path (cell pruning + compressed ADC
     scoring + exact rerank — the production ANN shape) vs the exact scan —
-    reference bar >= 0.70.  Rows-only gate (KMeans not SQL-expressible)."""
+    reference bar >= 0.70.  Rows-only gate (KMeans not SQL-expressible).
+    Batched shape: per-query probes + one pruned ADC scan + one rerank job
+    for ALL queries (ivfpq_search_batch) — no per-query driver loop."""
     from lmdiskann_jl_spark.operators.ivf import build_ivf
-    from lmdiskann_jl_spark.operators.pq import build_pq, ivfpq_search, pq_encode
+    from lmdiskann_jl_spark.operators.pq import build_pq, ivfpq_search_batch, pq_encode
 
     emb = _t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
@@ -1133,19 +1144,13 @@ def q_ivfpq_recall(spark, sf_dir):
     codes = pq_encode(emb, cb, dim=dim)
     cell_centroids, assigned = build_ivf(emb, n_cells=16)
     assigned_codes = assigned.select("id", "cell").join(codes, "id").cache()
-    hits = 0.0
-    qids = [0, 100, 200, 300, 400]
-    for qid in qids:
-        q = [float(x) for x in emb.filter(F.col("id") == qid).collect()[0]["vec"]]
-        exact_ids = {r["id"] for r in exact_topk(emb, q, k=10, metric="euclidean").collect()}
-        got = {
-            r["id"]
-            for r in ivfpq_search(
-                assigned_codes, cell_centroids, cb, emb, q, k=10, nprobe=6, rerank=100
-            ).collect()
-        }
-        hits += len(exact_ids & got) / 10.0
-    return spark.createDataFrame([(hits / len(qids),)], "recall double")
+    qdf = _recall_queries(emb)
+    exact = batch_topk(qdf, emb, k=10, metric="euclidean")
+    approx = ivfpq_search_batch(
+        assigned_codes, cell_centroids, cb, emb, qdf, k=10, nprobe=6, rerank=100
+    )
+    r = recall_at_k(approx, exact, k=10)
+    return spark.createDataFrame([(float(r),)], "recall double")
 
 
 def q_lsh_knn(spark, sf_dir):
