@@ -633,10 +633,14 @@ def q_tfidf_top_terms(spark, sf_dir):
     frequency, summed tf.idf per (source, term), top terms per source —
     the term-weighting step behind quality scoring and corpus mixing.
 
-    Shape: one doc-term agg (shuffle on (doc, term)), one source-term agg,
-    one equi-join tf x df on term (both sides already term-partitioned, AQE
-    reuses the exchange), and a per-source window limit.  N comes from a
-    broadcast 1-row agg, not a driver collect."""
+    Shape — ONE corpus scan, no self-join: each document has exactly one
+    source, so document frequency per term is the sum of per-(term, source)
+    doc counts — a window over the term-partitioned aggregate instead of a
+    tf x df join that would rescan the corpus.  The repartition("term")
+    exchange satisfies BOTH the (term, source) grouping and the term-window
+    clustering, so the agg and the df window run on one shuffle.  N comes
+    from a broadcast 1-row count (parquet footer scan), not a driver
+    collect."""
     from pyspark.sql import Window
 
     docs = _t(spark, sf_dir, "documents")
@@ -644,17 +648,16 @@ def q_tfidf_top_terms(spark, sf_dir):
         "doc_id", "source", F.explode(X.tokens(F.col("text"))).alias("term")
     )
     tf = terms.groupBy("doc_id", "source", "term").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    st = (
+        tf.repartition("term")
+        .groupBy("term", "source")
+        .agg(F.sum("tf").alias("tf_sum"), F.count("*").alias("docs_in_src"))
+    )
     n_docs = docs.agg(F.count("*").alias("n_docs"))
-    idf = F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0
-    scored = (
-        tf.groupBy("source", "term")
-        .agg(F.sum("tf").alias("tf_sum"))
-        .join(df, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "source", "term", F.round(F.col("tf_sum") * idf, 4).alias("tfidf")
-        )
+    df_col = F.sum("docs_in_src").over(Window.partitionBy("term"))
+    idf = F.log((F.col("n_docs") + 1.0) / (df_col + 1.0)) + 1.0
+    scored = st.crossJoin(F.broadcast(n_docs)).select(
+        "source", "term", F.round(F.col("tf_sum") * idf, 4).alias("tfidf")
     )
     w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("term").asc())
     return (
