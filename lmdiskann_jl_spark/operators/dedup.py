@@ -563,3 +563,77 @@ def dup_clusters(
         F.count("*").over(w).alias("cluster_size"),
         (F.col(id_col) == F.col("cluster_id")).alias("keep"),
     )
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    assign_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style cluster-pruned semantic near-dup (Abbas et al. 2023,
+    arXiv:2303.09540): coarse k-means buckets the corpus so candidate pairs
+    are generated WITHIN cells only — the pairwise work drops from n^2 to
+    ~n^2/n_cells — then exact cosine verifies every reported pair.
+
+    Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= threshold —
+    same schema as ``embedding_neardup_pairs`` (precision is exact; recall
+    is approximate, the SemDeDup contract).
+
+    Scale shape: centroids are sample-trained driver-side (operators/
+    _kmeans) and broadcast; assignment is one scan-stage argmin pass.  Each
+    vector lands in its ``assign_probes`` nearest cells (multi-probe
+    assignment recovers cell-boundary pairs that within-one-cell SemDeDup
+    misses); the candidate join is an equi-join on cell — never all-pairs —
+    and pair duplicates from shared probes collapse before the verify.
+    Vectors for cosine semantics are L2-normalized before clustering, so
+    euclidean cell geometry matches the cosine metric.
+    """
+    from lmdiskann_jl_spark.functions.vector import l2_norm
+    from lmdiskann_jl_spark.operators._kmeans import fit_kmeans, sample_matrix
+
+    spark = embeddings.sparkSession
+    emb = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
+        ).alias("nvec"),
+    )
+    X = sample_matrix(emb, "nvec", seed=seed)
+    centers = fit_kmeans(X, n_cells, seed=seed)
+    centroids = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            "cell int, centroid array<double>",
+        )
+    )
+    from lmdiskann_jl_spark.functions.vector import sq_euclidean_distance
+
+    w = Window.partitionBy("id").orderBy(F.col("_d").asc(), F.col("cell").asc())
+    assigned = (
+        emb.crossJoin(centroids)
+        .withColumn("_d", sq_euclidean_distance(F.col("nvec"), F.col("centroid")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= assign_probes)
+        .select("id", "vec", "cell")
+        .persist()
+    )
+    assigned.count()  # eager: both self-join branches must reuse, not recompute
+    a = assigned.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "cell")
+    b = assigned.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "cell")
+    cand = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

@@ -301,6 +301,24 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     )
 
 
+SEMANTIC_DEDUP_COS = 0.45
+SEMANTIC_DEDUP_CELLS = 8
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style cluster-pruned semantic near-dup (operators/dedup.
+    semantic_dedup_pairs): coarse k-means cells bound the pairwise work to
+    ~n^2/n_cells, multi-probe assignment recovers cell-boundary pairs, exact
+    cosine verifies every reported pair.  Rows-only gate (k-means is not
+    SQL-expressible); quality is gated by the pytest planted-dup recall test
+    against the brute pairs."""
+    return D.semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=SEMANTIC_DEDUP_COS,
+        n_cells=SEMANTIC_DEDUP_CELLS,
+    )
+
+
 # ------------------------------------------------------------ text analysis
 
 
@@ -1971,6 +1989,7 @@ def _oracle_map() -> dict[str, str | None]:
         "a_lsh_recall": None,
         "a_ivf_recall": None,
         "a_embedding_neardup_lsh": None,
+        "a_semantic_dedup": None,
     }
 
 
@@ -2046,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "d_embedding_neardup": q_embedding_neardup,
         "a_embedding_neardup_lsh": q_embedding_neardup_lsh,
+        "a_semantic_dedup": q_semantic_dedup,
         "v_filtered_topk": q_filtered_topk,
         "v_hybrid_search": q_hybrid_search,
         "v_label_centroids": q_label_centroids,

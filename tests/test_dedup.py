@@ -164,3 +164,36 @@ def test_dup_clusters_transitive_closure(spark):
     # exactly one canonical keeper per cluster, min-id policy
     assert [i for i in (1, 2, 3) if res[i]["keep"]] == [1]
     assert [i for i in (7, 8, 9) if res[i]["keep"]] == [7]
+
+
+def test_semantic_dedup_recall_on_planted_dups(spark):
+    """SemDeDup-style cluster-pruned near-dup: on planted near-duplicates
+    (cos >= ~0.95) among background noise, the cell-bucketed path must
+    recover >= 90% of the brute pairs (the SemDeDup approximate-recall
+    contract), report ONLY true pairs (precision 1.0 — exact cosine verify),
+    and never fall back to an all-pairs plan."""
+    import random as pyrandom
+
+    rng = pyrandom.Random(321)
+    dim, n_base = 16, 400
+    rows = []
+    for i in range(n_base):
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, v))
+        if i % 8 == 0:
+            rows.append((10_000 + i, [x + rng.gauss(0, 0.02) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+    brute = D.embedding_neardup_pairs(df, threshold=0.9, method="brute")
+    sem = D.semantic_dedup_pairs(df, threshold=0.9, n_cells=8)
+    got = {(r["id_a"], r["id_b"]) for r in sem.collect()}
+    want = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    assert len(want) >= 50
+    assert got <= want  # precision 1.0: every reported pair is a true pair
+    assert len(got & want) / len(want) >= 0.9  # approximate recall contract
+    plan = sem._jdf.queryExecution().executedPlan().toString()
+    # the bounded centroid-assignment crossJoin (n_cells broadcast rows per
+    # vector) is the only permitted nested loop; the candidate PAIR join must
+    # compile to an equi-join on cell — never an all-pairs product
+    assert "CartesianProduct" not in plan
+    assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
