@@ -330,3 +330,82 @@ def chunk_documents(
             "chunk_text",
         )
     )
+
+
+MIX_SALT = "mix:"
+MIX_BUDGET_NUM = 1  # target corpus = 1/2 of total tokens, split uniformly
+MIX_BUDGET_DEN = 2
+MIX_ORDER_BUCKETS = 64
+
+
+def token_budget_mix(
+    documents: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget corpus mixing: materialize a target mixture by filling a
+    per-source token budget in a deterministic pseudo-random document order.
+
+    The budget is uniform across sources: total_tokens * NUM/DEN div
+    n_sources (integer math — exact in any engine).  Documents are ordered
+    per source by a salted 60-bit hash of their id (a deterministic
+    shuffle); a document is kept iff the cumulative token count BEFORE it is
+    under the budget, so each source fills its quota with at most one
+    overflowing document.  Over-represented sources are down-sampled to the
+    quota; small sources pass through whole — the classic pretraining-mix
+    rebalance.
+
+    Scale shape — the cumulative sum is TWO-LEVEL, never one partition per
+    source: the hash order key is range-bucketed (bucket = r div W, monotone
+    in r), per-(source, bucket) token totals aggregate to a tiny table whose
+    running offsets broadcast back, and the within-bucket cumsum windows on
+    (source, bucket) — parallelism n_sources x MIX_ORDER_BUCKETS instead of
+    n_sources.  Output: (doc_id, source, n_tokens, cum_tokens), where
+    cum_tokens equals the single-partition global cumsum by construction.
+    """
+    from lmdiskann_jl_spark.functions.text import HASH_MOD, hash60, token_counts
+
+    width = (HASH_MOD + MIX_ORDER_BUCKETS - 1) // MIX_ORDER_BUCKETS
+    t = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(group_col).alias("source"),
+        token_counts(F.col(text_col))["n_bpe_tokens"].alias("t"),
+        F.pmod(
+            hash60(F.concat(F.lit(MIX_SALT), F.col(id_col).cast("string"))),
+            F.lit(HASH_MOD),
+        ).alias("r"),
+    ).withColumn("bucket", F.expr(f"r div {width}"))
+
+    bucket_tot = t.groupBy("source", "bucket").agg(F.sum("t").alias("bt"))
+    bw = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = bucket_tot.select(
+        "source", "bucket", F.coalesce(F.sum("bt").over(bw), F.lit(0)).alias("offset")
+    )
+    budget = (
+        t.groupBy("source")
+        .agg(F.sum("t").alias("st"))
+        .agg(
+            F.expr(
+                f"(sum(st) * {MIX_BUDGET_NUM}) div ({MIX_BUDGET_DEN} * count(*))"
+            ).alias("budget")
+        )
+    )
+    iw = (
+        Window.partitionBy("source", "bucket")
+        .orderBy(F.col("r").asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        t.join(F.broadcast(offsets), ["source", "bucket"])
+        .withColumn("cum_tokens", (F.col("offset") + F.sum("t").over(iw)).cast("long"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(budget))
+        .filter(F.col("cum_tokens") - F.col("t") < F.col("budget"))
+        .select("doc_id", "source", F.col("t").alias("n_tokens"), "cum_tokens")
+    )

@@ -40,6 +40,17 @@ def hash_mod(e: str) -> str:
     return f"({hash60(e)} % {HASH_MOD})"
 
 
+def bpe_tokens(e: str) -> str:
+    """Mirror of functions.text.token_counts['n_bpe_tokens']: alpha runs
+    count ceil(len/4) pieces, digits/symbols one each."""
+    return (
+        f"CAST(COALESCE(list_sum(list_transform("
+        f"list_filter(string_split_regex(lower({e}), '[^a-z]+'), x -> x != ''),"
+        f" t -> CAST(ceil(length(t) / 4.0) AS INT))), 0)"
+        f" + length(regexp_replace(lower({e}), '[a-z\\s]', '', 'g')) AS BIGINT)"
+    )
+
+
 def dlist(e: str) -> str:
     """Cast a FLOAT[] to DOUBLE[] element-wise."""
     return f"list_transform({e}, x -> CAST(x AS DOUBLE))"

@@ -408,6 +408,15 @@ def q_source_weighted_sample(spark, sf_dir):
     return P.weighted_sample(docs, P.source_rates(docs))
 
 
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budget corpus mixing (operators/pipeline.token_budget_mix):
+    fill a uniform per-source token quota in deterministic hash order — the
+    pretraining-mix rebalance.  The global cumsum is computed two-level
+    (range-bucketed offsets + within-bucket windows), never one partition
+    per source."""
+    return P.token_budget_mix(_t(spark, sf_dir, "documents"))
+
+
 KNN_CLASSIFY_K = 5
 
 
@@ -640,6 +649,30 @@ def q_top_terms(spark, sf_dir):
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
+    )
+
+
+def q_unigram_logprob(spark, sf_dir):
+    """Per-document mean unigram log-probability under the corpus unigram
+    distribution — the classic cheap LM-quality signal (gibberish and
+    rare-token-stuffed documents score low).  Inherently two-pass: pass 1
+    builds the term dictionary (one exploded agg; the 1-row total broadcast
+    from a tiny agg, not a window), pass 2 re-joins tokens to the dictionary
+    on term and averages per doc.  Dictionary and scoring shuffles are both
+    keyed on high-cardinality keys (term, doc_id) — no single-partition
+    stage at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    dict_df = toks.groupBy("term").agg(F.count("*").alias("n"))
+    total = dict_df.agg(F.sum("n").alias("total"))
+    scored = (
+        toks.join(dict_df, "term")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log(F.col("n") / F.col("total")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        F.round(F.avg("lp"), 4).alias("mean_logprob"),
     )
 
 
@@ -1645,6 +1678,27 @@ def _oracle_map() -> dict[str, str | None]:
             FROM documents d JOIN rates r USING (source)
             WHERE {O.hash60(f"'{P.WEIGHTED_SALT}' || CAST(doc_id AS VARCHAR)")} % 10000 < r.rate_bps
         """,
+        "p_token_budget_mix": f"""
+            WITH t AS (
+              SELECT doc_id, source, {O.bpe_tokens('text')} AS t,
+                     {O.hash60(f"'{P.MIX_SALT}' || CAST(doc_id AS VARCHAR)")} % {O.HASH_MOD} AS r
+              FROM documents
+            ),
+            b AS (
+              SELECT (sum(st) * {P.MIX_BUDGET_NUM}) // ({P.MIX_BUDGET_DEN} * count(*)) AS budget
+              FROM (SELECT source, sum(t) AS st FROM t GROUP BY 1)
+            ),
+            s AS (
+              SELECT doc_id, source, t,
+                     sum(t) OVER (
+                       PARTITION BY source ORDER BY r, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS cum
+              FROM t
+            )
+            SELECT doc_id, source, t AS n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+            FROM s, b WHERE cum - t < budget
+        """,
         "v_knn_classify": f"""
             WITH ranked AS (
               SELECT q.vec_id AS qid, e.vec_id AS id, e.label,
@@ -1919,6 +1973,17 @@ def _oracle_map() -> dict[str, str | None]:
             ORDER BY total_price DESC, o_orderkey ASC
             LIMIT 20
         """,
+        "t_unigram_logprob": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({O.tokens('text')}) AS term FROM documents
+            ),
+            dict AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+            tot AS (SELECT sum(n) AS total FROM dict)
+            SELECT doc_id, count(*) AS n_toks,
+                   round(avg(ln(CAST(n AS DOUBLE) / total)), 4) AS mean_logprob
+            FROM toks JOIN dict USING (term) CROSS JOIN tot
+            GROUP BY 1
+        """,
         "t_tfidf_top_terms": f"""
             WITH tf AS (
               SELECT doc_id, source, term, count(*) AS tf
@@ -2083,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_dataset_split": q_dataset_split,
         "p_decontaminate": q_decontaminate,
         "p_source_weighted_sample": q_source_weighted_sample,
+        "p_token_budget_mix": q_token_budget_mix,
         "v_knn_classify": q_knn_classify,
         "t_repetition": q_repetition,
         "t_pii_redact": q_pii_redact,
@@ -2102,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_tpch_q14": q_tpch_q14,
         "r_tpch_q18": q_tpch_q18,
         "t_tfidf_top_terms": q_tfidf_top_terms,
+        "t_unigram_logprob": q_unigram_logprob,
         "m_frame_plan": q_frame_plan,
         "r_asof_attribution": q_asof_attribution,
         "r_revenue_rollup": q_revenue_rollup,
