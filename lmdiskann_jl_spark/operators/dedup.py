@@ -484,6 +484,65 @@ def embedding_neardup_pairs(
     )
 
 
+def _cc_star_labels(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected-component labels via alternating large-star / small-star
+    edge rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC 2014) — O(log n) rounds on ANY topology, vs the
+    O(diameter) sweeps of min-label propagation.
+
+    ``edges``: (u, v) undirected pair list (self-loops ignored).  Returns
+    (nid, lbl) for every node APPEARING IN AN EDGE, lbl = component min.
+
+    large-star: every node points its larger neighbors at its smallest
+    neighbor-or-self; small-star: canonical (hi -> lo) adjacency collapses
+    onto the minimum.  Both are one groupBy + one join per round on the
+    CURRENT edge set (which only shrinks toward the star forest), and the
+    loop exits when a round leaves the edge set unchanged — checked
+    exactly with two anti-joins, not a checksum."""
+    cur = (
+        edges.select(F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # large-star over the full symmetric adjacency
+        adj = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = adj.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        large = (
+            adj.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+        )
+        # small-star over canonical (hi -> lo) edges
+        canon = large.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        smins = canon.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            canon.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smins.select(F.col("u"), F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        unchanged = (
+            small.exceptAll(cur).isEmpty() and cur.exceptAll(small).isEmpty()
+        )
+        cur = small
+        if unchanged:
+            break
+    # star forest: every (u, v) edge has v = component min
+    return (
+        cur.select(F.col("u").alias("nid"), F.col("v").alias("lbl"))
+        .union(cur.select(F.col("v").alias("nid"), F.col("v").alias("lbl")))
+        .groupBy("nid")
+        .agg(F.min("lbl").alias("lbl"))
+    )
+
+
 def dup_clusters(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -491,6 +550,7 @@ def dup_clusters(
     pair_b: str = "doc_b",
     id_col: str = "doc_id",
     max_iter: int = 50,
+    algorithm: str = "sweep",
 ) -> DataFrame:
     """Connected components over near-duplicate pairs -> dedup clusters.
 
@@ -512,14 +572,35 @@ def dup_clusters(
     ``localCheckpoint`` truncates the plan lineage so iteration N does not
     replay sweeps 1..N-1, and the loop exits as soon as a sweep changes no
     label (worst-case path graphs are bounded by ``max_iter``).  For
-    adversarial deep components at scale, swap the sweep for the
-    large-star/small-star edge rewrite (O(log n) rounds) — same output
-    contract.
+    adversarial deep components, ``algorithm='star'`` switches to the
+    large-star/small-star edge rewrite (``_cc_star_labels``, O(log n)
+    rounds on any topology) — identical output contract, test-asserted
+    equal to the sweep.
 
     The DuckDB oracle computes the same closure via WITH RECURSIVE
     reachability, so this is hash-gated end to end (plans/queries.py
     ``d_dup_clusters``).
     """
+    if algorithm == "star":
+        star = _cc_star_labels(
+            pairs.select(F.col(pair_a).alias("u"), F.col(pair_b).alias("v")),
+            max_iter=max_iter,
+        )
+        labels = (
+            nodes.select(F.col(id_col).alias("nid"))
+            .join(star, "nid", "left")
+            .select("nid", F.coalesce(F.col("lbl"), F.col("nid")).alias("lbl"))
+        )
+        w = Window.partitionBy("cluster_id")
+        return labels.select(
+            F.col("nid").alias(id_col), F.col("lbl").alias("cluster_id")
+        ).select(
+            id_col,
+            "cluster_id",
+            F.count("*").over(w).alias("cluster_size"),
+            (F.col(id_col) == F.col("cluster_id")).alias("keep"),
+        )
+
     edges = (
         pairs.select(F.col(pair_a).alias("src"), F.col(pair_b).alias("dst"))
         .union(pairs.select(F.col(pair_b).alias("src"), F.col(pair_a).alias("dst")))

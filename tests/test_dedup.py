@@ -197,3 +197,36 @@ def test_semantic_dedup_recall_on_planted_dups(spark):
     # compile to an equi-join on cell — never an all-pairs product
     assert "CartesianProduct" not in plan
     assert any(j in plan for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin"))
+
+
+def test_star_cc_matches_sweep_and_handles_deep_paths(spark):
+    """large-star/small-star CC must (a) agree exactly with the min-label
+    sweep on a mixed random graph and (b) label a 2,000-node path graph —
+    diameter 2,000, where the sweep's O(diameter) iterations are hopeless —
+    within its O(log n) round budget."""
+    import random as pyrandom
+
+    rng = pyrandom.Random(7)
+    # mixed graph: cliques, stars, a short chain, singletons
+    pairs = []
+    for base in range(0, 60, 10):  # six 4-cliques
+        ids = [base + i for i in range(4)]
+        pairs += [(a, b) for a in ids for b in ids if a < b]
+    pairs += [(100, 100 + i) for i in range(1, 6)]  # star
+    pairs += [(200 + i, 201 + i) for i in range(5)]  # chain
+    pairs += [(rng.randrange(300), rng.randrange(300)) for _ in range(30)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    pdf = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    ndf = spark.createDataFrame([(i,) for i in range(320)], "doc_id long")
+
+    sweep = D.dup_clusters(pdf, ndf).collect()
+    star = D.dup_clusters(pdf, ndf, algorithm="star").collect()
+    assert {tuple(r) for r in sweep} == {tuple(r) for r in star}
+
+    # deep path: 0-1-2-...-1999
+    n = 2_000
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long")
+    cnodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = D.dup_clusters(chain, cnodes, algorithm="star", max_iter=30).collect()
+    assert all(r["cluster_id"] == 0 and r["cluster_size"] == n for r in out)
+    assert sum(r["keep"] for r in out) == 1
