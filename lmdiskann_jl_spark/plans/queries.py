@@ -264,6 +264,17 @@ def q_dup_clusters(spark, sf_dir):
     return D.dup_clusters(pairs, docs.select("doc_id"))
 
 
+def q_dup_clusters_star(spark, sf_dir):
+    """Same transitive closure as d_dup_clusters, computed by the
+    large-star/small-star edge rewrite (O(log n) rounds — the deep-component
+    scale path) instead of min-label sweeps.  Shares d_dup_clusters'
+    WITH RECURSIVE oracle: the hash-match proves the two algorithms AND the
+    recursive closure agree row-for-row."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs)
+    return D.dup_clusters(pairs, docs.select("doc_id"), algorithm="star")
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=JACCARD_T)
 
@@ -1287,7 +1298,7 @@ def _oracle_map() -> dict[str, str | None]:
       )
     """
 
-    return {
+    m = {
         "v_exact_topk_euclidean": f"""
             SELECT e.vec_id, round({eu}, 4) AS dist
             FROM embeddings e, {_QV}
@@ -2056,6 +2067,10 @@ def _oracle_map() -> dict[str, str | None]:
         "a_embedding_neardup_lsh": None,
         "a_semantic_dedup": None,
     }
+    # the star-CC variant computes the SAME closure — sharing the recursive
+    # oracle hash-gates both algorithms against each other and against SQL
+    m["d_dup_clusters_star"] = m["d_dup_clusters"]
+    return m
 
 
 def _quality_oracle() -> str:
@@ -2125,6 +2140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash": q_simhash,
         "d_simhash_neardup": q_simhash_neardup,
         "d_dup_clusters": q_dup_clusters,
+        "d_dup_clusters_star": q_dup_clusters_star,
         "r_events_props": q_events_props,
         "d_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "d_ngram_jaccard_capped": q_ngram_jaccard_capped,
