@@ -551,6 +551,37 @@ def q_frame_plan(spark, sf_dir):
     )
 
 
+def q_extract_features(spark, sf_dir):
+    """The multimodal decode/feature-extract stage (operators/multimodal.
+    extract_features): opaque binary payloads through an Arrow-batched
+    mapInPandas kernel, partitioned by byte budget (binary rows are fat —
+    row-count partitioning skews task memory).  The decode kernel is the
+    documented deterministic stub (codec libraries absent here); the
+    Spark-side plumbing — schema, batching, partition sizing — is the real
+    path.  Rows-only gate: the kernel is imperative Python by design."""
+    from lmdiskann_jl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    media = M.attach_media_metadata(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio")
+            .otherwise("video")
+            .alias("modality"),
+            F.lit("raw").alias("codec"),
+            F.encode(F.col("text"), "UTF-8").alias("payload"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        )
+    )
+    feats = M.extract_features(media)
+    return feats.select(
+        "media_id", "modality", F.round(F.element_at("features", 1), 6).alias("f0")
+    )
+
+
 FILTER_LABEL = 3
 HYBRID_TERMS = ["spark", "join", "vector"]
 
@@ -2066,6 +2097,7 @@ def _oracle_map() -> dict[str, str | None]:
         "a_ivf_recall": None,
         "a_embedding_neardup_lsh": None,
         "a_semantic_dedup": None,
+        "a_extract_features": None,
     }
     # the star-CC variant computes the SAME closure — sharing the recursive
     # oracle hash-gates both algorithms against each other and against SQL
@@ -2147,6 +2179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_embedding_neardup": q_embedding_neardup,
         "a_embedding_neardup_lsh": q_embedding_neardup_lsh,
         "a_semantic_dedup": q_semantic_dedup,
+        "a_extract_features": q_extract_features,
         "v_filtered_topk": q_filtered_topk,
         "v_hybrid_search": q_hybrid_search,
         "v_label_centroids": q_label_centroids,
