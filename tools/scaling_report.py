@@ -1,0 +1,101 @@
+"""Empirical scaling evidence: run representative queries at sf0.001 / 0.01 /
+0.1 (100x row-count spread) and report the observed time ratio per 10x of
+data.  A near-flat ratio (<< 10) at the tail means the query is dominated by
+fixed plan/JVM overhead at these SFs; a ratio near 10 is linear scaling; a
+ratio well above 10 flags a super-linear plan that would NOT survive 100x.
+
+Writes SCALING.md at the repo root.
+
+Usage: python3 tools/scaling_report.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+
+# one representative per physical shape (scan-agg, shuffle-join, window,
+# inverted-index join, banded join, LSH bucketing, explode-heavy, cumsum)
+DEFAULT = [
+    "r_tpch_q1",
+    "r_tpch_q3",
+    "r_user_sessions",
+    "r_asof_attribution",
+    "d_dedup_exact",
+    "d_minhash_signatures",
+    "d_minhash_lsh_pairs",
+    "d_simhash_neardup",
+    "d_ngram_jaccard_capped",
+    "d_dup_clusters_star",
+    "t_quality_score",
+    "t_tfidf_top_terms",
+    "t_unigram_logprob",
+    "p_token_budget_mix",
+    "p_pack_sequences",
+    "v_exact_topk_euclidean",
+    "v_batch_topk",
+    "a_lsh_knn",
+    "m_frame_plan",
+]
+
+
+def main() -> int:
+    only = sys.argv[1:] or DEFAULT
+
+    import __spark_entry__ as entry
+    from lmdiskann_jl_spark.session import get_spark
+
+    spark = get_spark(app_name="scaling-report")
+    qs = entry.queries()
+    # warm JVM + parquet footers
+    for sf in SFS:
+        spark.read.parquet(f"{sf}/embeddings.parquet").count()
+
+    rows = []
+    for name in only:
+        times = []
+        for sf in SFS:
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, sf).count()
+                el = time.time() - t0
+                best = el if best is None else min(best, el)
+            times.append(best)
+        r1 = times[1] / times[0] if times[0] > 0 else float("nan")
+        r2 = times[2] / times[1] if times[1] > 0 else float("nan")
+        rows.append((name, *times, r1, r2))
+        print(f"{name}: {times[0]:.2f}s / {times[1]:.2f}s / {times[2]:.2f}s "
+              f"(x10 ratios {r1:.2f}, {r2:.2f})", file=sys.stderr)
+
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
+    with open(out, "w") as f:
+        f.write(
+            "# SCALING — measured wall time vs data size\n\n"
+            "Best-of-2 per (query, sf) on local[32]; each sf step is 10x the\n"
+            "rows.  `ratio` columns = time multiplier per 10x of data: << 10\n"
+            "means fixed-overhead-bound at this scale, ~10 linear, >> 10 a\n"
+            "super-linear plan that would not survive 100x.  The interesting\n"
+            "column is the LAST ratio (0.01 -> 0.1), where data begins to\n"
+            "dominate the constant term.\n\n"
+            "| query | sf0.001 s | sf0.01 s | sf0.1 s | ratio 10x | ratio 100x |\n"
+            "|---|---|---|---|---|---|\n"
+        )
+        for name, t0, t1, t2, r1, r2 in rows:
+            f.write(f"| {name} | {t0:.2f} | {t1:.2f} | {t2:.2f} | {r1:.2f} | {r2:.2f} |\n")
+        worst = max(rows, key=lambda r: r[5])
+        f.write(
+            f"\nWorst last-step ratio: `{worst[0]}` at {worst[5]:.2f}x per 10x "
+            "of data.\n"
+        )
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
