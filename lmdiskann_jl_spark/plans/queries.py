@@ -116,6 +116,44 @@ def q_batch_topk(spark, sf_dir):
     )
 
 
+HARDNEG_K = 5
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive/retrieval training: for each
+    probe, the k nearest vectors carrying a DIFFERENT label (self excluded) —
+    the standard negatives-selection op over an embedded corpus.  Same
+    physical shape as batch_topk (broadcast queries, scan-side distance,
+    WindowGroupLimit per-query top-k) with the label-mismatch predicate
+    applied BEFORE ranking, so the window never sees positives."""
+    from pyspark.sql import Window
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+    )
+    from lmdiskann_jl_spark.functions.vector import euclidean_distance
+
+    scored = (
+        emb.crossJoin(F.broadcast(queries))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "vec_id",
+            "label",
+            euclidean_distance(F.col("embedding"), F.col("qvec")).alias("d"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= HARDNEG_K)
+        .select("qid", "vec_id", "label", F.round("d", 4).alias("dist"), "rank")
+    )
+
+
 def q_knn_join(spark, sf_dir):
     """kNN self-join — the candidate generator of batch ann_insert! (op 9)."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1354,6 +1392,19 @@ def _oracle_map() -> dict[str, str | None]:
             FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < {BATCH_QUERIES}) q
             QUALIFY rank <= {BATCH_K}
         """,
+        "v_hard_negatives": f"""
+            SELECT qid, vec_id, label, dist, rank FROM (
+              SELECT q.vec_id AS qid, e.vec_id, e.label,
+                     round({pair_eu.replace('a.embedding', 'e.embedding').replace('b.embedding', 'q.embedding')}, 4) AS dist,
+                     CAST(row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {pair_eu.replace('a.embedding', 'e.embedding').replace('b.embedding', 'q.embedding')}, e.vec_id
+                     ) AS BIGINT) AS rank
+              FROM embeddings e,
+                   (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < {BATCH_QUERIES}) q
+              WHERE e.label != q.label
+            ) WHERE rank <= {HARDNEG_K}
+        """,
         "v_knn_join": f"""
             SELECT a.vec_id AS vec_id_l, b.vec_id AS vec_id_r, round({pair_eu}, 4) AS dist,
                    CAST(row_number() OVER (PARTITION BY a.vec_id ORDER BY {pair_eu}, b.vec_id) AS BIGINT) AS rank
@@ -2154,6 +2205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_exact_topk_cosine": q_exact_topk_cosine,
         "v_range_search": q_range_search,
         "v_batch_topk": q_batch_topk,
+        "v_hard_negatives": q_hard_negatives,
         "v_knn_join": q_knn_join,
         "v_adjacency_build": q_adjacency_build,
         "v_degree_histogram": q_degree_histogram,
