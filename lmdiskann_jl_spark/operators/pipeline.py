@@ -56,6 +56,8 @@ def stratified_sample(
 
     Output: (doc_id, lang, sample_bucket) for kept rows only.
     """
+    from lmdiskann_jl_spark.operators.knn_join import _spread
+
     rates = SAMPLE_RATES if rates is None else rates
     bucket = (
         hash60(F.concat(F.lit(SAMPLE_SALT), F.col(id_col).cast("string"))) % 100
@@ -63,6 +65,9 @@ def stratified_sample(
     rate = F.lit(default_rate)
     for lang, pct in sorted(rates.items()):
         rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
+    # langid is a heavy scan-stage expression: spread small-file inputs to
+    # all cores (no-op on tables already partitioned wider — the 100 TB case)
+    documents = _spread(documents)
     return (
         documents.select(
             F.col(id_col), langid_expr(F.col(text_col)).alias("lang"), bucket
@@ -130,7 +135,12 @@ def quality_filter(
     ``groupBy('reason').count()``.  Output: (doc_id, pred_lang, n_tokens,
     quality_score, reason, keep).
     """
+    from lmdiskann_jl_spark.operators.knn_join import _spread
+
     feats = quality_features(F.col(text_col))
+    # langid + quality signals are heavy scan-stage expressions: spread
+    # small-file inputs to all cores (no-op on wider tables)
+    documents = _spread(documents)
     base = documents.select(
         F.col(id_col),
         langid_expr(F.col(text_col)).alias("pred_lang"),
