@@ -1221,7 +1221,7 @@ def _recall_queries(emb: DataFrame) -> DataFrame:
 
 
 def q_ivf_recall(spark, sf_dir):
-    """recall@10 of IVF search (nprobe=6 of 16 cells) vs the exact scan —
+    """recall@10 of IVF search (nprobe=8 of 16 cells) vs the exact scan —
     reference bar >= 0.70.  KMeans is seeded/deterministic but not
     SQL-expressible -> rows-only gate.  Batched shape: all probe queries run
     as ONE partition-pruned scan job (ivf_search_batch), the exact baseline
@@ -1234,14 +1234,14 @@ def q_ivf_recall(spark, sf_dir):
     centroids, assigned = build_ivf(emb, n_cells=16)
     qdf = _recall_queries(emb)
     exact = batch_topk(qdf, emb, k=10, metric="euclidean")
-    approx = ivf_search_batch(assigned, centroids, qdf, k=10, nprobe=6)
+    approx = ivf_search_batch(assigned, centroids, qdf, k=10, nprobe=8)
     r = recall_at_k(approx, exact, k=10)
     return spark.createDataFrame([(float(r),)], "recall double")
 
 
 def q_pq_recall(spark, sf_dir):
     """recall@10 of PQ-compressed search (32x compression: m=8 subspaces,
-    32 codewords each, ADC shortlist + exact rerank of 100) vs the exact
+    32 codewords each, ADC shortlist + exact rerank of 300) vs the exact
     scan — reference bar >= 0.70.  KMeans codebooks are seeded/deterministic
     but not SQL-expressible -> rows-only gate.  Batched shape: one compressed
     ADC scan scores every query (pq_search_batch), one batch_topk for the
@@ -1256,7 +1256,7 @@ def q_pq_recall(spark, sf_dir):
     codes = pq_encode(emb, cb, dim=dim).cache()
     qdf = _recall_queries(emb)
     exact = batch_topk(qdf, emb, k=10, metric="euclidean")
-    approx = pq_search_batch(codes, cb, emb, qdf, k=10, rerank=100)
+    approx = pq_search_batch(codes, cb, emb, qdf, k=10, rerank=300)
     r = recall_at_k(approx, exact, k=10)
     return spark.createDataFrame([(float(r),)], "recall double")
 
@@ -1281,7 +1281,7 @@ def q_ivfpq_recall(spark, sf_dir):
     qdf = _recall_queries(emb)
     exact = batch_topk(qdf, emb, k=10, metric="euclidean")
     approx = ivfpq_search_batch(
-        assigned_codes, cell_centroids, cb, emb, qdf, k=10, nprobe=6, rerank=100
+        assigned_codes, cell_centroids, cb, emb, qdf, k=10, nprobe=8, rerank=300
     )
     r = recall_at_k(approx, exact, k=10)
     return spark.createDataFrame([(float(r),)], "recall double")
