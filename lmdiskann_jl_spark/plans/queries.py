@@ -1311,13 +1311,18 @@ def q_lsh_knn(spark, sf_dir):
 def q_lsh_recall(spark, sf_dir):
     """recall@k of the LSH kNN join vs the exact join — the reference's own
     quality bar (>= 0.70, test/runtests.jl:454), at the declared
-    LSH_GATE_PLANES/TABLES operating point (see note above)."""
+    LSH_GATE_PLANES/TABLES operating point (see note above).  Measured over
+    a deterministic 1-in-10 query sample: the exact baseline is the gate's
+    only O(sample x n) cost, and 10% of the id space is hundreds of
+    queries at bench scale — the same statistical gate at a tenth the
+    baseline cost (the full-corpus pytest gates remain)."""
     emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") % 10 == 0)
     exact = brute_force_knn_join(
-        emb, emb, k=KNN_K, metric="euclidean", left_id="vec_id", right_id="vec_id", vec_col="embedding"
+        sample, emb, k=KNN_K, metric="euclidean", left_id="vec_id", right_id="vec_id", vec_col="embedding"
     ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
     approx = lsh_knn_join(
-        emb, emb, k=KNN_K, dim=64, metric="euclidean",
+        sample, emb, k=KNN_K, dim=64, metric="euclidean",
         n_planes=LSH_GATE_PLANES, n_tables=LSH_GATE_TABLES,
         left_id="vec_id", right_id="vec_id", vec_col="embedding",
     ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
