@@ -71,16 +71,26 @@ def assign_cells(
     id_col: str = "id",
     vec_col: str = "vec",
 ) -> DataFrame:
-    """Nearest-centroid assignment: broadcast centroids, window argmin."""
+    """Nearest-centroid assignment as ONE scan-stage expression: the (tiny,
+    broadcast-sized by construction) centroid table collects to a nested
+    array literal, per-row distances fold in a HOF, and the argmin is
+    ``array_position(min)`` — first-min tie-break = lowest cell, matching
+    the previous window's (dist, cell) ordering.  Zero shuffles, zero
+    windows: assigning 100 TB costs exactly one pass over the data (the
+    earlier crossJoin + per-id window shuffled the whole corpus once).
+    Small-file inputs are spread across cores (no-op on wider tables)."""
+    from lmdiskann_jl_spark.operators.knn_join import _spread
+
     dist_fn = resolve_metric(metric)
-    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
-        "_cd", dist_fn(F.col(vec_col), F.col("centroid"))
+    cents = sorted(centroids.collect(), key=lambda r: r["cell"])
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in r["centroid"]]) for r in cents]
     )
-    w = Window.partitionBy(id_col).orderBy(F.col("_cd").asc(), F.col("cell").asc())
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cell")
+    cells_lit = F.array(*[F.lit(int(r["cell"])) for r in cents])
+    dists = F.transform(cent_lit, lambda c: dist_fn(F.col(vec_col), c))
+    idx = F.array_position(dists, F.array_min(dists)).cast("int")
+    return _spread(vectors).select(
+        id_col, vec_col, F.element_at(cells_lit, idx).alias("cell")
     )
 
 

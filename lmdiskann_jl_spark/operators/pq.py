@@ -118,7 +118,11 @@ def pq_encode(
         return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
     codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
-    return vectors.select(F.col(id_col), codes.alias("codes"))
+    from lmdiskann_jl_spark.operators.knn_join import _spread
+
+    # the HOF folds are compute-heavy per row: spread small-file inputs to
+    # all cores (no-op on tables already partitioned wider)
+    return _spread(vectors).select(F.col(id_col), codes.alias("codes"))
 
 
 def pq_adc_topk(
