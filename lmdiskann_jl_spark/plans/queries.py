@@ -1036,6 +1036,72 @@ def q_tpch_q4(spark, sf_dir):
     return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
 
 
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed k orders, including zero.  LEFT join from customer
+    (so never-ordered customers survive), two cheap aggregations — the
+    first keyed on the join key (reuses its partitioning), the second on
+    the tiny distinct-count domain."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15-shaped top supplier: revenue per supplier in a quarter,
+    keep the max-revenue supplier(s).  The max-of-sums compiles to one agg
+    + a broadcast 1-row max joined back — no second scan of lineitem, no
+    window over an unpartitioned set."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(TPCH_Q10_DATE_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(TPCH_Q10_DATE_HI).cast("timestamp"))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("total_revenue"))
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("mx"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+MOVAVG_BUCKETS = 6  # 7-bucket (current + 6 back) moving window
+
+
+def q_events_moving_avg(spark, sf_dir):
+    """Moving average over the hourly rollup: per event_type, the mean of
+    the current + previous 6 hourly sums — the smoothing pass a monitoring
+    pipeline runs AFTER aggregation, so the window operates on the tiny
+    rollup (n_types x n_hours rows), never raw events."""
+    from pyspark.sql import Window
+
+    hourly = q_events_hourly(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-MOVAVG_BUCKETS, 0)
+    )
+    return hourly.select(
+        "bucket",
+        "event_type",
+        "sum_value",
+        F.round(F.avg("sum_value").over(w), 4).alias("movavg_value"),
+    )
+
+
 TPCH_Q7_NATION_A = "NATION_1"
 TPCH_Q7_NATION_B = "NATION_2"
 TPCH_Q10_DATE_LO = "1996-01-01 00:00:00"
@@ -2027,6 +2093,41 @@ def _oracle_map() -> dict[str, str | None]:
               AND l_discount >= 0.03 AND l_discount <= 0.07
               AND l_quantity < 24
         """,
+        "r_tpch_q13": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+              GROUP BY 1
+            ) GROUP BY 1
+        """,
+        "r_tpch_q15": f"""
+            WITH per AS (
+              SELECT l_suppkey,
+                     CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                          AS DOUBLE) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '{TPCH_Q10_DATE_LO}'
+                AND l_shipdate < TIMESTAMP '{TPCH_Q10_DATE_HI}'
+              GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM per JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM per)
+        """,
+        "r_events_moving_avg": f"""
+            WITH hourly AS (
+              SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+                     round(sum(value), 2) + 0.0 AS sum_value
+              FROM events GROUP BY 1, 2
+            )
+            SELECT bucket, event_type, sum_value,
+                   round(avg(sum_value) OVER (
+                     PARTITION BY event_type ORDER BY bucket
+                     ROWS BETWEEN {MOVAVG_BUCKETS} PRECEDING AND CURRENT ROW
+                   ), 4) + 0.0 AS movavg_value
+            FROM hourly
+        """,
         "r_tpch_q7": f"""
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(year(l_shipdate) AS BIGINT) AS l_year,
@@ -2283,6 +2384,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_tpch_q4": q_tpch_q4,
         "r_tpch_q6": q_tpch_q6,
         "r_tpch_q7": q_tpch_q7,
+        "r_tpch_q13": q_tpch_q13,
+        "r_tpch_q15": q_tpch_q15,
+        "r_events_moving_avg": q_events_moving_avg,
         "r_tpch_q10": q_tpch_q10,
         "r_tpch_q14": q_tpch_q14,
         "r_tpch_q18": q_tpch_q18,
