@@ -1078,6 +1078,69 @@ def q_tpch_q15(spark, sf_dir):
     )
 
 
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+DECILE_N = 10
+
+
+def q_events_pivot(spark, sf_dir):
+    """Hourly x event-type PIVOT: one row per hour, one value column per
+    event type.  The pivot value list is declared explicitly (EVENT_TYPES)
+    so the schema is static — Spark never runs the extra distinct-scan job
+    an unlisted pivot needs, and the plan is a single partial+final agg."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = (F.floor(_events_sec(ev) / 3600) * 3600).cast("long").alias("bucket")
+    return (
+        ev.groupBy(bucket)
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+def q_customer_deciles(spark, sf_dir):
+    """Per-nation account-balance deciles via ntile: the window partitions
+    on nation so no global single-partition sort exists at any scale."""
+    from pyspark.sql import Window
+
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.ntile(DECILE_N).over(w).cast("long").alias("decile"),
+    )
+
+
+def q_above_avg_orders(spark, sf_dir):
+    """Orders above their own customer's average order value — the
+    correlated-scalar-subquery shape, decorrelated into one per-customer
+    aggregate joined back on the grouping key (both sides partition on
+    o_custkey, so the join reuses the aggregation's exchange)."""
+    orders = _t(spark, sf_dir, "orders")
+    # integer-cents arithmetic end-to-end: a double avg is summation-order-
+    # sensitive at the last ulp (flips boundary rows), and even rounding an
+    # identical double differs across engines at .xx5 (Spark rounds the
+    # shortest decimal representation, DuckDB the true binary value) — so
+    # the predicate compares cents * n > sum_cents and the reported average
+    # is half-up integer division, both exact in any engine
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    avg_per_cust = orders.groupBy(F.col("o_custkey").alias("ac_custkey")).agg(
+        F.sum(cents).alias("sum_c"), F.count("*").alias("cnt")
+    )
+    return (
+        orders.join(avg_per_cust, orders.o_custkey == F.col("ac_custkey"))
+        .filter(cents * F.col("cnt") > F.col("sum_c"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            cents.alias("total_cents"),
+            F.expr("(2 * sum_c + cnt) div (2 * cnt)").alias("cust_avg_cents"),
+        )
+    )
+
+
 MOVAVG_BUCKETS = 6  # 7-bucket (current + 6 back) moving window
 
 
@@ -2093,6 +2156,34 @@ def _oracle_map() -> dict[str, str | None]:
               AND l_discount >= 0.03 AND l_discount <= 0.07
               AND l_quantity < 24
         """,
+        "r_events_pivot": f"""
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+                   {", ".join(
+                       f"round(sum(CASE WHEN event_type = '{t}' THEN value END), 2) + 0.0 AS {t}"
+                       for t in EVENT_TYPES
+                   )}
+            FROM events GROUP BY 1
+        """,
+        "r_customer_deciles": f"""
+            SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS acctbal,
+                   CAST(ntile({DECILE_N}) OVER (
+                     PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC
+                   ) AS BIGINT) AS decile
+            FROM customer
+        """,
+        "r_above_avg_orders": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents,
+                   (2 * sum_c + cnt) // (2 * cnt) AS cust_avg_cents
+            FROM orders
+            JOIN (
+              SELECT o_custkey AS ac,
+                     sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_c,
+                     count(*) AS cnt
+              FROM orders GROUP BY 1
+            ) a ON o_custkey = ac
+            WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * cnt > sum_c
+        """,
         "r_tpch_q13": """
             SELECT c_count, count(*) AS custdist FROM (
               SELECT c_custkey, count(o_orderkey) AS c_count
@@ -2387,6 +2478,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_tpch_q13": q_tpch_q13,
         "r_tpch_q15": q_tpch_q15,
         "r_events_moving_avg": q_events_moving_avg,
+        "r_events_pivot": q_events_pivot,
+        "r_customer_deciles": q_customer_deciles,
+        "r_above_avg_orders": q_above_avg_orders,
         "r_tpch_q10": q_tpch_q10,
         "r_tpch_q14": q_tpch_q14,
         "r_tpch_q18": q_tpch_q18,
