@@ -301,3 +301,42 @@ def test_streaming_rollup_drops_late_rows(spark, tmp_path):
     assert any(et == "w10" for _, et in got3)
     assert any(et == "w11" for _, et in got3)
     assert all(et != "late" for _, et in got3)
+
+
+def test_streaming_rollup_matches_batch_twin(spark, tmp_path):
+    """Stream/batch parity: the watermarked streaming rollup over the
+    driver fixture's events (drained with availableNow, complete mode so
+    open windows emit) must produce EXACTLY the batch q_events_hourly
+    result — same buckets, same counts, same sums."""
+    import shutil
+
+    from lmdiskann_jl_spark.plans.queries import q_events_hourly
+    from lmdiskann_jl_spark.streaming.ingest import streaming_hourly_rollup
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = tmp_path / "events_stream"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+
+    out = streaming_hourly_rollup(spark, str(src))
+    rows = []
+
+    def _collect(batch_df, _epoch):
+        rows.clear()  # complete mode re-emits the full state each epoch
+        rows.extend(batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(_collect)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {(r["bucket"], r["event_type"]): (r["n"], r["sum_value"]) for r in rows}
+    want = {
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in q_events_hourly(spark, sf_dir).collect()
+    }
+    assert got == want
