@@ -1078,6 +1078,26 @@ def q_tpch_q15(spark, sf_dir):
     )
 
 
+CHURN_DATE_LO = "1996-01-01 00:00:00"
+CHURN_DATE_HI = "1996-07-01 00:00:00"
+
+
+def q_customers_no_orders(spark, sf_dir):
+    """Customers with no orders in a half-year window (a churn report) —
+    the NOT EXISTS shape: compiles to a left-anti hash join on the key,
+    with the date predicate pushed to the orders scan (no null-aware
+    nested loop since keys are non-null)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(CHURN_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(CHURN_DATE_HI).cast("timestamp"))
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 DECILE_N = 10
 
@@ -2156,6 +2176,16 @@ def _oracle_map() -> dict[str, str | None]:
               AND l_discount >= 0.03 AND l_discount <= 0.07
               AND l_quantity < 24
         """,
+        "r_customers_no_orders": f"""
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '{CHURN_DATE_LO}'
+                AND o_orderdate < TIMESTAMP '{CHURN_DATE_HI}'
+            )
+        """,
         "r_events_pivot": f"""
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
                    {", ".join(
@@ -2479,6 +2509,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_tpch_q15": q_tpch_q15,
         "r_events_moving_avg": q_events_moving_avg,
         "r_events_pivot": q_events_pivot,
+        "r_customers_no_orders": q_customers_no_orders,
         "r_customer_deciles": q_customer_deciles,
         "r_above_avg_orders": q_above_avg_orders,
         "r_tpch_q10": q_tpch_q10,
