@@ -39,8 +39,14 @@ DEFAULT = [
     "p_pack_sequences",
     "v_exact_topk_euclidean",
     "v_batch_topk",
+    "v_hard_negatives",
     "a_lsh_knn",
     "m_frame_plan",
+    "r_events_pivot",
+    "r_customer_deciles",
+    "r_above_avg_orders",
+    "r_customers_no_orders",
+    "r_tpch_q13",
 ]
 
 
