@@ -1,8 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+Prints ONE compact JSON line (totals only — small enough that a tail-capture
+of stdout always keeps it intact):
+  {"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...},
+   "sf": <sf>, ...}
+where "queries" holds ONLY the headline subset.  The full per-query time map
+(87 entries) goes to BENCH_DETAIL.json next to this script and to stderr.
 
 The headline set exercises every engine subsystem: exact search (scan top-k),
 batched search (crossJoin+window), graph build (kNN join + prune), LSH
@@ -77,30 +80,33 @@ def main() -> None:
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "full_suite_total",
-                "value": round(sum(times.values()), 3),
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(times),
-                "headline_total": round(
-                    sum(times[q] for q in headline if q in times), 3
-                ),
-                # a_* entries are index-build + recall QUALITY GATES (KMeans
-                # fits, multi-query eval loops), not per-query latencies —
-                # split out so query time is comparable round over round
-                "gates_total": round(
-                    sum(t for q, t in times.items() if q.startswith("a_")), 3
-                ),
-                "queries_total": round(
-                    sum(t for q, t in times.items() if not q.startswith("a_")), 3
-                ),
-            }
-        )
+    summary = {
+        "metric": "full_suite_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        # totals-only line: the headline subset is small enough to inline;
+        # the full 87-entry map lives in BENCH_DETAIL.json (below)
+        "queries": {q: times[q] for q in headline if q in times},
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(times),
+        "headline_total": round(sum(times[q] for q in headline if q in times), 3),
+        # a_* entries are index-build + recall QUALITY GATES (KMeans
+        # fits, multi-query eval loops), not per-query latencies —
+        # split out so query time is comparable round over round
+        "gates_total": round(
+            sum(t for q, t in times.items() if q.startswith("a_")), 3
+        ),
+        "queries_total": round(
+            sum(t for q, t in times.items() if not q.startswith("a_")), 3
+        ),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump({**summary, "queries": times}, f, indent=1, sort_keys=True)
+    print(json.dumps({**summary, "queries": times}), file=sys.stderr)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -60,12 +60,24 @@ def fit_kmeans(X: np.ndarray, k: int, seed: int, n_iter: int = 20) -> np.ndarray
 
 
 def sample_matrix(vectors, vec_col: str, seed: int, max_rows: int = MAX_TRAIN_ROWS) -> np.ndarray:
-    """Collect a bounded, seeded sample of a vector column as an (n, dim)
-    numpy array.  One footer-cheap count() sizes the sampling fraction; the
-    collect is capped at ``max_rows`` rows regardless of table size."""
-    n = vectors.count()
-    df = vectors.select(vec_col)
-    if n > max_rows:
-        df = df.sample(fraction=min(1.0, 1.2 * max_rows / n), seed=seed).limit(max_rows)
-    rows = df.collect()
+    """Collect a bounded, DETERMINISTIC seeded sample of a vector column as
+    an (n, dim) numpy array.
+
+    Selection = the ``max_rows`` rows with the smallest seeded content hash
+    (``xxhash64(vec, seed)``) — a pure function of the DATA, so the sample
+    (and every centroid trained from it) is identical across partition
+    layouts, repartitions, and environments.  (``df.sample().limit()`` is
+    not: which rows survive the limit depends on physical partition order.)
+    Physical plan is TakeOrderedAndProject — a per-partition bounded heap +
+    driver merge, no full sort, no separate count() job.  Hash ties can only
+    come from equal-content rows (xxhash64 collisions aside), which are
+    interchangeable as training points."""
+    from pyspark.sql import functions as F
+
+    rows = (
+        vectors.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)).asc(), F.col(vec_col).asc())
+        .limit(max_rows)
+        .collect()
+    )
     return np.asarray([list(r[0]) for r in rows], dtype=np.float64)

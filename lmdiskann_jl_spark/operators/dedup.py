@@ -676,12 +676,24 @@ def semantic_dedup_pairs(
     from lmdiskann_jl_spark.operators._kmeans import fit_kmeans, sample_matrix
 
     spark = embeddings.sparkSession
-    emb = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.transform(
-            F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
-        ).alias("nvec"),
+    # hoist the norm into its own column (one O(dim) pass per row — inlining
+    # it in the transform lambda recomputes it per element, O(dim^2)) and
+    # drop zero-norm vectors: cosine is undefined for them, and a null nvec
+    # would poison the k-means sample collect
+    emb = (
+        embeddings.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            l2_norm(F.col(vec_col)).alias("_norm"),
+        )
+        .filter(F.col("_norm") > 0)
+        .select(
+            "id",
+            "vec",
+            F.transform(
+                F.col("vec"), lambda x: x.cast("double") / F.col("_norm")
+            ).alias("nvec"),
+        )
     )
     X = sample_matrix(emb, "nvec", seed=seed)
     centers = fit_kmeans(X, n_cells, seed=seed)

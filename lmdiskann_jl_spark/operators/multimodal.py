@@ -98,9 +98,11 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame-sampling plumbing for video rows: one output row per planned
     frame timestamp (the decode of each frame is the stubbed kernel above).
     Pure column expressions — the expensive explode happens before decode so
-    Spark parallelizes per-frame work."""
+    Spark parallelizes per-frame work.  Zero/negative/null durations plan no
+    frames (a 0 ms video has nothing to sample — and this keeps the semantics
+    aligned with half-open [0, duration) range generators)."""
     return (
-        media.filter(F.col("modality") == "video")
+        media.filter((F.col("modality") == "video") & (F.col("duration_ms") > 0))
         .withColumn(
             "frame_ts_ms",
             F.explode(

@@ -49,9 +49,11 @@ def _events_sec(ev: DataFrame) -> F.Column:
     """Epoch-seconds for the events ``ts`` column, robust to the fixture's
     physical type: current fixtures write parquet TIMESTAMP (micros), which
     Spark reads as timestamp_ntz; older fixtures wrote TIMESTAMP(NANOS),
-    which Spark 4 only reads as a raw nanos long.  Session timezone is pinned
-    to UTC (session.py), so ntz -> epoch is deterministic and matches
-    DuckDB's epoch(ts)."""
+    which Spark 4 reads as a raw nanos BIGINT under the
+    ``spark.sql.legacy.parquet.nanosAsLong`` conf (set in session.get_spark —
+    that conf is what makes the bigint branch below reachable).  Session
+    timezone is pinned to UTC (session.py), so ntz -> epoch is deterministic
+    and matches DuckDB's epoch(ts)."""
     dt = dict(ev.dtypes).get("ts")
     if dt in ("bigint", "long"):
         return F.expr("ts div 1000000000")
@@ -1359,6 +1361,17 @@ def q_user_sessions(spark, sf_dir):
 
 RECALL_QIDS = [0, 100, 200, 300, 400]
 
+# the reference's own quality bar (test/runtests.jl:454) — every recall gate
+# row carries `passed = recall >= RECALL_BAR` so the driver's rows-only check
+# still catches a silent recall regression (a bare double always "has rows")
+RECALL_BAR = 0.70
+
+
+def _recall_row(spark: SparkSession, r: float) -> DataFrame:
+    return spark.createDataFrame(
+        [(float(r), bool(r >= RECALL_BAR))], "recall double, passed boolean"
+    )
+
 
 def _recall_queries(emb: DataFrame) -> DataFrame:
     """The fixed probe set for the approximate-path recall gates, as a
@@ -1385,7 +1398,7 @@ def q_ivf_recall(spark, sf_dir):
     exact = batch_topk(qdf, emb, k=10, metric="euclidean")
     approx = ivf_search_batch(assigned, centroids, qdf, k=10, nprobe=8)
     r = recall_at_k(approx, exact, k=10)
-    return spark.createDataFrame([(float(r),)], "recall double")
+    return _recall_row(spark, r)
 
 
 def q_pq_recall(spark, sf_dir):
@@ -1407,7 +1420,7 @@ def q_pq_recall(spark, sf_dir):
     exact = batch_topk(qdf, emb, k=10, metric="euclidean")
     approx = pq_search_batch(codes, cb, emb, qdf, k=10, rerank=300)
     r = recall_at_k(approx, exact, k=10)
-    return spark.createDataFrame([(float(r),)], "recall double")
+    return _recall_row(spark, r)
 
 
 def q_ivfpq_recall(spark, sf_dir):
@@ -1433,7 +1446,7 @@ def q_ivfpq_recall(spark, sf_dir):
         assigned_codes, cell_centroids, cb, emb, qdf, k=10, nprobe=8, rerank=300
     )
     r = recall_at_k(approx, exact, k=10)
-    return spark.createDataFrame([(float(r),)], "recall double")
+    return _recall_row(spark, r)
 
 
 # the declared LSH gate config: random gaussian fixtures are sign-LSH's
@@ -1476,7 +1489,7 @@ def q_lsh_recall(spark, sf_dir):
         left_id="vec_id", right_id="vec_id", vec_col="embedding",
     ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
     r = recall_at_k(approx, exact, k=KNN_K)
-    return spark.createDataFrame([(float(r),)], "recall double")
+    return _recall_row(spark, r)
 
 
 # ---------------------------------------------------------------- oracles

@@ -35,6 +35,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # TIMESTAMP(NANOS) parquet (older event fixtures) has no Spark
+        # timestamp type — read it as a raw nanos BIGINT instead of failing
+        # at scan time; plans/queries._events_sec normalizes either physical
+        # type to epoch seconds
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local mode = single JVM: the driver is the only memory pool.
         # Measured: an oversized heap (48g) is ~2x SLOWER than 8g on the

@@ -77,7 +77,7 @@ def test_stateful_running_user_stats(spark, sf_dir, tmp_path):
         .option("checkpointLocation", ck)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
     got = {r["user_id"]: r for r in spark.sql("SELECT * FROM ustats").collect()}
     assert got[1]["n_events"] == 2 and got[1]["total_value"] == pytest.approx(3.0)
     assert got[2]["n_events"] == 1 and got[2]["last_ts"] == 30
@@ -99,7 +99,7 @@ def test_stateful_running_user_stats(spark, sf_dir, tmp_path):
         .option("checkpointLocation", ck)
         .start()
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "streaming query did not finish in 120s"
     assert collected[1]["n_events"] == 3
     assert collected[1]["total_value"] == pytest.approx(13.0)
     assert collected[1]["last_ts"] == 40
@@ -160,7 +160,7 @@ def test_stream_dedup_ingest_across_batches(spark, tmp_path):
 
     stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
     q = stream_dedup_ingest(stream, str(out), str(ckpt))
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
 
     acc1 = {(r["doc_id"], r["text"]) for r in spark.read.parquet(str(out / "accepted")).collect()}
     assert acc1 == {(1, "alpha"), (2, "beta")}
@@ -174,7 +174,7 @@ def test_stream_dedup_ingest_across_batches(spark, tmp_path):
         str(out),
         str(ckpt),
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "streaming query did not finish in 120s"
 
     acc2 = {(r["doc_id"], r["text"]) for r in spark.read.parquet(str(out / "accepted")).collect()}
     assert acc2 == {(1, "alpha"), (2, "beta"), (11, "gamma")}
@@ -282,7 +282,7 @@ def test_streaming_rollup_drops_late_rows(spark, tmp_path):
             .option("checkpointLocation", ck)
             .start()
         )
-        q.awaitTermination(120)
+        assert q.awaitTermination(120), "streaming query did not finish in 120s"
         return {(r["bucket"], r["event_type"]): r["n"] for r in rows}
 
     got1 = drain()
@@ -332,7 +332,7 @@ def test_streaming_rollup_matches_batch_twin(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ck"))
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "streaming query did not finish in 120s"
 
     got = {(r["bucket"], r["event_type"]): (r["n"], r["sum_value"]) for r in rows}
     want = {
