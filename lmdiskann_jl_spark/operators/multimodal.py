@@ -11,20 +11,31 @@ surface for image/audio/video columns at 100 TB:
 - partitioning: binary rows are fat, so stages repartition by byte budget
   (``target_partition_bytes``), not row count.
 
-The actual codec work (PIL/ffmpeg/librosa) is NOT available in this
-container, so the decode kernels are STUBBED: ``decode_stub=True`` produces a
-deterministic fake feature vector from the payload bytes; ``decode_stub=False``
-raises NotImplementedError where the real library call belongs.  Everything
-Spark-side — schema, batch iteration, partition sizing, UDF signatures — is
-real and tested.
+Decode is split in two layers:
+
+- **Container/header decode is REAL** (stdlib-only, no codec libraries):
+  ``decode_media_headers`` sniffs the payload's magic bytes and parses the
+  actual container structure — PNG IHDR (width/height), JPEG SOF marker scan
+  (width/height), WAV RIFF/fmt chunks (sample rate, duration from the data
+  chunk size) — with ``struct``.  The matching ``png_payload`` /
+  ``jpeg_payload`` / ``wav_payload`` column builders construct spec-correct
+  container bytes PURELY JVM-side (hex/unhex expressions), so the
+  generate->parse round-trip is oracle-checkable end to end.
+- **Sample decode (pixels/PCM via PIL/ffmpeg/librosa) is NOT available in
+  this container**, so that kernel stays stubbed: ``decode_stub=True``
+  produces a deterministic fake feature vector from the payload bytes;
+  ``decode_stub=False`` raises NotImplementedError where the real library
+  call belongs.  Everything Spark-side — schema, batch iteration, partition
+  sizing, UDF signatures — is real and tested.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -50,6 +61,195 @@ FEATURED_SCHEMA = T.StructType([*MEDIA_SCHEMA.fields, _FEATURES_FIELD])
 def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Fill derivable metadata (byte length) server-side — no Python."""
     return df.withColumn("n_bytes", F.length(F.col(payload_col)).cast("long"))
+
+
+# ----------------------------------------------------- container bytes (JVM)
+#
+# int -> bytes as scan-stage expressions: hex() gives the big-endian digit
+# string, lpad fixes the width, unhex yields bytes.  Little-endian = the
+# same hex string with its byte pairs reversed.  No Python anywhere.
+
+
+def _be_hex(col: Column, nbytes: int) -> Column:
+    return F.lpad(F.hex(col.cast("bigint")), 2 * nbytes, "0")
+
+
+def _le_hex(col: Column, nbytes: int) -> Column:
+    be = _be_hex(col, nbytes)
+    return F.concat(
+        *[F.substring(be, 2 * i + 1, 2) for i in reversed(range(nbytes))]
+    )
+
+
+def png_payload(width: Column, height: Column) -> Column:
+    """Minimal spec-correct PNG: 8-byte signature + IHDR chunk (13-byte body:
+    width/height 4BE, bit depth 8, color type 2/truecolor, zero
+    compression/filter/interlace) + IEND.  CRCs are zeroed — dimension
+    sniffers (and decode_media_headers) read offsets, not checksums."""
+    return F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+            _be_hex(width, 4),
+            _be_hex(height, 4),
+            F.lit("0802000000" + "00000000"),
+            F.lit("0000000049454E44AE426082"),
+        )
+    )
+
+
+def jpeg_payload(width: Column, height: Column) -> Column:
+    """Minimal spec-correct JPEG: SOI + single-component SOF0 (baseline)
+    frame header carrying the dimensions + EOI.  Segment length 0x000B =
+    2(len) + 1(precision) + 2(height) + 2(width) + 1(ncomp) + 3(comp spec)."""
+    return F.unhex(
+        F.concat(
+            F.lit("FFD8" + "FFC0" + "000B" + "08"),
+            _be_hex(height, 2),
+            _be_hex(width, 2),
+            F.lit("01" + "011100" + "FFD9"),
+        )
+    )
+
+
+WAV_SAMPLE_RATE = 16_000
+WAV_CHANNELS = 1
+WAV_BITS = 16
+_WAV_BLOCK_ALIGN = WAV_CHANNELS * WAV_BITS // 8
+WAV_BYTE_RATE = WAV_SAMPLE_RATE * _WAV_BLOCK_ALIGN
+
+
+def wav_payload(data_bytes: Column) -> Column:
+    """Spec-correct RIFF/WAVE header (PCM fmt chunk + data chunk size) for a
+    mono 16 kHz / 16-bit stream whose data section is ``data_bytes`` long.
+    The PCM samples themselves are not materialized — duration lives in the
+    header (data size / byte rate), which is what the decoder reads."""
+    return F.unhex(
+        F.concat(
+            F.lit("52494646"),                      # "RIFF"
+            _le_hex(data_bytes + F.lit(36), 4),     # riff chunk size
+            F.lit("57415645" + "666D7420"),         # "WAVE" "fmt "
+            F.lit("10000000" + "0100"),             # fmt size 16, PCM
+            _le_hex(F.lit(WAV_CHANNELS), 2),
+            _le_hex(F.lit(WAV_SAMPLE_RATE), 4),
+            _le_hex(F.lit(WAV_BYTE_RATE), 4),
+            _le_hex(F.lit(_WAV_BLOCK_ALIGN), 2),
+            _le_hex(F.lit(WAV_BITS), 2),
+            F.lit("64617461"),                      # "data"
+            _le_hex(data_bytes, 4),
+        )
+    )
+
+
+# --------------------------------------------------- header decode (Python)
+
+
+def _parse_png(b: bytes):
+    # signature already matched; IHDR is mandatory-first: length(4) type(4)
+    # at offset 8, width/height at 16/20
+    if len(b) < 24 or b[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", b[16:24])
+    return ("png", w, h, None, None)
+
+def _parse_jpeg(b: bytes):
+    # real marker scan: walk segments until a start-of-frame carries the dims
+    pos, n = 2, len(b)
+    while pos + 4 <= n:
+        if b[pos] != 0xFF:
+            return None
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # no-payload
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        seg_len = struct.unpack(">H", b[pos + 2 : pos + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
+            return ("jpeg", w, h, None, None)
+        pos += 2 + seg_len
+    return None
+
+def _parse_wav(b: bytes):
+    if len(b) < 12 or b[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(b)
+    rate = byte_rate = data_size = None
+    while pos + 8 <= n:  # RIFF chunk walk
+        cid = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        if cid == b"fmt " and pos + 20 <= n:
+            rate, byte_rate = struct.unpack("<II", b[pos + 12 : pos + 20])
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None:
+        return None
+    dur = (data_size * 1000) // byte_rate if data_size is not None and byte_rate else None
+    return ("wav", None, None, rate, dur)
+
+
+def sniff_and_parse(b: bytes | None):
+    """Magic-byte dispatch + stdlib container parse.  Returns
+    (codec, width, height, sample_rate, duration_ms) or Nones."""
+    if b is None or len(b) < 4:
+        return (None, None, None, None, None)
+    out = None
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        out = _parse_png(b)
+    elif b[:2] == b"\xff\xd8":
+        out = _parse_jpeg(b)
+    elif b[:4] == b"RIFF":
+        out = _parse_wav(b)
+    return out if out is not None else (None, None, None, None, None)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec_detected", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def decode_media_headers(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    target_partition_bytes: int = 128 << 20,
+) -> DataFrame:
+    """REAL (stdlib-only) container decode: PNG/JPEG dimensions and WAV
+    sample-rate/duration parsed from the payload BYTES — codec detection is
+    by magic number, never by trusting a metadata column.  Arrow-batched
+    mapInPandas; same byte-budget partitioning as extract_features (binary
+    rows are fat — row-count partitioning skews task memory)."""
+    total = media.agg(F.sum(F.length(payload_col))).collect()[0][0] or 0
+    n_parts = max(1, int(total // target_partition_bytes) + 1)
+    slim = media.select(
+        F.col(id_col).cast("long").alias("media_id"), F.col(payload_col).alias("payload")
+    ).repartition(n_parts)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = pdf["payload"].map(sniff_and_parse)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "codec_detected": parsed.map(lambda t: t[0]),
+                    "width": parsed.map(lambda t: t[1]).astype("Int32"),
+                    "height": parsed.map(lambda t: t[2]).astype("Int32"),
+                    "sample_rate": parsed.map(lambda t: t[3]).astype("Int32"),
+                    "duration_ms": parsed.map(lambda t: t[4]).astype("Int64"),
+                }
+            )
+
+    return slim.mapInPandas(_batches, schema=DECODED_SCHEMA)
 
 
 def _stub_features(payload: bytes | None) -> list[float] | None:

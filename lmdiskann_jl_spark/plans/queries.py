@@ -597,6 +597,8 @@ def q_media_payload_stats(spark, sf_dir):
 
 FRAME_EVERY_MS = 1000
 MS_PER_CHAR = 40
+# mirrored into the m_media_decode oracle (multimodal.WAV_SAMPLE_RATE)
+M_WAV_RATE = 16_000
 
 
 def q_frame_plan(spark, sf_dir):
@@ -653,6 +655,29 @@ def q_extract_features(spark, sf_dir):
     return feats.select(
         "media_id", "modality", F.round(F.element_at("features", 1), 6).alias("f0")
     )
+
+
+def q_media_decode(spark, sf_dir):
+    """REAL container decode through the multimodal path
+    (operators/multimodal.decode_media_headers): documents become
+    spec-correct PNG / WAV / JPEG payload BYTES — built purely JVM-side with
+    hex/unhex expressions (png_payload/wav_payload/jpeg_payload) — and the
+    stdlib header parser recovers codec (by magic number), dimensions, sample
+    rate, and duration from the bytes alone.  The DuckDB oracle computes the
+    same metadata arithmetically from the generation formulas, so the hash
+    gate verifies the whole generate -> parse round-trip."""
+    from lmdiskann_jl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    did, nch = F.col("doc_id"), F.col("n_chars")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(did % 3 == 0, M.png_payload(did % 240 + 16, nch % 240 + 16))
+        .when(did % 3 == 1, M.wav_payload(nch * 64))
+        .otherwise(M.jpeg_payload((did % 8) * 16 + 320, (nch % 8) * 16 + 240))
+        .alias("payload"),
+    )
+    return M.decode_media_headers(media)
 
 
 FILTER_LABEL = 3
@@ -2404,6 +2429,18 @@ def _oracle_map() -> dict[str, str | None]:
             FROM scored
             QUALIFY rank <= {TFIDF_TOP_K}
         """,
+        # arithmetic mirror of the payload-generation formulas in
+        # q_media_decode — the Spark side must recover these values by
+        # PARSING the container bytes it built
+        "m_media_decode": f"""
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'jpeg' END AS codec_detected,
+                   CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN doc_id % 240 + 16 WHEN 2 THEN (doc_id % 8) * 16 + 320 END AS INT) AS width,
+                   CAST(CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN n_chars % 240 + 16 WHEN 2 THEN (n_chars % 8) * 16 + 240 END AS INT) AS height,
+                   CAST(CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN {M_WAV_RATE} END AS INT) AS sample_rate,
+                   CAST(CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN n_chars * 2 END AS BIGINT) AS duration_ms
+            FROM documents
+        """,
         "m_frame_plan": f"""
             SELECT media_id, unnest(range(0, dur, {FRAME_EVERY_MS})) AS frame_ts_ms
             FROM (
@@ -2561,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_repetition": q_repetition,
         "t_pii_redact": q_pii_redact,
         "m_payload_stats": q_media_payload_stats,
+        "m_media_decode": q_media_decode,
         "t_chunk_documents": q_chunk_documents,
         "t_langid_accuracy": q_langid_accuracy,
         "r_source_mix": q_source_mix,

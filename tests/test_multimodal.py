@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: payload construction, REAL header decode,
+frame-sample planning, and the (documented) stub feature kernel.
+
+The decode tests validate two independent directions:
+- golden bytes -> parser: payloads produced OUTSIDE the package (Python's
+  stdlib ``wave`` writer, hand-assembled PNG/JPEG from the specs) must parse
+  to the known metadata;
+- JVM generator -> parser round-trip: ``png_payload``/``wav_payload``/
+  ``jpeg_payload`` column expressions build bytes that the kernel recovers.
+"""
+
+from __future__ import annotations
+
+import io
+import wave
+
+from pyspark.sql import functions as F
+
+from lmdiskann_jl_spark.operators import multimodal as M
+
+
+def _golden_wav(sample_rate: int, n_frames: int) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x00\x00" * n_frames)
+    return buf.getvalue()
+
+
+def test_sniff_and_parse_golden_bytes():
+    # WAV written by the stdlib wave module — fully independent of our
+    # generator: 16 kHz mono 16-bit, 8000 frames = 500 ms
+    codec, w, h, rate, dur = M.sniff_and_parse(_golden_wav(16_000, 8_000))
+    assert (codec, rate, dur) == ("wav", 16_000, 500)
+    assert w is None and h is None
+
+    # PNG per the spec: signature + IHDR(640x480)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+        + b"\x08\x02\x00\x00\x00" + b"\x00\x00\x00\x00"
+    )
+    assert M.sniff_and_parse(png) == ("png", 640, 480, None, None)
+
+    # JPEG with an APP0 segment BEFORE the SOF0 — the marker scan must skip
+    # non-frame segments by their length field, not assume SOF-first
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (
+        b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+        + (75).to_bytes(2, "big") + (320).to_bytes(2, "big")
+        + b"\x01\x01\x11\x00"
+    )
+    jpg = b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+    assert M.sniff_and_parse(jpg) == ("jpeg", 320, 75, None, None)
+
+    # garbage / truncated payloads degrade to all-None, never raise
+    assert M.sniff_and_parse(b"\x00\x01\x02") == (None, None, None, None, None)
+    assert M.sniff_and_parse(None) == (None, None, None, None, None)
+    assert M.sniff_and_parse(b"RIFFxxxx????") == (None, None, None, None, None)
+
+
+def test_generate_parse_roundtrip(spark):
+    media = spark.range(30).select(
+        F.col("id").alias("media_id"),
+        F.when(F.col("id") % 3 == 0, M.png_payload(F.col("id") + 1, F.col("id") + 2))
+        .when(F.col("id") % 3 == 1, M.wav_payload(F.col("id") * 3200))
+        .otherwise(M.jpeg_payload(F.col("id") + 100, F.col("id") + 200))
+        .alias("payload"),
+    )
+    rows = {r["media_id"]: r for r in M.decode_media_headers(media).collect()}
+    assert len(rows) == 30
+    for i, r in rows.items():
+        if i % 3 == 0:
+            assert (r["codec_detected"], r["width"], r["height"]) == ("png", i + 1, i + 2)
+        elif i % 3 == 1:
+            # data bytes = 3200*i at 32000 B/s -> i*100 ms
+            assert (r["codec_detected"], r["sample_rate"], r["duration_ms"]) == (
+                "wav", M.WAV_SAMPLE_RATE, i * 100,
+            )
+        else:
+            assert (r["codec_detected"], r["width"], r["height"]) == ("jpeg", i + 100, i + 200)
+
+
+def test_frame_plan_zero_duration(spark):
+    media = spark.createDataFrame(
+        [(1, "video", 3500), (2, "video", 0), (3, "image", 9000), (4, "video", None)],
+        "media_id long, modality string, duration_ms long",
+    ).withColumn("codec", F.lit("h264")).withColumn("payload", F.lit(b""))
+    got = M.frame_sample_plan(media, every_ms=1000).select("media_id", "frame_ts_ms").collect()
+    # 0-duration, null-duration, and non-video rows plan no frames
+    assert sorted((r["media_id"], r["frame_ts_ms"]) for r in got) == [
+        (1, 0), (1, 1000), (1, 2000), (1, 3000),
+    ]
+
+
+def test_stub_feature_extraction_shape(spark):
+    media = spark.createDataFrame(
+        [(1, "image", "raw", b"abc", None, None, None, None),
+         (2, "audio", "raw", None, None, None, None, None)],
+        M.MEDIA_SCHEMA,
+    )
+    rows = {r["media_id"]: r for r in M.extract_features(media).collect()}
+    assert len(rows[1]["features"]) == M.FEATURE_DIM
+    assert rows[2]["features"] is None
