@@ -549,6 +549,7 @@ class LMDiskANNIndex:
         mode: str = "exact",
         nprobe: int = 4,
         where: str | None = None,
+        n_entrypoints: int = 1,
     ) -> DataFrame:
         """search (src/LMDiskANN.jl:455-481): top-k with keys attached.
 
@@ -595,10 +596,15 @@ class LMDiskANNIndex:
             if mode == "lsh":  # single-query LSH degenerates to exact
                 mode = "exact"
         if mode == "beam":
+            # n_entrypoints > 1: ignore the stored single entrypoint and
+            # auto-pick a spread seed set (beam._pick_entrypoints) — fewer
+            # hops, same recall bar (the reference's single-seed semantics
+            # remain the default)
             result = beam_search(
                 self.vectors, self.adjacency, query,
                 ef=ef, metric=self.meta["metric"],
-                entrypoint=int(self.meta["entrypoint"]),
+                entrypoint=int(self.meta["entrypoint"]) if n_entrypoints <= 1 else None,
+                n_entrypoints=n_entrypoints,
                 vectors_fetch=self._fetcher("vectors"),
                 adjacency_fetch=self._fetcher("adjacency"),
             ).orderBy(F.col("dist").asc(), F.col("id").asc()).limit(topk)
@@ -629,7 +635,14 @@ class LMDiskANNIndex:
             .orderBy(F.col("dist").asc(), F.col("id").asc())
         )
 
-    def search_batch(self, queries: DataFrame, topk: int = 10, mode: str = "exact", ef: int = DEFAULT_EF_SEARCH) -> DataFrame:
+    def search_batch(
+        self,
+        queries: DataFrame,
+        topk: int = 10,
+        mode: str = "exact",
+        ef: int = DEFAULT_EF_SEARCH,
+        n_entrypoints: int = 1,
+    ) -> DataFrame:
         """Batched search: (qid, qvec) -> per-query top-k with keys.
 
         mode='exact' broadcasts queries into one scan; mode='beam' runs the
@@ -663,7 +676,8 @@ class LMDiskANNIndex:
             cand = beam_search_batch(
                 self.vectors, self.adjacency, queries,
                 ef=max(topk, ef), metric=self.meta["metric"],
-                entrypoint=int(self.meta["entrypoint"]),
+                entrypoint=int(self.meta["entrypoint"]) if n_entrypoints <= 1 else None,
+                n_entrypoints=n_entrypoints,
                 vectors_fetch=self._fetcher("vectors"),
                 adjacency_fetch=self._fetcher("adjacency"),
             )

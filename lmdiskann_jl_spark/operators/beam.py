@@ -47,6 +47,39 @@ from lmdiskann_jl_spark.functions.vector import query_vector_lit, resolve_metric
 _ISIN_LIMIT = 512
 
 
+def _pick_entrypoints(vectors: DataFrame, id_col: str, n: int) -> list[int]:
+    """``n`` deterministic, spread-out seed ids in ONE TakeOrdered job.
+
+    The reference seeds from a single stored entrypoint (its ``:549-561``);
+    the natural Spark generalization (SURVEY §4) is a SET of seeds so the
+    greedy walk starts in several graph regions at once — fewer hops to
+    reach the query's neighborhood, and robustness to a poorly-placed single
+    seed.  Content-hash order is a uniform spread over the id space without
+    a clustering pass; callers with an IVF index can pass cell medoids via
+    ``entrypoints`` instead."""
+    rows = (
+        vectors.select(F.col(id_col).alias("id"))
+        .orderBy(F.xxhash64(F.col("id")).asc(), F.col("id").asc())
+        .limit(n)
+        .collect()
+    )
+    return [int(r["id"]) for r in rows]
+
+
+def _resolve_seeds(
+    vectors: DataFrame,
+    id_col: str,
+    entrypoint: int | None,
+    entrypoints: Sequence[int] | None,
+    n_entrypoints: int,
+) -> list[int]:
+    if entrypoints is not None:
+        return [int(e) for e in entrypoints]
+    if entrypoint is not None and entrypoint >= 0:
+        return [int(entrypoint)]
+    return _pick_entrypoints(vectors, id_col, max(1, n_entrypoints))
+
+
 def default_fetcher(df: DataFrame, id_col: str = "id") -> Callable[[Sequence[int]], DataFrame]:
     """Row fetch for tables WITHOUT a bucket layout: literal isin for small
     id sets, broadcast semi-join beyond (same split as the delete path).
@@ -78,12 +111,19 @@ def beam_search(
     vectors_fetch: Callable[[Sequence[int]], DataFrame] | None = None,
     adjacency_fetch: Callable[[Sequence[int]], DataFrame] | None = None,
     stats: dict | None = None,
+    entrypoints: Sequence[int] | None = None,
+    n_entrypoints: int = 1,
 ) -> DataFrame:
     """Approximate top-ef candidates for ``query`` via graph traversal.
 
     Returns a DataFrame (id, dist) of <= ef candidates, re-scored with the
     true metric (the reference re-scores at :465-471 — here scores are already
     true distances).  Caller applies orderBy/limit for final top-k.
+
+    Seeding: an explicit ``entrypoints`` list (e.g. IVF cell medoids) >
+    a single ``entrypoint`` id > ``n_entrypoints`` auto-picked spread seeds
+    (see _pick_entrypoints).  Multi-seed starts the walk in several graph
+    regions at once, cutting hops to convergence.
     """
     spark = vectors.sparkSession
     dist_fn = resolve_metric(metric)
@@ -103,20 +143,16 @@ def beam_search(
             stats["rows_scored"] = stats.get("rows_scored", 0) + len(rows)
         return rows
 
-    if entrypoint is None or entrypoint < 0:
-        ep_row = vectors.select(F.col(id_col).alias("id")).orderBy("id").limit(1).collect()
-        if not ep_row:
-            return spark.createDataFrame([], "id long, dist double")
-        entrypoint = int(ep_row[0]["id"])
-    seed = score_ids([entrypoint])
+    seeds = _resolve_seeds(vectors, id_col, entrypoint, entrypoints, n_entrypoints)
+    seed = score_ids(seeds)
     if not seed:
         return spark.createDataFrame([], "id long, dist double")
 
     # driver-side state: visited set + ef-bounded best list (ids+dists only —
     # a few KB; vectors themselves never leave the executors)
-    best: dict[int, float] = {int(seed[0]["id"]): float(seed[0]["dist"])}
+    best: dict[int, float] = {int(r["id"]): float(r["dist"]) for r in seed}
     visited: set[int] = set()
-    frontier: list[int] = [int(seed[0]["id"])]
+    frontier: list[int] = sorted(best, key=best.get)
 
     for _ in range(max_hops):
         if not frontier:
@@ -169,6 +205,8 @@ def beam_search_batch(
     vectors_fetch: Callable[[Sequence[int]], DataFrame] | None = None,
     adjacency_fetch: Callable[[Sequence[int]], DataFrame] | None = None,
     stats: dict | None = None,
+    entrypoints: Sequence[int] | None = None,
+    n_entrypoints: int = 1,
 ) -> DataFrame:
     """Beam search for a BATCH of queries in one shared driver loop.
 
@@ -220,17 +258,15 @@ def beam_search_batch(
     if not qids:
         return spark.createDataFrame([], f"{qid_col} {qid_type}, id long, dist double")
 
-    if entrypoint is None or entrypoint < 0:
-        ep_row = vectors.select(F.col(id_col).alias("id")).orderBy("id").limit(1).collect()
-        if not ep_row:
-            return spark.createDataFrame([], f"{qid_col} {qid_type}, id long, dist double")
-        entrypoint = int(ep_row[0]["id"])
+    seeds = _resolve_seeds(vectors, id_col, entrypoint, entrypoints, n_entrypoints)
+    if not seeds:
+        return spark.createDataFrame([], f"{qid_col} {qid_type}, id long, dist double")
 
     best: dict = {q: {} for q in qids}
     visited: dict = {q: set() for q in qids}
-    for r in score([(q, entrypoint) for q in qids]):
+    for r in score([(q, e) for q in qids for e in seeds]):
         best[r[qid_col]][int(r["id"])] = float(r["dist"])
-    frontier: dict = {q: [entrypoint] for q in qids}
+    frontier: dict = {q: list(seeds) for q in qids}
 
     for _ in range(max_hops):
         frontier_union = sorted({i for ids in frontier.values() for i in ids})

@@ -796,23 +796,39 @@ def q_unigram_logprob(spark, sf_dir):
     """Per-document mean unigram log-probability under the corpus unigram
     distribution — the classic cheap LM-quality signal (gibberish and
     rare-token-stuffed documents score low).  Inherently two-pass: pass 1
-    builds the term dictionary (one exploded agg; the 1-row total broadcast
-    from a tiny agg, not a window), pass 2 re-joins tokens to the dictionary
-    on term and averages per doc.  Dictionary and scoring shuffles are both
-    keyed on high-cardinality keys (term, doc_id) — no single-partition
-    stage at any scale."""
+    builds the term dictionary, pass 2 joins term frequencies back to it and
+    averages per doc (token-weighted).
+
+    Shape — TF-FIRST, tokenize once: raw tokens collapse to (doc_id, term,
+    tf) immediately (map-side combine does most of the reduction before the
+    exchange), the dictionary is the term-sum OF tf, and one
+    repartition("term") exchange serves both the dictionary agg and the
+    scoring join co-partitioning (the tfidf trick).  The earlier shape
+    consumed the un-aggregated token explode twice — tokenizing every
+    document twice and shuffling raw tokens three times; that was the
+    worst 10x scaling step in SCALING.md (1.76x).  The mean is the
+    tf-weighted form sum(tf*lp)/sum(tf) — identical math, tf-level rows."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
-    dict_df = toks.groupBy("term").agg(F.count("*").alias("n"))
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .repartition("term")
+    )
+    dict_df = tf.groupBy("term").agg(F.sum("tf").alias("n"))
     total = dict_df.agg(F.sum("n").alias("total"))
     scored = (
-        toks.join(dict_df, "term")
+        tf.join(dict_df, "term")
         .crossJoin(F.broadcast(total))
-        .select("doc_id", F.log(F.col("n") / F.col("total")).alias("lp"))
+        .select(
+            "doc_id",
+            "tf",
+            (F.col("tf") * F.log(F.col("n") / F.col("total"))).alias("wlp"),
+        )
     )
     return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_toks"),
-        F.round(F.avg("lp"), 4).alias("mean_logprob"),
+        F.sum("tf").cast("long").alias("n_toks"),
+        F.round(F.sum("wlp") / F.sum("tf"), 4).alias("mean_logprob"),
     )
 
 
@@ -2398,14 +2414,16 @@ def _oracle_map() -> dict[str, str | None]:
             LIMIT 20
         """,
         "t_unigram_logprob": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest({O.tokens('text')}) AS term FROM documents
+            WITH tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM (SELECT doc_id, unnest({O.tokens('text')}) AS term FROM documents)
+              GROUP BY 1, 2
             ),
-            dict AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),
+            dict AS (SELECT term, sum(tf) AS n FROM tf GROUP BY 1),
             tot AS (SELECT sum(n) AS total FROM dict)
-            SELECT doc_id, count(*) AS n_toks,
-                   round(avg(ln(CAST(n AS DOUBLE) / total)), 4) AS mean_logprob
-            FROM toks JOIN dict USING (term) CROSS JOIN tot
+            SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+                   round(sum(tf * ln(CAST(n AS DOUBLE) / total)) / sum(tf), 4) AS mean_logprob
+            FROM tf JOIN dict USING (term) CROSS JOIN tot
             GROUP BY 1
         """,
         "t_tfidf_top_terms": f"""

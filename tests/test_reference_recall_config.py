@@ -20,14 +20,15 @@ from lmdiskann_jl_spark.operators.topk import batch_topk, recall_at_k
 N, DIM, N_QUERIES, K, MAXDEG = 2000, 100, 30, 10, 64
 
 
-def _beam_recall(spark, vectors, metric, n_queries, k, maxdeg, ef=300):
+def _beam_recall(spark, vectors, metric, n_queries, k, maxdeg, ef=300, **beam_kw):
     adj = build_adjacency(vectors, maxdegree=maxdeg, metric=metric).cache()
     adj.count()
     queries = vectors.filter(F.col("id") < n_queries).select(
         F.col("id").alias("qid"), F.col("vec").alias("qvec")
     )
     exact = batch_topk(queries, vectors, k=k, metric=metric).select("qid", "id")
-    cand = beam_search_batch(vectors, adj, queries, ef=ef, metric=metric, entrypoint=0)
+    beam_kw.setdefault("entrypoint", 0)
+    cand = beam_search_batch(vectors, adj, queries, ef=ef, metric=metric, **beam_kw)
     w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
     beam = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).select("qid", "id")
     return recall_at_k(beam, exact, k=k)
@@ -72,3 +73,28 @@ def test_reference_scenario_recall(spark, n, dim, n_queries, k):
     vecs = spark.createDataFrame(rows, "id long, vec array<float>").repartition(16).cache()
     r = _beam_recall(spark, vecs, "euclidean", n_queries, k, MAXDEG)
     assert r >= 0.70, f"scenario dim={dim} n={n}: recall@{k} {r:.3f} < 0.70 (runtests.jl:532)"
+
+
+@pytest.mark.parametrize(
+    "n,dim,n_queries,k",
+    [
+        (3000, 100, 10, 20),  # runtests.jl:540-541 scenario 1
+        (10_000, 10, 10, 20),  # runtests.jl:544-545 scenario 2
+    ],
+)
+def test_scenario_recall_multi_entrypoint_fewer_hops(spark, n, dim, n_queries, k):
+    """Multi-entrypoint seeding (SURVEY §4's natural Spark generalization of
+    the reference's single stored entrypoint): 8 spread seeds must hold the
+    0.70 bar at HALF the hop budget (6 vs the default 12) on both reference
+    scenarios — the seeds land the walk near the query's region, so
+    convergence needs fewer frontier expansions."""
+    rng = random.Random(1)
+    rows = [(i, [rng.random() for _ in range(dim)]) for i in range(n)]
+    vecs = spark.createDataFrame(rows, "id long, vec array<float>").repartition(16).cache()
+    stats = {}
+    r = _beam_recall(
+        spark, vecs, "euclidean", n_queries, k, MAXDEG,
+        entrypoint=None, n_entrypoints=8, max_hops=6, stats=stats,
+    )
+    assert r >= 0.70, f"multi-seed dim={dim} n={n}: recall@{k} {r:.3f} < 0.70"
+    assert 0 < stats["hops"] <= 6, f"hop budget exceeded: {stats}"

@@ -42,6 +42,7 @@ DEFAULT = [
     "v_hard_negatives",
     "a_lsh_knn",
     "m_frame_plan",
+    "m_media_decode",
     "r_events_pivot",
     "r_customer_deciles",
     "r_above_avg_orders",
@@ -98,6 +99,22 @@ def main() -> int:
         f.write(
             f"\nWorst last-step ratio: `{worst[0]}` at {worst[5]:.2f}x per 10x "
             "of data.\n"
+        )
+        f.write(
+            "\n## Known volume effects (not recomputation)\n\n"
+            "- `a_lsh_knn` runs at the DECLARED recall-gate operating point\n"
+            "  (fixed n_planes=5, n_tables=16 — plans/queries.py), so candidate\n"
+            "  pairs grow ~n^2/2^planes: the 0.01 -> 0.1 step is 4x rows ->\n"
+            "  16x candidate pairs, and the observed wall ratio stays well\n"
+            "  under that (overhead-dominated here).  The AUTO n_planes default\n"
+            "  (knn_join.py) scales planes with log2(n) to hold bucket\n"
+            "  occupancy — and therefore candidate volume per row — constant,\n"
+            "  which is the shape a 100-TB run uses.\n"
+            "- `t_unigram_logprob` was rebuilt tf-first in round 4 (tokenize\n"
+            "  once, aggregate to (doc, term, tf) before any join; one\n"
+            "  repartition('term') exchange serves both the dictionary agg and\n"
+            "  the scoring join).  Its former 1.76x step was the un-aggregated\n"
+            "  token explode being consumed twice.\n"
         )
     print(f"wrote {out}")
     return 0
