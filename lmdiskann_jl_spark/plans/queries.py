@@ -2561,7 +2561,49 @@ def _token_count_oracle() -> str:
     """
 
 
+# Round in which the driver's CORRECTNESS_r{N}.json last carried a row for
+# each query (the driver checks only the FIRST 50 entries of queries(), so
+# ordering is coverage policy).  queries() sorts ascending by this value —
+# never-verified queries (absent here -> 0) come first, then the stalest.
+# Update after each round from the new CORRECTNESS file; the declaration
+# order below is the stable tiebreak.
+_LAST_DRIVER_VERIFIED: dict[str, int] = {
+    # --- r3 window (CORRECTNESS_r03.json) ---
+    "v_exact_topk_euclidean": 3, "v_exact_topk_cosine": 3, "v_range_search": 3,
+    "v_batch_topk": 3, "v_hard_negatives": 3, "v_knn_join": 3,
+    "v_adjacency_build": 3, "v_degree_histogram": 3, "v_delete_repair": 3,
+    "v_partial_topk": 3, "v_get_embedding": 3, "v_get_embedding_by_key": 3,
+    "k_keymap_count": 3, "k_keymap_lookup": 3, "k_keymap_reverse_lookup": 3,
+    "k_keymap_list": 3, "k_keymap_delete": 3, "d_dedup_exact": 3,
+    "d_minhash_signatures": 3, "d_minhash_lsh_pairs": 3, "d_simhash": 3,
+    "d_simhash_neardup": 3, "d_dup_clusters": 3, "d_dup_clusters_star": 3,
+    "r_events_props": 3, "d_ngram_jaccard_pairs": 3, "d_ngram_jaccard_capped": 3,
+    "d_embedding_neardup": 3, "a_embedding_neardup_lsh": 3, "a_semantic_dedup": 3,
+    "a_extract_features": 3, "v_filtered_topk": 3, "v_hybrid_search": 3,
+    "v_label_centroids": 3, "v_quantize": 3, "v_normalize": 3,
+    "t_top_terms": 3, "r_table_stats": 3, "t_lang_id": 3, "t_quality_score": 3,
+    "t_token_count": 3, "t_fingerprint": 3, "p_stratified_sample": 3,
+    "p_pack_sequences": 3, "p_quality_filter": 3, "p_dataset_split": 3,
+    "p_decontaminate": 3, "p_source_weighted_sample": 3, "p_token_budget_mix": 3,
+    "v_knn_classify": 3,
+    # --- r2 window ---
+    "t_repetition": 2, "t_pii_redact": 2, "m_payload_stats": 2,
+    "t_chunk_documents": 2, "t_langid_accuracy": 2,
+    # --- r1 window ---
+    "r_price_quantiles": 1, "r_set_ops": 1, "r_tpch_q1": 1, "r_tpch_q3": 1,
+    "r_revenue_rollup": 1, "r_user_sessions": 1, "r_events_hourly": 1,
+    "r_top_orders_per_segment": 1, "a_lsh_knn": 1, "a_lsh_recall": 1,
+    "a_ivf_recall": 1,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _declared_queries()
+    order = sorted(base, key=lambda k: _LAST_DRIVER_VERIFIED.get(k, 0))
+    return {k: base[k] for k in order}
+
+
+def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "v_exact_topk_euclidean": q_exact_topk_euclidean,
         "v_exact_topk_cosine": q_exact_topk_cosine,
