@@ -1389,6 +1389,250 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+TPCH_Q8_REGION = "ASIA"
+TPCH_Q8_NATION = "NATION_1"
+TPCH_Q8_TYPE = "STANDARD"
+TPCH_Q8_DATE_LO = "1995-01-01 00:00:00"
+TPCH_Q8_DATE_HI = "1997-01-01 00:00:00"
+TPCH_Q9_PART_WORD = "widget"
+TPCH_Q12_DATE_LO = "1996-01-01 00:00:00"
+TPCH_Q12_DATE_HI = "1997-01-01 00:00:00"
+Q12_LATE_DAYS = 60
+TPCH_Q17_BRAND = "Brand#11"
+TPCH_Q17_QTY_FRAC = 0.2
+TPCH_Q19_GROUPS = [  # (brand, size_lo, size_hi, qty_lo, qty_hi)
+    ("Brand#11", 1, 15, 1, 11),
+    ("Brand#12", 1, 25, 10, 20),
+    ("Brand#13", 1, 50, 20, 30),
+]
+Q21_LATE_DAYS = 60
+TPCH_Q22_CUTOFF = "1998-01-01 00:00:00"
+
+
+def q_tpch_q8(spark, sf_dir):
+    """TPC-H Q8-shaped national market share: NATION_1's share of
+    STANDARD-part revenue sold to ASIA customers, per order year.  The only
+    shuffle is lineitem x orders on orderkey; part (type-pruned before
+    broadcast), supplier->nation, and the region-pruned customer key set are
+    all broadcast, and the share is a conditional-sum ratio in one
+    partial+final agg."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == TPCH_Q8_TYPE)
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(TPCH_Q8_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(TPCH_Q8_DATE_HI).cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == TPCH_Q8_REGION)
+    cust_in_region = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust_in_region), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+    )
+    return j.groupBy(F.year("o_orderdate").cast("long").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == TPCH_Q8_NATION, rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+def q_tpch_q9(spark, sf_dir):
+    """TPC-H Q9-shaped product profit, adapted: the fixture carries no
+    partsupp table, so profit omits ps_supplycost (revenue only) and the
+    part filter matches the fixture's 'adjective noun' p_name.  Revenue on
+    parts whose name contains 'widget', per supplier nation and order year;
+    part is LIKE-pruned before broadcast, supplier->nation broadcast, one
+    lineitem x orders shuffle."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").contains(TPCH_Q9_PART_WORD))
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    supp_nation = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.select(
+                    F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+                )
+            ),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", "nation")
+    )
+    # decimal money math: a double sum is summation-order-sensitive at the
+    # last ulp, which flips the 2-decimal rounding between engines
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("sum_profit"))
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """TPC-H Q12-shaped shipping audit, adapted: the fixture has no
+    l_shipmode or receipt/commit dates, so the grouping bucket is shipping
+    lateness relative to the order date.  Counts critical-priority
+    (1-URGENT/2-HIGH) vs other lines per bucket for one order-year — one
+    orderkey shuffle, date filter pushed to the orders scan, the bucket and
+    priority CASEs fold into the partial agg."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(TPCH_Q12_DATE_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(TPCH_Q12_DATE_HI).cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.when(late, "LATE").otherwise("ONTIME").alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17-shaped small-quantity revenue: average yearly revenue lost
+    by not stocking Brand#11 parts ordered below 20% of that part's average
+    quantity.  The correlated per-part AVG decorrelates to a groupBy over
+    the brand-pruned lineitem (part broadcast prunes before the shuffle);
+    the tiny per-part threshold broadcasts back, so lineitem never shuffles
+    on anything but the pruned partkey subset."""
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == TPCH_Q17_BRAND).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    # the threshold rounds to 4dp on both engines: the raw double AVG is
+    # summation-order-sensitive at the last ulp, which could flip the strict
+    # < for a line sitting exactly on the 20% bar
+    qty_bar = li.groupBy("l_partkey").agg(
+        F.round(TPCH_Q17_QTY_FRAC * F.avg("l_quantity"), 4).alias("qty_bar")
+    )
+    return (
+        li.join(F.broadcast(qty_bar), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_bar"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """TPC-H Q19-shaped disjunctive-predicate revenue: three OR'd
+    (brand, size-range, quantity-range) groups.  part is pruned to the
+    brand union before broadcast, so the OR evaluates in the scan-stage
+    broadcast join — no shuffle at all beyond the final 1-row agg."""
+    brands = [g[0] for g in TPCH_Q19_GROUPS]
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand").isin(brands))
+    li = _t(spark, sf_dir, "lineitem")
+    cond = None
+    for brand, size_lo, size_hi, qty_lo, qty_hi in TPCH_Q19_GROUPS:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(size_lo, size_hi)
+            & F.col("l_quantity").between(qty_lo, qty_hi)
+        )
+        cond = c if cond is None else (cond | c)
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21-shaped waiting-suppliers report, adapted: lateness is
+    l_shipdate > o_orderdate + 60 days (the fixture has no commit/receipt
+    dates).  For finished orders with lines from more than one supplier
+    where exactly ONE supplier shipped late, count offending orders per
+    supplier, top 20.  The whole per-order profile (distinct suppliers,
+    distinct late suppliers, the blamed key) is ONE agg keyed on the
+    orderkey shuffle — no correlated EXISTS/NOT EXISTS re-scans — and the
+    supplier name join broadcasts the tiny blamed set."""
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = _t(spark, sf_dir, "lineitem")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+    prof = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("late_supp", F.when(late, F.col("l_suppkey")))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("late_supp").alias("n_late"),
+            F.min("late_supp").alias("blamed"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        prof.groupBy("blamed")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("blamed") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22-shaped dormant-capital report, adapted: grouped by nation
+    (the fixture has no phone country code) and "dormant" means no orders
+    since the cutoff (every fixture customer has SOME order, mirroring the
+    original's 7-year recency clause).  Customers with above-average
+    positive balances and no recent orders, counted per nation: the global
+    AVG is a 1-row broadcast cross join, dormancy is a left-anti join on
+    custkey against the date-pruned orders scan, nation names broadcast."""
+    cust = _t(spark, sf_dir, "customer")
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(TPCH_Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    nation = _t(spark, sf_dir, "nation")
+    pos_avg = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        cust.crossJoin(F.broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
 def q_revenue_rollup(spark, sf_dir):
     """ROLLUP grouping-sets aggregation (nation -> region hierarchy)."""
     cust = _t(spark, sf_dir, "customer")
@@ -2413,6 +2657,104 @@ def _oracle_map() -> dict[str, str | None]:
             ORDER BY total_price DESC, o_orderkey ASC
             LIMIT 20
         """,
+        "r_tpch_q8": f"""
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN supp_nation = '{TPCH_Q8_NATION}' THEN rev ELSE 0.0 END)
+                         / sum(rev), 4) AS mkt_share
+            FROM (
+              SELECT o.o_orderdate, n2.n_name AS supp_nation,
+                     l.l_extendedprice * (1 - l.l_discount) AS rev
+              FROM lineitem l
+              JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = '{TPCH_Q8_TYPE}'
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+              JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = '{TPCH_Q8_REGION}'
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+              WHERE o.o_orderdate >= TIMESTAMP '{TPCH_Q8_DATE_LO}'
+                AND o.o_orderdate < TIMESTAMP '{TPCH_Q8_DATE_HI}'
+            )
+            GROUP BY 1
+        """,
+        "r_tpch_q9": f"""
+            SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+                        AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE '%{TPCH_Q9_PART_WORD}%'
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
+        """,
+        "r_tpch_q12": f"""
+            SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL {Q12_LATE_DAYS} DAY
+                        THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '{TPCH_Q12_DATE_LO}'
+              AND o_orderdate < TIMESTAMP '{TPCH_Q12_DATE_HI}'
+            GROUP BY 1
+        """,
+        "r_tpch_q17": f"""
+            WITH pruned AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = '{TPCH_Q17_BRAND}'
+            ),
+            bar AS (
+              SELECT l_partkey, round({TPCH_Q17_QTY_FRAC} * avg(l_quantity), 4) AS qty_bar
+              FROM pruned GROUP BY 1
+            )
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM pruned JOIN bar USING (l_partkey)
+            WHERE l_quantity < qty_bar
+        """,
+        "r_tpch_q19": f"""
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE {' OR '.join(
+                f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi}"
+                f" AND l_quantity BETWEEN {qlo} AND {qhi})"
+                for b, slo, shi, qlo, qhi in TPCH_Q19_GROUPS)}
+        """,
+        "r_tpch_q21": f"""
+            WITH prof AS (
+              SELECT l_orderkey,
+                     count(DISTINCT l_suppkey) AS n_supp,
+                     count(DISTINCT CASE WHEN l_shipdate > o_orderdate
+                                              + INTERVAL {Q21_LATE_DAYS} DAY
+                                         THEN l_suppkey END) AS n_late,
+                     min(CASE WHEN l_shipdate > o_orderdate
+                                   + INTERVAL {Q21_LATE_DAYS} DAY
+                              THEN l_suppkey END) AS blamed
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+              GROUP BY 1
+            )
+            SELECT s_name, count(*) AS numwait
+            FROM prof JOIN supplier ON blamed = s_suppkey
+            WHERE n_supp > 1 AND n_late = 1
+            GROUP BY 1
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 20
+        """,
+        "r_tpch_q22": f"""
+            SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >= TIMESTAMP '{TPCH_Q22_CUTOFF}')
+            GROUP BY 1
+        """,
         "t_unigram_logprob": f"""
             WITH tf AS (
               SELECT doc_id, term, count(*) AS tf
@@ -2680,6 +3022,13 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_tpch_q10": q_tpch_q10,
         "r_tpch_q14": q_tpch_q14,
         "r_tpch_q18": q_tpch_q18,
+        "r_tpch_q8": q_tpch_q8,
+        "r_tpch_q9": q_tpch_q9,
+        "r_tpch_q12": q_tpch_q12,
+        "r_tpch_q17": q_tpch_q17,
+        "r_tpch_q19": q_tpch_q19,
+        "r_tpch_q21": q_tpch_q21,
+        "r_tpch_q22": q_tpch_q22,
         "t_tfidf_top_terms": q_tfidf_top_terms,
         "t_unigram_logprob": q_unigram_logprob,
         "m_frame_plan": q_frame_plan,
