@@ -33,10 +33,27 @@ def _pairwise_sq(X: np.ndarray, C: np.ndarray) -> np.ndarray:
     return d2
 
 
-def fit_kmeans(X: np.ndarray, k: int, seed: int, n_iter: int = 20) -> np.ndarray:
+def fit_kmeans(
+    X: np.ndarray, k: int, seed: int, n_iter: int = 20, n_init: int = 4
+) -> np.ndarray:
     """Lloyd's with k-means++ init on an in-memory sample; returns (k, dim)
-    float64 centers.  Empty clusters keep their previous center (stable)."""
+    float64 centers.  Empty clusters keep their previous center (stable).
+
+    ``n_init`` independent seeded restarts, keeping the lowest-inertia run
+    (the sklearn/FAISS ``n_init``/``nredo`` practice): k-means++ is
+    init-sensitive, and a single unlucky draw measurably degrades both
+    quantization error (PQ ADC accuracy) and cell balance (IVF recall)."""
     X = np.asarray(X, dtype=np.float64)
+    best: tuple[float, np.ndarray] | None = None
+    for run in range(max(1, n_init)):
+        centers = _fit_once(X, k, seed + run, n_iter)
+        inertia = float(_pairwise_sq(X, centers).min(axis=1).sum())
+        if best is None or inertia < best[0]:
+            best = (inertia, centers)
+    return best[1]
+
+
+def _fit_once(X: np.ndarray, k: int, seed: int, n_iter: int) -> np.ndarray:
     n = X.shape[0]
     rng = np.random.RandomState(seed)
     k = min(k, n)
@@ -80,4 +97,8 @@ def sample_matrix(vectors, vec_col: str, seed: int, max_rows: int = MAX_TRAIN_RO
         .limit(max_rows)
         .collect()
     )
-    return np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    # canonical (lexicographic) row order: k-means++ indexes into X, so row
+    # ORDER — not just row membership — must be a pure function of content
+    # for trained centroids to be reproducible
+    return X[np.lexsort(X.T[::-1])] if len(X) else X

@@ -1633,6 +1633,45 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+RANGE_WINDOW_SEC = 3600
+RANGE_TRIGGER_TYPE = "purchase"
+RANGE_TRIGGER_MIN_VALUE = 200.0
+
+
+def q_range_join_windows(spark, sf_dir):
+    """Bucketed range join (operators/rangejoin.py): each high-value purchase
+    opens a 1-hour [t, t+3600) window; count and sum-value every event
+    landing inside each window (overlaps allowed), keeping empty windows.
+    The naive form is a theta join (ts BETWEEN lo AND hi) — a broadcast
+    nested-loop that degenerates to all-pairs at scale; the operator turns
+    it into an equi-join on time buckets."""
+    from lmdiskann_jl_spark.operators.rangejoin import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    pts = ev.select(F.col("event_id").alias("pt_id"), _events_sec(ev).alias("sec"), "value")
+    iv = (
+        ev.filter(
+            (F.col("event_type") == RANGE_TRIGGER_TYPE)
+            & (F.col("value") > RANGE_TRIGGER_MIN_VALUE)
+        )
+        .select(F.col("event_id").alias("window_id"), _events_sec(ev).alias("lo"))
+        .withColumn("hi", F.col("lo") + RANGE_WINDOW_SEC)
+    )
+    matched = range_join(pts, iv, "sec", "lo", "hi", bucket_width=RANGE_WINDOW_SEC)
+    per = matched.groupBy("window_id").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return (
+        iv.select("window_id")
+        .join(per, "window_id", "left")
+        .select(
+            "window_id",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+        )
+    )
+
+
 def q_revenue_rollup(spark, sf_dir):
     """ROLLUP grouping-sets aggregation (nation -> region hierarchy)."""
     cust = _t(spark, sf_dir, "customer")
@@ -2744,6 +2783,19 @@ def _oracle_map() -> dict[str, str | None]:
             ORDER BY numwait DESC, s_name ASC
             LIMIT 20
         """,
+        "r_range_join_windows": f"""
+            WITH p AS (SELECT event_id AS pt_id, epoch(ts) AS sec, value FROM events),
+                 w AS (SELECT event_id AS window_id, epoch(ts) AS lo,
+                              epoch(ts) + {RANGE_WINDOW_SEC} AS hi
+                       FROM events
+                       WHERE event_type = '{RANGE_TRIGGER_TYPE}'
+                         AND value > {RANGE_TRIGGER_MIN_VALUE})
+            SELECT w.window_id,
+                   CAST(count(p.pt_id) AS BIGINT) AS n_events,
+                   round(coalesce(sum(p.value), 0.0), 2) AS sum_value
+            FROM w LEFT JOIN p ON p.sec >= w.lo AND p.sec < w.hi
+            GROUP BY 1
+        """,
         "r_tpch_q22": f"""
             SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
                    round(sum(c_acctbal), 2) AS totacctbal
@@ -3029,6 +3081,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_tpch_q19": q_tpch_q19,
         "r_tpch_q21": q_tpch_q21,
         "r_tpch_q22": q_tpch_q22,
+        "r_range_join_windows": q_range_join_windows,
         "t_tfidf_top_terms": q_tfidf_top_terms,
         "t_unigram_logprob": q_unigram_logprob,
         "m_frame_plan": q_frame_plan,

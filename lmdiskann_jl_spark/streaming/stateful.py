@@ -31,35 +31,55 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _update_user(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    (user_id,) = key
-    if state.hasTimedOut:
-        state.remove()
-        return
-    n, total, last = state.get if state.exists else (0, 0.0, 0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-        last = max(last, int(pdf["ts"].max()))
-    state.update((n, float(total), last))
-    state.setTimeoutDuration(60 * 60 * 1000)  # expire users idle > 1h
-    yield pd.DataFrame(
-        [{"user_id": user_id, "n_events": n, "total_value": total, "last_ts": last}]
-    )
+def _make_update_user(idle_timeout_ms: int | None):
+    def _update_user(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, total, last = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            last = max(last, int(pdf["ts"].max()))
+        state.update((n, float(total), last))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            [{"user_id": user_id, "n_events": n, "total_value": total, "last_ts": last}]
+        )
+
+    return _update_user
 
 
-def running_user_stats(events_stream: DataFrame) -> DataFrame:
+def running_user_stats(
+    events_stream: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Per-user running (count, sum(value), max(ts)) over a stream of events
     with columns (user_id BIGINT, value DOUBLE, ts BIGINT).
 
     Emits the refreshed state row for every user touched by each micro-batch.
+
+    ``idle_timeout_ms``: optionally expire users idle longer than this
+    (state eviction for unbounded key domains — the thing that keeps state
+    size O(active users) instead of O(all users ever) on a real cluster).
+    Off by default: a ProcessingTimeTimeout schedules follow-up micro-batches
+    to service expirations, so a Trigger.AvailableNow drain never goes idle —
+    the query keeps running (and burning executors) after the data is done.
+    Turn it on for genuinely continuous queries; leave it off for bounded
+    catch-up/backfill drains.
     """
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if idle_timeout_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return events_stream.groupBy("user_id").applyInPandasWithState(
-        _update_user,
+        _make_update_user(idle_timeout_ms),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout,
     )
