@@ -33,6 +33,9 @@ def main() -> None:
         app_name="lmdiskann-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=int(cpus),
+        # the UI is off by default; the bench turns it on to read per-query
+        # shuffle volume from the REST API (metrics below)
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4055"},
     )
 
     qs = Q.queries()
@@ -67,15 +70,39 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query times measure the work
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
 
+    def shuffle_written() -> int | None:
+        """Cumulative shuffle-write bytes across completed stages (REST API).
+        Returns None (and the bench degrades gracefully) if the UI is off."""
+        try:
+            import urllib.request
+
+            ui = spark.sparkContext.uiWebUrl
+            if not ui:
+                return None
+            app = spark.sparkContext.applicationId
+            with urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=5
+            ) as r:
+                stages = json.load(r)
+            return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        except Exception:
+            return None
+
     times: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
     for name in bench_queries:
         best, n = None, 0
+        s0 = shuffle_written()
         for _ in range(2):  # best-of-2: damps co-tenant noise on shared hosts
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             n = df.count()  # force full execution
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
+        s1 = shuffle_written()
+        if s0 is not None and s1 is not None:
+            # both runs shuffle the same volume; report one run's worth
+            shuffle_mb[name] = round((s1 - s0) / 2 / 1e6, 3)
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
@@ -104,7 +131,10 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
-        json.dump({**summary, "queries": times}, f, indent=1, sort_keys=True)
+        json.dump(
+            {**summary, "queries": times, "shuffle_write_mb": shuffle_mb},
+            f, indent=1, sort_keys=True,
+        )
     print(json.dumps({**summary, "queries": times}), file=sys.stderr)
     print(json.dumps(summary))
 
