@@ -1689,6 +1689,35 @@ def q_revenue_rollup(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with GROUPING() markers — the generalized
+    rollup/cube machinery.  Compiles to ONE Expand + a single hash agg (rows
+    replicated once per grouping set), not a union of per-set scans; the
+    dimension joins are all broadcast."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("r_name", "c_mktsegment", "o_totalprice")
+    )
+    base.createOrReplaceTempView("_gs_base")
+    return spark.sql(
+        """
+        SELECT r_name, c_mktsegment,
+               CAST(grouping(r_name) AS BIGINT) AS g_region,
+               CAST(grouping(c_mktsegment) AS BIGINT) AS g_segment,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM _gs_base
+        GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment), ())
+        """
+    )
+
+
 def q_user_sessions(spark, sf_dir):
     """Sessionization via lag + conditional cumsum windows (30-min gap) —
     the batch twin of the stateful streaming operator."""
@@ -2783,6 +2812,18 @@ def _oracle_map() -> dict[str, str | None]:
             ORDER BY numwait DESC, s_name ASC
             LIMIT 20
         """,
+        "r_grouping_sets": """
+            SELECT r_name, c_mktsegment,
+                   CAST(grouping(r_name) AS BIGINT) AS g_region,
+                   CAST(grouping(c_mktsegment) AS BIGINT) AS g_segment,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment), ())
+        """,
         "r_range_join_windows": f"""
             WITH p AS (SELECT event_id AS pt_id, epoch(ts) AS sec, value FROM events),
                  w AS (SELECT event_id AS window_id, epoch(ts) AS lo,
@@ -3082,6 +3123,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_tpch_q21": q_tpch_q21,
         "r_tpch_q22": q_tpch_q22,
         "r_range_join_windows": q_range_join_windows,
+        "r_grouping_sets": q_grouping_sets,
         "t_tfidf_top_terms": q_tfidf_top_terms,
         "t_unigram_logprob": q_unigram_logprob,
         "m_frame_plan": q_frame_plan,
