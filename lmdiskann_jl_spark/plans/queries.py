@@ -1575,21 +1575,28 @@ def q_tpch_q21(spark, sf_dir):
     l_shipdate > o_orderdate + 60 days (the fixture has no commit/receipt
     dates).  For finished orders with lines from more than one supplier
     where exactly ONE supplier shipped late, count offending orders per
-    supplier, top 20.  The whole per-order profile (distinct suppliers,
-    distinct late suppliers, the blamed key) is ONE agg keyed on the
-    orderkey shuffle — no correlated EXISTS/NOT EXISTS re-scans — and the
-    supplier name join broadcasts the tiny blamed set."""
+    supplier, top 20 — no correlated EXISTS/NOT EXISTS re-scans, and no
+    multi-countDistinct either: two distincts in one agg compile to a 3x
+    Expand of the fact shuffle (the suite's worst scaling step when this
+    used countDistinct).  Instead the per-(order, supplier) profile
+    collapses first (late_any = max(late), plain partial-aggregating
+    groupBy), and the per-order counts are ordinary sums over that
+    already-distinct set; the supplier name join broadcasts the tiny
+    blamed set."""
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = _t(spark, sf_dir, "lineitem")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
-    prof = (
+    pair = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .withColumn("late_supp", F.when(late, F.col("l_suppkey")))
-        .groupBy("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late.cast("int")).alias("late_any"))
+    )
+    prof = (
+        pair.groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct("late_supp").alias("n_late"),
-            F.min("late_supp").alias("blamed"),
+            F.count("*").alias("n_supp"),
+            F.sum("late_any").alias("n_late"),
+            F.min(F.when(F.col("late_any") == 1, F.col("l_suppkey"))).alias("blamed"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )

@@ -48,6 +48,10 @@ DEFAULT = [
     "r_above_avg_orders",
     "r_customers_no_orders",
     "r_tpch_q13",
+    "r_range_join_windows",  # bucketed interval join (explode + equi-join)
+    "r_grouping_sets",  # Expand + single hash agg
+    "r_tpch_q21",  # multi-distinct agg profile on the fact shuffle
+    "r_tpch_q8",  # star join: one fact shuffle, all dims broadcast
 ]
 
 
