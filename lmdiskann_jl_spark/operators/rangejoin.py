@@ -57,6 +57,10 @@ def range_join(
     keys = list(keys or [])
 
     p = points.withColumn(_B, F.floor(F.col(point_ts) / F.lit(bucket_width)))
+    # degenerate intervals (hi < lo) can never contain a point, but left
+    # unfiltered they'd make sequence() emit a DESCENDING bucket range —
+    # wasted explode rows at best; drop them before the explode
+    intervals = intervals.filter(F.col(hi_col) >= F.col(lo_col))
     # hi's bucket is included even for closed='left' (a point at hi itself is
     # pruned by the exact filter); sequence() is inclusive on both ends
     iv = intervals.withColumn(

@@ -81,3 +81,32 @@ def test_bad_closed_raises(spark, tables):
     points, intervals = tables
     with pytest.raises(ValueError, match="closed"):
         range_join(points, intervals, "ts", "lo", "hi", 7, closed="right")
+
+
+from hypothesis import given, settings, strategies as st
+
+ts_int = st.integers(min_value=-50, max_value=50)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pts=st.lists(ts_int, min_size=1, max_size=12),
+    ivs=st.lists(st.tuples(ts_int, ts_int), min_size=1, max_size=8),
+    width=st.sampled_from([1, 4, 9, 64]),
+)
+def test_property_matches_naive(spark, pts, ivs, width):
+    """For arbitrary points/intervals (including degenerate hi < lo) and any
+    bucket width, the bucketed join equals the naive theta join exactly."""
+    p = spark.createDataFrame([(i, t) for i, t in enumerate(pts)], "pid long, ts long")
+    iv = spark.createDataFrame([(i, lo, hi) for i, (lo, hi) in enumerate(ivs)], "iid long, lo long, hi long")
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(p, iv, "ts", "lo", "hi", bucket_width=width).collect()
+    }
+    want = {
+        (i, j)
+        for i, t in enumerate(pts)
+        for j, (lo, hi) in enumerate(ivs)
+        if lo <= t < hi
+    }
+    assert got == want
