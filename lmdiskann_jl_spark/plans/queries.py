@@ -1422,6 +1422,20 @@ TPCH_Q19_GROUPS = [  # (brand, size_lo, size_hi, qty_lo, qty_hi)
 ]
 Q21_LATE_DAYS = 60
 TPCH_Q22_CUTOFF = "1998-01-01 00:00:00"
+TPCH_Q2_REGION = "EUROPE"
+TPCH_Q2_TYPE = "STANDARD"
+TPCH_Q2_SIZE_LO = 10
+TPCH_Q2_SIZE_HI = 20
+TPCH_Q11_REGION = "EUROPE"
+TPCH_Q11_FRACTION = 0.001
+TPCH_Q16_EXCL_BRAND = "Brand#11"
+TPCH_Q16_EXCL_TYPE = "PROMO"
+TPCH_Q16_SIZES = [5, 10, 15, 20, 25, 30]
+TPCH_Q20_PART_WORD = "gear"
+TPCH_Q20_DATE_LO = "1996-01-01 00:00:00"
+TPCH_Q20_DATE_HI = "1997-01-01 00:00:00"
+TPCH_Q20_QTY_FRAC = 0.5
+TPCH_Q20_REGION = "EUROPE"
 
 
 def q_tpch_q8(spark, sf_dir):
@@ -1652,6 +1666,169 @@ def q_tpch_q22(spark, sf_dir):
             F.count("*").alias("numcust"),
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
+    )
+
+
+def q_tpch_q2(spark, sf_dir):
+    """TPC-H Q2-shaped minimum-cost supplier, adapted: the fixture has no
+    partsupp, so a part's candidate suppliers and their cost come from the
+    shipping history — unit cost = avg(l_extendedprice / l_quantity) over a
+    supplier's lines for that part.  For each STANDARD mid-size part, the
+    cheapest EUROPE supplier (ties broken by suppkey).  The correlated MIN
+    subquery of the original decorrelates to a struct-min groupBy (partial
+    agg both levels — no window sort); part and the region-pruned supplier
+    dimension broadcast, so lineitem shuffles once on (partkey, suppkey)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == TPCH_Q2_REGION)
+    eu_supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == TPCH_Q2_TYPE)
+            & F.col("p_size").between(TPCH_Q2_SIZE_LO, TPCH_Q2_SIZE_HI)
+        )
+        .select("p_partkey", "p_name")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(eu_supp.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        # round before the min: the raw double avg is summation-order
+        # sensitive at the last ulp, which could flip a near-tie between
+        # two suppliers of the same part
+        .agg(F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 4).alias("unit_cost"))
+    )
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(F.min(F.struct("unit_cost", "l_suppkey")).alias("b"))
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("b.l_suppkey").alias("suppkey"),
+            F.col("b.unit_cost").alias("unit_cost"),
+        )
+    )
+    return (
+        best.join(F.broadcast(eu_supp), F.col("suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(part), F.col("partkey") == F.col("p_partkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "partkey",
+            "p_name",
+            "unit_cost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "partkey")
+        .limit(100)
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """TPC-H Q11-shaped important-stock report, adapted: with no partsupp,
+    a part's "stock value" held by EUROPE suppliers is the revenue of their
+    lines for it.  Parts whose value exceeds FRACTION of the region total.
+    Decimal money math keeps the > threshold compare exact across engines;
+    the global total is a 1-row broadcast cross join (no second scan pass —
+    the per-part value set is reused for both sides)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == TPCH_Q11_REGION)
+    eu_supp_keys = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    val = (
+        li.join(F.broadcast(eu_supp_keys), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(rev).alias("val"))
+    )
+    tot = val.agg(F.sum("val").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("val") > F.lit(TPCH_Q11_FRACTION).cast("decimal(18,6)") * F.col("total"))
+        .select("partkey", F.round("val", 2).cast("double").alias("value"))
+        .orderBy(F.col("value").desc(), "partkey")
+    )
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16-shaped supplier-count-by-part-bucket, adapted: candidate
+    (part, supplier) pairs come from lineitem instead of partsupp, and the
+    complaint-comment exclusion becomes a negative-balance exclusion (the
+    fixture supplier has no comment column).  Single-column countDistinct —
+    a plain 2-phase distinct agg, no Expand blowup; both dimension prunes
+    broadcast ahead of the lineitem shuffle."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != TPCH_Q16_EXCL_BRAND)
+            & (F.col("p_type") != TPCH_Q16_EXCL_TYPE)
+            & F.col("p_size").isin(TPCH_Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    good_supp = (
+        _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0).select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(good_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """TPC-H Q20-shaped excess-stock suppliers, adapted: with no partsupp
+    availqty, a supplier "holds excess stock" of a part when it shipped more
+    than QTY_FRAC of that part's total 1996 quantity — the original's
+    correlated half-year-demand threshold re-expressed over lineitem.  The
+    per-part total derives from the per-(part, supplier) rollup (one
+    lineitem shuffle feeds both levels); the hot-supplier key set and the
+    region-pruned nation dim broadcast into the supplier scan."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains(TPCH_Q20_PART_WORD))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(TPCH_Q20_DATE_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(TPCH_Q20_DATE_HI).cast("timestamp"))
+    )
+    per = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    tot = per.groupBy("l_partkey").agg(F.sum("q").alias("tq"))
+    hot = (
+        per.join(F.broadcast(tot), "l_partkey")
+        .filter(F.col("q") > TPCH_Q20_QTY_FRAC * F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == TPCH_Q20_REGION)
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(hot), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("s_name")
     )
 
 
@@ -2870,6 +3047,93 @@ def _oracle_map() -> dict[str, str | None]:
                                 AND o_orderdate >= TIMESTAMP '{TPCH_Q22_CUTOFF}')
             GROUP BY 1
         """,
+        "r_tpch_q2": f"""
+            WITH es AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = '{TPCH_Q2_REGION}'
+            ),
+            pp AS (
+              SELECT p_partkey, p_name FROM part
+              WHERE p_type = '{TPCH_Q2_TYPE}'
+                AND p_size BETWEEN {TPCH_Q2_SIZE_LO} AND {TPCH_Q2_SIZE_HI}
+            ),
+            cost AS (
+              SELECT l_partkey, l_suppkey,
+                     round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+              FROM lineitem JOIN pp ON l_partkey = p_partkey
+              WHERE l_suppkey IN (SELECT s_suppkey FROM es)
+              GROUP BY 1, 2
+            ),
+            best AS (
+              SELECT l_partkey AS partkey, l_suppkey AS suppkey, unit_cost,
+                     row_number() OVER (
+                       PARTITION BY l_partkey ORDER BY unit_cost, l_suppkey
+                     ) AS rn
+              FROM cost
+            )
+            SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+                   partkey, p_name, unit_cost
+            FROM best JOIN es ON suppkey = s_suppkey
+            JOIN pp ON partkey = p_partkey
+            WHERE rn = 1
+            ORDER BY s_acctbal DESC, n_name, s_name, partkey
+            LIMIT 100
+        """,
+        "r_tpch_q11": f"""
+            WITH v AS (
+              SELECT l_partkey AS partkey,
+                     sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS val
+              FROM lineitem
+              WHERE l_suppkey IN (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = '{TPCH_Q11_REGION}')
+              GROUP BY 1
+            )
+            SELECT partkey, CAST(round(val, 2) AS DOUBLE) AS value
+            FROM v
+            WHERE val > CAST({TPCH_Q11_FRACTION} AS DECIMAL(18,6))
+                        * (SELECT sum(val) FROM v)
+            ORDER BY value DESC, partkey
+        """,
+        "r_tpch_q16": f"""
+            SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> '{TPCH_Q16_EXCL_BRAND}'
+              AND p_type <> '{TPCH_Q16_EXCL_TYPE}'
+              AND p_size IN ({', '.join(str(s) for s in TPCH_Q16_SIZES)})
+              AND l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+            GROUP BY 1, 2, 3
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "r_tpch_q20": f"""
+            WITH per AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE '%{TPCH_Q20_PART_WORD}%'
+                AND l_shipdate >= TIMESTAMP '{TPCH_Q20_DATE_LO}'
+                AND l_shipdate < TIMESTAMP '{TPCH_Q20_DATE_HI}'
+              GROUP BY 1, 2
+            ),
+            tot AS (SELECT l_partkey, sum(q) AS tq FROM per GROUP BY 1),
+            hot AS (
+              SELECT DISTINCT l_suppkey
+              FROM per JOIN tot USING (l_partkey)
+              WHERE q > {TPCH_Q20_QTY_FRAC} * tq
+            )
+            SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = '{TPCH_Q20_REGION}'
+              AND s_suppkey IN (SELECT l_suppkey FROM hot)
+            ORDER BY s_name
+        """,
         "t_unigram_logprob": f"""
             WITH tf AS (
               SELECT doc_id, term, count(*) AS tf
@@ -3144,6 +3408,10 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_tpch_q19": q_tpch_q19,
         "r_tpch_q21": q_tpch_q21,
         "r_tpch_q22": q_tpch_q22,
+        "r_tpch_q2": q_tpch_q2,
+        "r_tpch_q11": q_tpch_q11,
+        "r_tpch_q16": q_tpch_q16,
+        "r_tpch_q20": q_tpch_q20,
         "r_range_join_windows": q_range_join_windows,
         "r_grouping_sets": q_grouping_sets,
         "t_tfidf_top_terms": q_tfidf_top_terms,
