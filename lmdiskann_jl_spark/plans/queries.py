@@ -1006,6 +1006,45 @@ def q_price_quantiles(spark, sf_dir):
     )
 
 
+SKETCH_RSD = 0.02          # HLL++ target relative standard deviation
+SKETCH_USERS_TOL = 0.05    # accepted |approx-exact|/exact for distinct count
+SKETCH_P50_TOL = 0.05      # accepted relative error for the approx median
+
+
+def q_sketch_accuracy(spark, sf_dir):
+    """Approximate-aggregation sketches with accuracy verdicts: HLL++
+    distinct users (approx_count_distinct, rsd 2%) and an approximate
+    median (approx_percentile) against their exact twins.  At 100 TB the
+    sketches are the only viable plan (fixed-size state, partial+final agg,
+    no distinct shuffle of the raw keys); this query gates that the
+    engine's sketches stay inside the declared tolerance.  Raw sketch
+    values are engine-specific (register layout / quantile summary), so the
+    DECLARED columns are the exact values plus boolean verdicts — the
+    oracle asserts the exact values and expects both verdicts true, making
+    sketch drift past tolerance a hash mismatch, not a silent pass."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=SKETCH_RSD).alias("approx_users"),
+        F.expr("percentile(value, 0.5D)").alias("exact_p50"),
+        F.expr("approx_percentile(value, 0.5D, 10000)").alias("approx_p50"),
+    )
+    return agg.select(
+        F.col("exact_users").cast("long").alias("n_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            <= SKETCH_USERS_TOL
+        ).alias("users_within_tol"),
+        F.round("exact_p50", 2).alias("p50_value"),
+        (
+            F.abs(F.col("approx_p50") - F.col("exact_p50"))
+            / F.greatest(F.abs(F.col("exact_p50")), F.lit(1e-9))
+            <= SKETCH_P50_TOL
+        ).alias("p50_within_tol"),
+    )
+
+
 def q_set_ops(spark, sf_dir):
     """Set operators: customers with both an URGENT and a LOW priority order
     (INTERSECT), minus those in AUTOMOBILE segment (EXCEPT)."""
@@ -2752,6 +2791,15 @@ def _oracle_map() -> dict[str, str | None]:
                    round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
             FROM lineitem GROUP BY 1
         """,
+        # exact twins + literal TRUE verdicts: a Spark sketch drifting past
+        # tolerance flips a verdict to false and fails the value hash
+        "r_sketch_accuracy": """
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   TRUE AS users_within_tol,
+                   round(quantile_cont(value, 0.5), 2) AS p50_value,
+                   TRUE AS p50_within_tol
+            FROM events
+        """,
         "r_set_ops": """
             SELECT custkey FROM (
               SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
@@ -3457,6 +3505,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_tpch_q19": q_tpch_q19,
         "r_tpch_q21": q_tpch_q21,
         "r_tpch_q22": q_tpch_q22,
+        "r_sketch_accuracy": q_sketch_accuracy,
         "r_tpch_q2": q_tpch_q2,
         "r_tpch_q11": q_tpch_q11,
         "r_tpch_q16": q_tpch_q16,
