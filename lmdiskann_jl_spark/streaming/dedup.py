@@ -1,0 +1,46 @@
+"""Streaming exact deduplication with watermark-bounded state.
+
+Beyond the reference (SURVEY.md §2.6 — no streaming runtime): the streaming
+twin of ``operators/dedup.exact_dedup``.  An at-least-once source (Kafka
+replays, retried micro-batches, duplicated ingest files) re-delivers rows;
+the unbounded fix (``dropDuplicates`` on a stream) keeps every key ever seen
+in state forever — a guaranteed OOM at 100 TB/day.
+``dropDuplicatesWithinWatermark`` keeps state only for keys whose event time
+is within the watermark delay: a duplicate arriving inside the window is
+dropped, and a key's state is evicted the moment the watermark passes it.
+
+The knob is the usual streaming tradeoff — watermark delay bounds BOTH the
+re-delivery horizon the dedup can absorb AND the state footprint
+(O(distinct keys per watermark window), not O(stream history)).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """First-arrival-wins dedup on ``key_cols`` with state bounded by
+    ``watermark`` (event-time delay on ``ts_col``).
+
+    Streaming input: emits the first row per key; duplicates landing while
+    the key is still in state (within the watermark horizon) are dropped;
+    once the watermark passes a key's event time its state is evicted, so a
+    re-occurrence beyond the horizon is treated as a new row — the
+    documented effectively-once contract, not a global-history guarantee.
+
+    Batch input: plain ``dropDuplicates`` — the global-history twin, which
+    is what makes it an oracle for streams whose duplicates all land inside
+    the watermark horizon.
+    """
+    keys = list(key_cols)
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)

@@ -1,0 +1,88 @@
+"""Streaming exact dedup (streaming/dedup.py): in-watermark duplicates
+collapse to the batch twin's answer, and state is watermark-evicted (a key
+re-occurring beyond the horizon is re-emitted, documenting the bounded-state
+contract)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from lmdiskann_jl_spark.streaming.dedup import dedup_stream
+
+SCHEMA = "user_id long, ts timestamp, event_id long"
+
+
+def _finish(q):
+    q.processAllAvailable()
+    q.stop()
+    assert q.awaitTermination(120), "streaming query did not stop"
+
+
+def _write(spark, rows, path):
+    spark.createDataFrame(
+        [(u, f"2024-01-01 {h:02d}:{m:02d}:00", e) for u, h, m, e in rows],
+        "user_id long, ts string, event_id long",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
+def _drain_factory(spark, src, ck, rows):
+    stream = dedup_stream(
+        spark.readStream.schema(SCHEMA).parquet(src),
+        key_cols=("event_id",),
+        watermark="1 hour",
+    )
+
+    def drain():
+        q = (
+            stream.writeStream.foreachBatch(lambda df, _e: rows.extend(df.collect()))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        _finish(q)
+
+    return drain
+
+
+def test_stream_dedup_matches_batch_twin(spark, tmp_path):
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    # (user, hour, minute, event_id) — event 100 delivered three times within
+    # the watermark horizon, 101 twice, 102 once
+    _write(spark, [(1, 9, 0, 100), (1, 9, 5, 100), (2, 9, 10, 101)], src)
+    _write(spark, [(1, 9, 20, 100), (2, 9, 25, 101), (3, 9, 30, 102)], src)
+
+    batch = dedup_stream(spark.read.schema(SCHEMA).parquet(src), key_cols=("event_id",))
+    assert sorted(r["event_id"] for r in batch.collect()) == [100, 101, 102]
+
+    rows = []
+    drain = _drain_factory(spark, src, str(tmp_path / "ck"), rows)
+    drain()
+    assert sorted(r["event_id"] for r in rows) == [100, 101, 102]
+    # first arrival wins: the kept row for 100 is the 9:00 delivery
+    kept = {r["event_id"]: r["ts"].minute for r in rows}
+    assert kept[100] == 0
+
+
+def test_stream_dedup_state_is_watermark_evicted(spark, tmp_path):
+    """A key re-occurring after the watermark passed its state is re-emitted:
+    the bounded-state contract (dedup horizon == watermark), and the reason
+    this plan survives 100 TB where a global dropDuplicates cannot."""
+    src = str(tmp_path / "events")
+    os.makedirs(src)
+    rows = []
+    drain = _drain_factory(spark, src, str(tmp_path / "ck"), rows)
+
+    _write(spark, [(1, 9, 0, 100)], src)
+    drain()
+    # advance the watermark far past 10:00 (9:00 + 1h horizon) ...
+    _write(spark, [(9, 20, 0, 900)], src)
+    drain()
+    # ... then re-deliver key 100: its state was evicted, so it re-emits
+    _write(spark, [(1, 20, 30, 100)], src)
+    drain()
+    assert [r["event_id"] for r in rows].count(100) == 2
+    assert [r["event_id"] for r in rows].count(900) == 1
