@@ -35,7 +35,15 @@ def main() -> None:
         shuffle_partitions=int(cpus),
         # the UI is off by default; the bench turns it on to read per-query
         # shuffle volume from the REST API (metrics below)
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4055"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4055",
+            # the status store evicts old stages past this bound; the
+            # shuffle-volume metric below sums NEW stage ids per query, so
+            # retention only needs to cover one query's stages — sized with
+            # two orders of magnitude of slack
+            "spark.ui.retainedStages": "50000",
+        },
     )
 
     qs = Q.queries()
@@ -70,9 +78,12 @@ def main() -> None:
     # warm the JVM + parquet footers once so per-query times measure the work
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
 
-    def shuffle_written() -> int | None:
-        """Cumulative shuffle-write bytes across completed stages (REST API).
-        Returns None (and the bench degrades gracefully) if the UI is off."""
+    def completed_stages() -> list[tuple[int, int]] | None:
+        """(stageId, shuffleWriteBytes) for completed stages (REST API).
+        Returns None (and the bench degrades gracefully) if the UI is off.
+        Per-query volume is the sum over stage ids NEWER than the previous
+        query's high-water mark — a cumulative-sum delta would go NEGATIVE
+        whenever the status store evicts old stages past retainedStages."""
         try:
             import urllib.request
 
@@ -84,7 +95,9 @@ def main() -> None:
                 f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=5
             ) as r:
                 stages = json.load(r)
-            return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+            return [
+                (s.get("stageId", -1), s.get("shuffleWriteBytes", 0)) for s in stages
+            ]
         except Exception:
             return None
 
@@ -92,17 +105,19 @@ def main() -> None:
     shuffle_mb: dict[str, float] = {}
     for name in bench_queries:
         best, n = None, 0
-        s0 = shuffle_written()
+        before = completed_stages()
+        mark = max((i for i, _ in before), default=-1) if before is not None else None
         for _ in range(2):  # best-of-2: damps co-tenant noise on shared hosts
             t0 = time.time()
             df = qs[name](spark, sf_dir)
             n = df.count()  # force full execution
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
-        s1 = shuffle_written()
-        if s0 is not None and s1 is not None:
+        after = completed_stages()
+        if after is not None and mark is not None:
             # both runs shuffle the same volume; report one run's worth
-            shuffle_mb[name] = round((s1 - s0) / 2 / 1e6, 3)
+            new_bytes = sum(b for i, b in after if i > mark)
+            shuffle_mb[name] = round(new_bytes / 2 / 1e6, 3)
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 

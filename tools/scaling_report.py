@@ -52,6 +52,9 @@ DEFAULT = [
     "r_grouping_sets",  # Expand + single hash agg
     "r_tpch_q21",  # multi-distinct agg profile on the fact shuffle
     "r_tpch_q8",  # star join: one fact shuffle, all dims broadcast
+    "r_tpch_q2",  # decorrelated arg-min: two-level struct-min agg
+    "r_tpch_q11",  # global-scalar HAVING via 1-row broadcast
+    "r_sketch_accuracy",  # HLL++ / quantile-summary sketch agg
 ]
 
 
