@@ -1957,26 +1957,20 @@ def q_grouping_sets(spark, sf_dir):
 
 
 def q_user_sessions(spark, sf_dir):
-    """Sessionization via lag + conditional cumsum windows (30-min gap) —
-    the batch twin of the stateful streaming operator."""
-    from pyspark.sql import Window
+    """Sessionization (operators/sessionize, 30-min gap) — the batch twin of
+    the stateful streaming operator.  Declared as the plain one-window form
+    (exact oracle twin); the chunk_span hot-key guard is pytest-gated for
+    parity (tests/test_sessionize.py)."""
+    from lmdiskann_jl_spark.operators.sessionize import sessionize
 
     ev = _t(spark, sf_dir, "events")
     ev = ev.select("user_id", _events_sec(ev).alias("sec"), "event_id")
-    w = Window.partitionBy("user_id").orderBy(F.col("sec").asc(), F.col("event_id").asc())
-    gap = F.when(
-        F.col("sec") - F.lag("sec", 1).over(w) > 1800, 1
-    ).otherwise(0)
-    sess = ev.withColumn("new_sess", gap).withColumn(
-        "session_no", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
-    return (
-        sess.groupBy("user_id", "session_no")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.min("sec").alias("start_sec"),
-            F.max("sec").alias("end_sec"),
-        )
+    return sessionize(ev, "user_id", "sec", gap=1800, order_col="event_id").select(
+        "user_id",
+        "session_no",
+        "n_events",
+        F.col("start").alias("start_sec"),
+        F.col("end").alias("end_sec"),
     )
 
 
