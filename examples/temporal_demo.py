@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from lmdiskann_jl_spark.operators.asof import asof_join
 from lmdiskann_jl_spark.operators.rangejoin import range_join
+from lmdiskann_jl_spark.operators.sessionize import sessionize
 from lmdiskann_jl_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -36,15 +37,10 @@ def main() -> None:
         F.unix_timestamp(F.col("ts").cast("timestamp")).alias("sec"),
     ).cache()
 
-    # 1. sessionize: 30-min inactivity gap, one window shuffle per user
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
-    sess = ev.withColumn(
-        "session_no",
-        F.sum(
-            F.when(F.col("sec") - F.lag("sec", 1).over(w) > 1800, 1).otherwise(0)
-        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    # 1. sessionize: 30-min inactivity gap; chunk_span engages the hot-key
+    # guard (identical output, bounded per-task input on skewed users)
+    sess = sessionize(
+        ev, "user_id", "sec", gap=1800, order_col="event_id", chunk_span=86_400
     )
     print("sessions per user (top 5):")
     sess.groupBy("user_id").agg(
