@@ -176,7 +176,10 @@ _ADJ_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _adjacency_edges_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    for k in [k for k in _ADJ_EDGES_CACHE if k[0] != app]:
+        del _ADJ_EDGES_CACHE[k]  # entries of stopped sessions are dead
+    key = (app, sf_dir)
     edges = _ADJ_EDGES_CACHE.get(key)
     if edges is None:
         emb = _t(spark, sf_dir, "embeddings")
@@ -1708,6 +1711,20 @@ def q_tpch_q22(spark, sf_dir):
     )
 
 
+def _region_suppliers(spark, sf_dir, region_name: str, cols: list[str]) -> DataFrame:
+    """Suppliers pruned to one region via the nation dim — the shared
+    prune block of the adapted Q2/Q11/Q20 (both dims broadcast; the result
+    is itself broadcast into the lineitem scan by every caller)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == region_name)
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(*cols)
+    )
+
+
 def q_tpch_q2(spark, sf_dir):
     """TPC-H Q2-shaped minimum-cost supplier, adapted: the fixture has no
     partsupp, so a part's candidate suppliers and their cost come from the
@@ -1717,13 +1734,8 @@ def q_tpch_q2(spark, sf_dir):
     subquery of the original decorrelates to a struct-min groupBy (partial
     agg both levels — no window sort); part and the region-pruned supplier
     dimension broadcast, so lineitem shuffles once on (partkey, suppkey)."""
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == TPCH_Q2_REGION)
-    eu_supp = (
-        _t(spark, sf_dir, "supplier")
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    eu_supp = _region_suppliers(
+        spark, sf_dir, TPCH_Q2_REGION, ["s_suppkey", "s_name", "s_acctbal", "n_name"]
     )
     part = (
         _t(spark, sf_dir, "part")
@@ -1775,14 +1787,7 @@ def q_tpch_q11(spark, sf_dir):
     Decimal money math keeps the > threshold compare exact across engines;
     the global total is a 1-row broadcast cross join (no second scan pass —
     the per-part value set is reused for both sides)."""
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == TPCH_Q11_REGION)
-    eu_supp_keys = (
-        _t(spark, sf_dir, "supplier")
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select("s_suppkey")
-    )
+    eu_supp_keys = _region_suppliers(spark, sf_dir, TPCH_Q11_REGION, ["s_suppkey"])
     li = _t(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
         F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
@@ -1859,13 +1864,9 @@ def q_tpch_q20(spark, sf_dir):
         .select("l_suppkey")
         .distinct()
     )
-    nation = _t(spark, sf_dir, "nation")
-    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == TPCH_Q20_REGION)
     return (
-        _t(spark, sf_dir, "supplier")
+        _region_suppliers(spark, sf_dir, TPCH_Q20_REGION, ["s_suppkey", "s_name", "s_acctbal"])
         .join(F.broadcast(hot), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
-        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
         .orderBy("s_name")
     )
@@ -2010,7 +2011,13 @@ _GATE_CACHE: dict[tuple[str, str, str], object] = {}
 
 
 def _gate_key(spark: SparkSession, sf_dir: str, what: str) -> tuple[str, str, str]:
-    return (spark.sparkContext.applicationId, sf_dir, what)
+    app = spark.sparkContext.applicationId
+    # entries keyed to a stopped session are unreachable (their DataFrames
+    # are dead) — evict them so a long-lived process that cycles sessions
+    # doesn't accumulate them
+    for k in [k for k in _GATE_CACHE if k[0] != app]:
+        del _GATE_CACHE[k]
+    return (app, sf_dir, what)
 
 
 def _gate_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2055,6 +2062,15 @@ def _gate_pq(spark: SparkSession, sf_dir: str):
         cb = build_pq(emb, dim=64).cache()
         codes = pq_encode(emb, cb, dim=64).cache()
         _GATE_CACHE[key] = (cb, codes)
+    return _GATE_CACHE[key]
+
+
+def _gate_assigned_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _gate_key(spark, sf_dir, "assigned_codes")
+    if key not in _GATE_CACHE:
+        _, codes = _gate_pq(spark, sf_dir)
+        _, assigned = _gate_ivf(spark, sf_dir)
+        _GATE_CACHE[key] = assigned.select("id", "cell").join(codes, "id").cache()
     return _GATE_CACHE[key]
 
 
@@ -2104,9 +2120,9 @@ def q_ivfpq_recall(spark, sf_dir):
     from lmdiskann_jl_spark.operators.pq import ivfpq_search_batch
 
     emb = _gate_emb(spark, sf_dir)
-    cb, codes = _gate_pq(spark, sf_dir)
-    cell_centroids, assigned = _gate_ivf(spark, sf_dir)
-    assigned_codes = assigned.select("id", "cell").join(codes, "id").cache()
+    cb, _codes = _gate_pq(spark, sf_dir)
+    cell_centroids, _assigned = _gate_ivf(spark, sf_dir)
+    assigned_codes = _gate_assigned_codes(spark, sf_dir)
     qdf = _recall_queries(emb)
     exact = _gate_exact(spark, sf_dir)
     approx = ivfpq_search_batch(

@@ -50,21 +50,25 @@ def _drain_factory(spark, src, ck, rows):
 def test_stream_dedup_matches_batch_twin(spark, tmp_path):
     src = str(tmp_path / "events")
     os.makedirs(src)
+    rows = []
+    drain = _drain_factory(spark, src, str(tmp_path / "ck"), rows)
     # (user, hour, minute, event_id) — event 100 delivered three times within
-    # the watermark horizon, 101 twice, 102 once
-    _write(spark, [(1, 9, 0, 100), (1, 9, 5, 100), (2, 9, 10, 101)], src)
+    # the watermark horizon, 101 twice, 102 once.  The re-deliveries land in
+    # a SECOND drained micro-batch: which of two same-key rows wins INSIDE
+    # one micro-batch is shuffle-order nondeterministic, but a row arriving
+    # after the key is already in state always loses.
+    _write(spark, [(1, 9, 0, 100), (2, 9, 10, 101)], src)
+    drain()
     _write(spark, [(1, 9, 20, 100), (2, 9, 25, 101), (3, 9, 30, 102)], src)
+    drain()
 
     batch = dedup_stream(spark.read.schema(SCHEMA).parquet(src), key_cols=("event_id",))
     assert sorted(r["event_id"] for r in batch.collect()) == [100, 101, 102]
-
-    rows = []
-    drain = _drain_factory(spark, src, str(tmp_path / "ck"), rows)
-    drain()
     assert sorted(r["event_id"] for r in rows) == [100, 101, 102]
-    # first arrival wins: the kept row for 100 is the 9:00 delivery
+    # first arrival wins: the kept rows are batch 1's deliveries
     kept = {r["event_id"]: r["ts"].minute for r in rows}
     assert kept[100] == 0
+    assert kept[101] == 10
 
 
 def test_stream_dedup_state_is_watermark_evicted(spark, tmp_path):
