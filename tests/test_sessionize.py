@@ -3,6 +3,7 @@ matches the plain one-window form row-for-row, including on a synthetic hot
 key, and the guard actually bounds per-window-group input."""
 
 import pytest
+from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from lmdiskann_jl_spark.operators.sessionize import sessionize
@@ -55,6 +56,52 @@ def test_chunked_matches_plain_on_hot_key(spark, hot_key_events):
     assert got == _canon(plain)
     # the silences every 10^4 events split the hot key into 10 sessions
     assert sum(1 for r in got if r[0] == 7) == 10
+
+
+def _reference_sessions(rows, gap):
+    """Driver-side oracle: sessions per key over (key, sec, eid) tuples."""
+    out = []
+    by_key = {}
+    for k, sec, eid in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        by_key.setdefault(k, []).append(sec)
+    for k, secs in by_key.items():
+        sess, start = 0, secs[0]
+        n, last = 0, None
+        for sec in secs:
+            if last is not None and sec - last > 100:
+                out.append((k, sess, n, start, last))
+                sess, start, n = sess + 1, sec, 0
+            n += 1
+            last = sec
+        out.append((k, sess, n, start, last))
+    return sorted(out)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # key
+            st.integers(min_value=0, max_value=2000),   # sec
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    ),
+    st.sampled_from([70, 100, 250, 997]),               # spans below/at/above gap
+)
+def test_property_parity_vs_reference(spark, pairs, span):
+    """Plain == chunked == driver-side reference on random event sets, for
+    chunk spans below, at, and above the gap (output must be span-invariant)."""
+    rows = [(k, s, i) for i, (k, s) in enumerate(pairs)]
+    ev = spark.createDataFrame(rows, "user_id long, sec long, event_id long")
+    want = _reference_sessions(rows, gap=100)
+    plain = sessionize(ev, "user_id", "sec", gap=100, order_col="event_id")
+    chunked = sessionize(
+        ev, "user_id", "sec", gap=100, order_col="event_id", chunk_span=span
+    )
+    assert _canon(plain) == want
+    assert _canon(chunked) == want
 
 
 def test_guard_bounds_window_group_size(spark, hot_key_events):
