@@ -68,7 +68,7 @@ def _reference_sessions(rows, gap):
         sess, start = 0, secs[0]
         n, last = 0, None
         for sec in secs:
-            if last is not None and sec - last > 100:
+            if last is not None and sec - last > gap:
                 out.append((k, sess, n, start, last))
                 sess, start, n = sess + 1, sec, 0
             n += 1
