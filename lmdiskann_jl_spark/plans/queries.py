@@ -1957,6 +1957,30 @@ def q_grouping_sets(spark, sf_dir):
     )
 
 
+def q_session_windows(spark, sf_dir):
+    """Native session-window sessionization (the construct the streaming
+    twin streaming/sessions.py uses), evaluated in batch: per-user sessions
+    that grow while events arrive STRICTLY within the 30-min gap
+    (session_window merges diff < gap — the complement of q_user_sessions'
+    diff <= gap operator semantics; both are declared so the boundary
+    convention is oracle-pinned on each side).  One keyed exchange + sort,
+    same cost class as the window form."""
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "user_id", F.timestamp_seconds(_events_sec(ev)).alias("tsec")
+    )
+    return (
+        src.groupBy("user_id", F.session_window("tsec", "1800 seconds").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            F.unix_timestamp(F.col("w.end")).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def q_user_sessions(spark, sf_dir):
     """Sessionization (operators/sessionize, 30-min gap) — the batch twin of
     the stateful streaming operator.  Declared as the plain one-window form
@@ -3302,6 +3326,29 @@ def _oracle_map() -> dict[str, str | None]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY ROLLUP (r_name, n_name)
         """,
+        # session_window merges diff < gap (split on >=), end = last + gap
+        "r_session_windows": """
+            WITH ev AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+            ),
+            s AS (
+              SELECT user_id, sec,
+                     CASE WHEN sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec) >= 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM ev
+            ),
+            s2 AS (
+              SELECT user_id, sec,
+                     sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY sec
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) AS grp
+              FROM s
+            )
+            SELECT user_id, min(sec) AS session_start,
+                   max(sec) + 1800 AS session_end, count(*) AS n_events
+            FROM s2 GROUP BY user_id, grp
+        """,
         "r_user_sessions": """
             WITH ev AS (
               SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id FROM events
@@ -3516,6 +3563,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_tpch_q21": q_tpch_q21,
         "r_tpch_q22": q_tpch_q22,
         "r_sketch_accuracy": q_sketch_accuracy,
+        "r_session_windows": q_session_windows,
         "r_tpch_q2": q_tpch_q2,
         "r_tpch_q11": q_tpch_q11,
         "r_tpch_q16": q_tpch_q16,
