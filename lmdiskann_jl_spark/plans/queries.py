@@ -792,6 +792,43 @@ def q_normalize_embeddings(spark, sf_dir):
     )
 
 
+BM25_QUERY_TERMS = ["spark", "table", "query"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 20
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed term query — the lexical half of
+    hybrid retrieval (v_hybrid_search fuses the vector half).  One tokenize
+    scan feeds doc lengths AND term frequencies; the term filter prunes tf
+    to the query's terms before any join, the per-term df and the global
+    (N, avgdl) scalars broadcast, so the only real shuffle is the tokenize
+    groupBy — the shape that survives a 100-TB corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    corpus = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.filter(F.col("term").isin(BM25_QUERY_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (BM25_K1 + 1) / norm
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+
+
 def q_top_terms(spark, sf_dir):
     """Top-5 tokens per language label by frequency — explode + count +
     per-group window limit (the text-side shape of op 13's degree prune)."""
@@ -2798,6 +2835,29 @@ def _oracle_map() -> dict[str, str | None]:
                          / {O.norm('list_transform(embedding, x -> CAST(x AS DOUBLE))')}, 4) + 0.0 AS u0
             FROM embeddings
         """,
+        "t_bm25_search": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({O.tokens('text')}) AS term FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ({', '.join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+              GROUP BY 1, 2
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+            SELECT doc_id,
+                   round(sum(
+                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                     * tf * ({BM25_K1} + 1)
+                     / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+                   ), 4) AS score
+            FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN corpus
+            GROUP BY 1
+            ORDER BY score DESC, doc_id
+            LIMIT {BM25_TOP_K}
+        """,
         "t_top_terms": f"""
             SELECT lang, tok, n,
                    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS BIGINT) AS rank
@@ -3564,6 +3624,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_tpch_q22": q_tpch_q22,
         "r_sketch_accuracy": q_sketch_accuracy,
         "r_session_windows": q_session_windows,
+        "t_bm25_search": q_bm25_search,
         "r_tpch_q2": q_tpch_q2,
         "r_tpch_q11": q_tpch_q11,
         "r_tpch_q16": q_tpch_q16,
