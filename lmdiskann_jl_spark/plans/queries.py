@@ -800,30 +800,46 @@ BM25_TOP_K = 20
 
 def q_bm25_search(spark, sf_dir):
     """BM25 ranked retrieval for a fixed term query — the lexical half of
-    hybrid retrieval (v_hybrid_search fuses the vector half).  One tokenize
-    scan feeds doc lengths AND term frequencies; the term filter prunes tf
-    to the query's terms before any join, the per-term df and the global
-    (N, avgdl) scalars broadcast, so the only real shuffle is the tokenize
-    groupBy — the shape that survives a 100-TB corpus."""
+    hybrid retrieval (v_hybrid_search fuses the vector half).  WIDE FORM:
+    because the query's terms are static, the per-doc profile (doc length +
+    one tf column per query term) is one doc_id groupBy, the per-term dfs
+    and (N, avgdl) scalars reduce from that doc-level aggregate into a
+    1-row broadcast, and the score is a fixed-order expression over the tf
+    columns — no per-term join, no tf/dl shuffle join.  The tokenize
+    lineage evaluates twice (scalar reduction + scoring pass; column
+    pruning keeps the subtrees from static exchange reuse) — two
+    column-pruned linear scans, against the long-form's four plus a
+    doc_id join of tf against dl."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    corpus = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
-    tf = (
-        toks.filter(F.col("term").isin(BM25_QUERY_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(BM25_QUERY_TERMS)
+        ],
     )
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
-    norm = F.col("tf") + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-    contrib = idf * F.col("tf") * (BM25_K1 + 1) / norm
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(BM25_QUERY_TERMS))
+        ],
+    )
+    def _contrib(i: int) -> F.Column:
+        tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
+        idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+        norm = tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        return F.when(tf > 0, idf * tf * (BM25_K1 + 1) / norm).otherwise(F.lit(0.0))
+
+    score = sum(_contrib(i) for i in range(len(BM25_QUERY_TERMS)))
     return (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(corpus))
-        .groupBy("doc_id")
-        .agg(F.round(F.sum(contrib), 4).alias("score"))
+        per_doc.filter(
+            sum(F.col(f"tf_{i}") for i in range(len(BM25_QUERY_TERMS))) > 0
+        )
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", F.round(score, 4).alias("score"))
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOP_K)
     )
@@ -2000,21 +2016,23 @@ def q_session_windows(spark, sf_dir):
     that grow while events arrive STRICTLY within the 30-min gap
     (session_window merges diff < gap — the complement of q_user_sessions'
     diff <= gap operator semantics; both are declared so the boundary
-    convention is oracle-pinned on each side).  One keyed exchange + sort,
-    same cost class as the window form."""
+    convention is oracle-pinned on each side).  Calls the streaming
+    operator's batch path directly, so the oracle-pinned query and the
+    streaming twin cannot drift apart.  One keyed exchange + sort, same
+    cost class as the window form."""
+    from lmdiskann_jl_spark.streaming.sessions import streaming_sessions
+
     ev = _t(spark, sf_dir, "events")
     src = ev.select(
         "user_id", F.timestamp_seconds(_events_sec(ev)).alias("tsec")
     )
-    return (
-        src.groupBy("user_id", F.session_window("tsec", "1800 seconds").alias("w"))
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            F.unix_timestamp(F.col("w.start")).alias("session_start"),
-            F.unix_timestamp(F.col("w.end")).alias("session_end"),
-            "n_events",
-        )
+    return streaming_sessions(
+        src, key_col="user_id", ts_col="tsec", gap="1800 seconds"
+    ).select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start"),
+        F.unix_timestamp("session_end").alias("session_end"),
+        "n_events",
     )
 
 

@@ -23,6 +23,27 @@ def sf_dir():
     return SF_DIR
 
 
+# ---- shared streaming-test scaffolding (used by the test_streaming_* files)
+
+
+def finish_stream(q):
+    q.processAllAvailable()
+    q.stop()
+    assert q.awaitTermination(120), "streaming query did not stop"
+
+
+def write_events(spark, rows, path):
+    """Append (user, hour, minute, event_id) rows as one parquet file."""
+    from pyspark.sql import functions as F
+
+    spark.createDataFrame(
+        [(u, f"2024-01-01 {h:02d}:{m:02d}:00", e) for u, h, m, e in rows],
+        "user_id long, ts string, event_id long",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id").coalesce(
+        1
+    ).write.mode("append").parquet(path)
+
+
 @pytest.fixture(scope="session")
 def embeddings(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()

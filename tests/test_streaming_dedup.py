@@ -9,22 +9,9 @@ from pyspark.sql import functions as F
 
 from lmdiskann_jl_spark.streaming.dedup import dedup_stream
 
+from conftest import finish_stream, write_events
+
 SCHEMA = "user_id long, ts timestamp, event_id long"
-
-
-def _finish(q):
-    q.processAllAvailable()
-    q.stop()
-    assert q.awaitTermination(120), "streaming query did not stop"
-
-
-def _write(spark, rows, path):
-    spark.createDataFrame(
-        [(u, f"2024-01-01 {h:02d}:{m:02d}:00", e) for u, h, m, e in rows],
-        "user_id long, ts string, event_id long",
-    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id").coalesce(
-        1
-    ).write.mode("append").parquet(path)
 
 
 def _drain_factory(spark, src, ck, rows):
@@ -42,7 +29,7 @@ def _drain_factory(spark, src, ck, rows):
             .option("checkpointLocation", ck)
             .start()
         )
-        _finish(q)
+        finish_stream(q)
 
     return drain
 
@@ -57,9 +44,9 @@ def test_stream_dedup_matches_batch_twin(spark, tmp_path):
     # a SECOND drained micro-batch: which of two same-key rows wins INSIDE
     # one micro-batch is shuffle-order nondeterministic, but a row arriving
     # after the key is already in state always loses.
-    _write(spark, [(1, 9, 0, 100), (2, 9, 10, 101)], src)
+    write_events(spark, [(1, 9, 0, 100), (2, 9, 10, 101)], src)
     drain()
-    _write(spark, [(1, 9, 20, 100), (2, 9, 25, 101), (3, 9, 30, 102)], src)
+    write_events(spark, [(1, 9, 20, 100), (2, 9, 25, 101), (3, 9, 30, 102)], src)
     drain()
 
     batch = dedup_stream(spark.read.schema(SCHEMA).parquet(src), key_cols=("event_id",))
@@ -80,13 +67,13 @@ def test_stream_dedup_state_is_watermark_evicted(spark, tmp_path):
     rows = []
     drain = _drain_factory(spark, src, str(tmp_path / "ck"), rows)
 
-    _write(spark, [(1, 9, 0, 100)], src)
+    write_events(spark, [(1, 9, 0, 100)], src)
     drain()
     # advance the watermark far past 10:00 (9:00 + 1h horizon) ...
-    _write(spark, [(9, 20, 0, 900)], src)
+    write_events(spark, [(9, 20, 0, 900)], src)
     drain()
     # ... then re-deliver key 100: its state was evicted, so it re-emits
-    _write(spark, [(1, 20, 30, 100)], src)
+    write_events(spark, [(1, 20, 30, 100)], src)
     drain()
     assert [r["event_id"] for r in rows].count(100) == 2
     assert [r["event_id"] for r in rows].count(900) == 1

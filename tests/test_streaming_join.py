@@ -7,22 +7,9 @@ from pyspark.sql import functions as F
 
 from lmdiskann_jl_spark.streaming.joins import attribute_purchases_to_clicks
 
+from conftest import finish_stream, write_events
+
 SCHEMA = "user_id long, ts timestamp, event_id long"
-
-
-def _finish(q):
-    q.processAllAvailable()
-    q.stop()
-    assert q.awaitTermination(120), "streaming query did not stop"
-
-
-def _write(spark, rows, path):
-    spark.createDataFrame(
-        [(u, f"2024-01-01 {h:02d}:{m:02d}:00", e) for u, h, m, e in rows],
-        "user_id long, ts string, event_id long",
-    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id").coalesce(
-        1
-    ).write.mode("append").parquet(path)
 
 
 def test_stream_join_matches_batch_twin(spark, tmp_path):
@@ -30,8 +17,8 @@ def test_stream_join_matches_batch_twin(spark, tmp_path):
     os.makedirs(cdir)
     os.makedirs(pdir)
     # (user, hour, minute, event_id)
-    _write(spark, [(1, 9, 0, 100), (1, 9, 40, 101), (2, 9, 10, 102), (1, 11, 0, 103)], cdir)
-    _write(spark, [(1, 9, 50, 200), (2, 8, 0, 201), (1, 11, 0, 202)], pdir)
+    write_events(spark, [(1, 9, 0, 100), (1, 9, 40, 101), (2, 9, 10, 102), (1, 11, 0, 103)], cdir)
+    write_events(spark, [(1, 9, 50, 200), (2, 8, 0, 201), (1, 11, 0, 202)], pdir)
 
     batch = attribute_purchases_to_clicks(
         spark.read.schema(SCHEMA).parquet(cdir), spark.read.schema(SCHEMA).parquet(pdir)
@@ -53,7 +40,7 @@ def test_stream_join_matches_batch_twin(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ck"))
         .start()
     )
-    _finish(q)
+    finish_stream(q)
     assert {(r["purchase_id"], r["click_id"]) for r in rows} == want
 
 
@@ -63,8 +50,8 @@ def test_stream_join_state_is_watermark_bounded(spark, tmp_path):
     cdir, pdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
     os.makedirs(cdir)
     os.makedirs(pdir)
-    _write(spark, [(1, 9, 0, 100)], cdir)
-    _write(spark, [(1, 9, 30, 200)], pdir)
+    write_events(spark, [(1, 9, 0, 100)], cdir)
+    write_events(spark, [(1, 9, 30, 200)], pdir)
 
     out = attribute_purchases_to_clicks(
         spark.readStream.schema(SCHEMA).parquet(cdir),
@@ -83,17 +70,17 @@ def test_stream_join_state_is_watermark_bounded(spark, tmp_path):
             .option("checkpointLocation", ck)
             .start()
         )
-        _finish(q)
+        finish_stream(q)
 
     drain()
     assert {(r["purchase_id"], r["click_id"]) for r in rows} == {(200, 100)}
 
     # advance the watermark far past hour 9, then replay a click that would
     # have matched purchase 200: its match range is watermark-expired
-    _write(spark, [(9, 20, 0, 900)], cdir)
-    _write(spark, [(9, 20, 0, 901)], pdir)
+    write_events(spark, [(9, 20, 0, 900)], cdir)
+    write_events(spark, [(9, 20, 0, 901)], pdir)
     drain()
-    _write(spark, [(1, 9, 29, 101)], cdir)  # in-range for purchase 200, but late
+    write_events(spark, [(1, 9, 29, 101)], cdir)  # in-range for purchase 200, but late
     drain()
     got = {(r["purchase_id"], r["click_id"]) for r in rows}
     assert (901, 900) in got

@@ -10,23 +10,10 @@ from pyspark.sql import functions as F
 from lmdiskann_jl_spark.operators.sessionize import sessionize
 from lmdiskann_jl_spark.streaming.sessions import streaming_sessions
 
+from conftest import finish_stream, write_events
+
 SCHEMA = "user_id long, ts timestamp, event_id long"
 GAP_SEC = 1800
-
-
-def _finish(q):
-    q.processAllAvailable()
-    q.stop()
-    assert q.awaitTermination(120), "streaming query did not stop"
-
-
-def _write(spark, rows, path):
-    spark.createDataFrame(
-        [(u, f"2024-01-01 {h:02d}:{m:02d}:00", e) for u, h, m, e in rows],
-        "user_id long, ts string, event_id long",
-    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_id").coalesce(
-        1
-    ).write.mode("append").parquet(path)
 
 
 def _canon(rows):
@@ -38,13 +25,13 @@ def test_streamed_sessions_match_batch_twins(spark, tmp_path):
     os.makedirs(src)
     # user 1: two sessions (9:00-9:20, then 11:00); user 2: one session.
     # No inter-event diff sits exactly on the gap boundary (see module doc).
-    _write(
+    write_events(
         spark,
         [(1, 9, 0, 1), (1, 9, 20, 2), (1, 11, 0, 3), (2, 9, 5, 4), (2, 9, 15, 5)],
         src,
     )
     # a late sentinel far in the future closes every session above
-    _write(spark, [(9, 23, 0, 99)], src)
+    write_events(spark, [(9, 23, 0, 99)], src)
 
     batch_df = spark.read.schema(SCHEMA).parquet(src)
     want = _canon(
@@ -76,7 +63,7 @@ def test_streamed_sessions_match_batch_twins(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ck"))
         .start()
     )
-    _finish(q)
+    finish_stream(q)
     # every session except the sentinel's own open one has emitted
     emitted = [r for r in rows if r["user_id"] != 9]
     assert _canon(emitted) == [w for w in want if w[0] != 9]
@@ -104,12 +91,12 @@ def test_open_session_holds_until_watermark(spark, tmp_path):
             .option("checkpointLocation", ck)
             .start()
         )
-        _finish(q)
+        finish_stream(q)
 
-    _write(spark, [(1, 9, 0, 1), (1, 9, 10, 2)], src)
+    write_events(spark, [(1, 9, 0, 1), (1, 9, 10, 2)], src)
     drain()
     assert rows == []  # watermark hasn't passed 9:10 + gap yet — still open
-    _write(spark, [(9, 20, 0, 99)], src)  # advances the watermark
+    write_events(spark, [(9, 20, 0, 99)], src)  # advances the watermark
     drain()
     got = [(r["user_id"], r["n_events"]) for r in rows]
     assert got == [(1, 2)]  # the closed session emitted exactly once
