@@ -15,17 +15,6 @@ def emb(embeddings):
     return embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")).cache()
 
 
-def _finish(q, timeout=120):
-    """Drain an availableNow query deterministically.  processAllAvailable
-    blocks until every available input row is PROCESSED — the property the
-    assertions actually need; the trigger's self-termination can lag far
-    behind processing (state-store maintenance) on a loaded machine, so
-    don't gate on it — stop() and then assert the stop completed."""
-    q.processAllAvailable()
-    q.stop()
-    assert q.awaitTermination(timeout), "streaming query did not stop"
-
-
 def test_ivf_build_partitions_all_vectors(emb):
     centroids, assigned = build_ivf(emb, n_cells=8)
     assert centroids.count() == 8
@@ -70,7 +59,7 @@ def test_ivf_partition_pruned_scan(emb, spark, tmp_path):
     assert len(res.collect()) == 5
 
 
-def test_stateful_running_user_stats(spark, sf_dir, tmp_path):
+def test_stateful_running_user_stats(spark, sf_dir, tmp_path, finish_stream):
     """applyInPandasWithState across two micro-batches accumulates state."""
     import pandas as pd
 
@@ -94,7 +83,7 @@ def test_stateful_running_user_stats(spark, sf_dir, tmp_path):
         .option("checkpointLocation", ck)
         .start()
     )
-    _finish(q)
+    finish_stream(q)
     got = {r["user_id"]: r for r in spark.sql("SELECT * FROM ustats").collect()}
     assert got[1]["n_events"] == 2 and got[1]["total_value"] == pytest.approx(3.0)
     assert got[2]["n_events"] == 1 and got[2]["last_ts"] == 30
@@ -116,7 +105,7 @@ def test_stateful_running_user_stats(spark, sf_dir, tmp_path):
         .option("checkpointLocation", ck)
         .start()
     )
-    _finish(q2)
+    finish_stream(q2)
     assert collected[1]["n_events"] == 3
     assert collected[1]["total_value"] == pytest.approx(13.0)
     assert collected[1]["last_ts"] == 40
@@ -157,7 +146,7 @@ def test_ivf_invalidated_by_mutation(spark, tmp_path):
     assert "k-5" not in {r["key"] for r in res2}
 
 
-def test_stream_dedup_ingest_across_batches(spark, tmp_path):
+def test_stream_dedup_ingest_across_batches(spark, tmp_path, finish_stream):
     """Content accepted once across micro-batches: in-batch dups collapse to
     the min id, later batches drop digests already seen, and restarts resume
     from the on-disk digest state."""
@@ -177,7 +166,7 @@ def test_stream_dedup_ingest_across_batches(spark, tmp_path):
 
     stream = spark.readStream.schema(schema).parquet(str(src) + "/*")
     q = stream_dedup_ingest(stream, str(out), str(ckpt))
-    _finish(q)
+    finish_stream(q)
 
     acc1 = {(r["doc_id"], r["text"]) for r in spark.read.parquet(str(out / "accepted")).collect()}
     assert acc1 == {(1, "alpha"), (2, "beta")}
@@ -191,7 +180,7 @@ def test_stream_dedup_ingest_across_batches(spark, tmp_path):
         str(out),
         str(ckpt),
     )
-    _finish(q2)
+    finish_stream(q2)
 
     acc2 = {(r["doc_id"], r["text"]) for r in spark.read.parquet(str(out / "accepted")).collect()}
     assert acc2 == {(1, "alpha"), (2, "beta"), (11, "gamma")}
@@ -253,7 +242,7 @@ def test_ivf_search_batch_matches_single_probes(emb, spark):
         assert [i for _, i in sorted(got[qid])] == single
 
 
-def test_streaming_rollup_drops_late_rows(spark, tmp_path):
+def test_streaming_rollup_drops_late_rows(spark, tmp_path, finish_stream):
     """Rows older than the watermark (2h) when it advances must be dropped:
     after batch 1 moves the watermark forward, batch 2's very-late row never
     surfaces in append-mode output while its fresh row does."""
@@ -299,7 +288,7 @@ def test_streaming_rollup_drops_late_rows(spark, tmp_path):
             .option("checkpointLocation", ck)
             .start()
         )
-        _finish(q)
+        finish_stream(q)
         return {(r["bucket"], r["event_type"]): r["n"] for r in rows}
 
     got1 = drain()
@@ -320,7 +309,7 @@ def test_streaming_rollup_drops_late_rows(spark, tmp_path):
     assert all(et != "late" for _, et in got3)
 
 
-def test_streaming_rollup_matches_batch_twin(spark, tmp_path):
+def test_streaming_rollup_matches_batch_twin(spark, tmp_path, finish_stream):
     """Stream/batch parity: the watermarked streaming rollup over the
     driver fixture's events (drained with availableNow, complete mode so
     open windows emit) must produce EXACTLY the batch q_events_hourly
@@ -349,7 +338,7 @@ def test_streaming_rollup_matches_batch_twin(spark, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ck"))
         .start()
     )
-    _finish(q)
+    finish_stream(q)
 
     got = {(r["bucket"], r["event_type"]): (r["n"], r["sum_value"]) for r in rows}
     want = {

@@ -5,18 +5,12 @@ contract)."""
 
 import os
 
-from pyspark.sql import functions as F
-
 from lmdiskann_jl_spark.streaming.dedup import dedup_stream
 
-from conftest import finish_stream, write_events
 
-SCHEMA = "user_id long, ts timestamp, event_id long"
-
-
-def _drain_factory(spark, src, ck, rows):
+def _drain_factory(spark, src, ck, rows, stream_schema, finish_stream):
     stream = dedup_stream(
-        spark.readStream.schema(SCHEMA).parquet(src),
+        spark.readStream.schema(stream_schema).parquet(src),
         key_cols=("event_id",),
         watermark="1 hour",
     )
@@ -34,22 +28,22 @@ def _drain_factory(spark, src, ck, rows):
     return drain
 
 
-def test_stream_dedup_matches_batch_twin(spark, tmp_path):
+def test_stream_dedup_matches_batch_twin(spark, tmp_path, stream_schema, finish_stream, write_events):
     src = str(tmp_path / "events")
     os.makedirs(src)
     rows = []
-    drain = _drain_factory(spark, src, str(tmp_path / "ck"), rows)
+    drain = _drain_factory(spark, src, str(tmp_path / "ck"), rows, stream_schema, finish_stream)
     # (user, hour, minute, event_id) — event 100 delivered three times within
     # the watermark horizon, 101 twice, 102 once.  The re-deliveries land in
     # a SECOND drained micro-batch: which of two same-key rows wins INSIDE
     # one micro-batch is shuffle-order nondeterministic, but a row arriving
     # after the key is already in state always loses.
-    write_events(spark, [(1, 9, 0, 100), (2, 9, 10, 101)], src)
+    write_events([(1, 9, 0, 100), (2, 9, 10, 101)], src)
     drain()
-    write_events(spark, [(1, 9, 20, 100), (2, 9, 25, 101), (3, 9, 30, 102)], src)
+    write_events([(1, 9, 20, 100), (2, 9, 25, 101), (3, 9, 30, 102)], src)
     drain()
 
-    batch = dedup_stream(spark.read.schema(SCHEMA).parquet(src), key_cols=("event_id",))
+    batch = dedup_stream(spark.read.schema(stream_schema).parquet(src), key_cols=("event_id",))
     assert sorted(r["event_id"] for r in batch.collect()) == [100, 101, 102]
     assert sorted(r["event_id"] for r in rows) == [100, 101, 102]
     # first arrival wins: the kept rows are batch 1's deliveries
@@ -58,22 +52,22 @@ def test_stream_dedup_matches_batch_twin(spark, tmp_path):
     assert kept[101] == 10
 
 
-def test_stream_dedup_state_is_watermark_evicted(spark, tmp_path):
+def test_stream_dedup_state_is_watermark_evicted(spark, tmp_path, stream_schema, finish_stream, write_events):
     """A key re-occurring after the watermark passed its state is re-emitted:
     the bounded-state contract (dedup horizon == watermark), and the reason
     this plan survives 100 TB where a global dropDuplicates cannot."""
     src = str(tmp_path / "events")
     os.makedirs(src)
     rows = []
-    drain = _drain_factory(spark, src, str(tmp_path / "ck"), rows)
+    drain = _drain_factory(spark, src, str(tmp_path / "ck"), rows, stream_schema, finish_stream)
 
-    write_events(spark, [(1, 9, 0, 100)], src)
+    write_events([(1, 9, 0, 100)], src)
     drain()
     # advance the watermark far past 10:00 (9:00 + 1h horizon) ...
-    write_events(spark, [(9, 20, 0, 900)], src)
+    write_events([(9, 20, 0, 900)], src)
     drain()
     # ... then re-deliver key 100: its state was evicted, so it re-emits
-    write_events(spark, [(1, 20, 30, 100)], src)
+    write_events([(1, 20, 30, 100)], src)
     drain()
     assert [r["event_id"] for r in rows].count(100) == 2
     assert [r["event_id"] for r in rows].count(900) == 1
