@@ -798,18 +798,19 @@ BM25_B = 0.75
 BM25_TOP_K = 20
 
 
-def q_bm25_search(spark, sf_dir):
-    """BM25 ranked retrieval for a fixed term query — the lexical half of
-    hybrid retrieval (v_hybrid_search fuses the vector half).  WIDE FORM:
-    because the query's terms are static, the per-doc profile (doc length +
-    one tf column per query term) is one doc_id groupBy, the per-term dfs
-    and (N, avgdl) scalars reduce from that doc-level aggregate into a
-    1-row broadcast, and the score is a fixed-order expression over the tf
+def _bm25_scores(spark, sf_dir) -> DataFrame:
+    """(doc_id, score) for every document matching >= 1 BM25 query term —
+    the shared core of q_bm25_search and q_rrf_fusion.  WIDE FORM: because
+    the query's terms are static, the per-doc profile (doc length + one tf
+    column per query term) is one doc_id groupBy, the per-term dfs and
+    (N, avgdl) scalars reduce from that doc-level aggregate into a 1-row
+    broadcast, and the score is a fixed-order expression over the tf
     columns — no per-term join, no tf/dl shuffle join.  The tokenize
     lineage evaluates twice (scalar reduction + scoring pass; column
     pruning keeps the subtrees from static exchange reuse) — two
     column-pruned linear scans, against the long-form's four plus a
-    doc_id join of tf against dl."""
+    doc_id join of tf against dl.  Scores round to 4dp HERE so downstream
+    rank assignment orders identically across engines."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
     per_doc = toks.groupBy("doc_id").agg(
@@ -840,8 +841,91 @@ def q_bm25_search(spark, sf_dir):
         )
         .crossJoin(F.broadcast(stats))
         .select("doc_id", F.round(score, 4).alias("score"))
+    )
+
+
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval for a fixed term query — the lexical half of
+    hybrid retrieval; plan rationale in _bm25_scores."""
+    return (
+        _bm25_scores(spark, sf_dir)
         .orderBy(F.col("score").desc(), "doc_id")
         .limit(BM25_TOP_K)
+    )
+
+
+RRF_K = 60
+RRF_DEPTH = 50
+RRF_OUT_K = 10
+
+# DuckDB mirror of _bm25_scores (CTE chain ending in bm25(doc_id, score));
+# scores round to 4dp inside the core so rank assignment orders identically
+_BM25_CORE_SQL = f"""toks AS (
+              SELECT doc_id, unnest({O.tokens('text')}) AS term FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+            corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks
+              WHERE term IN ({', '.join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+              GROUP BY 1, 2
+            ),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            bm25 AS (
+              SELECT doc_id,
+                     round(sum(
+                       ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                       * tf * ({BM25_K1} + 1)
+                       / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
+                     ), 4) AS score
+              FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN corpus
+              GROUP BY 1
+            )"""
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of the lexical (BM25) and vector (cosine)
+    retrieval legs: rrf(d) = sum over legs of 1/(K + rank_leg(d)) over each
+    leg's top-DEPTH, full-outer joined so a doc ranked by only one leg
+    still scores.  Each leg reduces to DEPTH rows via TakeOrdered BEFORE
+    rank assignment, so the unpartitioned rank windows run on DEPTH-row
+    inputs — never a global single-partition sort of the corpus."""
+    from pyspark.sql import Window
+
+    from lmdiskann_jl_spark.functions.vector import cosine_distance, query_vector_lit
+
+    wt = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    text_leg = (
+        _bm25_scores(spark, sf_dir)
+        .select(F.col("doc_id").alias("id"), "score")
+        .orderBy(F.col("score").desc(), "id")
+        .limit(RRF_DEPTH)
+        .withColumn("rank_text", F.row_number().over(wt).cast("long"))
+        .select("id", "rank_text")
+    )
+    qv = _query_vec(spark, sf_dir)
+    wv = Window.orderBy(F.col("d").asc(), F.col("id").asc())
+    vec_leg = (
+        _t(spark, sf_dir, "embeddings")
+        .select(
+            F.col("vec_id").alias("id"),
+            F.round(
+                cosine_distance(F.col("embedding"), query_vector_lit(qv)), 4
+            ).alias("d"),
+        )
+        .orderBy("d", "id")
+        .limit(RRF_DEPTH)
+        .withColumn("rank_vec", F.row_number().over(wv).cast("long"))
+        .select("id", "rank_vec")
+    )
+    rrf = F.coalesce(1.0 / (RRF_K + F.col("rank_text")), F.lit(0.0)) + F.coalesce(
+        1.0 / (RRF_K + F.col("rank_vec")), F.lit(0.0)
+    )
+    return (
+        text_leg.join(vec_leg, "id", "full_outer")
+        .select("id", F.round(rrf, 6).alias("rrf_score"), "rank_text", "rank_vec")
+        .orderBy(F.col("rrf_score").desc(), "id")
+        .limit(RRF_OUT_K)
     )
 
 
@@ -2854,27 +2938,31 @@ def _oracle_map() -> dict[str, str | None]:
             FROM embeddings
         """,
         "t_bm25_search": f"""
-            WITH toks AS (
-              SELECT doc_id, unnest({O.tokens('text')}) AS term FROM documents
-            ),
-            dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
-            corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-            tf AS (
-              SELECT doc_id, term, count(*) AS tf FROM toks
-              WHERE term IN ({', '.join(f"'{t}'" for t in BM25_QUERY_TERMS)})
-              GROUP BY 1, 2
-            ),
-            df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
-            SELECT doc_id,
-                   round(sum(
-                     ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-                     * tf * ({BM25_K1} + 1)
-                     / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
-                   ), 4) AS score
-            FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN corpus
-            GROUP BY 1
+            WITH {_BM25_CORE_SQL}
+            SELECT doc_id, score FROM bm25
             ORDER BY score DESC, doc_id
             LIMIT {BM25_TOP_K}
+        """,
+        "v_rrf_fusion": f"""
+            WITH {_BM25_CORE_SQL},
+            t AS (
+              SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rank_text
+              FROM (SELECT doc_id AS id, score FROM bm25
+                    ORDER BY score DESC, doc_id LIMIT {RRF_DEPTH})
+            ),
+            v AS (
+              SELECT id, CAST(row_number() OVER (ORDER BY d, id) AS BIGINT) AS rank_vec
+              FROM (SELECT e.vec_id AS id, round({co}, 4) AS d
+                    FROM embeddings e, {_QV}
+                    ORDER BY d, e.vec_id LIMIT {RRF_DEPTH})
+            )
+            SELECT COALESCE(t.id, v.id) AS id,
+                   round(COALESCE(1.0 / ({RRF_K} + rank_text), 0.0)
+                         + COALESCE(1.0 / ({RRF_K} + rank_vec), 0.0), 6) AS rrf_score,
+                   rank_text, rank_vec
+            FROM t FULL OUTER JOIN v ON t.id = v.id
+            ORDER BY rrf_score DESC, id
+            LIMIT {RRF_OUT_K}
         """,
         "t_top_terms": f"""
             SELECT lang, tok, n,
@@ -3643,6 +3731,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_sketch_accuracy": q_sketch_accuracy,
         "r_session_windows": q_session_windows,
         "t_bm25_search": q_bm25_search,
+        "v_rrf_fusion": q_rrf_fusion,
         "r_tpch_q2": q_tpch_q2,
         "r_tpch_q11": q_tpch_q11,
         "r_tpch_q16": q_tpch_q16,
