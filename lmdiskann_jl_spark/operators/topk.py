@@ -169,3 +169,70 @@ def recall_at_k(
     )
     row = per_q.agg(F.avg(F.col("hits") / F.lit(float(k))).alias("recall")).collect()[0]
     return float(row["recall"]) if row["recall"] is not None else 0.0
+
+
+MMR_MAX_CANDIDATES = 10_000
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "id",
+    rel_col: str = "rel",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversification of a BOUNDED candidate set:
+    greedily pick argmax ``lam * rel(d) - (1 - lam) * max_cos_sim(d, S)``
+    until k results (Carbonell & Goldstein, SIGIR 1998).
+
+    MMR is inherently sequential (each pick changes the next argmax), so
+    this is a driver-side final-stage op by design — the candidate set is
+    the OUTPUT of a distributed leg (top-N scan/IVF/BM25), bounded by
+    contract (<= MMR_MAX_CANDIDATES enforced, the final-rerank analog of
+    the bounded-sample k-means contract in operators/_kmeans).  Ties break
+    by id; zero-norm vectors contribute similarity 0.
+
+    Returns (id_col, mmr_score DOUBLE, rank LONG) with rank 1..k in pick
+    order.
+    """
+    import numpy as np
+
+    rows = candidates.select(id_col, rel_col, vec_col).limit(
+        MMR_MAX_CANDIDATES + 1
+    ).collect()
+    if len(rows) > MMR_MAX_CANDIDATES:
+        raise ValueError(
+            f"mmr_rerank is a final-stage op over a bounded candidate set "
+            f"(> {MMR_MAX_CANDIDATES} rows); reduce with a top-N leg first"
+        )
+    if not rows:
+        return candidates.sparkSession.createDataFrame(
+            [], f"{id_col} long, mmr_score double, rank long"
+        )
+    ids = [r[id_col] for r in rows]
+    rel = np.asarray([float(r[rel_col]) for r in rows])
+    X = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0.0] = np.inf  # zero vectors: similarity 0 to everything
+    Xn = X / norms[:, None]
+    sim = Xn @ Xn.T
+
+    selected: list[int] = []
+    best_sim = np.zeros(len(rows))  # max sim to the selected set so far
+    out = []
+    remaining = set(range(len(rows)))
+    for rank in range(1, min(k, len(rows)) + 1):
+        if selected:
+            score = lam * rel - (1 - lam) * best_sim
+        else:
+            score = lam * rel
+        # deterministic argmax: score desc, id asc
+        pick = min(remaining, key=lambda i: (-score[i], ids[i]))
+        out.append((ids[pick], float(round(score[pick], 6)), rank))
+        selected.append(pick)
+        remaining.discard(pick)
+        best_sim = np.maximum(best_sim, sim[:, pick])
+    return candidates.sparkSession.createDataFrame(
+        out, f"{id_col} long, mmr_score double, rank long"
+    )

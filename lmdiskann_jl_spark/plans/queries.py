@@ -755,6 +755,35 @@ def q_hybrid_search(spark, sf_dir):
     )
 
 
+MMR_LAMBDA = 0.7
+
+
+def q_mmr_rerank(spark, sf_dir):
+    """MMR-diversified top-10 over the cosine top-50 candidates
+    (operators/topk.mmr_rerank).  The distributed leg produces the bounded
+    candidate set; the greedy rerank is driver-side by design (inherently
+    sequential, <= 50 rows).  Rows-only gate: greedy iteration is not
+    SQL-expressible; parity/diversity are pytest-gated (tests/test_mmr.py
+    vs an independent reference)."""
+    from lmdiskann_jl_spark.functions.vector import query_vector_lit
+    from lmdiskann_jl_spark.operators.topk import mmr_rerank
+
+    qv = _query_vec(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    cands = (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.round(
+                cosine_similarity(F.col("embedding"), query_vector_lit(qv)), 4
+            ).alias("rel"),
+            F.col("embedding").alias("vec"),
+        )
+        .orderBy(F.col("rel").desc(), "id")
+        .limit(RRF_DEPTH)
+    )
+    return mmr_rerank(cands, k=RRF_OUT_K, lam=MMR_LAMBDA)
+
+
 def q_quantize(spark, sf_dir):
     """Scalar int8 quantization of the embedding column (per-dimension
     min/max codebook -> 0..255 codes): the 4x storage-compression op for
@@ -3732,6 +3761,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_session_windows": q_session_windows,
         "t_bm25_search": q_bm25_search,
         "v_rrf_fusion": q_rrf_fusion,
+        "a_mmr_rerank": q_mmr_rerank,
         "r_tpch_q2": q_tpch_q2,
         "r_tpch_q11": q_tpch_q11,
         "r_tpch_q16": q_tpch_q16,

@@ -1,0 +1,76 @@
+"""MMR diversification (operators/topk.mmr_rerank): matches an independent
+greedy reference, actually diversifies clustered candidates, and enforces
+its bounded-candidate contract."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lmdiskann_jl_spark.operators.topk import MMR_MAX_CANDIDATES, mmr_rerank
+
+
+def _reference_mmr(rows, k, lam):
+    """Independent greedy: rows = [(id, rel, vec)]."""
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return 0.0
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    out, selected = [], []
+    remaining = list(range(len(rows)))
+    for _ in range(min(k, len(rows))):
+        def score(i):
+            pen = max((cos(rows[i][2], rows[j][2]) for j in selected), default=0.0)
+            return lam * rows[i][1] - (0 if not selected else (1 - lam) * pen)
+
+        pick = min(remaining, key=lambda i: (-score(i), rows[i][0]))
+        out.append(rows[pick][0])
+        selected.append(pick)
+        remaining.remove(pick)
+    return out
+
+
+CANDS = [
+    # two tight clusters + one outlier; rel favors cluster A
+    (0, 0.95, [1.0, 0.0, 0.0, 0.01]),
+    (1, 0.94, [1.0, 0.0, 0.01, 0.0]),
+    (2, 0.93, [0.99, 0.01, 0.0, 0.0]),
+    (3, 0.80, [0.0, 1.0, 0.0, 0.02]),
+    (4, 0.79, [0.0, 0.99, 0.01, 0.0]),
+    (5, 0.40, [0.0, 0.0, 0.0, 1.0]),
+]
+
+
+def test_mmr_matches_reference(spark):
+    df = spark.createDataFrame(CANDS, "id long, rel double, vec array<double>")
+    got = [r["id"] for r in mmr_rerank(df, k=4, lam=0.5).orderBy("rank").collect()]
+    assert got == _reference_mmr(CANDS, k=4, lam=0.5)
+
+
+def test_mmr_diversifies_vs_plain_topk(spark):
+    df = spark.createDataFrame(CANDS, "id long, rel double, vec array<double>")
+    got = [r["id"] for r in mmr_rerank(df, k=3, lam=0.5).collect()]
+    # plain top-rel = the three near-duplicates of cluster A; MMR keeps the
+    # best of each cluster instead
+    assert got[0] == 0  # first pick is always max rel
+    assert set(got) == {0, 3, 5}
+
+
+def test_mmr_lambda_one_is_plain_topk(spark):
+    df = spark.createDataFrame(CANDS, "id long, rel double, vec array<double>")
+    got = [r["id"] for r in mmr_rerank(df, k=3, lam=1.0).collect()]
+    assert got == [0, 1, 2]
+
+
+def test_mmr_bounded_contract(spark):
+    big = spark.range(MMR_MAX_CANDIDATES + 1).select(
+        F.col("id"),
+        F.lit(1.0).alias("rel"),
+        F.array(F.lit(1.0), F.col("id").cast("double")).alias("vec"),
+    )
+    with pytest.raises(ValueError, match="bounded candidate set"):
+        mmr_rerank(big, k=5)
