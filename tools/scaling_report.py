@@ -55,6 +55,9 @@ DEFAULT = [
     "r_tpch_q2",  # decorrelated arg-min: two-level struct-min agg
     "r_tpch_q11",  # global-scalar HAVING via 1-row broadcast
     "r_sketch_accuracy",  # HLL++ / quantile-summary sketch agg
+    "t_bm25_search",  # wide-form conditional agg (per-doc term profile)
+    "v_rrf_fusion",  # two TakeOrdered legs + tiny rank windows + outer join
+    "r_session_windows",  # native session_window agg
 ]
 
 
