@@ -197,7 +197,16 @@ def mmr_rerank(
     order.
     """
     import numpy as np
+    from pyspark.sql import types as T
 
+    id_field = candidates.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_field.dataType, id_field.nullable),
+            T.StructField("mmr_score", T.DoubleType(), False),
+            T.StructField("rank", T.LongType(), False),
+        ]
+    )
     rows = candidates.select(id_col, rel_col, vec_col).limit(
         MMR_MAX_CANDIDATES + 1
     ).collect()
@@ -207,19 +216,19 @@ def mmr_rerank(
             f"(> {MMR_MAX_CANDIDATES} rows); reduce with a top-N leg first"
         )
     if not rows:
-        return candidates.sparkSession.createDataFrame(
-            [], f"{id_col} long, mmr_score double, rank long"
-        )
+        return candidates.sparkSession.createDataFrame([], out_schema)
     ids = [r[id_col] for r in rows]
     rel = np.asarray([float(r[rel_col]) for r in rows])
     X = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(X, axis=1)
     norms[norms == 0.0] = np.inf  # zero vectors: similarity 0 to everything
     Xn = X / norms[:, None]
-    sim = Xn @ Xn.T
 
     selected: list[int] = []
-    best_sim = np.zeros(len(rows))  # max sim to the selected set so far
+    # max sim to the selected set so far; -inf so a NEGATIVE max similarity
+    # (anti-correlated candidate) correctly BOOSTS the score rather than
+    # being floored at zero
+    best_sim = np.full(len(rows), -np.inf)
     out = []
     remaining = set(range(len(rows)))
     for rank in range(1, min(k, len(rows)) + 1):
@@ -232,7 +241,6 @@ def mmr_rerank(
         out.append((ids[pick], float(round(score[pick], 6)), rank))
         selected.append(pick)
         remaining.discard(pick)
-        best_sim = np.maximum(best_sim, sim[:, pick])
-    return candidates.sparkSession.createDataFrame(
-        out, f"{id_col} long, mmr_score double, rank long"
-    )
+        # one O(N*d) column per pick — never the full N x N Gram matrix
+        best_sim = np.maximum(best_sim, Xn @ Xn[pick])
+    return candidates.sparkSession.createDataFrame(out, out_schema)

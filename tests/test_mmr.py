@@ -66,6 +66,29 @@ def test_mmr_lambda_one_is_plain_topk(spark):
     assert got == [0, 1, 2]
 
 
+def test_mmr_negative_similarity_boosts(spark):
+    """An anti-correlated candidate's penalty term is NEGATIVE (a boost);
+    a zero-floored penalty would misrank it.  Signed vectors, verified
+    against the independent reference."""
+    cands = CANDS + [
+        (6, 0.50, [-1.0, 0.0, 0.0, 0.0]),   # anti-correlated with cluster A
+        (7, 0.45, [0.0, -1.0, 0.05, 0.0]),  # anti-correlated with cluster B
+    ]
+    df = spark.createDataFrame(cands, "id long, rel double, vec array<double>")
+    for lam in (0.3, 0.5, 0.7):
+        got = [r["id"] for r in mmr_rerank(df, k=5, lam=lam).orderBy("rank").collect()]
+        assert got == _reference_mmr(cands, k=5, lam=lam), f"lam={lam}"
+
+
+def test_mmr_preserves_id_type(spark):
+    df = spark.createDataFrame(
+        [(str(i), r, v) for i, r, v in CANDS], "id string, rel double, vec array<double>"
+    )
+    got = mmr_rerank(df, k=3, lam=0.5)
+    assert dict(got.dtypes)["id"] == "string"
+    assert got.count() == 3
+
+
 def test_mmr_bounded_contract(spark):
     big = spark.range(MMR_MAX_CANDIDATES + 1).select(
         F.col("id"),
