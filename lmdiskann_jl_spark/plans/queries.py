@@ -958,6 +958,36 @@ def q_rrf_fusion(spark, sf_dir):
     )
 
 
+SNIPPET_WINDOW = 5  # tokens kept on each side of the first query-term hit
+
+
+def q_snippets(spark, sf_dir):
+    """Search-result snippet extraction: for every document matching a BM25
+    query term, the +/-SNIPPET_WINDOW token window around the FIRST hit of
+    any term (ties: earliest position wins).  Pure scan-stage array
+    expressions — tokenize once, array_position per static term, slice —
+    no explode, no shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+    positions = [
+        F.nullif(F.array_position(toks, F.lit(t)), F.lit(0))
+        for t in BM25_QUERY_TERMS
+    ]
+    pos = F.least(*positions)
+    start = F.greatest(pos - SNIPPET_WINDOW, F.lit(1))
+    end = F.least(pos + SNIPPET_WINDOW, F.size(toks))
+    return (
+        docs.select(
+            "doc_id",
+            pos.alias("first_pos"),
+            F.concat_ws(
+                " ", F.slice(toks, start, end - start + F.lit(1))
+            ).alias("snippet"),
+        )
+        .filter(F.col("first_pos").isNotNull())
+    )
+
+
 def q_top_terms(spark, sf_dir):
     """Top-5 tokens per language label by frequency — explode + count +
     per-group window limit (the text-side shape of op 13's degree prune)."""
@@ -2993,6 +3023,23 @@ def _oracle_map() -> dict[str, str | None]:
             ORDER BY rrf_score DESC, id
             LIMIT {RRF_OUT_K}
         """,
+        "t_snippets": f"""
+            WITH t AS (SELECT doc_id, {O.tokens('text')} AS toks FROM documents),
+            p AS (
+              SELECT doc_id, toks,
+                     least({', '.join(
+                         f"nullif(list_position(toks, '{w}'), 0)"
+                         for w in BM25_QUERY_TERMS)}) AS first_pos
+              FROM t
+            )
+            SELECT doc_id, CAST(first_pos AS BIGINT) AS first_pos,
+                   array_to_string(
+                     toks[greatest(first_pos - {SNIPPET_WINDOW}, 1)
+                          : least(first_pos + {SNIPPET_WINDOW}, len(toks))],
+                     ' ') AS snippet
+            FROM p
+            WHERE first_pos IS NOT NULL
+        """,
         "t_top_terms": f"""
             SELECT lang, tok, n,
                    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS BIGINT) AS rank
@@ -3762,6 +3809,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_bm25_search": q_bm25_search,
         "v_rrf_fusion": q_rrf_fusion,
         "a_mmr_rerank": q_mmr_rerank,
+        "t_snippets": q_snippets,
         "r_tpch_q2": q_tpch_q2,
         "r_tpch_q11": q_tpch_q11,
         "r_tpch_q16": q_tpch_q16,
