@@ -1469,12 +1469,14 @@ def q_above_avg_orders(spark, sf_dir):
     o_custkey, so the join reuses the aggregation's exchange)."""
     orders = _t(spark, sf_dir, "orders")
     # integer-cents arithmetic end-to-end: a double avg is summation-order-
-    # sensitive at the last ulp (flips boundary rows), and even rounding an
-    # identical double differs across engines at .xx5 (Spark rounds the
-    # shortest decimal representation, DuckDB the true binary value) — so
-    # the predicate compares cents * n > sum_cents and the reported average
-    # is half-up integer division, both exact in any engine
-    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    # sensitive at the last ulp (flips boundary rows), and double->decimal
+    # casts diverge across engines at .xx5 boundaries (Spark casts via the
+    # double's shortest decimal string, DuckDB rounds the true binary
+    # value) — so cents are derived as round(x * 100), pure IEEE-double ops
+    # that are bit-identical in any engine, the predicate compares
+    # cents * n > sum_cents, and the reported average is half-up integer
+    # division, both exact in any engine
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     avg_per_cust = orders.groupBy(F.col("o_custkey").alias("ac_custkey")).agg(
         F.sum(cents).alias("sum_c"), F.count("*").alias("cnt")
     )
@@ -3194,16 +3196,16 @@ def _oracle_map() -> dict[str, str | None]:
         """,
         "r_above_avg_orders": """
             SELECT o_orderkey, o_custkey,
-                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS total_cents,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
                    (2 * sum_c + cnt) // (2 * cnt) AS cust_avg_cents
             FROM orders
             JOIN (
               SELECT o_custkey AS ac,
-                     sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sum_c,
+                     sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_c,
                      count(*) AS cnt
               FROM orders GROUP BY 1
             ) a ON o_custkey = ac
-            WHERE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * cnt > sum_c
+            WHERE CAST(round(o_totalprice * 100) AS BIGINT) * cnt > sum_c
         """,
         "r_tpch_q13": """
             SELECT c_count, count(*) AS custdist FROM (
@@ -3685,6 +3687,25 @@ def _token_count_oracle() -> str:
 # Update after each round from the new CORRECTNESS file; the declaration
 # order below is the stable tiebreak.
 _LAST_DRIVER_VERIFIED: dict[str, int] = {
+    # --- r4 window (CORRECTNESS_r04.json): 45 green rows+schema+hash, 4
+    # rows-only recall/MMR gates (no_oracle by design).  r_above_avg_orders
+    # was r4's one hash mismatch and stays UNSTAMPED so it sorts first into
+    # the r5 window and gets re-verified with the round(x*100) cents fix. ---
+    "m_media_decode": 4, "r_source_mix": 4, "r_tpch_q5": 4, "r_tpch_q4": 4,
+    "r_tpch_q6": 4, "r_tpch_q7": 4, "r_tpch_q13": 4, "r_tpch_q15": 4,
+    "r_events_moving_avg": 4, "r_events_pivot": 4, "r_customers_no_orders": 4,
+    "r_customer_deciles": 4, "r_tpch_q10": 4, "r_tpch_q14": 4,
+    "r_tpch_q18": 4, "r_tpch_q8": 4, "r_tpch_q9": 4, "r_tpch_q12": 4,
+    "r_tpch_q17": 4, "r_tpch_q19": 4, "r_tpch_q21": 4, "r_tpch_q22": 4,
+    "r_sketch_accuracy": 4, "r_session_windows": 4, "t_bm25_search": 4,
+    "v_rrf_fusion": 4, "a_mmr_rerank": 4, "t_snippets": 4, "r_tpch_q2": 4,
+    "r_tpch_q11": 4, "r_tpch_q16": 4, "r_tpch_q20": 4,
+    "r_range_join_windows": 4, "r_grouping_sets": 4, "t_tfidf_top_terms": 4,
+    "t_unigram_logprob": 4, "m_frame_plan": 4, "r_asof_attribution": 4,
+    "a_graph_build_lsh_recall": 4, "a_pq_recall": 4, "a_ivfpq_recall": 4,
+    "r_price_quantiles": 4, "r_set_ops": 4, "r_tpch_q1": 4, "r_tpch_q3": 4,
+    "r_revenue_rollup": 4, "r_user_sessions": 4, "r_events_hourly": 4,
+    "r_top_orders_per_segment": 4,
     # --- r3 window (CORRECTNESS_r03.json) ---
     "v_exact_topk_euclidean": 3, "v_exact_topk_cosine": 3, "v_range_search": 3,
     "v_batch_topk": 3, "v_hard_negatives": 3, "v_knn_join": 3,
@@ -3706,11 +3727,8 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # --- r2 window ---
     "t_repetition": 2, "t_pii_redact": 2, "m_payload_stats": 2,
     "t_chunk_documents": 2, "t_langid_accuracy": 2,
-    # --- r1 window ---
-    "r_price_quantiles": 1, "r_set_ops": 1, "r_tpch_q1": 1, "r_tpch_q3": 1,
-    "r_revenue_rollup": 1, "r_user_sessions": 1, "r_events_hourly": 1,
-    "r_top_orders_per_segment": 1, "a_lsh_knn": 1, "a_lsh_recall": 1,
-    "a_ivf_recall": 1,
+    # --- r1 window (entries re-verified in r4 moved to the r4 block) ---
+    "a_lsh_knn": 1, "a_lsh_recall": 1, "a_ivf_recall": 1,
 }
 
 
