@@ -175,10 +175,38 @@ def q_knn_join(spark, sf_dir):
 _ADJ_EDGES_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _entry_dataframes(value) -> list[DataFrame]:
+    if isinstance(value, DataFrame):
+        return [value]
+    if isinstance(value, tuple):
+        return [v for v in value if isinstance(v, DataFrame)]
+    return []
+
+
+def _evict_stopped(cache: dict, app: str) -> None:
+    """Drop cache entries whose owning SparkContext has actually stopped,
+    unpersisting their DataFrames best-effort.  Entries keyed to a DIFFERENT
+    but still-live session are kept: two concurrent sessions in one process
+    must not thrash each other's trained artifacts, and evicting a live
+    session's entry without unpersist would pin its executor memory."""
+    for k in [k for k in cache if k[0] != app]:
+        dfs = _entry_dataframes(cache[k])
+        try:
+            stopped = any(df.sparkSession.sparkContext._jsc is None for df in dfs)
+        except Exception:
+            stopped = True  # unreadable session state == dead entry
+        if not dfs or stopped:
+            for df in dfs:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+            del cache[k]
+
+
 def _adjacency_edges_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     app = spark.sparkContext.applicationId
-    for k in [k for k in _ADJ_EDGES_CACHE if k[0] != app]:
-        del _ADJ_EDGES_CACHE[k]  # entries of stopped sessions are dead
+    _evict_stopped(_ADJ_EDGES_CACHE, app)
     key = (app, sf_dir)
     edges = _ADJ_EDGES_CACHE.get(key)
     if edges is None:
@@ -2236,11 +2264,10 @@ _GATE_CACHE: dict[tuple[str, str, str], object] = {}
 
 def _gate_key(spark: SparkSession, sf_dir: str, what: str) -> tuple[str, str, str]:
     app = spark.sparkContext.applicationId
-    # entries keyed to a stopped session are unreachable (their DataFrames
-    # are dead) — evict them so a long-lived process that cycles sessions
-    # doesn't accumulate them
-    for k in [k for k in _GATE_CACHE if k[0] != app]:
-        del _GATE_CACHE[k]
+    # evict (and unpersist) only entries whose owning session has actually
+    # stopped — a long-lived process that cycles sessions doesn't accumulate
+    # dead plans, while two concurrently-live sessions don't mutually evict
+    _evict_stopped(_GATE_CACHE, app)
     return (app, sf_dir, what)
 
 
@@ -2377,6 +2404,23 @@ def q_lsh_knn(spark, sf_dir):
     ).select("vec_id_l", "vec_id_r", F.round("dist", 4).alias("dist"))
 
 
+def q_lsh_knn_auto(spark, sf_dir):
+    """LSH kNN join at the AUTO operating point — n_planes scales with
+    log2(n / (8k)) to hold expected bucket occupancy constant as the corpus
+    grows (knn_join.lsh_knn_join), which is the configuration a 100-TB run
+    actually uses.  Declared separately from a_lsh_knn so the BENCHED path
+    is the scale-safe one: the fixed LSH_GATE_PLANES point (sign-LSH's
+    recall-targeted config for the worst-case gaussian fixtures) leans
+    ~n^2/2^planes quadratic and stays the recall gate's subject only.
+    Oracle: none (approximate) — sanity: every query id emits <= k rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_knn_join(
+        emb, emb, k=KNN_K, dim=64, metric="euclidean",
+        n_planes=None, n_tables=LSH_GATE_TABLES,
+        left_id="vec_id", right_id="vec_id", vec_col="embedding",
+    ).select("vec_id_l", "vec_id_r", F.round("dist", 4).alias("dist"))
+
+
 def q_lsh_recall(spark, sf_dir):
     """recall@k of the LSH kNN join vs the exact join — the reference's own
     quality bar (>= 0.70, test/runtests.jl:454), at the declared
@@ -2415,6 +2459,88 @@ def q_graph_build_lsh_recall(spark, sf_dir):
         id_col="vec_id", vec_col="embedding",
         use_lsh=True, dim=64, lsh_tables=8, candidate_factor=2,
     ).select(F.col("id").alias("qid"), F.col("neighbor").alias("id"))
+    r = recall_at_k(approx, exact, k=ADJ_DEGREE)
+    return _recall_row(spark, r)
+
+
+def _gate_auto_index(spark: SparkSession, sf_dir: str):
+    """One real on-disk index per (session, sf_dir) for the auto-strategy
+    gate: created + bulk-loaded once, then every call routes through the
+    same facade a user holds.  Keys encode vec_id so results stay
+    oracle-comparable after the index's dense id reassignment."""
+    key = _gate_key(spark, sf_dir, "autoidx")
+    if key not in _GATE_CACHE:
+        import tempfile
+
+        from lmdiskann_jl_spark.index import LMDiskANNIndex
+
+        emb = _t(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="lmdiskann_auto_")
+        idx = LMDiskANNIndex.create(
+            spark, path, dim=64, maxdegree=ADJ_DEGREE, metric="euclidean"
+        )
+        batch = emb.select(
+            F.col("embedding").alias("vec"),
+            F.format_string("vec-%08d", F.col("vec_id")).alias("k"),
+        )
+        idx.insert_batch(batch, vec_col="vec", key_col="k")
+        _GATE_CACHE[key] = idx
+    return _GATE_CACHE[key]
+
+
+def q_auto_search(spark, sf_dir):
+    """search(mode='auto') end-to-end through the real index facade: the
+    cost-based planner (plans/strategy.py choose_search_strategy) reads
+    num_points from the committed meta, picks 'exact' at fixture scale
+    (n * n_queries <= exact_budget), and the result must be bit-identical
+    to the declared exact scan — v_exact_topk_euclidean's oracle SQL is
+    reused verbatim, so a planner mis-pick (beam/ivf recall < 1.0) shows
+    up as a hash mismatch, not silence.  Reference: search dispatch,
+    src/LMDiskANN.jl:455-481."""
+    idx = _gate_auto_index(spark, sf_dir)
+    q = _query_vec(spark, sf_dir)
+    res = idx.search(q, topk=10, mode="auto")
+    return res.select(
+        F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("vec_id"),
+        F.round("dist", 4).alias("dist"),
+    )
+
+
+def q_incremental_insert_recall(spark, sf_dir):
+    """Quality gate for incremental ann_insert! (src/LMDiskANN.jl:531-584):
+    build the graph on 80% of ids, insert the remaining 20% in two batches
+    through insert_batch_adjacency (the micro-batch MERGE path a streaming
+    ingest takes), then score per-node neighbor recall of the post-insert
+    adjacency against the bulk-built graph over the full corpus (the shared
+    oracle edge set).  Bar: the reference's recall >= 0.70
+    (test/runtests.jl:454).  Rows-only gate (iterative, not SQL-expressible)
+    with an explicit passed boolean."""
+    from lmdiskann_jl_spark.operators.graph import build_adjacency, insert_batch_adjacency
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    base = emb.filter(F.col("id") % 5 != 0)
+    batches = [
+        emb.filter(F.col("id") % 10 == 0),
+        emb.filter((F.col("id") % 5 == 0) & (F.col("id") % 10 != 0)),
+    ]
+    adj = build_adjacency(base, maxdegree=ADJ_DEGREE, metric="euclidean").persist()
+    vecs = base
+    for b in batches:
+        # persist each merged snapshot: the next round's plan reads it twice
+        # (touched-row semi-join + untouched anti-join) and lineage would
+        # otherwise re-run every prior kNN join
+        adj = insert_batch_adjacency(
+            vecs, adj, b, maxdegree=ADJ_DEGREE, metric="euclidean"
+        ).persist()
+        vecs = vecs.unionByName(b)
+    approx = adj.select("id", F.explode("neighbors").alias("nbr")).select(
+        F.col("id").alias("qid"), F.col("nbr").alias("id")
+    )
+    exact = _adjacency_edges_shared(spark, sf_dir).select(
+        F.col("id").alias("qid"), F.col("neighbor").alias("id")
+    )
     r = recall_at_k(approx, exact, k=ADJ_DEGREE)
     return _recall_row(spark, r)
 
@@ -2476,6 +2602,12 @@ def _oracle_map() -> dict[str, str | None]:
 
     m = {
         "v_exact_topk_euclidean": f"""
+            SELECT e.vec_id, round({eu}, 4) AS dist
+            FROM embeddings e, {_QV}
+            ORDER BY {eu}, e.vec_id LIMIT 10
+        """,
+        # auto-mode planner must pick 'exact' at this scale — identical oracle
+        "v_auto_search": f"""
             SELECT e.vec_id, round({eu}, 4) AS dist
             FROM embeddings e, {_QV}
             ORDER BY {eu}, e.vec_id LIMIT 10
@@ -3624,8 +3756,10 @@ def _oracle_map() -> dict[str, str | None]:
             QUALIFY rank <= 3
         """,
         "a_lsh_knn": None,
+        "a_lsh_knn_auto": None,
         "a_lsh_recall": None,
         "a_graph_build_lsh_recall": None,
+        "a_incremental_insert_recall": None,
         "a_ivf_recall": None,
         "a_embedding_neardup_lsh": None,
         "a_semantic_dedup": None,
@@ -3842,7 +3976,10 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_user_sessions": q_user_sessions,
         "r_events_hourly": q_events_hourly,
         "r_top_orders_per_segment": q_top_orders_per_segment,
+        "v_auto_search": q_auto_search,
+        "a_incremental_insert_recall": q_incremental_insert_recall,
         "a_lsh_knn": q_lsh_knn,
+        "a_lsh_knn_auto": q_lsh_knn_auto,
         "a_lsh_recall": q_lsh_recall,
         "a_graph_build_lsh_recall": q_graph_build_lsh_recall,
         "a_ivf_recall": q_ivf_recall,
