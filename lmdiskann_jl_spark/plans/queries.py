@@ -1034,6 +1034,10 @@ def q_top_terms(spark, sf_dir):
     )
 
 
+# broadcast the unigram dictionary below this corpus size; hash-join above
+UNIGRAM_BCAST_DOCS = 1_000_000
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Per-document mean unigram log-probability under the corpus unigram
     distribution — the classic cheap LM-quality signal (gibberish and
@@ -1043,21 +1047,25 @@ def q_unigram_logprob(spark, sf_dir):
 
     Shape — TF-FIRST, tokenize once: raw tokens collapse to (doc_id, term,
     tf) immediately (map-side combine does most of the reduction before the
-    exchange), the dictionary is the term-sum OF tf, and one
-    repartition("term") exchange serves both the dictionary agg and the
-    scoring join co-partitioning (the tfidf trick).  The earlier shape
+    exchange), and the dictionary is the term-sum OF tf.  The earlier shape
     consumed the un-aggregated token explode twice — tokenizing every
     document twice and shuffling raw tokens three times; that was the
     worst 10x scaling step in SCALING.md (1.76x).  The mean is the
-    tf-weighted form sum(tf*lp)/sum(tf) — identical math, tf-level rows."""
+    tf-weighted form sum(tf*lp)/sum(tf) — identical math, tf-level rows.
+
+    Dictionary join is cost-picked (the d_embedding_neardup pattern): under
+    UNIGRAM_BCAST_DOCS documents the vocabulary comfortably broadcasts
+    (Heaps' law — vocab grows sublinearly in corpus size), so the tf side
+    never re-shuffles on term and the only wide exchanges are the tf agg
+    and the final per-doc agg; past the threshold both join sides
+    hash-exchange on term (a web-scale vocabulary is GBs — never ship it
+    to every executor)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
-    tf = (
-        toks.groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
-        .repartition("term")
-    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dict_df = tf.groupBy("term").agg(F.sum("tf").alias("n"))
+    if docs.count() <= UNIGRAM_BCAST_DOCS:
+        dict_df = F.broadcast(dict_df)
     total = dict_df.agg(F.sum("n").alias("total"))
     scored = (
         tf.join(dict_df, "term")
