@@ -174,6 +174,40 @@ def recall_at_k(
 MMR_MAX_CANDIDATES = 10_000
 
 
+def _mmr_greedy(ids, rel, X, k: int, lam: float) -> list[tuple]:
+    """The shared greedy MMR kernel (Carbonell & Goldstein, SIGIR 1998):
+    pick argmax ``lam * rel(d) - (1 - lam) * max_cos_sim(d, S)`` until k.
+    Deterministic ties (score desc, id asc); zero-norm vectors contribute
+    similarity 0; one O(N*d) similarity column per pick — never the full
+    N x N Gram matrix.  Returns [(id, score, rank), ...] in pick order."""
+    import numpy as np
+
+    rel = np.asarray(rel, dtype=np.float64)
+    X = np.asarray(X, dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    norms[norms == 0.0] = np.inf  # zero vectors: similarity 0 to everything
+    Xn = X / norms[:, None]
+
+    selected: list[int] = []
+    # max sim to the selected set so far; -inf so a NEGATIVE max similarity
+    # (anti-correlated candidate) correctly BOOSTS the score rather than
+    # being floored at zero
+    best_sim = np.full(len(ids), -np.inf)
+    out = []
+    remaining = set(range(len(ids)))
+    for rank in range(1, min(k, len(ids)) + 1):
+        if selected:
+            score = lam * rel - (1 - lam) * best_sim
+        else:
+            score = lam * rel
+        pick = min(remaining, key=lambda i: (-score[i], ids[i]))
+        out.append((ids[pick], float(round(score[pick], 6)), rank))
+        selected.append(pick)
+        remaining.discard(pick)
+        best_sim = np.maximum(best_sim, Xn @ Xn[pick])
+    return out
+
+
 def mmr_rerank(
     candidates: DataFrame,
     k: int = 10,
@@ -182,21 +216,21 @@ def mmr_rerank(
     rel_col: str = "rel",
     vec_col: str = "vec",
 ) -> DataFrame:
-    """Maximal-marginal-relevance diversification of a BOUNDED candidate set:
-    greedily pick argmax ``lam * rel(d) - (1 - lam) * max_cos_sim(d, S)``
-    until k results (Carbonell & Goldstein, SIGIR 1998).
+    """Maximal-marginal-relevance diversification.
 
-    MMR is inherently sequential (each pick changes the next argmax), so
-    this is a driver-side final-stage op by design — the candidate set is
-    the OUTPUT of a distributed leg (top-N scan/IVF/BM25), bounded by
-    contract (<= MMR_MAX_CANDIDATES enforced, the final-rerank analog of
-    the bounded-sample k-means contract in operators/_kmeans).  Ties break
-    by id; zero-norm vectors contribute similarity 0.
+    MMR is inherently sequential (each pick changes the next argmax), so the
+    final greedy runs driver-side over a BOUNDED set — the candidate set is
+    the OUTPUT of a distributed leg (top-N scan/IVF/BM25).  Up to
+    MMR_MAX_CANDIDATES rows that set is collected directly (the
+    final-rerank analog of the bounded-sample k-means contract in
+    operators/_kmeans); PAST the cap the call auto-dispatches to the
+    two-stage distributed form (mmr_rerank_distributed): per-partition
+    greedy prunes to a bounded winner pool, the exact greedy reruns on the
+    pool driver-side.
 
     Returns (id_col, mmr_score DOUBLE, rank LONG) with rank 1..k in pick
     order.
     """
-    import numpy as np
     from pyspark.sql import types as T
 
     id_field = candidates.schema[id_col]
@@ -211,36 +245,80 @@ def mmr_rerank(
         MMR_MAX_CANDIDATES + 1
     ).collect()
     if len(rows) > MMR_MAX_CANDIDATES:
-        raise ValueError(
-            f"mmr_rerank is a final-stage op over a bounded candidate set "
-            f"(> {MMR_MAX_CANDIDATES} rows); reduce with a top-N leg first"
+        return mmr_rerank_distributed(
+            candidates, k=k, lam=lam, id_col=id_col, rel_col=rel_col, vec_col=vec_col
         )
     if not rows:
         return candidates.sparkSession.createDataFrame([], out_schema)
-    ids = [r[id_col] for r in rows]
-    rel = np.asarray([float(r[rel_col]) for r in rows])
-    X = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(X, axis=1)
-    norms[norms == 0.0] = np.inf  # zero vectors: similarity 0 to everything
-    Xn = X / norms[:, None]
-
-    selected: list[int] = []
-    # max sim to the selected set so far; -inf so a NEGATIVE max similarity
-    # (anti-correlated candidate) correctly BOOSTS the score rather than
-    # being floored at zero
-    best_sim = np.full(len(rows), -np.inf)
-    out = []
-    remaining = set(range(len(rows)))
-    for rank in range(1, min(k, len(rows)) + 1):
-        if selected:
-            score = lam * rel - (1 - lam) * best_sim
-        else:
-            score = lam * rel
-        # deterministic argmax: score desc, id asc
-        pick = min(remaining, key=lambda i: (-score[i], ids[i]))
-        out.append((ids[pick], float(round(score[pick], 6)), rank))
-        selected.append(pick)
-        remaining.discard(pick)
-        # one O(N*d) column per pick — never the full N x N Gram matrix
-        best_sim = np.maximum(best_sim, Xn @ Xn[pick])
+    out = _mmr_greedy(
+        [r[id_col] for r in rows],
+        [float(r[rel_col]) for r in rows],
+        [r[vec_col] for r in rows],
+        k, lam,
+    )
     return candidates.sparkSession.createDataFrame(out, out_schema)
+
+
+def mmr_rerank_distributed(
+    candidates: DataFrame,
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "id",
+    rel_col: str = "rel",
+    vec_col: str = "vec",
+    per_partition: int | None = None,
+) -> DataFrame:
+    """Two-stage MMR for candidate sets past MMR_MAX_CANDIDATES.
+
+    Stage 1 (distributed, mapInPandas): each partition runs the SAME greedy
+    kernel locally and keeps its ``per_partition`` winners (default 4k —
+    over-fetch so a diverse global pick survives local pruning; measured
+    exact-parity on the multi-partition pytest fixture at 2k it is not).  Stage 2
+    (driver): the exact greedy reruns from scratch over the pooled winners
+    (<= n_partitions * per_partition rows, enforced <= MMR_MAX_CANDIDATES).
+
+    The two-stage result equals the exact greedy whenever every globally
+    picked candidate survives its partition's local cut — guaranteed for
+    single-partition inputs, and gated by a pytest parity test on
+    multi-partition fixtures.  At 100 TB the candidate leg is already a
+    top-N; this form removes the single-driver collect ceiling without
+    moving the sequential greedy off the driver."""
+    import pandas as pd
+
+    if per_partition is None:
+        per_partition = max(k, 4 * k)
+    if per_partition > MMR_MAX_CANDIDATES // 2:
+        raise ValueError(
+            f"mmr k={k} implies a per-partition pool past MMR_MAX_CANDIDATES"
+            f"={MMR_MAX_CANDIDATES}; MMR at that k is not a rerank — "
+            "use a plain top-N leg"
+        )
+
+    n_parts = candidates.rdd.getNumPartitions()
+    pool_bound = n_parts * per_partition
+    if pool_bound > MMR_MAX_CANDIDATES:
+        # keep the driver pool bounded regardless of input partitioning
+        candidates = candidates.coalesce(
+            max(1, MMR_MAX_CANDIDATES // per_partition)
+        )
+
+    slim = candidates.select(id_col, rel_col, vec_col)
+    schema = slim.schema
+
+    def _partition_mmr(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        winners = _mmr_greedy(
+            list(pdf[id_col]),
+            list(pdf[rel_col].astype(float)),
+            list(pdf[vec_col]),
+            per_partition, lam,
+        )
+        keep = {w[0] for w in winners}
+        yield pdf[pdf[id_col].isin(keep)]
+
+    pooled = slim.mapInPandas(_partition_mmr, schema)
+    return mmr_rerank(
+        pooled, k=k, lam=lam, id_col=id_col, rel_col=rel_col, vec_col=vec_col
+    )

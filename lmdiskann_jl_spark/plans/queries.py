@@ -1016,6 +1016,42 @@ def q_snippets(spark, sf_dir):
     )
 
 
+PROX_TERM_A = "spark"
+PROX_TERM_B = "query"
+PROX_WINDOW = 8  # max token gap for a proximity hit
+
+
+def q_phrase_proximity(spark, sf_dir):
+    """Phrase/proximity retrieval — the text-search shape after snippets: a
+    document matches when the two query terms co-occur within PROX_WINDOW
+    tokens; reported are the minimal token gap and the exact-phrase hit
+    count ('{a} {b}' adjacent, in order).  Like q_snippets this is pure
+    scan-stage array expressions — tokenize once, every occurrence position
+    per term via one indexed transform, pairwise signed gaps via a nested
+    transform over the (tiny, per-document) position lists — zero shuffle,
+    zero explode, fully parallel at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = X.tokens(F.col("text"))
+
+    def _positions(term: str) -> F.Column:
+        # 1-based positions of every occurrence of the term
+        return F.filter(
+            F.transform(toks, lambda x, i: F.when(x == F.lit(term), i + 1)),
+            lambda p: p.isNotNull(),
+        )
+
+    pa, pb = _positions(PROX_TERM_A), _positions(PROX_TERM_B)
+    gaps = F.flatten(F.transform(pa, lambda a: F.transform(pb, lambda b: b - a)))
+    return (
+        docs.select(
+            "doc_id",
+            F.array_min(F.transform(gaps, lambda g: F.abs(g))).cast("long").alias("min_gap"),
+            F.size(F.filter(gaps, lambda g: g == F.lit(1))).cast("long").alias("phrase_hits"),
+        )
+        .filter(F.col("min_gap") <= PROX_WINDOW)
+    )
+
+
 def q_top_terms(spark, sf_dir):
     """Top-5 tokens per language label by frequency — explode + count +
     per-group window limit (the text-side shape of op 13's degree prune)."""
@@ -3182,6 +3218,25 @@ def _oracle_map() -> dict[str, str | None]:
             FROM p
             WHERE first_pos IS NOT NULL
         """,
+        "t_phrase_proximity": f"""
+            WITH t AS (SELECT doc_id, {O.tokens('text')} AS toks FROM documents),
+            p AS (
+              SELECT doc_id,
+                     [i FOR i IN range(1, len(toks)+1) IF toks[i] = '{PROX_TERM_A}'] AS pa,
+                     [i FOR i IN range(1, len(toks)+1) IF toks[i] = '{PROX_TERM_B}'] AS pb
+              FROM t
+            ),
+            g AS (
+              SELECT doc_id,
+                     flatten(list_transform(pa, a -> list_transform(pb, b -> b - a))) AS gaps
+              FROM p WHERE len(pa) > 0 AND len(pb) > 0
+            )
+            SELECT doc_id,
+                   CAST(list_min(list_transform(gaps, g -> abs(g))) AS BIGINT) AS min_gap,
+                   CAST(len(list_filter(gaps, g -> g = 1)) AS BIGINT) AS phrase_hits
+            FROM g
+            WHERE list_min(list_transform(gaps, g -> abs(g))) <= {PROX_WINDOW}
+        """,
         "t_top_terms": f"""
             SELECT lang, tok, n,
                    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC) AS BIGINT) AS rank
@@ -3970,6 +4025,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_rrf_fusion": q_rrf_fusion,
         "a_mmr_rerank": q_mmr_rerank,
         "t_snippets": q_snippets,
+        "t_phrase_proximity": q_phrase_proximity,
         "r_tpch_q2": q_tpch_q2,
         "r_tpch_q11": q_tpch_q11,
         "r_tpch_q16": q_tpch_q16,

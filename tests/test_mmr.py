@@ -7,7 +7,11 @@ import math
 import pytest
 from pyspark.sql import functions as F
 
-from lmdiskann_jl_spark.operators.topk import MMR_MAX_CANDIDATES, mmr_rerank
+from lmdiskann_jl_spark.operators.topk import (
+    MMR_MAX_CANDIDATES,
+    mmr_rerank,
+    mmr_rerank_distributed,
+)
 
 
 def _reference_mmr(rows, k, lam):
@@ -89,11 +93,51 @@ def test_mmr_preserves_id_type(spark):
     assert got.count() == 3
 
 
-def test_mmr_bounded_contract(spark):
-    big = spark.range(MMR_MAX_CANDIDATES + 1).select(
+def test_mmr_two_stage_matches_exact_multi_partition(spark):
+    """The two-stage form (per-partition greedy prune -> driver greedy over
+    pooled winners) must reproduce the exact greedy on a multi-partition
+    candidate set small enough to also run exactly."""
+    import random
+
+    rng = random.Random(7)
+    cands = [
+        (i, rng.random(), [rng.gauss(0, 1) for _ in range(8)]) for i in range(400)
+    ]
+    df = spark.createDataFrame(
+        cands, "id long, rel double, vec array<double>"
+    ).repartition(8)
+    for lam in (0.4, 0.7):
+        exact = [
+            r["id"] for r in mmr_rerank(df, k=10, lam=lam).orderBy("rank").collect()
+        ]
+        two = [
+            r["id"]
+            for r in mmr_rerank_distributed(df, k=10, lam=lam)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert two == exact, f"lam={lam}"
+
+
+def test_mmr_past_cap_auto_dispatches(spark):
+    """Past MMR_MAX_CANDIDATES the call no longer raises: it runs the
+    two-stage form and still returns k ranked rows with the global max-rel
+    candidate first."""
+    n = MMR_MAX_CANDIDATES + 500
+    big = spark.range(n).select(
         F.col("id"),
-        F.lit(1.0).alias("rel"),
+        (F.col("id") / F.lit(float(n))).alias("rel"),
+        F.array(F.lit(1.0), (F.col("id") % 17).cast("double")).alias("vec"),
+    )
+    res = mmr_rerank(big, k=5).orderBy("rank").collect()
+    assert [r["rank"] for r in res] == [1, 2, 3, 4, 5]
+    assert res[0]["id"] == n - 1  # first pick is always max rel
+
+
+def test_mmr_oversized_k_contract(spark):
+    df = spark.range(10).select(
+        F.col("id"), F.lit(1.0).alias("rel"),
         F.array(F.lit(1.0), F.col("id").cast("double")).alias("vec"),
     )
-    with pytest.raises(ValueError, match="bounded candidate set"):
-        mmr_rerank(big, k=5)
+    with pytest.raises(ValueError, match="not a rerank"):
+        mmr_rerank_distributed(df, k=MMR_MAX_CANDIDATES)
