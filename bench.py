@@ -111,8 +111,23 @@ def main() -> None:
                 # reported time is effectively the warm run's, and queries
                 # with memoized artifacts (the recall-gate caches) shuffle
                 # less when warm — halving a two-run total would report a
-                # volume matching neither run
+                # volume matching neither run.
+                # The status store is fed asynchronously (AppStatusListener
+                # can lag the action's return), so a run-1 stage may register
+                # AFTER this snapshot and get mis-counted into run 2 — poll
+                # until the completed-stage set is stable across two samples
+                # before taking the high-water mark.
                 before = completed_stages()
+                if before is not None:
+                    for _ in range(20):
+                        time.sleep(0.05)
+                        again = completed_stages()
+                        if again is None or {i for i, _ in again} == {
+                            i for i, _ in before
+                        }:
+                            before = again if again is not None else before
+                            break
+                        before = again
                 mark = (
                     max((i for i, _ in before), default=-1)
                     if before is not None

@@ -19,6 +19,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def dedup_stream(
@@ -36,11 +37,22 @@ def dedup_stream(
     re-occurrence beyond the horizon is treated as a new row — the
     documented effectively-once contract, not a global-history guarantee.
 
-    Batch input: plain ``dropDuplicates`` — the global-history twin, which
-    is what makes it an oracle for streams whose duplicates all land inside
-    the watermark horizon.
+    Batch input: deterministic min-by — per key, the row with the smallest
+    ``(ts, remaining columns)``.  The streaming path keeps the first row by
+    ARRIVAL, and a source that replays in event-time order delivers the
+    min-ts row first, so the batch twin is a full-row oracle (not just a
+    key-set oracle) for streams whose duplicates land inside the watermark
+    horizon in event-time order; ts ties break on the remaining columns so
+    the pick never depends on task scheduling.  One groupBy shuffle with
+    map-side partial min_by — no global window, scale-safe.
     """
     keys = list(key_cols)
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
-    return events.dropDuplicates(keys)
+    others = [c for c in events.columns if c not in keys and c != ts_col]
+    ordk = F.struct(F.col(ts_col), *[F.col(c) for c in others])
+    return (
+        events.groupBy(*keys)
+        .agg(F.min_by(F.struct(*events.columns), ordk).alias("_r"))
+        .select("_r.*")
+    )

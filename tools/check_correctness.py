@@ -47,9 +47,12 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import duckdb
+    import pyspark
 
     import __spark_entry__ as entry
     from lmdiskann_jl_spark.session import get_spark
+
+    print(f"# oracle replica: duckdb {duckdb.__version__} / pyspark {pyspark.__version__}")
 
     spark = get_spark(app_name="check-correctness", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()

@@ -41,6 +41,10 @@ DEFAULT = [
     "v_batch_topk",
     "v_hard_negatives",
     "a_lsh_knn",
+    "a_lsh_knn_auto",  # occupancy-holding AUTO n_planes — the 100-TB path
+    "a_graph_build_lsh_recall",  # gate: LSH build leg + shared exact baseline
+    "v_auto_search",  # facade dispatch through the strategy planner
+    "t_phrase_proximity",  # scan-stage positional array expressions
     "m_frame_plan",
     "m_media_decode",
     "r_events_pivot",
@@ -119,12 +123,18 @@ def main() -> int:
             "  under that (overhead-dominated here).  The AUTO n_planes default\n"
             "  (knn_join.py) scales planes with log2(n) to hold bucket\n"
             "  occupancy — and therefore candidate volume per row — constant,\n"
-            "  which is the shape a 100-TB run uses.\n"
+            "  which is the shape a 100-TB run uses — benched separately as\n"
+            "  `a_lsh_knn_auto` (round 5) so the measured LSH path is the\n"
+            "  scale-safe configuration, not just the recall gate's subject.\n"
+            "- `a_graph_build_lsh_recall` is a GATE: its time includes the LSH\n"
+            "  build leg AND the recall comparison against the shared exact\n"
+            "  baseline (memoized per session — the second run at each sf is\n"
+            "  warm, so best-of-2 reflects the LSH leg's own cost).\n"
             "- `t_unigram_logprob` was rebuilt tf-first in round 4 (tokenize\n"
-            "  once, aggregate to (doc, term, tf) before any join; one\n"
-            "  repartition('term') exchange serves both the dictionary agg and\n"
-            "  the scoring join).  Its former 1.76x step was the un-aggregated\n"
-            "  token explode being consumed twice.\n"
+            "  once, aggregate to (doc, term, tf) before any join) and its\n"
+            "  dictionary join cost-picked in round 5 (broadcast under 1M\n"
+            "  docs, hash-join above).  Its former 1.76x step was the\n"
+            "  un-aggregated token explode being consumed twice.\n"
         )
     print(f"wrote {out}")
     return 0
