@@ -338,6 +338,52 @@ def ngram_jaccard_pairs(
     )
 
 
+SPAN_W = 8  # duplicated-span window, in tokens
+
+
+def duplicate_spans(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = SPAN_W,
+    min_docs: int = 2,
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Cross-document duplicated w-token spans — the candidate step of exact
+    substring deduplication (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): any w-token window occurring in >=
+    ``min_docs`` distinct documents marks text a substring-dedup pass would
+    cut, and boilerplate spans (headers, licenses, templates) surface as
+    high-``n_docs`` rows.
+
+    Output: (span_hash, n_docs, n_occurrences).
+
+    Scale shape: spans are hashed to 60-bit ints AT THE SCAN STAGE (the
+    span text never reaches an exchange — shuffle rows are fixed-width
+    (8-byte key, doc_id) pairs), counted with ONE groupBy carrying map-side
+    partial aggregation; no self-join, no all-pairs anything.  ``df_cap``
+    drops spans above a document-frequency ceiling AFTER the count (cheap —
+    a filter on the aggregated output) for consumers that want dedup
+    candidates without the boilerplate tail.
+    """
+    from lmdiskann_jl_spark.functions.text import hash60
+    from lmdiskann_jl_spark.operators.knn_join import _spread
+
+    spans = (
+        _spread(documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")))
+        .select("doc_id", F.explode(word_shingles(tokens(F.col("_text")), w)).alias("s"))
+        .select("doc_id", hash60(F.col("s")).alias("span_hash"))
+    )
+    agg = spans.groupBy("span_hash").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count("*").alias("n_occurrences"),
+    )
+    out = agg.filter(F.col("n_docs") >= min_docs)
+    if df_cap is not None:
+        out = out.filter(F.col("n_docs") <= df_cap)
+    return out
+
+
 def lsh_neardup_params(
     threshold: float,
     miss_target: float = 1e-4,

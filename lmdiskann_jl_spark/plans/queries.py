@@ -394,6 +394,43 @@ def q_dup_clusters_star(spark, sf_dir):
     return D.dup_clusters(pairs, docs.select("doc_id"), algorithm="star")
 
 
+def q_duplicate_spans(spark, sf_dir):
+    """Cross-document duplicated spans — the candidate step of exact
+    substring dedup (Lee et al. 2022): every SPAN_W-token window occurring
+    in >= 2 distinct documents, with document and occurrence counts.  One
+    scan-stage hash + one groupBy; plan rationale in
+    operators/dedup.duplicate_spans."""
+    return D.duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
+def q_dedup_keep_best(spark, sf_dir):
+    """The dedup ACTION after clustering: per near-dup cluster keep the
+    highest-quality member (tie: lowest doc_id) — the quality-aware
+    canonical policy real pipelines apply instead of blind min-id.  Reuses
+    the shared banding job's pair set (one banding pass feeds the pair
+    query, both CC twins, and this) and the declared quality score; the
+    selection is one max_by aggregate keyed by cluster_id — map-side
+    partial, no window over the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _minhash_pairs_shared(spark, sf_dir)
+    clusters = D.dup_clusters(pairs, docs.select("doc_id")).select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+    quality = docs.select(
+        "doc_id", X.quality_features(F.col("text"))["quality_score"].alias("q")
+    )
+    ordk = F.struct(F.col("q"), (-F.col("doc_id")).alias("_nd"))
+    return (
+        clusters.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by("doc_id", ordk).alias("keep_doc_id"),
+            F.max("q").alias("keep_quality"),
+            F.max("cluster_size").alias("cluster_size"),
+        )
+    )
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=JACCARD_T)
 
@@ -2644,6 +2681,30 @@ def _oracle_map() -> dict[str, str | None]:
       )
     """
 
+    # shared connected-components closure over the LSH banding pairs —
+    # consumed by d_dup_clusters, d_dup_clusters_star (same oracle), and
+    # d_keep_best; ends at the `cl(doc_id, cluster_id)` CTE
+    cc_core = f"""
+            {minhash_core.replace("WITH ", "WITH RECURSIVE ", 1)},
+            bands AS (
+              SELECT doc_id, CAST(perm // {D.DEFAULT_BAND_ROWS} AS INT) AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm)) AS band_key
+              FROM sig GROUP BY 1, 2
+            ),
+            prs AS (
+              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+              FROM bands a JOIN bands b USING (band, band_key)
+              WHERE a.doc_id < b.doc_id
+            ),
+            edges AS (SELECT a AS src, b AS dst FROM prs UNION SELECT b, a FROM prs),
+            reach(nid, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.nid = e.dst
+            ),
+            cl AS (SELECT nid AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+    """
+
     m = {
         "v_exact_topk_euclidean": f"""
             SELECT e.vec_id, round({eu}, 4) AS dist
@@ -2791,28 +2852,39 @@ def _oracle_map() -> dict[str, str | None]:
             WHERE a.doc_id < b.doc_id
         """,
         "d_dup_clusters": f"""
-            {minhash_core.replace("WITH ", "WITH RECURSIVE ", 1)},
-            bands AS (
-              SELECT doc_id, CAST(perm // {D.DEFAULT_BAND_ROWS} AS INT) AS band,
-                     md5(string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm)) AS band_key
-              FROM sig GROUP BY 1, 2
-            ),
-            prs AS (
-              SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-              FROM bands a JOIN bands b USING (band, band_key)
-              WHERE a.doc_id < b.doc_id
-            ),
-            edges AS (SELECT a AS src, b AS dst FROM prs UNION SELECT b, a FROM prs),
-            reach(nid, lbl) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.nid = e.dst
-            ),
-            cl AS (SELECT nid AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY 1)
+            {cc_core}
             SELECT doc_id, cluster_id,
                    count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
                    (doc_id = cluster_id) AS keep
             FROM cl
+        """,
+        "d_duplicate_spans": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            e AS (SELECT doc_id, unnest({O.word_shingles('tk', D.SPAN_W)}) AS s FROM t)
+            SELECT {O.hash60('s')} AS span_hash,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(*) AS n_occurrences
+            FROM e GROUP BY 1
+            HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "d_keep_best": f"""
+            {cc_core},
+            cs AS (
+              SELECT doc_id, cluster_id,
+                     count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+              FROM cl
+            ),
+            q AS (SELECT doc_id, quality_score AS q FROM ({_quality_oracle()})),
+            j AS (
+              SELECT cs.doc_id, cs.cluster_id, cs.cluster_size, q.q,
+                     row_number() OVER (
+                       PARTITION BY cs.cluster_id ORDER BY q.q DESC, cs.doc_id ASC
+                     ) AS rn
+              FROM cs JOIN q USING (doc_id)
+            )
+            SELECT cluster_id, doc_id AS keep_doc_id, q AS keep_quality,
+                   cluster_size
+            FROM j WHERE rn = 1
         """,
         "d_simhash": f"""
             WITH toks AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
@@ -3961,6 +4033,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_simhash_neardup": q_simhash_neardup,
         "d_dup_clusters": q_dup_clusters,
         "d_dup_clusters_star": q_dup_clusters_star,
+        "d_duplicate_spans": q_duplicate_spans,
+        "d_keep_best": q_dedup_keep_best,
         "r_events_props": q_events_props,
         "d_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "d_ngram_jaccard_capped": q_ngram_jaccard_capped,

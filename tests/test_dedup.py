@@ -230,3 +230,38 @@ def test_star_cc_matches_sweep_and_handles_deep_paths(spark):
     out = D.dup_clusters(chain, cnodes, algorithm="star", max_iter=30).collect()
     assert all(r["cluster_id"] == 0 and r["cluster_size"] == n for r in out)
     assert sum(r["keep"] for r in out) == 1
+
+
+def test_duplicate_spans_planted(spark):
+    """A shared 8-token span across docs 1/2 surfaces with n_docs=2; a span
+    repeated twice WITHIN one doc does not qualify (min_docs counts distinct
+    documents); short docs contribute nothing."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"intro words {shared} closing remarks here now"),
+        (2, f"other preamble {shared} different tail text"),
+        (3, f"{shared.replace('delta', 'DELTA-x')} no match"),  # broken span
+        (4, f"solo {' '.join(['rep'] * 20)}"),  # intra-doc repetition only
+        (5, "tiny"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = D.duplicate_spans(docs, w=8)
+    got = {(r["n_docs"], r["n_occurrences"]) for r in out.collect()}
+    # the shared span (and only it) crosses documents
+    assert (2, 2) in got
+    assert all(nd >= 2 for nd, _ in got)
+    # df_cap drops it again
+    assert D.duplicate_spans(docs, w=8, df_cap=1).count() == 0
+
+
+def test_duplicate_spans_counts_occurrences(spark):
+    """n_occurrences counts every window occurrence, n_docs distinct docs."""
+    span = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, f"{span} and then {span}"), (2, span)],
+        "doc_id long, text string",
+    )
+    rows = {r["n_docs"]: r["n_occurrences"] for r in
+            D.duplicate_spans(docs, w=8).collect() if r["n_docs"] == 2}
+    # the exact span appears 3 times total (twice in doc 1, once in doc 2)
+    assert 3 in rows.values()

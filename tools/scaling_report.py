@@ -126,6 +126,14 @@ def main() -> int:
             "  which is the shape a 100-TB run uses — benched separately as\n"
             "  `a_lsh_knn_auto` (round 5) so the measured LSH path is the\n"
             "  scale-safe configuration, not just the recall gate's subject.\n"
+            "  NOTE on fixture geometry: the embeddings table holds 500 /\n"
+            "  500 / 2000 rows at the three SFs (documents 500/500/5000), so\n"
+            "  for vector queries the 0.001->0.01 'ratio' is a same-size\n"
+            "  rerun and the last step is 4x rows, not 10x — a last-step\n"
+            "  ratio of ~2.5x on a vector query is SUB-linear.  At sf0.1 the\n"
+            "  auto pick (planes = log2(2000/32) = 5) coincides with the\n"
+            "  fixed gate config, so the twins measure alike here; they\n"
+            "  diverge structurally as n grows (auto adds a plane per 2x).\n"
             "- `a_graph_build_lsh_recall` is a GATE: its time includes the LSH\n"
             "  build leg AND the recall comparison against the shared exact\n"
             "  baseline (memoized per session — the second run at each sf is\n"
