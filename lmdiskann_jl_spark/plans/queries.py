@@ -1132,7 +1132,11 @@ def q_unigram_logprob(spark, sf_dir):
     never re-shuffles on term and the only wide exchanges are the tf agg
     and the final per-doc agg; past the threshold both join sides
     hash-exchange on term (a web-scale vocabulary is GBs — never ship it
-    to every executor)."""
+    to every executor).  The tokenize lineage evaluates 3x in this plan
+    (dict / total / scoring branches — same convention as _bm25_scores):
+    measured FASTER than persisting tf at bench scale (0.61 vs 1.11 s,
+    materialization dominates tiny corpora); a 100-TB run flips that —
+    persist tf eagerly there so the corpus tokenizes once."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
