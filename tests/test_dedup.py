@@ -265,3 +265,30 @@ def test_duplicate_spans_counts_occurrences(spark):
             D.duplicate_spans(docs, w=8).collect() if r["n_docs"] == 2}
     # the exact span appears 3 times total (twice in doc 1, once in doc 2)
     assert 3 in rows.values()
+
+
+def test_keep_best_policy_shape(spark):
+    """Quality-aware canonical selection: per cluster the max-quality member
+    wins, ties break to the lowest doc_id — exercised through the same
+    max_by aggregate q_dedup_keep_best uses."""
+    from pyspark.sql import functions as F
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.5), (5, 0.1)],
+        "doc_id long, q double",
+    )
+    ordk = F.struct(F.col("q"), (-F.col("doc_id")).alias("_nd"))
+    got = {
+        r["cluster_id"]: (r["keep"], r["kq"])
+        for r in clusters.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.max_by("doc_id", ordk).alias("keep"), F.max("q").alias("kq"))
+        .collect()
+    }
+    assert got[1] == (2, 0.9)  # max quality, tie 2 vs 3 -> lower id
+    assert got[4] == (4, 0.5)  # singleton keeps itself
+    assert got[5] == (5, 0.1)
