@@ -62,17 +62,26 @@ def stratified_sample(
     bucket = (
         hash60(F.concat(F.lit(SAMPLE_SALT), F.col(id_col).cast("string"))) % 100
     ).alias("sample_bucket")
-    rate = F.lit(default_rate)
-    for lang, pct in sorted(rates.items()):
-        rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
     # langid is a heavy scan-stage expression: spread small-file inputs to
     # all cores (no-op on tables already partitioned wider — the 100 TB case)
     documents = _spread(documents)
-    return (
-        documents.select(
-            F.col(id_col), langid_expr(F.col(text_col)).alias("lang"), bucket
+    # per-language rate via a BROADCAST JOIN, not a CASE expression: filter
+    # pushdown substitutes projection aliases into the predicate, and a CASE
+    # referencing `lang` would inline the whole langid expression once per
+    # branch (measured: 57 copies in the pushed filter, 1.7 s vs 0.4 s at
+    # sf0.1).  The join key is an attribute boundary the optimizer cannot
+    # substitute through, so langid evaluates exactly once per row.
+    rate_df = F.broadcast(
+        documents.sparkSession.createDataFrame(
+            sorted(rates.items()), "lang string, _rate int"
         )
-        .filter(F.col("sample_bucket") < rate)
+    )
+    langed = documents.select(
+        F.col(id_col), langid_expr(F.col(text_col)).alias("lang"), bucket
+    )
+    return (
+        langed.join(rate_df, "lang", "left")
+        .filter(F.col("sample_bucket") < F.coalesce(F.col("_rate"), F.lit(default_rate)))
         .select(id_col, "lang", F.col("sample_bucket").cast("long").alias("sample_bucket"))
     )
 
