@@ -32,6 +32,8 @@ DEFAULT = [
     "d_simhash_neardup",
     "d_ngram_jaccard_capped",
     "d_dup_clusters_star",
+    "d_duplicate_spans",  # token explode + two-phase distinct count
+    "d_keep_best",  # CC closure + quality join + per-cluster max_by
     "t_quality_score",
     "t_tfidf_top_terms",
     "t_unigram_logprob",
