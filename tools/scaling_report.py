@@ -140,6 +140,11 @@ def main() -> int:
             "  build leg AND the recall comparison against the shared exact\n"
             "  baseline (memoized per session — the second run at each sf is\n"
             "  warm, so best-of-2 reflects the LSH leg's own cost).\n"
+            "- `d_duplicate_spans` explodes one row per token window, so its\n"
+            "  work is LINEAR in corpus tokens by construction (hash +\n"
+            "  two combinable aggregations; no joins); a last-step ratio\n"
+            "  well under 10 on the 10x documents step is overhead\n"
+            "  amortizing, not super-linearity.\n"
             "- `t_unigram_logprob` was rebuilt tf-first in round 4 (tokenize\n"
             "  once, aggregate to (doc, term, tf) before any join) and its\n"
             "  dictionary join cost-picked in round 5 (broadcast under 1M\n"
