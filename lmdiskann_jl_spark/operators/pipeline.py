@@ -206,6 +206,83 @@ def dataset_split(
     )
 
 
+GROUP_SAMPLE_K = 50
+GROUP_SAMPLE_SALT = "gsamp:"
+
+
+def group_sample_k(
+    documents: DataFrame,
+    k: int = GROUP_SAMPLE_K,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-per-group deterministic sampling — the other common
+    training-mix shape next to rate-based ``stratified_sample``: per group,
+    keep the k rows with the smallest ``hash(salt || id)`` (ties impossible:
+    the hash is injective on distinct ids for practical purposes, and the id
+    itself breaks any residual tie).  A pure function of the ids, so reruns,
+    backfills, and repartitioning agree row-for-row — the property a
+    reservoir sample lacks.
+
+    One window shuffle keyed by group; Spark's WindowGroupLimit prunes to k
+    per group MAP-SIDE before the exchange, so shuffle volume is
+    O(n_groups * k * partitions), not the corpus.  Output:
+    (id_col, group_col, sample_rank) with rank 1..k in hash order.
+    """
+    h = hash60(F.concat(F.lit(GROUP_SAMPLE_SALT), F.col(id_col).cast("string")))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        documents.select(F.col(id_col), F.col(group_col))
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= k)
+    )
+
+
+def scalable_rank(
+    df: DataFrame,
+    order_by: list,
+    rank_col: str = "rank",
+    npartitions: int | None = None,
+) -> DataFrame:
+    """Global 1-based row_number over ``order_by`` WITHOUT the
+    single-partition global window (the classic scale anti-pattern): range-
+    partition on the order keys, rank within each partition, then add
+    driver-merged per-partition row-count offsets — the same id-assignment
+    pattern as ``index.insert_batch`` bulk loading.  The only driver state
+    is one small count per partition.
+
+    The input is persisted for the duration of the call so the counts job
+    and the ranking job see the SAME range placement.
+    """
+    spark = df.sparkSession
+    npart = npartitions or max(1, spark.sparkContext.defaultParallelism)
+    parted = (
+        df.repartitionByRange(npart, *order_by)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(o)) for p, o in offsets.items()] or [(0, 0)],
+            "_pid int, _off long",
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_by)
+    return (
+        parted.join(off, "_pid")
+        .withColumn(rank_col, F.row_number().over(w).cast("long") + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
 WEIGHTED_SALT = "wsamp:"
 WEIGHTED_RATE_SALT = "rate:"
 WEIGHTED_RATE_MIN_BPS = 2500  # every source keeps at least 25%

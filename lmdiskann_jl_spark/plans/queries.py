@@ -568,6 +568,59 @@ def q_dataset_split(spark, sf_dir):
     return P.dataset_split(_t(spark, sf_dir, "documents"))
 
 
+GROUP_K = P.GROUP_SAMPLE_K
+VOCAB_MIN_COUNT = 5
+
+
+def q_group_sample_k(spark, sf_dir):
+    """Exactly-k-per-group deterministic sampling (the fixed-quota
+    training-mix shape): per source, the GROUP_SAMPLE_K docs with the
+    smallest salted id hash.  WindowGroupLimit prunes to k map-side; plan
+    rationale in operators/pipeline.group_sample_k."""
+    return P.group_sample_k(_t(spark, sf_dir, "documents"), k=GROUP_K)
+
+
+def q_vocab_build(spark, sf_dir):
+    """Corpus vocabulary with contiguous frequency-ranked token ids — the
+    tokenizer-training precursor: term counts, min-count floor, then a
+    GLOBAL rank by (count desc, term asc) assigned WITHOUT a
+    single-partition window (pipeline.scalable_rank: range-partition on the
+    order keys, rank per partition, driver-merged offsets — the
+    insert_batch id-assignment pattern)."""
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(X.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= VOCAB_MIN_COUNT)
+    )
+    ranked = P.scalable_rank(
+        tf, [F.col("n").desc(), F.col("term").asc()], rank_col="token_id"
+    )
+    return ranked.select("term", "n", "token_id")
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/val/test split: the split is keyed by the
+    near-dup CLUSTER id (shared banding pairs -> connected components), so
+    every member of a duplicate cluster lands in the same split — the
+    eval-leakage guard a plain per-doc split lacks (a train doc's near-copy
+    in test silently inflates benchmarks).  Costs one broadcast-size join
+    beyond the shared clustering; the split itself stays a pure hash of the
+    cluster id."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _minhash_pairs_shared(spark, sf_dir)
+    clusters = D.dup_clusters(pairs, docs.select("doc_id")).select(
+        "doc_id", "cluster_id"
+    )
+    per_cluster = P.dataset_split(
+        clusters.select("cluster_id").distinct(), id_col="cluster_id"
+    ).select("cluster_id", "split")
+    return clusters.join(per_cluster, "cluster_id").select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
 def q_source_weighted_sample(spark, sf_dir):
     """Domain-mix resampling: per-source keep rates live in a tiny dimension
     broadcast into the scan; membership is a pure id hash (rerun-stable)."""
@@ -3118,6 +3171,39 @@ def _oracle_map() -> dict[str, str | None]:
               FROM documents
             )
         """,
+        "p_group_sample_k": f"""
+            SELECT doc_id, source, sample_rank FROM (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY {O.hash60(f"'{P.GROUP_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")} ASC,
+                                doc_id ASC
+                     ) AS BIGINT) AS sample_rank
+              FROM documents
+            ) WHERE sample_rank <= {GROUP_K}
+        """,
+        "t_vocab_build": f"""
+            SELECT term, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS token_id
+            FROM (
+              SELECT tok AS term, count(*) AS n
+              FROM (SELECT unnest({toks}) AS tok FROM documents)
+              GROUP BY 1 HAVING count(*) >= {VOCAB_MIN_COUNT}
+            )
+        """,
+        "p_leakage_safe_split": f"""
+            {cc_core},
+            pc AS (SELECT DISTINCT cluster_id FROM cl),
+            sp AS (
+              SELECT cluster_id, {_SPLIT_CASE()} AS split FROM (
+                SELECT cluster_id,
+                       {O.hash60(f"'{P.SPLIT_SALT}' || CAST(cluster_id AS VARCHAR)")} % 100 AS b
+                FROM pc
+              )
+            )
+            SELECT cl.doc_id, cl.cluster_id, sp.split
+            FROM cl JOIN sp USING (cluster_id)
+        """,
         "p_source_weighted_sample": f"""
             WITH rates AS (
               SELECT source,
@@ -4039,6 +4125,9 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dup_clusters_star": q_dup_clusters_star,
         "d_duplicate_spans": q_duplicate_spans,
         "d_keep_best": q_dedup_keep_best,
+        "p_group_sample_k": q_group_sample_k,
+        "t_vocab_build": q_vocab_build,
+        "p_leakage_safe_split": q_leakage_safe_split,
         "r_events_props": q_events_props,
         "d_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "d_ngram_jaccard_capped": q_ngram_jaccard_capped,

@@ -74,3 +74,40 @@ def test_weighted_sample_membership_is_exact_hash(docs):
         if h60(P.WEIGHTED_SALT + str(r["doc_id"])) % 10000 < rate_by_src[r["source"]]
     }
     assert {(r["doc_id"], r["source"]) for r in res} == expected
+
+
+def test_scalable_rank_matches_global_window(spark):
+    """Two-level rank (range-partition + per-partition rank + offsets) must
+    equal the single-partition global window rank, including on ties of the
+    first key (second key breaks them) and across partition boundaries."""
+    from pyspark.sql import Window
+
+    rows = [(i, (i * 7) % 13) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, n long").repartition(16)
+    order = [F.col("n").desc(), F.col("id").asc()]
+    got = {
+        r["id"]: r["rank"]
+        for r in P.scalable_rank(df, order, rank_col="rank", npartitions=8).collect()
+    }
+    w = Window.orderBy(*order)
+    want = {
+        r["id"]: r["rank"]
+        for r in df.withColumn("rank", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want
+
+
+def test_group_sample_k_exact_quota_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], "doc_id long, source string"
+    )
+    a = P.group_sample_k(docs, k=5).collect()
+    b = P.group_sample_k(docs, k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # rerun-stable
+    per = {}
+    for r in a:
+        per.setdefault(r["source"], []).append(r["sample_rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per.values())
+    # small groups keep everything with contiguous ranks
+    tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
+    assert sorted(r["sample_rank"] for r in P.group_sample_k(tiny, k=5).collect()) == [1, 2]
