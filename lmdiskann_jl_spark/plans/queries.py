@@ -1142,6 +1142,34 @@ def q_phrase_proximity(spark, sf_dir):
     )
 
 
+REDUCE_DIM_OUT = 8
+REDUCE_DIM_SEED = 11
+
+
+def _reduce_planes() -> list[list[float]]:
+    from lmdiskann_jl_spark.operators.knn_join import random_hyperplanes
+
+    return random_hyperplanes(64, REDUCE_DIM_OUT, 1, REDUCE_DIM_SEED)[0]
+
+
+def q_reduce_dim(spark, sf_dir):
+    """Seeded random-projection dimensionality reduction (the
+    Johnson-Lindenstrauss shape): 64-d embeddings to REDUCE_DIM_OUT
+    components, each one dot product against a seeded hyperplane literal —
+    the LSH bucketing machinery with the sign() dropped.  Pure scan-stage
+    column expressions, zero shuffle: at 100 TB this is a map over the
+    table that cuts vector storage/search cost 8x.  Components rounded to
+    4 decimals only at the output projection."""
+    from lmdiskann_jl_spark.functions.vector import dot_product, query_vector_lit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cols = [
+        F.round(dot_product(F.col("embedding"), query_vector_lit(p)), 4).alias(f"c{j}")
+        for j, p in enumerate(_reduce_planes())
+    ]
+    return emb.select("vec_id", *cols)
+
+
 def q_top_terms(spark, sf_dir):
     """Top-5 tokens per language label by frequency — explode + count +
     per-group window limit (the text-side shape of op 13's degree prune)."""
@@ -3171,6 +3199,14 @@ def _oracle_map() -> dict[str, str | None]:
               FROM documents
             )
         """,
+        "v_reduce_dim": f"""
+            SELECT vec_id,
+                   {", ".join(
+                       f"round({O.dot(O.dlist('embedding'), '[' + ', '.join(repr(x) for x in p) + ']')}, 4) AS c{j}"
+                       for j, p in enumerate(_reduce_planes())
+                   )}
+            FROM embeddings
+        """,
         "p_group_sample_k": f"""
             SELECT doc_id, source, sample_rank FROM (
               SELECT doc_id, source,
@@ -4128,6 +4164,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p_group_sample_k": q_group_sample_k,
         "t_vocab_build": q_vocab_build,
         "p_leakage_safe_split": q_leakage_safe_split,
+        "v_reduce_dim": q_reduce_dim,
         "r_events_props": q_events_props,
         "d_ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "d_ngram_jaccard_capped": q_ngram_jaccard_capped,
