@@ -34,6 +34,8 @@ DEFAULT = [
     "d_dup_clusters_star",
     "d_duplicate_spans",  # token explode + two-phase distinct count
     "d_keep_best",  # CC closure + quality join + per-cluster max_by
+    "t_vocab_build",  # scalable_rank: range-partition + offset rank
+    "v_reduce_dim",  # scan-stage random projection, zero shuffle
     "t_quality_score",
     "t_tfidf_top_terms",
     "t_unigram_logprob",
