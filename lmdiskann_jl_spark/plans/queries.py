@@ -183,6 +183,18 @@ def _entry_dataframes(value) -> list[DataFrame]:
     return []
 
 
+def _entry_sessions(value) -> list:
+    sessions = []
+    for df in _entry_dataframes(value):
+        try:
+            sessions.append(df.sparkSession)
+        except Exception:
+            pass
+    if hasattr(value, "spark"):  # index facade handles carry their session
+        sessions.append(value.spark)
+    return sessions
+
+
 def _evict_stopped(cache: dict, app: str) -> None:
     """Drop cache entries whose owning SparkContext has actually stopped,
     unpersisting their DataFrames best-effort.  Entries keyed to a DIFFERENT
@@ -190,13 +202,13 @@ def _evict_stopped(cache: dict, app: str) -> None:
     must not thrash each other's trained artifacts, and evicting a live
     session's entry without unpersist would pin its executor memory."""
     for k in [k for k in cache if k[0] != app]:
-        dfs = _entry_dataframes(cache[k])
+        sessions = _entry_sessions(cache[k])
         try:
-            stopped = any(df.sparkSession.sparkContext._jsc is None for df in dfs)
+            stopped = any(s.sparkContext._jsc is None for s in sessions)
         except Exception:
             stopped = True  # unreadable session state == dead entry
-        if not dfs or stopped:
-            for df in dfs:
+        if not sessions or stopped:
+            for df in _entry_dataframes(cache[k]):
                 try:
                     df.unpersist()
                 except Exception:
