@@ -306,7 +306,10 @@ def mmr_rerank_distributed(
     schema = slim.schema
 
     def _partition_mmr(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
+        parts = list(batches)
+        if not parts:  # empty partition: pd.concat([]) would raise
+            return
+        pdf = pd.concat(parts, ignore_index=True)
         if pdf.empty:
             return
         winners = _mmr_greedy(

@@ -141,3 +141,16 @@ def test_mmr_oversized_k_contract(spark):
     )
     with pytest.raises(ValueError, match="not a rerank"):
         mmr_rerank_distributed(df, k=MMR_MAX_CANDIDATES)
+
+
+def test_mmr_distributed_tolerates_empty_partitions(spark):
+    """A frame with more partitions than rows must not crash the
+    per-partition kernel (pd.concat of an empty batch iterator)."""
+    df = spark.range(20).select(
+        F.col("id"),
+        (F.col("id") / 20.0).alias("rel"),
+        F.array(F.lit(1.0), F.col("id").cast("double")).alias("vec"),
+    ).repartition(64)
+    out = mmr_rerank_distributed(df, k=5).collect()
+    assert len(out) == 5
+    assert max(r["id"] for r in out) == 19  # max-rel row survives
