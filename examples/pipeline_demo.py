@@ -41,17 +41,35 @@ def main() -> None:
     qf.groupBy("reason").count().orderBy("reason").show()
     kept = docs.join(qf.filter("keep").select("doc_id"), "doc_id", "left_semi").cache()
 
-    # 2. dedup — transitive near-dup clusters, one canonical doc each
+    # 2. dedup — transitive near-dup clusters; keep the HIGHEST-QUALITY
+    #    member of each cluster (quality-aware canonical policy), and flag
+    #    cross-document duplicated spans for substring-level cleanup
     pairs = D.minhash_lsh_pairs(kept)
     clusters = D.dup_clusters(pairs, kept.select("doc_id")).cache()
-    canonical = kept.join(
-        clusters.filter("keep").select("doc_id"), "doc_id", "left_semi"
-    ).cache()
+    quality = qf.select("doc_id", "quality_score")
+    best = (
+        clusters.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("_nd")),
+            ).alias("doc_id")
+        )
+    )
+    canonical = kept.join(best.select("doc_id"), "doc_id", "left_semi").cache()
     n_dupes = clusters.filter("NOT keep").count()
+    n_spans = D.duplicate_spans(kept).count()
 
-    # 3. training mix — deterministic per-language sampling
+    # 3. training mix — deterministic per-language sampling; the split that
+    #    will feed eval is keyed by CLUSTER id so near-dups never straddle
+    #    train/test (leakage guard)
     sampled_ids = P.stratified_sample(canonical).select("doc_id")
     sampled = canonical.join(sampled_ids, "doc_id", "left_semi").cache()
+    split = P.dataset_split(
+        clusters.select("cluster_id").distinct(), id_col="cluster_id"
+    )
+    n_test_clusters = split.filter("split = 'test'").count()
 
     # 4. chunk + 5. pack
     chunks = P.chunk_documents(sampled).cache()
@@ -60,7 +78,9 @@ def main() -> None:
 
     print(
         f"{n0} raw -> {kept.count()} quality-kept -> "
-        f"{canonical.count()} canonical (dropped {n_dupes} near-dups) -> "
+        f"{canonical.count()} canonical (dropped {n_dupes} near-dups; "
+        f"{n_spans} duplicated spans flagged; {n_test_clusters} clusters "
+        f"held out leak-free) -> "
         f"{sampled.count()} sampled -> {chunks.count()} chunks -> "
         f"{n_seqs} packed sequences"
     )
