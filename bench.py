@@ -5,7 +5,7 @@ of stdout always keeps it intact):
   {"metric": "...", "value": <total sec>, "unit": "sec", "queries": {...},
    "sf": <sf>, ...}
 where "queries" holds ONLY the headline subset.  The full per-query time map
-(87 entries) goes to BENCH_DETAIL.json next to this script and to stderr.
+(one row per declared query) goes to BENCH_DETAIL.json next to this script and to stderr.
 
 The headline set exercises every engine subsystem: exact search (scan top-k),
 batched search (crossJoin+window), graph build (kNN join + prune), LSH
@@ -150,7 +150,7 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         # totals-only line: the headline subset is small enough to inline;
-        # the full 87-entry map lives in BENCH_DETAIL.json (below)
+        # the full per-query map lives in BENCH_DETAIL.json (below)
         "queries": {q: times[q] for q in headline if q in times},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_queries": len(times),
