@@ -2684,6 +2684,29 @@ def q_auto_search(spark, sf_dir):
     )
 
 
+def q_beam_recall(spark, sf_dir):
+    """recall@10 of batched graph beam search — the declared gate for the
+    reference's CORE search path (op 12 `_search_graph`,
+    src/LMDiskANN.jl:383-431; bar >= 0.70, test/runtests.jl:454).  Runs on
+    the shared on-disk index (one build per session, same as
+    v_auto_search) against the shared exact baseline; the whole probe set
+    executes as ONE shared-frontier batched traversal (search_batch →
+    beam_search_batch), not per-query driver loops.  Index ids are mapped
+    back to vec_ids through the 'vec-%08d' keys."""
+    idx = _gate_auto_index(spark, sf_dir)
+    emb = _gate_emb(spark, sf_dir)
+    qdf = _recall_queries(emb)
+    exact = _gate_exact(spark, sf_dir).select(
+        F.col("qid"), F.col("id")
+    )
+    approx = idx.search_batch(qdf, topk=10, mode="beam").select(
+        "qid",
+        F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("id"),
+    )
+    r = recall_at_k(approx, exact, k=10)
+    return _recall_row(spark, r)
+
+
 def q_incremental_insert_recall(spark, sf_dir):
     """Quality gate for incremental ann_insert! (src/LMDiskANN.jl:531-584):
     build the graph on 80% of ids, insert the remaining 20% in two batches
@@ -4033,6 +4056,7 @@ def _oracle_map() -> dict[str, str | None]:
         "a_lsh_recall": None,
         "a_graph_build_lsh_recall": None,
         "a_incremental_insert_recall": None,
+        "a_beam_recall": None,
         "a_ivf_recall": None,
         "a_embedding_neardup_lsh": None,
         "a_semantic_dedup": None,
@@ -4257,6 +4281,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_events_hourly": q_events_hourly,
         "r_top_orders_per_segment": q_top_orders_per_segment,
         "v_auto_search": q_auto_search,
+        "a_beam_recall": q_beam_recall,
         "a_incremental_insert_recall": q_incremental_insert_recall,
         "a_lsh_knn": q_lsh_knn,
         "a_lsh_knn_auto": q_lsh_knn_auto,
