@@ -292,3 +292,35 @@ def test_keep_best_policy_shape(spark):
     assert got[1] == (2, 0.9)  # max quality, tie 2 vs 3 -> lower id
     assert got[4] == (4, 0.5)  # singleton keeps itself
     assert got[5] == (5, 0.1)
+
+
+def test_duplicate_spans_short_docs_and_wide_window(spark):
+    """Windows wider than any document produce no spans (the word_shingles
+    short-doc gate), and w == doc length yields exactly one window."""
+    docs = spark.createDataFrame(
+        [(1, "one two three"), (2, "one two three"), (3, "unrelated words here")],
+        "doc_id long, text string",
+    )
+    assert D.duplicate_spans(docs, w=10).count() == 0
+    got = D.duplicate_spans(docs, w=3).collect()
+    assert len(got) == 1 and got[0]["n_docs"] == 2 and got[0]["n_occurrences"] == 2
+
+
+def test_leakage_safe_split_coassigns_clusters(spark):
+    """Every member of a near-dup cluster must land in the same split —
+    the property the per-cluster keying exists for."""
+    from lmdiskann_jl_spark.operators import pipeline as P
+
+    clusters = spark.createDataFrame(
+        [(i, i % 7) for i in range(70)], "doc_id long, cluster_id long"
+    )
+    per_cluster = P.dataset_split(
+        clusters.select("cluster_id").distinct(), id_col="cluster_id"
+    ).select("cluster_id", "split")
+    joined = clusters.join(per_cluster, "cluster_id")
+    n_pairs = (
+        joined.select("cluster_id", "split").distinct().groupBy("cluster_id").count()
+        .filter("count > 1").count()
+    )
+    assert n_pairs == 0  # no cluster straddles two splits
+    assert joined.count() == 70  # every doc assigned
