@@ -642,6 +642,7 @@ class LMDiskANNIndex:
         mode: str = "exact",
         ef: int = DEFAULT_EF_SEARCH,
         n_entrypoints: int = 1,
+        max_hops: int = 12,
     ) -> DataFrame:
         """Batched search: (qid, qvec) -> per-query top-k with keys.
 
@@ -649,6 +650,12 @@ class LMDiskANNIndex:
         shared-frontier batched graph traversal (beam_search_batch);
         mode='ivf' probes the cell layout for the whole batch in one job
         (union of probed cells, partition-pruned).
+
+        ``max_hops`` (beam mode) bounds the driver loop: recall saturates
+        once hops reach the graph diameter (~log_degree(n) on a healthy
+        kNN graph), while the reference-style run-until-no-improvement
+        tail only churns deep beam entries — each hop is a fixed-latency
+        Spark job, so the bound is the beam path's cost knob.
         """
         if mode == "ivf":
             from lmdiskann_jl_spark.operators.ivf import ivf_search_batch
@@ -678,6 +685,7 @@ class LMDiskANNIndex:
                 ef=max(topk, ef), metric=self.meta["metric"],
                 entrypoint=int(self.meta["entrypoint"]) if n_entrypoints <= 1 else None,
                 n_entrypoints=n_entrypoints,
+                max_hops=max_hops,
                 vectors_fetch=self._fetcher("vectors"),
                 adjacency_fetch=self._fetcher("adjacency"),
             )

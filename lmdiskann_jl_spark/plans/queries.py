@@ -2692,14 +2692,22 @@ def q_beam_recall(spark, sf_dir):
     v_auto_search) against the shared exact baseline; the whole probe set
     executes as ONE shared-frontier batched traversal (search_batch →
     beam_search_batch), not per-query driver loops.  Index ids are mapped
-    back to vec_ids through the 'vec-%08d' keys."""
+    back to vec_ids through the 'vec-%08d' keys.
+
+    Gate operating point: ef=100, 4 spread entrypoints, max_hops=6 —
+    measured recall saturates at 0.98 by hop 6 (graph diameter on 2000
+    nodes at degree 8 is ~4), while the run-until-no-improvement tail
+    (hops 7-10) only churns deep beam entries at one fixed-latency Spark
+    job per hop (10.6 s -> 6.7 s at sf0.1, same recall)."""
     idx = _gate_auto_index(spark, sf_dir)
     emb = _gate_emb(spark, sf_dir)
     qdf = _recall_queries(emb)
     exact = _gate_exact(spark, sf_dir).select(
         F.col("qid"), F.col("id")
     )
-    approx = idx.search_batch(qdf, topk=10, mode="beam").select(
+    approx = idx.search_batch(
+        qdf, topk=10, mode="beam", ef=100, n_entrypoints=4, max_hops=6
+    ).select(
         "qid",
         F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("id"),
     )
