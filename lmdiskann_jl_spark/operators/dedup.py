@@ -384,6 +384,71 @@ def duplicate_spans(
     return out
 
 
+def dup_span_profile(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = SPAN_W,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document duplicated-token profile — the ACTION side of exact
+    substring dedup: for every document, how many of its token positions
+    are covered by at least one cross-document duplicated w-token span
+    (the text a substring-dedup pass would cut), absolute and as a
+    fraction.
+
+    Output: (doc_id, n_toks, n_dup_tokens, dup_frac) for EVERY document.
+
+    Scale shape: the token-window explode happens once; span hashes are
+    60-bit scan-stage ints; the flagged-span set derives from one counting
+    aggregate; coverage is windows ⋈ flagged (equi-join on the hash) then
+    a position explode bounded by w, deduplicated with a distinct that
+    gets map-side partial aggregation.  Work is O(corpus tokens * w) rows
+    at peak — linear in the corpus for fixed w, no self-joins.
+    """
+    from lmdiskann_jl_spark.functions.text import hash60
+    from lmdiskann_jl_spark.operators.knn_join import _spread
+
+    base = _spread(
+        documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    ).select("doc_id", tokens(F.col("_text")).alias("tk"))
+    windows = base.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("tk"), w)).alias("pos0", "s"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("start"), hash60(F.col("s")).alias("h"))
+    flagged = (
+        windows.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        windows.join(flagged, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(w - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup"))
+    )
+    return (
+        base.select("doc_id", F.size("tk").cast("long").alias("n_toks"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.when(
+                F.col("n_toks") > 0,
+                F.round(F.coalesce(F.col("n_dup"), F.lit(0)) / F.col("n_toks"), 4),
+            ).otherwise(F.lit(0.0)).alias("dup_frac"),
+        )
+    )
+
+
 def lsh_neardup_params(
     threshold: float,
     miss_target: float = 1e-4,

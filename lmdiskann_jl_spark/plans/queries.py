@@ -415,6 +415,13 @@ def q_duplicate_spans(spark, sf_dir):
     return D.duplicate_spans(_t(spark, sf_dir, "documents"))
 
 
+def q_span_profile(spark, sf_dir):
+    """Per-document duplicated-token profile — the action side of exact
+    substring dedup (how much of each doc a substring-dedup pass would
+    cut).  Plan rationale in operators/dedup.dup_span_profile."""
+    return D.dup_span_profile(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """The dedup ACTION after clustering: per near-dup cluster keep the
     highest-quality member (tie: lowest doc_id) — the quality-aware
@@ -2995,6 +3002,31 @@ def _oracle_map() -> dict[str, str | None]:
             FROM e GROUP BY 1
             HAVING count(DISTINCT doc_id) >= 2
         """,
+        "d_span_profile": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            p AS (
+              SELECT doc_id, len(tk) AS n_toks,
+                     range(1, greatest(len(tk) - {D.SPAN_W - 1}, 0) + 1) AS starts,
+                     list_transform(
+                       range(1, greatest(len(tk) - {D.SPAN_W - 1}, 0) + 1),
+                       i -> {O.hash60(" || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(D.SPAN_W)))}
+                     ) AS hs
+              FROM t
+            ),
+            e AS (SELECT doc_id, unnest(starts) AS s, unnest(hs) AS h FROM p),
+            fl AS (SELECT h FROM e GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (
+              SELECT DISTINCT e.doc_id, e.s + r.o AS pos
+              FROM e JOIN fl USING (h), range(0, {D.SPAN_W}) r(o)
+            ),
+            cnt AS (SELECT doc_id, count(*) AS n_dup FROM cov GROUP BY 1)
+            SELECT p.doc_id, CAST(p.n_toks AS BIGINT) AS n_toks,
+                   CAST(COALESCE(cnt.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+                   CASE WHEN p.n_toks > 0
+                        THEN round(CAST(COALESCE(cnt.n_dup, 0) AS DOUBLE) / p.n_toks, 4)
+                        ELSE 0.0 END AS dup_frac
+            FROM p LEFT JOIN cnt USING (doc_id)
+        """,
         "d_keep_best": f"""
             {cc_core},
             cs AS (
@@ -4204,6 +4236,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dup_clusters": q_dup_clusters,
         "d_dup_clusters_star": q_dup_clusters_star,
         "d_duplicate_spans": q_duplicate_spans,
+        "d_span_profile": q_span_profile,
         "d_keep_best": q_dedup_keep_best,
         "p_group_sample_k": q_group_sample_k,
         "t_vocab_build": q_vocab_build,

@@ -324,3 +324,22 @@ def test_leakage_safe_split_coassigns_clusters(spark):
     )
     assert n_pairs == 0  # no cluster straddles two splits
     assert joined.count() == 70  # every doc assigned
+
+
+def test_dup_span_profile_planted(spark):
+    """Coverage counting: overlapping duplicated windows union their
+    positions (no double counting); clean docs report zero."""
+    shared = "a b c d e f g h i j"  # 10 tokens -> 3 windows of 8, union = 10
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} unique tail one two three"),
+            (2, f"prefix {shared}"),
+            (3, "totally different words only here now for sure ok fine"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in D.dup_span_profile(docs, w=8).collect()}
+    assert got[1]["n_dup_tokens"] == 10  # union of overlapping windows
+    assert got[2]["n_dup_tokens"] == 10
+    assert got[3]["n_dup_tokens"] == 0 and got[3]["dup_frac"] == 0.0
+    assert abs(got[2]["dup_frac"] - round(10 / 11, 4)) < 1e-9
