@@ -36,6 +36,8 @@ DEFAULT = [
     "d_keep_best",  # CC closure + quality join + per-cluster max_by
     "t_vocab_build",  # scalable_rank: range-partition + offset rank
     "v_reduce_dim",  # scan-stage random projection, zero shuffle
+    "d_span_profile",  # window explode + coverage union
+    "a_beam_recall",  # gate: hop-bounded batched beam vs exact baseline
     "t_quality_score",
     "t_tfidf_top_terms",
     "t_unigram_logprob",
