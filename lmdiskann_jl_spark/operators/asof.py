@@ -47,8 +47,18 @@ def asof_join(
     right_time: str,
     payload_cols: list[str],
     chunk_span: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left rows + the latest right payload at-or-before.
+    """As-of join: left rows + the nearest right payload in ``direction``.
+
+    direction='backward' (default): the LATEST right row at-or-before each
+    left row — the reference semantics of every backward section below.
+    direction='forward': the EARLIEST right row at-or-after — implemented
+    by running the identical machinery on negated time (timestamps negate
+    via unix_micros, exact to the microsecond), so both directions share
+    one code path, one shuffle shape, and the same hot-key guard.  A
+    'nearest' join composes from the two directions caller-side (include
+    the right time in ``payload_cols`` and pick the smaller gap).
 
     Returns every left row with ``payload_cols`` from the matched right row
     (null when the key has no right row yet).  Payload column names must not
@@ -61,6 +71,25 @@ def asof_join(
     hash in chunked mode; byte-identical to unchunked when per-(key, time)
     right rows are unique — the well-defined as-of case).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+    if direction == "forward":
+
+        def _neg(df: DataFrame, tcol: str) -> DataFrame:
+            dt = dict(df.dtypes)[tcol]
+            col = F.col(tcol)
+            # unix_micros requires TIMESTAMP; _ntz casts losslessly (the
+            # session timezone is pinned UTC in session.get_spark)
+            e = -F.unix_micros(col.cast("timestamp")) if dt.startswith("timestamp") else -col
+            return df.withColumn("_asof_negt", e)
+
+        out = asof_join(
+            _neg(left, left_time), _neg(right, right_time),
+            key_col, "_asof_negt", "_asof_negt", payload_cols,
+            chunk_span=chunk_span, direction="backward",
+        )
+        return out.drop("_asof_negt")
+
     rstruct = F.struct(*[F.col(c) for c in payload_cols])
     rtype = right.select(rstruct.alias("_s")).schema["_s"].dataType.simpleString()
     left_cols = [c for c in left.columns]

@@ -1511,6 +1511,31 @@ def q_asof_attribution(spark, sf_dir):
     ).select("event_id", "user_id", "click_id", "click_value")
 
 
+def q_asof_forward(spark, sf_dir):
+    """Post-purchase behavior via the FORWARD as-of join: each purchase
+    event gets the same user's next click at-or-after it.  Shares the
+    backward join's single-shuffle window machinery on negated time
+    (operators/asof.asof_join direction='forward'), so both directions
+    have identical cost and the same hot-key guard.  Oracle: DuckDB ASOF
+    with the inequality reversed."""
+    from lmdiskann_jl_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.col("event_id").alias("click_id"),
+        F.round("value", 2).alias("click_value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("t")
+    )
+    return asof_join(
+        purchases, clicks, key_col="user_id", left_time="t", right_time="t",
+        payload_cols=["click_id", "click_value"], direction="forward",
+    ).select("event_id", "user_id", "click_id", "click_value")
+
+
 def q_tpch_q5(spark, sf_dir):
     """TPC-H Q5-shaped local-supplier revenue: the star-join pattern — one
     shuffle join on the fact pair (lineitem x orders), every dimension
@@ -3616,6 +3641,16 @@ def _oracle_map() -> dict[str, str | None]:
             FROM purch p ASOF LEFT JOIN clicks c
               ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
+        "r_asof_forward": """
+            WITH clicks AS (
+              SELECT user_id, ts, event_id AS click_id, round(value, 2) AS click_value
+              FROM events WHERE event_type = 'click'
+            ),
+            purch AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+            SELECT p.event_id, p.user_id, c.click_id, c.click_value
+            FROM purch p ASOF LEFT JOIN clicks c
+              ON p.user_id = c.user_id AND p.ts <= c.ts
+        """,
         "r_tpch_q5": f"""
             SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem
@@ -4317,6 +4352,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_unigram_logprob": q_unigram_logprob,
         "m_frame_plan": q_frame_plan,
         "r_asof_attribution": q_asof_attribution,
+        "r_asof_forward": q_asof_forward,
         "r_revenue_rollup": q_revenue_rollup,
         "r_user_sessions": q_user_sessions,
         "r_events_hourly": q_events_hourly,

@@ -92,3 +92,50 @@ def test_asof_join_hot_key_bounded_tasks(spark):
         .groupBy("k", "c").count().agg(F.max("count")).collect()[0][0]
     )
     assert sizes <= span  # 100 chunks of ~1000 rows, never the 100k key
+
+
+def test_asof_join_forward_semantics(spark):
+    """At-or-after matching: equal timestamps match, the EARLIEST future
+    right row wins, left rows after the last right row get null."""
+    left = spark.createDataFrame(
+        [(1, 5, "a"), (1, 10, "b"), (1, 16, "c"), (1, 99, "d"), (2, 10, "e")],
+        "k long, t long, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 7, 100), (1, 10, 200), (1, 15, 300), (2, 5, 400)],
+        "k long, t long, payload long",
+    )
+    res = {
+        r["name"]: r["payload"]
+        for r in asof_join(
+            left, right, key_col="k", left_time="t", right_time="t",
+            payload_cols=["payload"], direction="forward",
+        ).collect()
+    }
+    assert res["a"] == 100  # earliest future, not any future
+    assert res["b"] == 200  # equal timestamp matches (at-or-after)
+    assert res["c"] is None  # no right row at-or-after 16 for key 1
+    assert res["d"] is None  # after the last right row
+    assert res["e"] is None  # right row is in the past
+
+
+def test_asof_join_forward_chunked_matches_unchunked(spark):
+    import random
+
+    rng = random.Random(3)
+    left = spark.createDataFrame(
+        [(rng.randrange(3), rng.randrange(1000), i) for i in range(300)],
+        "k long, t long, rowid long",
+    )
+    right = spark.createDataFrame(
+        [(rng.randrange(3), rng.randrange(1000), 1000 + i) for i in range(150)],
+        "k long, t long, payload long",
+    )
+    kw = dict(key_col="k", left_time="t", right_time="t", payload_cols=["payload"],
+              direction="forward")
+    plain = {(r["rowid"], r["payload"]) for r in asof_join(left, right, **kw).collect()}
+    chunked = {
+        (r["rowid"], r["payload"])
+        for r in asof_join(left, right, chunk_span=100, **kw).collect()
+    }
+    assert plain == chunked
