@@ -138,7 +138,18 @@ def main() -> None:
             n = df.count()  # force full execution
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
+        # the post-run snapshot races the async status store the same way
+        # the pre-run one does — poll to stability so a run-2 stage that
+        # registers late is counted here, not silently dropped
         after = completed_stages()
+        if after is not None:
+            for _ in range(20):
+                time.sleep(0.05)
+                again = completed_stages()
+                if again is None or {i for i, _ in again} == {i for i, _ in after}:
+                    after = again if again is not None else after
+                    break
+                after = again
         if after is not None and mark is not None:
             shuffle_mb[name] = round(sum(b for i, b in after if i > mark) / 1e6, 3)
         times[name] = round(best, 3)

@@ -69,11 +69,16 @@ def asof_join(
     more than one timeline chunk of one key.  Output is identical (ties
     between right rows at the exact same timestamp are resolved by a payload
     hash in chunked mode; byte-identical to unchunked when per-(key, time)
-    right rows are unique — the well-defined as-of case).
+    right rows are unique — the well-defined as-of case).  Units: the time
+    column's own units for numeric time columns; SECONDS when the time
+    column is a timestamp (the forward path converts timestamps to unix
+    micros internally and scales chunk_span to match, so a seconds-tuned
+    span keeps its meaning instead of creating ~10^6x more chunks).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if direction == "forward":
+        is_ts = dict(left.dtypes)[left_time].startswith("timestamp")
 
         def _neg(df: DataFrame, tcol: str) -> DataFrame:
             dt = dict(df.dtypes)[tcol]
@@ -86,7 +91,10 @@ def asof_join(
         out = asof_join(
             _neg(left, left_time), _neg(right, right_time),
             key_col, "_asof_negt", "_asof_negt", payload_cols,
-            chunk_span=chunk_span, direction="backward",
+            # internal time is micros for timestamp columns — keep the
+            # caller's seconds-denominated span meaningful
+            chunk_span=(chunk_span * 1_000_000 if chunk_span and is_ts else chunk_span),
+            direction="backward",
         )
         return out.drop("_asof_negt")
 

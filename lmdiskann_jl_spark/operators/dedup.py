@@ -360,11 +360,18 @@ def duplicate_spans(
 
     Scale shape: spans are hashed to 60-bit ints AT THE SCAN STAGE (the
     span text never reaches an exchange — shuffle rows are fixed-width
-    (8-byte key, doc_id) pairs), counted with ONE groupBy carrying map-side
-    partial aggregation; no self-join, no all-pairs anything.  ``df_cap``
-    drops spans above a document-frequency ceiling AFTER the count (cheap —
-    a filter on the aggregated output) for consumers that want dedup
-    candidates without the boilerplate tail.
+    (8-byte key, doc_id) pairs); no self-join, no all-pairs anything.
+    The count is TWO-stage: a per-(span_hash, doc_id) pre-aggregate (with
+    map-side combine — repeated spans within one doc collapse before the
+    exchange), then a per-span_hash rollup of the already-reduced rows.
+    This replaces the single countDistinct+count aggregate, whose physical
+    plan Expands every occurrence row 2x (one copy per aggregate group)
+    before the exchange — at corpus scale the two-stage form shuffles
+    about half the rows of the Expand form, and the second exchange moves
+    only one row per distinct (span, doc) pair.  ``df_cap`` drops spans
+    above a document-frequency ceiling AFTER the count (cheap — a filter
+    on the aggregated output) for consumers that want dedup candidates
+    without the boilerplate tail.
     """
     from lmdiskann_jl_spark.functions.text import hash60
     from lmdiskann_jl_spark.operators.knn_join import _spread
@@ -374,9 +381,10 @@ def duplicate_spans(
         .select("doc_id", F.explode(word_shingles(tokens(F.col("_text")), w)).alias("s"))
         .select("doc_id", hash60(F.col("s")).alias("span_hash"))
     )
-    agg = spans.groupBy("span_hash").agg(
-        F.countDistinct("doc_id").alias("n_docs"),
-        F.count("*").alias("n_occurrences"),
+    per_doc = spans.groupBy("span_hash", "doc_id").agg(F.count("*").alias("cnt"))
+    agg = per_doc.groupBy("span_hash").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("cnt").alias("n_occurrences"),
     )
     out = agg.filter(F.col("n_docs") >= min_docs)
     if df_cap is not None:

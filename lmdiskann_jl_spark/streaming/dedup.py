@@ -38,18 +38,38 @@ def dedup_stream(
     documented effectively-once contract, not a global-history guarantee.
 
     Batch input: deterministic min-by — per key, the row with the smallest
-    ``(ts, remaining columns)``.  The streaming path keeps the first row by
-    ARRIVAL, and a source that replays in event-time order delivers the
-    min-ts row first, so the batch twin is a full-row oracle (not just a
-    key-set oracle) for streams whose duplicates land inside the watermark
-    horizon in event-time order; ts ties break on the remaining columns so
-    the pick never depends on task scheduling.  One groupBy shuffle with
-    map-side partial min_by — no global window, scale-safe.
+    ``(ts, remaining ORDERABLE columns)``.  The streaming path keeps the
+    first row by ARRIVAL, and a source that replays in event-time order
+    delivers the min-ts row first, so the batch twin is a full-row oracle
+    (not just a key-set oracle) for streams whose duplicates land inside
+    the watermark horizon in event-time order; ts ties break on the
+    remaining orderable columns so the pick never depends on task
+    scheduling.  Non-orderable columns (maps, or structs/arrays containing
+    them) are excluded from the tiebreak — they still ride along in the
+    kept row, but two duplicates identical on every orderable column and
+    differing only in a map value tie arbitrarily.  One groupBy shuffle
+    with map-side partial min_by — no global window, scale-safe.
     """
     keys = list(key_cols)
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
-    others = [c for c in events.columns if c not in keys and c != ts_col]
+
+    def _orderable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    others = [
+        f.name
+        for f in events.schema.fields
+        if f.name not in keys and f.name != ts_col and _orderable(f.dataType)
+    ]
     ordk = F.struct(F.col(ts_col), *[F.col(c) for c in others])
     return (
         events.groupBy(*keys)

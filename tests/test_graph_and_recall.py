@@ -53,6 +53,40 @@ def test_lsh_knn_recall_meets_reference_bar(emb):
     assert r >= 0.70, f"LSH recall {r:.3f} below reference bar"
 
 
+def test_auto_lsh_config_scale_rule():
+    """The AUTO operating point must (a) add one plane per 2x of n —
+    expected bucket occupancy n/2^p stays within a fixed band, so
+    per-bucket join work never goes quadratic — and (b) grow tables
+    sublinearly (n^rho) to hold recall, never shrinking either."""
+    from lmdiskann_jl_spark.operators.knn_join import auto_lsh_config
+
+    k = 4
+    prev_p, prev_t = auto_lsh_config(500, k)
+    assert (prev_p, prev_t) == (4, 16)  # calibration anchor (recall 0.90)
+    assert auto_lsh_config(2000, k) == (6, 24)  # sf0.1 point (recall 0.77)
+    for n in [8_000, 64_000, 1_000_000, 100_000_000]:
+        p, t = auto_lsh_config(n, k)
+        assert p >= prev_p and t >= prev_t, "auto point must not coarsen"
+        # occupancy band: rounding keeps n/2^p within [0.5, 2] x (8k)
+        occ = n / 2**p
+        assert 0.5 * 8 * k <= occ <= 2 * 8 * k or p == 24
+        prev_p, prev_t = p, t
+
+
+def test_auto_lsh_point_recall_meets_reference_bar(emb):
+    """Recall at the exact AUTO-resolved operating point (the config
+    q_lsh_knn_auto runs) — >= 0.70, test/runtests.jl:454."""
+    k = 4
+    exact = brute_force_knn_join(emb, emb, k=k, metric="euclidean").select(
+        F.col("id_l").alias("qid"), F.col("id_r").alias("id")
+    )
+    approx = lsh_knn_join(
+        emb, emb, k=k, dim=64, metric="euclidean", n_planes=None, n_tables=None
+    ).select(F.col("id_l").alias("qid"), F.col("id_r").alias("id"))
+    r = recall_at_k(approx, exact, k=k)
+    assert r >= 0.70, f"AUTO-point LSH recall {r:.3f} below reference bar"
+
+
 def test_batched_beam_search_recall(emb, spark):
     """Shared-frontier batched beam vs exact batch — reference bar >= 0.70."""
     from pyspark.sql import Window

@@ -267,6 +267,46 @@ def test_compact_coalesces_small_files(spark, idx_path):
     assert "_b" in idx.catalog.read("vectors", idx.meta, raw=True).columns
 
 
+def test_compact_vacuum_search_equality_at_bench_scale(spark, idx_path):
+    """Snapshot-GC at the sf0.1 table scale: build the index from the real
+    bench embeddings in two insert waves (so every table accumulates
+    stamped segments), then compact() + vacuum() must leave search results
+    BIT-IDENTICAL and actually reclaim the superseded snapshot dirs — the
+    one lifecycle surface previously covered only by small fixtures."""
+    import glob
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    batch = emb.select(
+        F.col("embedding").alias("vec"),
+        F.format_string("vec-%08d", F.col("vec_id")).alias("k"),
+    )
+    idx = pkg.create_index(spark, idx_path, dim=64, maxdegree=8, metric="euclidean")
+    idx.insert_batch(batch.filter(F.col("k") < "vec-00001000"), vec_col="vec", key_col="k")
+    idx.insert_batch(batch.filter(F.col("k") >= "vec-00001000"), vec_col="vec", key_col="k")
+    assert idx.meta["num_points"] == emb.count()
+
+    queries = [list(r["embedding"]) for r in emb.filter(F.col("vec_id") % 700 == 0).collect()]
+    before = [idx.search(q, topk=10).collect() for q in queries]
+
+    def all_version_dirs():
+        return set(glob.glob(f"{idx_path}/*/v=*"))
+
+    dirs_before = all_version_dirs()
+    idx.compact()
+    idx.vacuum(keep=1)
+    dirs_after = all_version_dirs()
+    # compaction wrote new versions; vacuum reclaimed the superseded ones
+    assert dirs_after - dirs_before, "compact() produced no new snapshot"
+    assert dirs_before - dirs_after, "vacuum() reclaimed no old snapshot"
+
+    reloaded = pkg.load_index(spark, idx_path)
+    for q, exp in zip(queries, before):
+        got = reloaded.search(q, topk=10).collect()
+        assert [(r["key"], round(r["dist"], 9)) for r in got] == [
+            (r["key"], round(r["dist"], 9)) for r in exp
+        ]
+
+
 def test_stats_reports_invariants(spark, idx_path, small_batch):
     idx = pkg.create_index(spark, idx_path, dim=5, maxdegree=8)
     idx.insert_batch(small_batch, vec_col="vec", key_col="k")

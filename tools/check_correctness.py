@@ -32,11 +32,16 @@ def _norm_cell(v):
     return str(v)
 
 
-def value_hash(cols: list[str], rows: list[tuple]) -> str:
+def norm_lines(cols: list[str], rows: list[tuple]) -> list[str]:
+    """The exact normalized lines the value hash is computed over —
+    columns sorted by name, cells normalized, rows sorted."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x01".join(_norm_cell(r[i]) for i in order) for r in rows)
+    return sorted("\x01".join(_norm_cell(r[i]) for i in order) for r in rows)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
     h = hashlib.sha256()
-    for line in lines:
+    for line in norm_lines(cols, rows):
         h.update(line.encode())
         h.update(b"\n")
     return h.hexdigest()[:16]
@@ -96,13 +101,22 @@ def main() -> int:
             sh, dh = value_hash(scols, srows), value_hash(dcols, drows)
             if sh != dh:
                 problems.append(f"hash {sh} != {dh}")
-                # show a diff sample
-                sset = set(map(str, srows))
-                dset = set(map(str, drows))
-                for x in list(sset - dset)[:2]:
-                    problems.append(f"  spark-only: {x[:150]}")
-                for x in list(dset - sset)[:2]:
-                    problems.append(f"  duck-only:  {x[:150]}")
+                # postmortem probe: diff the NORMALIZED lines the hash is
+                # actually computed over (sorted columns, normalized cells)
+                # — a raw-row diff can look identical while a float-format
+                # or type normalization difference flips the hash.  Column
+                # order of the diff lines is sorted(cols).
+                sset = set(norm_lines(scols, srows))
+                dset = set(norm_lines(dcols, drows))
+                sonly, donly = sorted(sset - dset), sorted(dset - sset)
+                problems.append(
+                    f"normalized-line diff: {len(sonly)} spark-only, "
+                    f"{len(donly)} duck-only (cols={sorted(scols)})"
+                )
+                for x in sonly[:3]:
+                    problems.append(f"  spark-only: {x.replace(chr(1), '|')[:200]}")
+                for x in donly[:3]:
+                    problems.append(f"  duck-only:  {x.replace(chr(1), '|')[:200]}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)} [{time.time()-t0:.1f}s]")
             failures.append(name)

@@ -47,7 +47,10 @@ DEFAULT = [
     "v_batch_topk",
     "v_hard_negatives",
     "a_lsh_knn",
-    "a_lsh_knn_auto",  # occupancy-holding AUTO n_planes — the 100-TB path
+    "a_lsh_knn_auto",  # occupancy-holding AUTO planes + rho-scaled tables
+    "a_lsh_auto_recall",  # gate: recall at the AUTO operating point
+    "a_incremental_insert_recall",  # gate: incremental graph-insert recall
+    "s_stream_sessions",  # Structured Streaming availableNow sessionize run
     "a_graph_build_lsh_recall",  # gate: LSH build leg + shared exact baseline
     "v_auto_search",  # facade dispatch through the strategy planner
     "t_phrase_proximity",  # scan-stage positional array expressions
@@ -136,10 +139,33 @@ def main() -> int:
             "  500 / 2000 rows at the three SFs (documents 500/500/5000), so\n"
             "  for vector queries the 0.001->0.01 'ratio' is a same-size\n"
             "  rerun and the last step is 4x rows, not 10x — a last-step\n"
-            "  ratio of ~2.5x on a vector query is SUB-linear.  At sf0.1 the\n"
-            "  auto pick (planes = log2(2000/32) = 5) coincides with the\n"
-            "  fixed gate config, so the twins measure alike here; they\n"
-            "  diverge structurally as n grows (auto adds a plane per 2x).\n"
+            "  ratio of ~2.5x on a vector query is SUB-linear.\n"
+            "- AUTO operating point (round 6, knn_join.auto_lsh_config):\n"
+            "  planes = round(log2(n/8k)) hold bucket occupancy constant\n"
+            "  (one plane per 2x of n — per-bucket work never quadratic);\n"
+            "  tables = 16*(n/500)^0.3 restore recall (the classic n^rho\n"
+            "  sublinear table growth; Andoni & Indyk CACM 2008).  The auto\n"
+            "  point now DIVERGES from the fixed gate at both bench SFs:\n"
+            "  n=500 -> p=4/T=16, n=2000 -> p=6/T=24 (vs fixed 5/16).\n"
+            "  Measured per-query candidate volume on the isotropic gaussian\n"
+            "  fixtures (numpy replica of the exact bucketing, k=4):\n"
+            "  fixed 5/16: 204 cand/row @500 -> 811 @2000 (4.0x per 4x n,\n"
+            "  occupancy doubling — the quadratic lean); auto: 320 @500\n"
+            "  (recall 0.90) -> 654 @2000 (recall 0.77), 2.0x cand/row per\n"
+            "  4x n = total candidate work ~n^1.5 ~= n^(1+rho).  HOLDING\n"
+            "  recall >= 0.70 with LINEAR candidate growth is not achievable\n"
+            "  on this data by ANY LSH family — isotropic gaussian vectors\n"
+            "  in d=64 are the rho-worst case (no cluster structure; angles\n"
+            "  concentrate); rho > 0 is an information-theoretic floor, not\n"
+            "  an implementation artifact.  Real clustered corpora sit far\n"
+            "  above the recall floor at much smaller rho.  Recall at the\n"
+            "  exact auto point is gated by `a_lsh_auto_recall` (official\n"
+            "  row) and pytest (0.92 @ sf0.01, 0.76 @ sf0.1, bar 0.70).\n"
+            "- `s_stream_sessions` runs a REAL Structured Streaming query\n"
+            "  (availableNow trigger, parquet sink, sentinel-flushed\n"
+            "  watermark) per (session, sf) and memoizes the result — its\n"
+            "  wall is trigger startup + one micro-batch, dominated by\n"
+            "  fixed streaming-engine overhead at these SFs.\n"
             "- `a_graph_build_lsh_recall` is a GATE: its time includes the LSH\n"
             "  build leg AND the recall comparison against the shared exact\n"
             "  baseline (memoized per session — the second run at each sf is\n"
