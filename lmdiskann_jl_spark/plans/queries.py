@@ -2564,6 +2564,112 @@ def q_stream_sessions(spark, sf_dir):
     return _GATE_CACHE[key]
 
 
+def q_stream_dedup(spark, sf_dir):
+    """The STREAMING dedup runtime under the official oracle gate: the
+    events table plus a deterministic re-delivery (every event_id % 7 == 0
+    row duplicated — the Kafka-replay/at-least-once shape) is run through
+    streaming/dedup.py's dropDuplicatesWithinWatermark under an
+    availableNow trigger; the deduped output must hash-equal the plain
+    events projection (exact full-row duplicates make first-arrival-wins
+    order-insensitive, so the batch oracle is exact, not heuristic).
+
+    The input is written as ONE file so the whole replay lands in a single
+    micro-batch, and the watermark delay (30 days) covers the fixture's
+    full event span — both make the drop deterministic regardless of how
+    the trigger slices batches.  Production uses the real re-delivery
+    horizon as the delay; state is O(keys per horizon) either way.  Sink
+    is parquet; memoized per (session, sf_dir) with eviction cleanup."""
+    key = _gate_key(spark, sf_dir, "stream_dedup")
+    if key not in _GATE_CACHE:
+        import tempfile
+
+        from lmdiskann_jl_spark.streaming.dedup import dedup_stream
+
+        ev = _t(spark, sf_dir, "events")
+        src = ev.select(
+            "event_id", "user_id", F.timestamp_seconds(_events_sec(ev)).alias("tsec")
+        )
+        root = tempfile.mkdtemp(prefix="lmdiskann_sdedup_")
+        _register_temp_path(key, root)
+        redelivered = src.unionByName(src.filter(F.col("event_id") % 7 == 0))
+        redelivered.coalesce(1).write.parquet(f"{root}/in")
+        stream = spark.readStream.schema(src.schema).parquet(f"{root}/in")
+        deduped = dedup_stream(
+            stream, key_cols=("event_id",), ts_col="tsec", watermark="30 days"
+        )
+        q = (
+            deduped.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .format("parquet")
+            .start(f"{root}/out")
+        )
+        q.awaitTermination()
+        out = spark.read.parquet(f"{root}/out").select(
+            "event_id", "user_id", F.unix_timestamp("tsec").alias("sec")
+        )
+        _GATE_CACHE[key] = out
+    return _GATE_CACHE[key]
+
+
+SENTINEL_EVENT_TYPE = "_sentinel"
+
+
+def q_stream_rollup(spark, sf_dir):
+    """The STREAMING watermarked tumbling-window rollup under the official
+    oracle gate (the twin of streaming/ingest.streaming_hourly_rollup):
+    events replayed through readStream + window('1 hour') aggregation with
+    an availableNow trigger; the final output must hash-equal the batch
+    r_events_hourly oracle SQL (reused verbatim).
+
+    Append mode emits a window only once the watermark passes its close —
+    a far-future sentinel event (filtered out of the result by its
+    event_type) with a 0-second delay flushes every real window, the same
+    termination contract as q_stream_sessions.  Sink is parquet; memoized
+    per (session, sf_dir) with eviction cleanup."""
+    key = _gate_key(spark, sf_dir, "stream_rollup")
+    if key not in _GATE_CACHE:
+        import tempfile
+
+        ev = _t(spark, sf_dir, "events")
+        src = ev.select(
+            F.timestamp_seconds(_events_sec(ev)).alias("tsec"),
+            "event_type",
+            "value",
+        )
+        root = tempfile.mkdtemp(prefix="lmdiskann_sroll_")
+        _register_temp_path(key, root)
+        hi_sec = src.agg(F.max(F.unix_timestamp("tsec")).alias("m")).first()["m"]
+        sentinel = spark.range(1).select(
+            F.timestamp_seconds(F.lit(hi_sec + 7200)).alias("tsec"),
+            F.lit(SENTINEL_EVENT_TYPE).alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+        src.unionByName(sentinel).write.parquet(f"{root}/in")
+        stream = spark.readStream.schema(src.schema).parquet(f"{root}/in")
+        rolled = (
+            stream.withWatermark("tsec", "0 seconds")
+            .groupBy(F.window("tsec", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .select(
+                F.unix_timestamp("w.start").alias("bucket"),
+                "event_type",
+                "n",
+                "sum_value",
+            )
+        )
+        q = (
+            rolled.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .format("parquet")
+            .start(f"{root}/out")
+        )
+        q.awaitTermination()
+        _GATE_CACHE[key] = spark.read.parquet(f"{root}/out").filter(
+            F.col("event_type") != SENTINEL_EVENT_TYPE
+        )
+    return _GATE_CACHE[key]
+
+
 def q_user_sessions(spark, sf_dir):
     """Sessionization (operators/sessionize, 30-min gap) — the batch twin of
     the stateful streaming operator.  Declared as the plain one-window form
@@ -3767,6 +3873,12 @@ def _oracle_map() -> dict[str, str | None]:
                    count(*) AS n, round(sum(value), 2) + 0.0 AS sum_value
             FROM events GROUP BY 1, 2
         """,
+        # streaming rollup must equal the batch hourly rollup — same oracle
+        "s_stream_rollup": """
+            SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
+                   count(*) AS n, round(sum(value), 2) + 0.0 AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
         "d_simhash_neardup": f"""
             WITH toks AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
             h AS (SELECT doc_id, {O.hash32('tok')} AS h FROM toks),
@@ -4259,6 +4371,12 @@ def _oracle_map() -> dict[str, str | None]:
         # the streaming twin must equal the batch session_window result,
         # so its oracle IS the batch oracle, verbatim
         "s_stream_sessions": _SESSION_WINDOWS_SQL,
+        # exact full-row re-deliveries dedup back to the plain projection
+        "s_stream_dedup": """
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
+            FROM events
+        """,
         "r_user_sessions": """
             WITH ev AS (
               SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id FROM events
@@ -4508,6 +4626,8 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_sketch_accuracy": q_sketch_accuracy,
         "r_session_windows": q_session_windows,
         "s_stream_sessions": q_stream_sessions,
+        "s_stream_dedup": q_stream_dedup,
+        "s_stream_rollup": q_stream_rollup,
         "t_bm25_search": q_bm25_search,
         "v_rrf_fusion": q_rrf_fusion,
         "a_mmr_rerank": q_mmr_rerank,

@@ -77,6 +77,8 @@ DEFAULT = [
 def main() -> int:
     only = sys.argv[1:] or DEFAULT
 
+    import json as _json
+
     import __spark_entry__ as entry
     from lmdiskann_jl_spark.session import get_spark
 
@@ -86,22 +88,75 @@ def main() -> int:
     for sf in SFS:
         spark.read.parquet(f"{sf}/embeddings.parquet").count()
 
+    def completed_stages():
+        """(stageId, shuffleWriteBytes) from the UI REST API, polled to
+        stability (the status store is fed asynchronously) — same approach
+        as bench.py.  None when the UI is off."""
+        try:
+            import urllib.request
+
+            ui = spark.sparkContext.uiWebUrl
+            if not ui:
+                return None
+            app = spark.sparkContext.applicationId
+
+            def snap():
+                with urllib.request.urlopen(
+                    f"{ui}/api/v1/applications/{app}/stages?status=complete",
+                    timeout=5,
+                ) as r:
+                    return [
+                        (s.get("stageId", -1), s.get("shuffleWriteBytes", 0))
+                        for s in _json.load(r)
+                    ]
+
+            cur = snap()
+            for _ in range(20):
+                time.sleep(0.05)
+                again = snap()
+                if {i for i, _ in again} == {i for i, _ in cur}:
+                    return again
+                cur = again
+            return cur
+        except Exception:
+            return None
+
     rows = []
+    shuffles: dict[str, list] = {}
     for name in only:
         times = []
+        smbs = []
         for sf in SFS:
             best = None
-            for _ in range(2):
+            mark = None
+            for run in range(2):
+                if run == 1:
+                    # shuffle volume measured over the warm run only, so
+                    # memoized-artifact queries report their steady state
+                    before = completed_stages()
+                    mark = (
+                        max((i for i, _ in before), default=-1)
+                        if before is not None
+                        else None
+                    )
                 t0 = time.time()
                 qs[name](spark, sf).count()
                 el = time.time() - t0
                 best = el if best is None else min(best, el)
+            after = completed_stages()
+            smbs.append(
+                round(sum(b for i, b in after if i > mark) / 1e6, 3)
+                if after is not None and mark is not None
+                else None
+            )
             times.append(best)
         r1 = times[1] / times[0] if times[0] > 0 else float("nan")
         r2 = times[2] / times[1] if times[1] > 0 else float("nan")
         rows.append((name, *times, r1, r2))
+        shuffles[name] = smbs
+        sm = "/".join("?" if x is None else f"{x:g}" for x in smbs)
         print(f"{name}: {times[0]:.2f}s / {times[1]:.2f}s / {times[2]:.2f}s "
-              f"(x10 ratios {r1:.2f}, {r2:.2f})", file=sys.stderr)
+              f"(x10 ratios {r1:.2f}, {r2:.2f}; shuffle MB {sm})", file=sys.stderr)
 
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md")
     with open(out, "w") as f:
@@ -113,11 +168,22 @@ def main() -> int:
             "super-linear plan that would not survive 100x.  The interesting\n"
             "column is the LAST ratio (0.01 -> 0.1), where data begins to\n"
             "dominate the constant term.\n\n"
-            "| query | sf0.001 s | sf0.01 s | sf0.1 s | ratio 10x | ratio 100x |\n"
-            "|---|---|---|---|---|---|\n"
+            "`shuf MB` columns are shuffle-write volume of the warm run at\n"
+            "each sf (UI REST metrics) — they separate volume-bound growth\n"
+            "(shuffle grows with the wall) from shape-bound growth (wall\n"
+            "grows but shuffle doesn't: fixed overhead or compute).\n\n"
+            "| query | sf0.001 s | sf0.01 s | sf0.1 s | ratio 10x | ratio 100x |"
+            " shuf MB .001 | .01 | .1 |\n"
+            "|---|---|---|---|---|---|---|---|---|\n"
         )
         for name, t0, t1, t2, r1, r2 in rows:
-            f.write(f"| {name} | {t0:.2f} | {t1:.2f} | {t2:.2f} | {r1:.2f} | {r2:.2f} |\n")
+            s = [
+                "?" if x is None else f"{x:g}" for x in shuffles.get(name, [None] * 3)
+            ]
+            f.write(
+                f"| {name} | {t0:.2f} | {t1:.2f} | {t2:.2f} | {r1:.2f} | {r2:.2f} |"
+                f" {s[0]} | {s[1]} | {s[2]} |\n"
+            )
         worst = max(rows, key=lambda r: r[5])
         f.write(
             f"\nWorst last-step ratio: `{worst[0]}` at {worst[5]:.2f}x per 10x "
