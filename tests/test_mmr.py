@@ -120,18 +120,22 @@ def test_mmr_two_stage_matches_exact_multi_partition(spark):
 
 
 def test_mmr_past_cap_auto_dispatches(spark):
-    """Past MMR_MAX_CANDIDATES the call no longer raises: it runs the
-    two-stage form and still returns k ranked rows with the global max-rel
-    candidate first."""
+    """Past MMR_MAX_CANDIDATES the call no longer raises: it WARNS (the
+    silent-approximation guard), runs the two-stage form, and still
+    returns k ranked rows with the global max-rel candidate first;
+    exact=True restores the old hard-failure contract."""
     n = MMR_MAX_CANDIDATES + 500
     big = spark.range(n).select(
         F.col("id"),
         (F.col("id") / F.lit(float(n))).alias("rel"),
         F.array(F.lit(1.0), (F.col("id") % 17).cast("double")).alias("vec"),
     )
-    res = mmr_rerank(big, k=5).orderBy("rank").collect()
+    with pytest.warns(UserWarning, match="two-stage"):
+        res = mmr_rerank(big, k=5).orderBy("rank").collect()
     assert [r["rank"] for r in res] == [1, 2, 3, 4, 5]
     assert res[0]["id"] == n - 1  # first pick is always max rel
+    with pytest.raises(ValueError, match="exact=True"):
+        mmr_rerank(big, k=5, exact=True)
 
 
 def test_mmr_oversized_k_contract(spark):
