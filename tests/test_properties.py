@@ -76,3 +76,38 @@ def test_jaccard_bounds_and_self_similarity(spark, texts):
     n_tokens = len([w for w in texts[0].split() if w])
     if n_tokens >= 3:
         assert out.get((0, 100)) == pytest.approx(1.0)
+
+
+def test_oracle_output_types_have_no_hugeint_or_decimal(sf_dir):
+    """Every declared oracle's output schema must avoid HUGEINT/DECIMAL.
+
+    DuckDB's sum(BIGINT) returns HUGEINT (int128); fetched via pandas it
+    degrades to float64 and via Arrow to decimal128 — both serialize
+    differently from Spark's int64 in the driver's value hash even when the
+    values are identical (root cause of the r_above_avg_* reds in rounds
+    4-6).  DESCRIBE resolves the declared output type without executing the
+    query, so walking all oracles is cheap permanent insurance.
+    """
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    bad = []
+    for name, sql in entry.oracle_sql().items():
+        try:
+            rows = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception:
+            continue  # statement shape DESCRIBE can't handle; hash gate still covers it
+        for row in rows:
+            ct = str(row[1]).upper()
+            if "HUGEINT" in ct or ct.startswith("DECIMAL"):
+                bad.append(f"{name}.{row[0]}: {ct}")
+    assert not bad, f"oracle outputs with hash-unstable types: {bad}"

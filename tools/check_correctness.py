@@ -93,6 +93,23 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        # Output-type guard: DuckDB sum(BIGINT) returns HUGEINT (int128),
+        # which degrades to float64 under pandas fetch and decimal128 under
+        # Arrow — either serializes differently from Spark's int64 in the
+        # driver's value hash even when the VALUES are identical (the
+        # r_above_avg_* three-round red).  fetchall() str()-normalizes
+        # hugeints so this replica would pass silently; DESCRIBE catches the
+        # declared output type without running the query twice.
+        try:
+            for drow in con.execute(f"DESCRIBE {oracles[name]}").fetchall():
+                cname, ct = drow[0], str(drow[1]).upper()
+                if "HUGEINT" in ct or ct.startswith("DECIMAL"):
+                    problems.append(
+                        f"oracle output type guard: {cname} is {ct} "
+                        "(cast to BIGINT/DOUBLE in the oracle SQL)"
+                    )
+        except Exception:
+            pass  # DESCRIBE unsupported for this statement shape; hash still runs
         if len(srows) != len(drows):
             problems.append(f"rows {len(srows)} != {len(drows)}")
         if sorted(scols) != sorted(dcols):
