@@ -79,6 +79,18 @@ def asof_join(
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     if direction == "forward":
         is_ts = dict(left.dtypes)[left_time].startswith("timestamp")
+        right_is_ts = dict(right.dtypes)[right_time].startswith("timestamp")
+        if is_ts != right_is_ts:
+            # _neg converts each side by its OWN dtype (timestamps to unix
+            # micros, numerics as-is) and chunk_span scales off the LEFT
+            # dtype — a mixed call would silently compare micros against
+            # native units, producing wrong _t ordering and wrong chunking
+            raise ValueError(
+                f"asof_join forward: left time {left_time!r} is "
+                f"{'timestamp' if is_ts else 'numeric'} but right time "
+                f"{right_time!r} is {'timestamp' if right_is_ts else 'numeric'}; "
+                "cast both sides to the same kind before joining"
+            )
 
         def _neg(df: DataFrame, tcol: str) -> DataFrame:
             dt = dict(df.dtypes)[tcol]

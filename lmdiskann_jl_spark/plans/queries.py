@@ -16,6 +16,8 @@ the reference's own recall >= 0.70 gate instead.
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1185,18 +1187,19 @@ REDUCE_DIM_OUT = 8
 REDUCE_DIM_SEED = 11
 
 
+@functools.lru_cache(maxsize=1)
+def _reduce_planes_cached() -> tuple:
+    # module-level so the memo actually persists across calls (a cache
+    # created inside the calling function would be rebuilt every call)
+    from lmdiskann_jl_spark.operators.knn_join import random_hyperplanes
+
+    return tuple(
+        tuple(p) for p in random_hyperplanes(64, REDUCE_DIM_OUT, 1, REDUCE_DIM_SEED)[0]
+    )
+
+
 def _reduce_planes() -> list[list[float]]:
-    import functools
-
-    @functools.lru_cache(maxsize=1)
-    def _cached() -> tuple:
-        from lmdiskann_jl_spark.operators.knn_join import random_hyperplanes
-
-        return tuple(
-            tuple(p) for p in random_hyperplanes(64, REDUCE_DIM_OUT, 1, REDUCE_DIM_SEED)[0]
-        )
-
-    return [list(p) for p in _cached()]
+    return [list(p) for p in _reduce_planes_cached()]
 
 
 def q_reduce_dim(spark, sf_dir):
@@ -1394,7 +1397,16 @@ def q_events_hourly(spark, sf_dir):
             ((F.floor(_events_sec(ev) / 3600) * 3600).cast("long")).alias("bucket"),
             "event_type",
         )
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # fixed-point cents, not round(sum(double), 2): double summation
+            # order differs between engines (and between streaming partial
+            # aggregation and a batch plan), so a .xx5-boundary last-ulp
+            # difference can flip the rounded cell — integer cents cannot.
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
     )
 
 
@@ -1804,8 +1816,11 @@ def q_events_moving_avg(spark, sf_dir):
     return hourly.select(
         "bucket",
         "event_type",
-        "sum_value",
-        F.round(F.avg("sum_value").over(w), 4).alias("movavg_value"),
+        "sum_value_cents",
+        # avg over LONG cents: the windowed sum is exact integer arithmetic
+        # with a single division at the end, so the result is bit-identical
+        # across engines regardless of frame-row visit order
+        F.round(F.avg("sum_value_cents").over(w) / 100.0, 4).alias("movavg_value"),
     )
 
 
@@ -2537,7 +2552,10 @@ def q_stream_sessions(spark, sf_dir):
             F.lit(SENTINEL_USER).cast("long").alias("user_id"),
             F.timestamp_seconds(F.lit(hi_sec + 86400)).alias("tsec"),
         )
-        src.unionByName(sentinel).write.parquet(f"{root}/in")
+        # one file => one micro-batch: with a 0-second watermark, if the
+        # availableNow file source ever sliced files across micro-batches,
+        # real events after the sentinel's batch would be dropped as late
+        src.unionByName(sentinel).coalesce(1).write.parquet(f"{root}/in")
         stream = spark.readStream.schema(src.schema).parquet(f"{root}/in")
         sess = streaming_sessions(
             stream, key_col="user_id", ts_col="tsec",
@@ -2644,17 +2662,26 @@ def q_stream_rollup(spark, sf_dir):
             F.lit(SENTINEL_EVENT_TYPE).alias("event_type"),
             F.lit(0.0).alias("value"),
         )
-        src.unionByName(sentinel).write.parquet(f"{root}/in")
+        # one file => one micro-batch (same flush contract as stream_sessions)
+        src.unionByName(sentinel).coalesce(1).write.parquet(f"{root}/in")
         stream = spark.readStream.schema(src.schema).parquet(f"{root}/in")
         rolled = (
             stream.withWatermark("tsec", "0 seconds")
             .groupBy(F.window("tsec", "1 hour").alias("w"), "event_type")
-            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+            .agg(
+                F.count("*").alias("n"),
+                # fixed-point cents: streaming partial aggregation sums in a
+                # different order than the batch/oracle plan, so a double
+                # round(sum, 2) could flip on a .xx5 boundary — cents cannot
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).alias("sum_value_cents"),
+            )
             .select(
                 F.unix_timestamp("w.start").alias("bucket"),
                 "event_type",
                 "n",
-                "sum_value",
+                "sum_value_cents",
             )
         )
         q = (
@@ -3868,15 +3895,23 @@ def _oracle_map() -> dict[str, str | None]:
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
             GROUP BY 1, 2
         """,
+        # fixed-point cents on both sides (CAST: duckdb sum(BIGINT) is
+        # HUGEINT — see r_above_avg_*): double summation order differs
+        # between engines and between streaming/batch plans, so a
+        # .xx5-boundary last-ulp difference could flip round(sum, 2)
         "r_events_hourly": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
-                   count(*) AS n, round(sum(value), 2) + 0.0 AS sum_value
+                   count(*) AS n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
         # streaming rollup must equal the batch hourly rollup — same oracle
         "s_stream_rollup": """
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
-                   count(*) AS n, round(sum(value), 2) + 0.0 AS sum_value
+                   count(*) AS n,
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
         "d_simhash_neardup": f"""
@@ -4028,14 +4063,15 @@ def _oracle_map() -> dict[str, str | None]:
         "r_events_moving_avg": f"""
             WITH hourly AS (
               SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket, event_type,
-                     round(sum(value), 2) + 0.0 AS sum_value
+                     CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS sum_value_cents
               FROM events GROUP BY 1, 2
             )
-            SELECT bucket, event_type, sum_value,
-                   round(avg(sum_value) OVER (
+            SELECT bucket, event_type, sum_value_cents,
+                   round(avg(sum_value_cents) OVER (
                      PARTITION BY event_type ORDER BY bucket
                      ROWS BETWEEN {MOVAVG_BUCKETS} PRECEDING AND CURRENT ROW
-                   ), 4) + 0.0 AS movavg_value
+                   ) / 100.0, 4) + 0.0 AS movavg_value
             FROM hourly
         """,
         "r_tpch_q7": f"""

@@ -87,12 +87,20 @@ def streaming_hourly_rollup(
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # fixed-point cents: streaming partial aggregation sums doubles
+            # in a different order than a batch plan, so round(sum, 2) can
+            # flip on a .xx5 boundary between the twins — integer cents can't
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("bucket"),
             "event_type",
             "n",
-            "sum_value",
+            "sum_value_cents",
         )
     )
 

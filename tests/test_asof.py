@@ -139,3 +139,18 @@ def test_asof_join_forward_chunked_matches_unchunked(spark):
         for r in asof_join(left, right, chunk_span=100, **kw).collect()
     }
     assert plain == chunked
+
+
+def test_forward_rejects_mixed_numeric_timestamp_time(spark):
+    """Mixed numeric-left/timestamp-right forward calls would silently mix
+    native units with micros (span unscaled, right side negated in micros) —
+    must raise instead (ADVICE r6)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([(1, 100)], "k long, t long")
+    right = spark.createDataFrame([(1, 100)], "k long, t long").withColumn(
+        "ts", F.timestamp_seconds(F.col("t"))
+    )
+    with pytest.raises(ValueError, match="same kind"):
+        asof_join(left, right, "k", "t", "ts", payload_cols=["t"], direction="forward")

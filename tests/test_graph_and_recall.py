@@ -87,6 +87,22 @@ def test_auto_lsh_point_recall_meets_reference_bar(emb):
     assert r >= 0.70, f"AUTO-point LSH recall {r:.3f} below reference bar"
 
 
+def test_pinned_tables_auto_planes_recall_meets_reference_bar(emb):
+    """Mixed mode — planes auto, n_tables PINNED (graph.py's build/insert
+    configuration).  The pinned table budget can't compensate for an extra
+    plane, so auto resolution floors the plane count; this gate pins the
+    >= 0.70 bar on that exact combination (ADVICE r6, medium)."""
+    k = 4
+    exact = brute_force_knn_join(emb, emb, k=k, metric="euclidean").select(
+        F.col("id_l").alias("qid"), F.col("id_r").alias("id")
+    )
+    approx = lsh_knn_join(
+        emb, emb, k=k, dim=64, metric="euclidean", n_planes=None, n_tables=8
+    ).select(F.col("id_l").alias("qid"), F.col("id_r").alias("id"))
+    r = recall_at_k(approx, exact, k=k)
+    assert r >= 0.70, f"pinned-T auto-planes LSH recall {r:.3f} below reference bar"
+
+
 def test_batched_beam_search_recall(emb, spark):
     """Shared-frontier batched beam vs exact batch — reference bar >= 0.70."""
     from pyspark.sql import Window

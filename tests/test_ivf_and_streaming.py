@@ -340,9 +340,9 @@ def test_streaming_rollup_matches_batch_twin(spark, tmp_path, finish_stream):
     )
     finish_stream(q)
 
-    got = {(r["bucket"], r["event_type"]): (r["n"], r["sum_value"]) for r in rows}
+    got = {(r["bucket"], r["event_type"]): (r["n"], r["sum_value_cents"]) for r in rows}
     want = {
-        (r["bucket"], r["event_type"]): (r["n"], r["sum_value"])
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value_cents"])
         for r in q_events_hourly(spark, sf_dir).collect()
     }
     assert got == want
