@@ -457,6 +457,87 @@ def dup_span_profile(
     )
 
 
+def remove_duplicate_spans(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = SPAN_W,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Apply exact substring dedup (Lee et al. 2022): REMOVE every token
+    whose position is covered by at least one cross-document duplicated
+    w-token span, and rebuild the document from the surviving tokens.
+    ``duplicate_spans`` finds the spans, ``dup_span_profile`` measures the
+    damage, this op performs the cut — the end of the reference pipeline.
+
+    Output: (doc_id, clean_text, n_kept, n_removed) for EVERY document
+    (clean_text is '' when everything was duplicated or the doc was empty).
+
+    Scale shape: identical to dup_span_profile up through the covered-
+    position set (one token-window explode, 60-bit scan-stage span hashes,
+    one counting aggregate, coverage join bounded by w) — then the kept
+    tokens are selected with a LEFT ANTI join on (doc, position) and each
+    document is rebuilt with one per-doc sort/concat aggregate.  Peak row
+    volume is O(corpus tokens * w); per-task memory is bounded by the
+    longest single document (the same bound any per-doc text rebuild has).
+    """
+    from lmdiskann_jl_spark.functions.text import hash60
+    from lmdiskann_jl_spark.operators.knn_join import _spread
+
+    base = _spread(
+        documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    ).select("doc_id", tokens(F.col("_text")).alias("tk"))
+    windows = base.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("tk"), w)).alias("pos0", "s"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("start"), hash60(F.col("s")).alias("h"))
+    flagged = (
+        windows.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        windows.join(flagged, "h")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + F.lit(w - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = base.select(
+        "doc_id", F.posexplode(F.col("tk")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    rebuilt = (
+        toks.join(covered, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    return (
+        base.select("doc_id", F.size("tk").cast("long").alias("_n_toks"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_n_toks") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def lsh_neardup_params(
     threshold: float,
     miss_target: float = 1e-4,

@@ -444,6 +444,15 @@ def q_span_profile(spark, sf_dir):
     return D.dup_span_profile(_t(spark, sf_dir, "documents"))
 
 
+def q_span_removal(spark, sf_dir):
+    """Exact substring dedup APPLIED (Lee et al. 2022): every token covered
+    by a cross-document duplicated w-token span is cut and the document is
+    rebuilt from the survivors — the final ACTION of the substring-dedup
+    pipeline (duplicate_spans finds, dup_span_profile measures, this cuts).
+    Plan rationale in operators/dedup.remove_duplicate_spans."""
+    return D.remove_duplicate_spans(_t(spark, sf_dir, "documents"))
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """The dedup ACTION after clustering: per near-dup cluster keep the
     highest-quality member (tie: lowest doc_id) — the quality-aware
@@ -3356,6 +3365,39 @@ def _oracle_map() -> dict[str, str | None]:
                         ELSE 0.0 END AS dup_frac
             FROM p LEFT JOIN cnt USING (doc_id)
         """,
+        "d_span_removal": f"""
+            WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+            p AS (
+              SELECT doc_id, tk, len(tk) AS n_toks,
+                     range(1, greatest(len(tk) - {D.SPAN_W - 1}, 0) + 1) AS starts,
+                     list_transform(
+                       range(1, greatest(len(tk) - {D.SPAN_W - 1}, 0) + 1),
+                       i -> {O.hash60(" || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(D.SPAN_W)))}
+                     ) AS hs
+              FROM t
+            ),
+            e AS (SELECT doc_id, unnest(starts) AS s, unnest(hs) AS h FROM p),
+            fl AS (SELECT h FROM e GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            cov AS (
+              SELECT DISTINCT e.doc_id, e.s + r.o AS pos
+              FROM e JOIN fl USING (h), range(0, {D.SPAN_W}) r(o)
+            ),
+            covl AS (SELECT doc_id, list(pos) AS ps, count(*) AS n_cov FROM cov GROUP BY 1)
+            SELECT p.doc_id,
+                   -- COALESCE: duckdb's array_to_string([]) is NULL, not ''
+                   COALESCE(array_to_string(
+                     list_filter(
+                       list_transform(
+                         range(1, p.n_toks + 1),
+                         i -> CASE WHEN covl.ps IS NULL OR NOT list_contains(covl.ps, i)
+                              THEN p.tk[i] END
+                       ),
+                       x -> x IS NOT NULL
+                     ), ' '), '') AS clean_text,
+                   CAST(p.n_toks - COALESCE(covl.n_cov, 0) AS BIGINT) AS n_kept,
+                   CAST(COALESCE(covl.n_cov, 0) AS BIGINT) AS n_removed
+            FROM p LEFT JOIN covl USING (doc_id)
+        """,
         "d_keep_best": f"""
             {cc_core},
             cs AS (
@@ -4598,6 +4640,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_dup_clusters_star": q_dup_clusters_star,
         "d_duplicate_spans": q_duplicate_spans,
         "d_span_profile": q_span_profile,
+        "d_span_removal": q_span_removal,
         "d_keep_best": q_dedup_keep_best,
         "p_group_sample_k": q_group_sample_k,
         "t_vocab_build": q_vocab_build,

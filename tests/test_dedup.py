@@ -343,3 +343,26 @@ def test_dup_span_profile_planted(spark):
     assert got[2]["n_dup_tokens"] == 10
     assert got[3]["n_dup_tokens"] == 0 and got[3]["dup_frac"] == 0.0
     assert abs(got[2]["dup_frac"] - round(10 / 11, 4)) < 1e-9
+
+
+def test_remove_duplicate_spans_planted(spark):
+    """The substring-dedup CUT: tokens covered by a cross-doc duplicated
+    window disappear, survivors keep original order, and a fully-duplicated
+    doc rebuilds to the empty string."""
+    shared = "a b c d e f g h i j"  # 10 tokens, all covered at w=8
+    docs = spark.createDataFrame(
+        [
+            (1, f"{shared} unique tail one two three"),
+            (2, f"prefix {shared}"),
+            (3, "totally different words only here now for sure ok fine"),
+            (4, shared),  # nothing survives
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in D.remove_duplicate_spans(docs, w=8).collect()}
+    assert got[1]["clean_text"] == "unique tail one two three"
+    assert (got[1]["n_kept"], got[1]["n_removed"]) == (5, 10)
+    assert got[2]["clean_text"] == "prefix"
+    assert got[3]["n_removed"] == 0
+    assert got[3]["clean_text"].startswith("totally different")
+    assert got[4]["clean_text"] == "" and got[4]["n_kept"] == 0
