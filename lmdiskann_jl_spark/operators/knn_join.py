@@ -176,18 +176,9 @@ LSH_RHO = 0.3
 LSH_MAX_TABLES = 64
 
 
-def auto_lsh_config(n: int, k: int, conservative: bool = False) -> tuple[int, int]:
-    """(n_planes, n_tables) at the AUTO operating point for corpus size n.
-
-    ``conservative=True`` floors instead of rounding the plane count — used
-    when the caller PINS n_tables and only planes auto-resolve: round() can
-    add a plane (halving bucket occupancy) with no table compensation, which
-    on isotropic worst-case data can push recall below the 0.70 bar.
-    Flooring errs toward coarser buckets (more candidates, higher recall)
-    at a bounded <=2x occupancy cost.
-    """
-    log_occ = math.log2(max(2.0, n / (LSH_OCC_K * k)))
-    n_planes = max(2, min(24, math.floor(log_occ) if conservative else round(log_occ)))
+def auto_lsh_config(n: int, k: int) -> tuple[int, int]:
+    """(n_planes, n_tables) at the AUTO operating point for corpus size n."""
+    n_planes = max(2, min(24, round(math.log2(max(2.0, n / (LSH_OCC_K * k))))))
     n_tables = max(
         LSH_T_REF,
         min(LSH_MAX_TABLES, round(LSH_T_REF * (n / LSH_N_REF) ** LSH_RHO)),
@@ -215,19 +206,17 @@ def lsh_knn_join(
     candidates; window top-k per left id.  Recall is tuned by
     (n_planes down / n_tables up); the default (both ``None``) is the
     occupancy-holding AUTO operating point resolved from corpus size (see
-    auto_lsh_config).  Pinning n_tables while leaving planes auto resolves
-    planes conservatively (floor) so the pinned table budget is never asked
-    to compensate for an extra plane.  Output: (left id, right id, dist,
-    rank) — same contract as brute_force_knn_join.
+    auto_lsh_config).  Pinning n_tables while leaving planes auto keeps the
+    calibrated round() plane rule but carries NO general recall claim — the
+    pinned table budget cannot compensate if rounding adds a plane, so gate
+    recall for the specific configuration (as graph.py's build/insert gates
+    and tests/test_graph_and_recall.py's pinned-T test do).  Output:
+    (left id, right id, dist, rank) — same contract as
+    brute_force_knn_join.
     """
     if n_planes is None or n_tables is None:
         n = right.count()  # parquet metadata count — no scan
-        # When the caller PINS n_tables but leaves planes auto, resolve
-        # planes conservatively (floor): round() can add a plane — halving
-        # bucket occupancy — with no table compensation, and the pinned-T
-        # combination carries no calibrated recall claim.  Full-auto
-        # resolves both halves of the operating point together.
-        auto_p, auto_t = auto_lsh_config(n, k, conservative=n_tables is not None)
+        auto_p, auto_t = auto_lsh_config(n, k)
         n_planes = auto_p if n_planes is None else n_planes
         n_tables = auto_t if n_tables is None else n_tables
     dist_fn = resolve_metric(metric)

@@ -88,11 +88,18 @@ def test_auto_lsh_point_recall_meets_reference_bar(emb):
 
 
 def test_pinned_tables_auto_planes_recall_meets_reference_bar(emb):
-    """Mixed mode — planes auto, n_tables PINNED (graph.py's build/insert
-    configuration).  The pinned table budget can't compensate for an extra
-    plane, so auto resolution floors the plane count; this gate pins the
-    >= 0.70 bar on that exact combination (ADVICE r6, medium)."""
-    k = 4
+    """Mixed mode — planes auto (calibrated round() rule), n_tables PINNED
+    at the graph-build configuration (k = maxdegree x candidate_factor = 32,
+    T = 8 — the q_graph_build_lsh_recall operating point).  Pinned-T carries
+    no GENERAL recall claim (the table budget can't compensate if rounding
+    adds a plane — e.g. k=4/T=8 at n=500 measures 0.6996, a hair under the
+    bar), so every pinned-T call site must gate its own configuration: this
+    test covers graph.py's, the live a_graph_build_lsh_recall /
+    a_incremental_insert_recall gates re-measure it per round (0.971), and
+    full-auto (now the default) resolves both halves together (ADVICE r6,
+    medium; the conservative-floor alternative was measured 7x slower at
+    sf0.1 on a_graph_build_lsh_recall for no recall need at real configs)."""
+    k = 32
     exact = brute_force_knn_join(emb, emb, k=k, metric="euclidean").select(
         F.col("id_l").alias("qid"), F.col("id_r").alias("id")
     )

@@ -37,6 +37,7 @@ DEFAULT = [
     "t_vocab_build",  # scalable_rank: range-partition + offset rank
     "v_reduce_dim",  # scan-stage random projection, zero shuffle
     "d_span_profile",  # window explode + coverage union
+    "d_span_removal",  # coverage anti-join + per-doc rebuild (the cut)
     "a_beam_recall",  # gate: hop-bounded batched beam vs exact baseline
     "t_quality_score",
     "t_tfidf_top_terms",
@@ -265,15 +266,19 @@ def main() -> int:
             "  two combinable aggregations; no joins); a last-step ratio\n"
             "  well under 10 on the 10x documents step is overhead\n"
             "  amortizing, not super-linearity.  Round-7 targeted A/B at\n"
-            "  sf0.1 (UI REST bytes + records, two stable reps): two-stage\n"
-            "  (span, doc) pre-aggregate = 6.247 MB / 470,390 shuffle\n"
-            "  records vs the old countDistinct-Expand plan's 5.368 MB /\n"
-            "  465,390 — shuffle volume is FLAT at fixture scale (partial\n"
-            "  aggregation collapsed the Expand rows pre-exchange too, and\n"
-            "  spans rarely repeat within one fixture doc), but warm wall\n"
-            "  is 3.45 s vs 20.5 s: the Expand form pays a 2x in-memory\n"
-            "  row expansion plus per-row distinct tracking.  The r5/r6\n"
-            "  6.509 MB figure was a stale snapshot.  At corpus scale the\n"
+            "  sf0.1 (UI REST bytes + records, two stable reps each,\n"
+            "  pre-warmed scan): two-stage (span, doc) pre-aggregate =\n"
+            "  6.247 MB / 470,390 shuffle records vs the old\n"
+            "  countDistinct-Expand plan's 5.368 MB / 465,390 — shuffle\n"
+            "  volume is FLAT at fixture scale (partial aggregation\n"
+            "  collapsed the Expand rows pre-exchange too, and spans\n"
+            "  rarely repeat within one fixture doc), but warm wall is\n"
+            "  3.45 s vs 20.5 s: the Expand form pays a 2x in-memory row\n"
+            "  expansion plus per-row distinct tracking.  The r5/r6\n"
+            "  byte-identical 6.509 figure was NOT a raced snapshot — this\n"
+            "  table's methodology (fresh scan included) reproduces it\n"
+            "  deterministically; the plan change was a CPU win, not a\n"
+            "  shuffle win, at this fixture.  At corpus scale the\n"
             "  two-stage form additionally collapses within-doc span\n"
             "  repeats (boilerplate) map-side.\n"
             "- `t_unigram_logprob` was rebuilt tf-first in round 4 (tokenize\n"
