@@ -819,7 +819,9 @@ def q_extract_features(spark, sf_dir):
     row-count partitioning skews task memory).  The decode kernel is the
     documented deterministic stub (codec libraries absent here); the
     Spark-side plumbing — schema, batching, partition sizing — is the real
-    path.  Rows-only gate: the kernel is imperative Python by design."""
+    path.  Full oracle gate since round 7: the stub hash is mirrored in
+    DuckDB over the ASCII payload bytes, so the mapInPandas path is
+    hash-verified end-to-end, not just row-counted."""
     from lmdiskann_jl_spark.operators import multimodal as M
 
     docs = _t(spark, sf_dir, "documents")
@@ -838,8 +840,18 @@ def q_extract_features(spark, sf_dir):
         )
     )
     feats = M.extract_features(media)
+    # integer-millionths projection of feature[0]: the stub's accumulator is
+    # an exact integer < 1000003 divided by 1000003.0, so floor(x*m + 0.5)
+    # recovers it bit-exactly — an integer output the DuckDB oracle can
+    # mirror without cross-engine double-rounding risk (the payload is the
+    # UTF-8 text and the fixtures are pure ASCII, so oracle byte values are
+    # unicode() code points)
     return feats.select(
-        "media_id", "modality", F.round(F.element_at("features", 1), 6).alias("f0")
+        "media_id",
+        "modality",
+        F.floor(F.element_at("features", 1) * 1000003 + F.lit(0.5))
+        .cast("long")
+        .alias("f0_millionths"),
     )
 
 
@@ -4495,7 +4507,26 @@ def _oracle_map() -> dict[str, str | None]:
         "a_ivf_recall": None,
         "a_embedding_neardup_lsh": None,
         "a_semantic_dedup": None,
-        "a_extract_features": None,
+        # the decode stub is a deterministic polynomial byte hash and the
+        # fixture text is pure ASCII (max code point 121, all SFs), so
+        # UTF-8 payload bytes == unicode(char): feature[0] folds the bytes
+        # at positions 1, 17, 33, ... (1-based; stride FEATURE_DIM=16)
+        # through acc = (acc*31 + b) mod 1000003 — upgraded from rows-only
+        # to a full oracle in round 7
+        "a_extract_features": """
+            SELECT doc_id AS media_id,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+                   END AS modality,
+                   CAST(list_reduce(
+                     list_prepend(CAST(0 AS BIGINT), list_transform(
+                       range(1, length(text) + 1, 16),
+                       i -> CAST(unicode(text[i]) AS BIGINT)
+                     )),
+                     (a, b) -> (a * 31 + b) % 1000003
+                   ) AS BIGINT) AS f0_millionths
+            FROM documents
+        """,
     }
     # the star-CC variant computes the SAME closure — sharing the recursive
     # oracle hash-gates both algorithms against each other and against SQL
@@ -4559,7 +4590,9 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # DuckDB sum(BIGINT) -> HUGEINT -> float64/decimal128 at fetch; the oracle
     # now CASTs both outputs to BIGINT) and stay UNSTAMPED so they sort first
     # into the r7 window. ---
-    "a_embedding_neardup_lsh": 6, "a_extract_features": 6,
+    # a_extract_features deliberately UNSTAMPED (was rows-only green r6):
+    # its round-7 oracle upgrade should earn a hash-verified official row
+    "a_embedding_neardup_lsh": 6,
     "a_lsh_auto_recall": 6, "a_semantic_dedup": 6, "m_media_decode": 6,
     "p_dataset_split": 6, "p_decontaminate": 6, "p_pack_sequences": 6,
     "p_quality_filter": 6, "p_source_weighted_sample": 6,
