@@ -111,3 +111,43 @@ def test_oracle_output_types_have_no_hugeint_or_decimal(sf_dir):
             if "HUGEINT" in ct or ct.startswith("DECIMAL"):
                 bad.append(f"{name}.{row[0]}: {ct}")
     assert not bad, f"oracle outputs with hash-unstable types: {bad}"
+
+
+doc_tokens = st.lists(
+    st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=12
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(doc_tokens, min_size=2, max_size=6))
+def test_remove_duplicate_spans_matches_python_reference(spark, docs_tokens):
+    """remove_duplicate_spans == the literal Lee-et-al cut computed in
+    plain Python: for every w-window occurring in >= 2 distinct docs, all
+    covered token positions are dropped; survivors keep order."""
+    from lmdiskann_jl_spark.operators.dedup import remove_duplicate_spans
+
+    w = 3
+    # python reference over the same tokenization (tiny alnum alphabet ->
+    # whitespace split == functions.text.tokens)
+    span_docs = {}
+    for d, tk in enumerate(docs_tokens):
+        for i in range(len(tk) - w + 1):
+            span_docs.setdefault(tuple(tk[i : i + w]), set()).add(d)
+    expected = {}
+    for d, tk in enumerate(docs_tokens):
+        covered = set()
+        for i in range(len(tk) - w + 1):
+            if len(span_docs[tuple(tk[i : i + w])]) >= 2:
+                covered.update(range(i, i + w))
+        kept = [t for i, t in enumerate(tk) if i not in covered]
+        expected[d] = (" ".join(kept), len(kept), len(tk) - len(kept))
+
+    df = spark.createDataFrame(
+        [(d, " ".join(tk)) for d, tk in enumerate(docs_tokens)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_kept"], r["n_removed"])
+        for r in remove_duplicate_spans(df, w=w).collect()
+    }
+    assert got == expected
