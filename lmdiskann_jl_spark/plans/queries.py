@@ -1749,7 +1749,9 @@ def q_events_pivot(spark, sf_dir):
     return (
         ev.groupBy(bucket)
         .pivot("event_type", EVENT_TYPES)
-        .agg(F.round(F.sum("value"), 2))
+        # fixed-point cents per cell (see q_events_hourly): cross-engine
+        # summation order makes round(sum(double), 2) hash-unstable
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")))
     )
 
 
@@ -2425,7 +2427,13 @@ def q_range_join_windows(spark, sf_dir):
     )
     matched = range_join(pts, iv, "sec", "lo", "hi", bucket_width=RANGE_WINDOW_SEC)
     per = matched.groupBy("window_id").agg(
-        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+        F.count("*").alias("n_events"),
+        # fixed-point cents (not round(sum(double), 2)): summation order
+        # differs between engines, so a .xx5-boundary last-ulp difference
+        # could flip the rounded cell — integer cents cannot
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias(
+            "sum_value_cents"
+        ),
     )
     return (
         iv.select("window_id")
@@ -2433,7 +2441,7 @@ def q_range_join_windows(spark, sf_dir):
         .select(
             "window_id",
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
-            F.coalesce("sum_value", F.lit(0.0)).alias("sum_value"),
+            F.coalesce("sum_value_cents", F.lit(0)).cast("long").alias("sum_value_cents"),
         )
     )
 
@@ -4057,7 +4065,8 @@ def _oracle_map() -> dict[str, str | None]:
         "r_events_pivot": f"""
             SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
                    {", ".join(
-                       f"round(sum(CASE WHEN event_type = '{t}' THEN value END), 2) + 0.0 AS {t}"
+                       "CAST(sum(CASE WHEN event_type = '" + t + "' THEN "
+                       "CAST(floor(value * 100 + 0.5) AS BIGINT) END) AS BIGINT) AS " + t
                        for t in EVENT_TYPES
                    )}
             FROM events GROUP BY 1
@@ -4293,7 +4302,8 @@ def _oracle_map() -> dict[str, str | None]:
                          AND value > {RANGE_TRIGGER_MIN_VALUE})
             SELECT w.window_id,
                    CAST(count(p.pt_id) AS BIGINT) AS n_events,
-                   round(coalesce(sum(p.value), 0.0), 2) AS sum_value
+                   CAST(coalesce(sum(CAST(floor(p.value * 100 + 0.5) AS BIGINT)), 0)
+                        AS BIGINT) AS sum_value_cents
             FROM w LEFT JOIN p ON p.sec >= w.lo AND p.sec < w.hi
             GROUP BY 1
         """,
