@@ -453,6 +453,47 @@ def q_span_removal(spark, sf_dir):
     return D.remove_duplicate_spans(_t(spark, sf_dir, "documents"))
 
 
+def q_corpus_clean(spark, sf_dir):
+    """The END-TO-END corpus-cleaning pipeline a training-data run composes
+    from this engine's stages, as ONE declared query:
+
+    1. exact dedup — keep the min doc_id per content digest;
+    2. near-dup dedup — MinHash banding -> connected components ->
+       quality-aware canonical pick (keep the max-quality member, tie
+       min doc_id), sharing the session's banding artifact;
+    3. substring dedup — remove_duplicate_spans over the SURVIVING corpus
+       (residual cross-doc boilerplate among survivors is what gets cut —
+       spans are recomputed on the filtered set, not inherited).
+
+    Doc-level filters (1, 2) are computed on the full corpus and composed;
+    the span cut (3) then runs on the filtered corpus — so a doc dropped by
+    stage 1/2 contributes neither text nor span statistics downstream.
+    Output: (doc_id, clean_text, n_kept, n_removed) per surviving doc.
+    Every stage keeps its bucketed/linear scale shape (no all-pairs paths);
+    the whole composition is hash-gated against a single DuckDB oracle that
+    mirrors all three stages."""
+    docs = _t(spark, sf_dir, "documents")
+    ex_keep = D.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
+    pairs = _minhash_pairs_shared(spark, sf_dir)
+    clusters = D.dup_clusters(pairs, docs.select("doc_id")).select(
+        "doc_id", "cluster_id"
+    )
+    quality = docs.select(
+        "doc_id", X.quality_features(F.col("text"))["quality_score"].alias("q")
+    )
+    ordk = F.struct(F.col("q"), (-F.col("doc_id")).alias("_nd"))
+    nd_keep = (
+        clusters.join(quality, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.max_by("doc_id", ordk).alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = docs.join(ex_keep, "doc_id").join(nd_keep, "doc_id").select(
+        "doc_id", "text"
+    )
+    return D.remove_duplicate_spans(survivors)
+
+
 def q_dedup_keep_best(spark, sf_dir):
     """The dedup ACTION after clustering: per near-dup cluster keep the
     highest-quality member (tie: lowest doc_id) — the quality-aware
@@ -3437,6 +3478,56 @@ def _oracle_map() -> dict[str, str | None]:
                    cluster_size
             FROM j WHERE rn = 1
         """,
+        # end-to-end pipeline: exact dedup + quality-aware near-dup keep
+        # (both full-corpus) compose into a survivor set; span removal then
+        # runs on the survivors only (spans recomputed on the filtered set)
+        "p_corpus_clean": f"""
+            {cc_core},
+            q AS (SELECT doc_id, quality_score AS q FROM ({_quality_oracle()})),
+            ndk AS (
+              SELECT doc_id FROM (
+                SELECT cl.doc_id,
+                       row_number() OVER (
+                         PARTITION BY cl.cluster_id ORDER BY q.q DESC, cl.doc_id ASC
+                       ) AS rn
+                FROM cl JOIN q USING (doc_id)
+              ) WHERE rn = 1
+            ),
+            exk AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+            sv AS (
+              SELECT d.doc_id, d.text FROM documents d
+              JOIN exk USING (doc_id) JOIN ndk USING (doc_id)
+            ),
+            p2 AS (
+              SELECT doc_id, tk, len(tk) AS n_toks,
+                     list_transform(
+                       range(1, greatest(len(tk) - {D.SPAN_W - 1}, 0) + 1),
+                       i -> {O.hash60(" || ' ' || ".join(f"tk[i+{j}]" if j else "tk[i]" for j in range(D.SPAN_W)))}
+                     ) AS hs,
+                     range(1, greatest(len(tk) - {D.SPAN_W - 1}, 0) + 1) AS starts
+              FROM (SELECT doc_id, {toks} AS tk FROM sv)
+            ),
+            e2 AS (SELECT doc_id, unnest(starts) AS s, unnest(hs) AS h FROM p2),
+            fl2 AS (SELECT h FROM e2 GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+            cov2 AS (
+              SELECT DISTINCT e2.doc_id, e2.s + r.o AS pos
+              FROM e2 JOIN fl2 USING (h), range(0, {D.SPAN_W}) r(o)
+            ),
+            covl2 AS (SELECT doc_id, list(pos) AS ps, count(*) AS n_cov FROM cov2 GROUP BY 1)
+            SELECT p2.doc_id,
+                   COALESCE(array_to_string(
+                     list_filter(
+                       list_transform(
+                         range(1, p2.n_toks + 1),
+                         i -> CASE WHEN covl2.ps IS NULL OR NOT list_contains(covl2.ps, i)
+                              THEN p2.tk[i] END
+                       ),
+                       x -> x IS NOT NULL
+                     ), ' '), '') AS clean_text,
+                   CAST(p2.n_toks - COALESCE(covl2.n_cov, 0) AS BIGINT) AS n_kept,
+                   CAST(COALESCE(covl2.n_cov, 0) AS BIGINT) AS n_removed
+            FROM p2 LEFT JOIN covl2 USING (doc_id)
+        """,
         "d_simhash": f"""
             WITH toks AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
             h AS (SELECT doc_id, {O.hash32('tok')} AS h FROM toks),
@@ -4684,6 +4775,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d_duplicate_spans": q_duplicate_spans,
         "d_span_profile": q_span_profile,
         "d_span_removal": q_span_removal,
+        "p_corpus_clean": q_corpus_clean,
         "d_keep_best": q_dedup_keep_best,
         "p_group_sample_k": q_group_sample_k,
         "t_vocab_build": q_vocab_build,

@@ -366,3 +366,39 @@ def test_remove_duplicate_spans_planted(spark):
     assert got[3]["n_removed"] == 0
     assert got[3]["clean_text"].startswith("totally different")
     assert got[4]["clean_text"] == "" and got[4]["n_kept"] == 0
+
+
+def test_corpus_clean_pipeline_invariants(spark, sf_dir):
+    """End-to-end composition invariants on the fixture corpus: survivors
+    are unique, exact-duplicate losers are gone, and the span cut never
+    grows a document."""
+    from pyspark.sql import functions as F
+
+    from lmdiskann_jl_spark.plans.queries import q_corpus_clean
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = q_corpus_clean(spark, sf_dir).cache()
+    n_docs = docs.count()
+    n_out = out.count()
+    assert 0 < n_out <= n_docs
+    assert out.select("doc_id").distinct().count() == n_out
+    # every exact-duplicate non-keeper is filtered out
+    losers = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep"), F.collect_list("doc_id").alias("all"))
+        .select(F.explode("all").alias("doc_id"), "keep")
+        .filter(F.col("doc_id") != F.col("keep"))
+    )
+    assert out.join(losers, "doc_id").count() == 0
+    # the cut only removes: n_kept + n_removed == original token count
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"[^a-z0-9]+")).alias("n"),
+    )
+    bad = (
+        out.join(toks, "doc_id")
+        .filter(F.col("n_kept") + F.col("n_removed") > F.col("n"))
+        .count()
+    )
+    assert bad == 0
+    out.unpersist()

@@ -38,6 +38,7 @@ DEFAULT = [
     "v_reduce_dim",  # scan-stage random projection, zero shuffle
     "d_span_profile",  # window explode + coverage union
     "d_span_removal",  # coverage anti-join + per-doc rebuild (the cut)
+    "p_corpus_clean",  # end-to-end: exact + near-dup + span dedup composed
     "a_beam_recall",  # gate: hop-bounded batched beam vs exact baseline
     "t_quality_score",
     "t_tfidf_top_terms",
