@@ -60,6 +60,15 @@ def main() -> None:
     canonical = kept.join(best.select("doc_id"), "doc_id", "left_semi").cache()
     n_dupes = clusters.filter("NOT keep").count()
     n_spans = D.duplicate_spans(kept).count()
+    # 2b. substring dedup APPLIED: cut the cross-doc duplicated spans from
+    #     the canonical corpus and continue with the cleaned text
+    cleaned = D.remove_duplicate_spans(canonical)
+    n_cut_tokens = cleaned.agg(F.sum("n_removed")).first()[0] or 0
+    canonical = (
+        canonical.drop("text")
+        .join(cleaned.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+        .cache()
+    )
 
     # 3. training mix — deterministic per-language sampling; the split that
     #    will feed eval is keyed by CLUSTER id so near-dups never straddle
@@ -79,8 +88,8 @@ def main() -> None:
     print(
         f"{n0} raw -> {kept.count()} quality-kept -> "
         f"{canonical.count()} canonical (dropped {n_dupes} near-dups; "
-        f"{n_spans} duplicated spans flagged; {n_test_clusters} clusters "
-        f"held out leak-free) -> "
+        f"{n_spans} duplicated spans flagged, {n_cut_tokens} tokens cut; "
+        f"{n_test_clusters} clusters held out leak-free) -> "
         f"{sampled.count()} sampled -> {chunks.count()} chunks -> "
         f"{n_seqs} packed sequences"
     )

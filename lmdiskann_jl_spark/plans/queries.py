@@ -469,6 +469,12 @@ def q_corpus_clean(spark, sf_dir):
     the span cut (3) then runs on the filtered corpus — so a doc dropped by
     stage 1/2 contributes neither text nor span statistics downstream.
     Output: (doc_id, clean_text, n_kept, n_removed) per surviving doc.
+
+    Fixture note: on the synthetic corpora ALL cross-doc duplicated spans
+    live inside exact/near-duplicate documents, so after stages 1-2 the
+    span stage correctly cuts ZERO tokens (the raw corpus cuts ~2.7k —
+    see d_span_removal); the hash gate still verifies the survivor-
+    restricted span computation end-to-end, zeros included.
     Every stage keeps its bucketed/linear scale shape (no all-pairs paths);
     the whole composition is hash-gated against a single DuckDB oracle that
     mirrors all three stages."""
