@@ -2705,6 +2705,45 @@ def q_stream_dedup(spark, sf_dir):
     return _GATE_CACHE[key]
 
 
+def q_stream_clean(spark, sf_dir):
+    """The STREAMING stateless transform under the official oracle gate —
+    the map-only ETL shape (readStream -> scan-stage language-id + quality
+    expressions -> parquet sink) that production ingest/cleaning jobs run
+    continuously.  Unlike the three stateful gates there is no watermark,
+    state store, or sentinel flush: every micro-batch is independent, so
+    the result equals the batch projection REGARDLESS of how the
+    availableNow trigger slices input files — which is exactly the
+    property this gate pins (stateless streaming == batch, bit-exact).
+    Sink is parquet; memoized per (session, sf_dir) with eviction
+    cleanup."""
+    key = _gate_key(spark, sf_dir, "stream_clean")
+    if key not in _GATE_CACHE:
+        import tempfile
+
+        docs = _t(spark, sf_dir, "documents")
+        src = docs.select("doc_id", "text")
+        root = tempfile.mkdtemp(prefix="lmdiskann_sclean_")
+        _register_temp_path(key, root)
+        src.write.parquet(f"{root}/in")
+        stream = spark.readStream.schema(src.schema).parquet(f"{root}/in")
+        cleaned = stream.select(
+            "doc_id",
+            X.langid_expr(F.col("text")).alias("pred_lang"),
+            X.quality_features(F.col("text"))["quality_score"].alias(
+                "quality_score"
+            ),
+        )
+        q = (
+            cleaned.writeStream.trigger(availableNow=True)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .format("parquet")
+            .start(f"{root}/out")
+        )
+        q.awaitTermination()
+        _GATE_CACHE[key] = spark.read.parquet(f"{root}/out")
+    return _GATE_CACHE[key]
+
+
 SENTINEL_EVENT_TYPE = "_sentinel"
 
 
@@ -4073,6 +4112,20 @@ def _oracle_map() -> dict[str, str | None]:
                      AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
+        # stateless streaming == batch: the map-only transform gate equals
+        # the composed batch langid + quality projections
+        "s_stream_clean": f"""
+            SELECT l.doc_id, l.pred_lang, q.quality_score
+            FROM (
+              SELECT doc_id, {O.langid_case()} AS pred_lang FROM (
+                SELECT doc_id, {O.langid_hit_columns('t')} FROM (
+                  SELECT doc_id, {toks} AS t FROM documents
+                )
+              )
+            ) l JOIN (
+              SELECT doc_id, quality_score FROM ({_quality_oracle()})
+            ) q USING (doc_id)
+        """,
         "d_simhash_neardup": f"""
             WITH toks AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
             h AS (SELECT doc_id, {O.hash32('tok')} AS h FROM toks),
@@ -4851,6 +4904,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_sessions": q_stream_sessions,
         "s_stream_dedup": q_stream_dedup,
         "s_stream_rollup": q_stream_rollup,
+        "s_stream_clean": q_stream_clean,
         "t_bm25_search": q_bm25_search,
         "v_rrf_fusion": q_rrf_fusion,
         "a_mmr_rerank": q_mmr_rerank,

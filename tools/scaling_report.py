@@ -55,6 +55,7 @@ DEFAULT = [
     "s_stream_sessions",  # Structured Streaming availableNow sessionize run
     "s_stream_dedup",  # streaming dropDuplicatesWithinWatermark replay
     "s_stream_rollup",  # streaming watermarked tumbling-window rollup
+    "s_stream_clean",  # stateless streaming transform (map-only ETL shape)
     "a_graph_build_lsh_recall",  # gate: LSH build leg + shared exact baseline
     "v_auto_search",  # facade dispatch through the strategy planner
     "t_phrase_proximity",  # scan-stage positional array expressions
@@ -249,15 +250,18 @@ def main() -> int:
             "  (tools/lsh_scale_demo.py) measures it to n=32k where the\n"
             "  configurations provably diverge — fixed tends to 16x pairs\n"
             "  per 4x n while AUTO stays ~6x with recall held >= 0.70.\n"
-            "- `s_stream_sessions` / `s_stream_dedup` / `s_stream_rollup`\n"
-            "  run REAL Structured Streaming queries (availableNow trigger,\n"
-            "  parquet sink; sessions/rollup sentinel-flush the watermark,\n"
-            "  dedup replays an at-least-once duplicate stream) per\n"
+            "- `s_stream_sessions` / `s_stream_dedup` / `s_stream_rollup` /\n"
+            "  `s_stream_clean` run REAL Structured Streaming queries\n"
+            "  (availableNow trigger, parquet sink; sessions/rollup\n"
+            "  sentinel-flush the watermark, dedup replays an\n"
+            "  at-least-once duplicate stream, clean is the stateless\n"
+            "  map-only ETL shape with no state or watermark at all) per\n"
             "  (session, sf) and memoize the result — their wall is trigger\n"
             "  startup + one micro-batch, dominated by fixed\n"
             "  streaming-engine overhead at these SFs; state size is the\n"
             "  scale quantity (open sessions / keys within the watermark\n"
-            "  horizon / open windows), all watermark-bounded.\n"
+            "  horizon / open windows), all watermark-bounded, and zero\n"
+            "  for the stateless gate.\n"
             "- `a_graph_build_lsh_recall` is a GATE: its time includes the LSH\n"
             "  build leg AND the recall comparison against the shared exact\n"
             "  baseline (memoized per session — the second run at each sf is\n"
