@@ -346,3 +346,41 @@ def test_streaming_rollup_matches_batch_twin(spark, tmp_path, finish_stream):
         for r in q_events_hourly(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stateless_stream_clean_equals_batch_under_multibatch_slicing(
+    spark, sf_dir, tmp_path, finish_stream
+):
+    """The property s_stream_clean pins: a STATELESS streaming transform
+    equals the batch projection regardless of micro-batch slicing.  Force
+    worst-case slicing (many input files, maxFilesPerTrigger=1 => one
+    micro-batch per file) and assert bit-equality with the batch result."""
+    from lmdiskann_jl_spark.functions.text import langid_expr, quality_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    src = tmp_path / "in"
+    docs.repartition(8).write.parquet(str(src))  # 8 files -> 8 micro-batches
+
+    def clean(df):
+        return df.select(
+            "doc_id",
+            langid_expr(F.col("text")).alias("pred_lang"),
+            quality_features(F.col("text"))["quality_score"].alias("q"),
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        clean(stream)
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("parquet")
+        .start(str(tmp_path / "out"))
+    )
+    finish_stream(q)
+    got = {tuple(r) for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    want = {tuple(r) for r in clean(docs).collect()}
+    assert got == want
