@@ -1358,12 +1358,30 @@ def q_unigram_logprob(spark, sf_dir):
         .select(
             "doc_id",
             "tf",
-            (F.col("tf") * F.log(F.col("n") / F.col("total"))).alias("wlp"),
+            # per-term weighted logprob quantized to 1e-6 integer units
+            # BEFORE the per-doc sum: identical input doubles through
+            # identical IEEE ops give identical quanta on every engine,
+            # and integer summation is ORDER-FREE — eliminating the
+            # summation-order hash divergence double sums carry (the
+            # r_events_* cents rule applied to a log-valued column).
+            # Magnitudes stay far under 2^53: |wlp| <~ 30 => 3e7 per
+            # term-row, ~1e12 for a 100k-token doc.
+            F.floor(
+                F.col("tf") * F.log(F.col("n") / F.col("total")) * 1_000_000
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("wlp_q"),
         )
     )
     return scored.groupBy("doc_id").agg(
         F.sum("tf").cast("long").alias("n_toks"),
-        F.round(F.sum("wlp") / F.sum("tf"), 4).alias("mean_logprob"),
+        # mean in 1e-4 units: quanta are 1e-6, so /1e2 per token
+        F.floor(
+            F.sum("wlp_q") / (F.sum("tf") * F.lit(100.0)) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("mean_logprob_e4"),
     )
 
 
@@ -4564,7 +4582,11 @@ def _oracle_map() -> dict[str, str | None]:
             dict AS (SELECT term, sum(tf) AS n FROM tf GROUP BY 1),
             tot AS (SELECT sum(n) AS total FROM dict)
             SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
-                   round(sum(tf * ln(CAST(n AS DOUBLE) / total)) / sum(tf), 4) AS mean_logprob
+                   CAST(floor(
+                     CAST(sum(CAST(floor(tf * ln(CAST(n AS DOUBLE) / CAST(total AS DOUBLE))
+                                         * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / (sum(tf) * 100.0) + 0.5
+                   ) AS BIGINT) AS mean_logprob_e4
             FROM tf JOIN dict USING (term) CROSS JOIN tot
             GROUP BY 1
         """,
