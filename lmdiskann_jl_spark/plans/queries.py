@@ -1065,8 +1065,12 @@ def _bm25_scores(spark, sf_dir) -> DataFrame:
     lineage evaluates twice (scalar reduction + scoring pass; column
     pruning keeps the subtrees from static exchange reuse) — two
     column-pruned linear scans, against the long-form's four plus a
-    doc_id join of tf against dl.  Scores round to 4dp HERE so downstream
-    rank assignment orders identically across engines."""
+    doc_id join of tf against dl.  Scores are integer 1e-8 quanta
+    (per-term contributions floor-quantized BEFORE accumulation): the
+    oracle's per-doc sum() visits term rows in engine-dependent order,
+    and integer summation is the only order-free accumulation — so rank
+    assignment and top-k selection order identically across engines with
+    no .xxxx5 rounding boundary (round-7; the unigram-logprob rule)."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
     per_doc = toks.groupBy("doc_id").agg(
@@ -1088,7 +1092,10 @@ def _bm25_scores(spark, sf_dir) -> DataFrame:
         tf, df = F.col(f"tf_{i}"), F.col(f"df_{i}")
         idf = F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
         norm = tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
-        return F.when(tf > 0, idf * tf * (BM25_K1 + 1) / norm).otherwise(F.lit(0.0))
+        quantum = F.floor(
+            idf * tf * (BM25_K1 + 1) / norm * 100_000_000 + F.lit(0.5)
+        ).cast("long")
+        return F.when(tf > 0, quantum).otherwise(F.lit(0).cast("long"))
 
     score = sum(_contrib(i) for i in range(len(BM25_QUERY_TERMS)))
     return (
@@ -1096,7 +1103,7 @@ def _bm25_scores(spark, sf_dir) -> DataFrame:
             sum(F.col(f"tf_{i}") for i in range(len(BM25_QUERY_TERMS))) > 0
         )
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", F.round(score, 4).alias("score"))
+        .select("doc_id", score.cast("long").alias("score_e8"))
     )
 
 
@@ -1105,7 +1112,7 @@ def q_bm25_search(spark, sf_dir):
     hybrid retrieval; plan rationale in _bm25_scores."""
     return (
         _bm25_scores(spark, sf_dir)
-        .orderBy(F.col("score").desc(), "doc_id")
+        .orderBy(F.col("score_e8").desc(), "doc_id")
         .limit(BM25_TOP_K)
     )
 
@@ -1114,8 +1121,9 @@ RRF_K = 60
 RRF_DEPTH = 50
 RRF_OUT_K = 10
 
-# DuckDB mirror of _bm25_scores (CTE chain ending in bm25(doc_id, score));
-# scores round to 4dp inside the core so rank assignment orders identically
+# DuckDB mirror of _bm25_scores (CTE chain ending in bm25(doc_id, score_e8));
+# per-term contributions quantize to 1e-8 integers BEFORE the sum so the
+# engine-dependent sum() visit order cannot move the score or the top-k cut
 _BM25_CORE_SQL = f"""toks AS (
               SELECT doc_id, unnest({O.tokens('text')}) AS term FROM documents
             ),
@@ -1129,11 +1137,12 @@ _BM25_CORE_SQL = f"""toks AS (
             df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
             bm25 AS (
               SELECT doc_id,
-                     round(sum(
+                     CAST(sum(CAST(floor(
                        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
                        * tf * ({BM25_K1} + 1)
                        / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / avgdl))
-                     ), 4) AS score
+                       * 100000000 + 0.5
+                     ) AS BIGINT)) AS BIGINT) AS score_e8
               FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN corpus
               GROUP BY 1
             )"""
@@ -1150,11 +1159,11 @@ def q_rrf_fusion(spark, sf_dir):
 
     from lmdiskann_jl_spark.functions.vector import cosine_distance, query_vector_lit
 
-    wt = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    wt = Window.orderBy(F.col("score_e8").desc(), F.col("id").asc())
     text_leg = (
         _bm25_scores(spark, sf_dir)
-        .select(F.col("doc_id").alias("id"), "score")
-        .orderBy(F.col("score").desc(), "id")
+        .select(F.col("doc_id").alias("id"), "score_e8")
+        .orderBy(F.col("score_e8").desc(), "id")
         .limit(RRF_DEPTH)
         .withColumn("rank_text", F.row_number().over(wt).cast("long"))
         .select("id", "rank_text")
@@ -3994,16 +4003,16 @@ def _oracle_map() -> dict[str, str | None]:
         """,
         "t_bm25_search": f"""
             WITH {_BM25_CORE_SQL}
-            SELECT doc_id, score FROM bm25
-            ORDER BY score DESC, doc_id
+            SELECT doc_id, score_e8 FROM bm25
+            ORDER BY score_e8 DESC, doc_id
             LIMIT {BM25_TOP_K}
         """,
         "v_rrf_fusion": f"""
             WITH {_BM25_CORE_SQL},
             t AS (
-              SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rank_text
-              FROM (SELECT doc_id AS id, score FROM bm25
-                    ORDER BY score DESC, doc_id LIMIT {RRF_DEPTH})
+              SELECT id, CAST(row_number() OVER (ORDER BY score_e8 DESC, id) AS BIGINT) AS rank_text
+              FROM (SELECT doc_id AS id, score_e8 FROM bm25
+                    ORDER BY score_e8 DESC, doc_id LIMIT {RRF_DEPTH})
             ),
             v AS (
               SELECT id, CAST(row_number() OVER (ORDER BY d, id) AS BIGINT) AS rank_vec
