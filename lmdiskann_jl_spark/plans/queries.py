@@ -951,7 +951,19 @@ def q_label_centroids(spark, sf_dir):
             F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
         )
         .groupBy("label", F.col("pos").cast("long").alias("pos"))
-        .agg(F.round(F.avg("val"), 4).alias("centroid_val"))
+        .agg(
+            # 1e-6 integer quanta before the mean: avg(double) sums in
+            # partial-aggregation order, which differs between engines —
+            # integer accumulation is order-free (the cents rule); mean
+            # reported in 1e-4 units
+            F.floor(
+                F.sum(F.floor(F.col("val") * 1_000_000 + F.lit(0.5)).cast("long"))
+                / (F.count("*") * F.lit(100.0))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("centroid_val_e4")
+        )
     )
 
 
@@ -1446,7 +1458,15 @@ def q_table_stats(spark, sf_dir):
         F.countDistinct("l_suppkey").alias("d_suppkey"),
         F.round(F.min("l_extendedprice"), 2).alias("min_price"),
         F.round(F.max("l_extendedprice"), 2).alias("max_price"),
-        F.round(F.avg("l_discount"), 4).alias("avg_discount"),
+        # discount quantized to 1e-4 integers before the mean: avg(double)
+        # sums in partial-aggregation order (the cents rule); mean in 1e-6
+        F.floor(
+            F.sum(F.floor(F.col("l_discount") * 10_000 + F.lit(0.5)).cast("long"))
+            / (F.count("*") / F.lit(100.0))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("avg_discount_e6"),
     )
 
 
@@ -2533,7 +2553,14 @@ def q_revenue_rollup(spark, sf_dir):
     )
     return (
         j.rollup("r_name", "n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+        .agg(
+            # fixed-point cents (order-free integer accumulation; the
+            # r_events_* rule — double sums shuffle-order-dependently)
+            F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long"))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count("*").alias("n_orders"),
+        )
     )
 
 
@@ -2558,7 +2585,8 @@ def q_grouping_sets(spark, sf_dir):
         SELECT r_name, c_mktsegment,
                CAST(grouping(r_name) AS BIGINT) AS g_region,
                CAST(grouping(c_mktsegment) AS BIGINT) AS g_segment,
-               round(sum(o_totalprice), 2) AS revenue,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
                count(*) AS n_orders
         FROM _gs_base
         GROUP BY GROUPING SETS ((r_name, c_mktsegment), (r_name), (c_mktsegment), ())
@@ -3975,7 +4003,11 @@ def _oracle_map() -> dict[str, str | None]:
         "v_label_centroids": """
             SELECT CAST(label AS BIGINT) AS label,
                    CAST(i - 1 AS BIGINT) AS pos,
-                   round(avg(CAST(embedding[i] AS DOUBLE)), 4) AS centroid_val
+                   CAST(floor(
+                     CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5)
+                                   AS BIGINT)) AS DOUBLE)
+                     / (count(*) * 100.0) + 0.5
+                   ) AS BIGINT) AS centroid_val_e4
             FROM embeddings, range(1, 65) t(i)
             GROUP BY 1, 2
         """,
@@ -4081,7 +4113,10 @@ def _oracle_map() -> dict[str, str | None]:
                    count(DISTINCT l_suppkey) AS d_suppkey,
                    round(min(l_extendedprice), 2) AS min_price,
                    round(max(l_extendedprice), 2) AS max_price,
-                   round(avg(l_discount), 4) AS avg_discount
+                   CAST(floor(
+                     CAST(sum(CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                     / (count(*) / 100.0) + 0.5
+                   ) AS BIGINT) AS avg_discount_e6
             FROM lineitem
         """,
         "r_price_quantiles": """
@@ -4462,7 +4497,8 @@ def _oracle_map() -> dict[str, str | None]:
             SELECT r_name, c_mktsegment,
                    CAST(grouping(r_name) AS BIGINT) AS g_region,
                    CAST(grouping(c_mktsegment) AS BIGINT) AS g_segment,
-                   round(sum(o_totalprice), 2) AS revenue,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents,
                    CAST(count(*) AS BIGINT) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
@@ -4640,7 +4676,10 @@ def _oracle_map() -> dict[str, str | None]:
             )
         """,
         "r_revenue_rollup": """
-            SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS revenue_cents,
+                   count(*) AS n_orders
             FROM orders
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
