@@ -4821,7 +4821,10 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # now CASTs both outputs to BIGINT) and stay UNSTAMPED so they sort first
     # into the r7 window. ---
     # a_extract_features deliberately UNSTAMPED (was rows-only green r6):
-    # its round-7 oracle upgrade should earn a hash-verified official row
+    # its round-7 oracle upgrade should earn a hash-verified official row.
+    # r_table_stats and v_label_centroids likewise unstamped: their output
+    # schemas changed in round 7 (order-free fixed-point aggregation), so
+    # the r6 green no longer describes the current form
     "a_embedding_neardup_lsh": 6,
     "a_lsh_auto_recall": 6, "a_semantic_dedup": 6, "m_media_decode": 6,
     "p_dataset_split": 6, "p_decontaminate": 6, "p_pack_sequences": 6,
@@ -4829,7 +4832,7 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "p_stratified_sample": 6, "p_token_budget_mix": 6,
     "r_customer_deciles": 6, "r_customers_no_orders": 6,
     "r_events_moving_avg": 6, "r_events_pivot": 6, "r_price_quantiles": 6,
-    "r_set_ops": 6, "r_source_mix": 6, "r_table_stats": 6, "r_tpch_q1": 6,
+    "r_set_ops": 6, "r_source_mix": 6, "r_tpch_q1": 6,
     "r_tpch_q10": 6, "r_tpch_q12": 6, "r_tpch_q13": 6, "r_tpch_q14": 6,
     "r_tpch_q15": 6, "r_tpch_q18": 6, "r_tpch_q3": 6, "r_tpch_q4": 6,
     "r_tpch_q5": 6, "r_tpch_q6": 6, "r_tpch_q7": 6, "r_tpch_q8": 6,
@@ -4837,7 +4840,7 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "s_stream_sessions": 6, "t_fingerprint": 6, "t_lang_id": 6,
     "t_quality_score": 6, "t_token_count": 6, "t_top_terms": 6,
     "v_filtered_topk": 6, "v_hybrid_search": 6, "v_knn_classify": 6,
-    "v_label_centroids": 6, "v_normalize": 6, "v_quantize": 6,
+    "v_normalize": 6, "v_quantize": 6,
     # --- r5 window (CORRECTNESS_r05.json) ---
     "a_beam_recall": 5, "a_incremental_insert_recall": 5, "a_ivf_recall": 5,
     "a_lsh_knn": 5, "a_lsh_knn_auto": 5, "a_lsh_recall": 5,
