@@ -986,10 +986,15 @@ def q_hybrid_search(spark, sf_dir):
     return (
         j.select(
             "vec_id",
-            F.round(fused, 4).alias("score"),
+            # integer e4 score: the fused value is deterministic (identical
+            # doubles through identical IEEE ops on both engines), but
+            # round()-on-double implementations differ across builds and
+            # this column drives the top-10 CUT — floor(x*1e4+0.5) is the
+            # portable order-stable form
+            F.floor(fused * 10_000 + F.lit(0.5)).cast("long").alias("score_e4"),
             overlap.cast("long").alias("n_hits"),
         )
-        .orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        .orderBy(F.col("score_e4").desc(), F.col("vec_id").asc())
         .limit(10)
     )
 
@@ -3987,7 +3992,8 @@ def _oracle_map() -> dict[str, str | None]:
             ORDER BY {eu}, e.vec_id LIMIT 10
         """,
         "v_hybrid_search": f"""
-            SELECT vec_id, round(raw, 4) + 0.0 AS score, CAST(n_hits AS BIGINT) AS n_hits
+            SELECT vec_id, CAST(floor(raw * 10000 + 0.5) AS BIGINT) AS score_e4,
+                   CAST(n_hits AS BIGINT) AS n_hits
             FROM (
               SELECT e.vec_id,
                      {O.cosine_sim(E, QV)}
@@ -3998,7 +4004,7 @@ def _oracle_map() -> dict[str, str | None]:
               FROM embeddings e
               JOIN documents d ON e.vec_id = d.doc_id, {_QV}
             )
-            ORDER BY round(raw, 4) DESC, vec_id ASC LIMIT 10
+            ORDER BY floor(raw * 10000 + 0.5) DESC, vec_id ASC LIMIT 10
         """,
         "v_label_centroids": """
             SELECT CAST(label AS BIGINT) AS label,
@@ -4839,7 +4845,7 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "r_tpch_q9": 6, "s_stream_dedup": 6, "s_stream_rollup": 6,
     "s_stream_sessions": 6, "t_fingerprint": 6, "t_lang_id": 6,
     "t_quality_score": 6, "t_token_count": 6, "t_top_terms": 6,
-    "v_filtered_topk": 6, "v_hybrid_search": 6, "v_knn_classify": 6,
+    "v_filtered_topk": 6, "v_knn_classify": 6,
     "v_normalize": 6, "v_quantize": 6,
     # --- r5 window (CORRECTNESS_r05.json) ---
     "a_beam_recall": 5, "a_incremental_insert_recall": 5, "a_ivf_recall": 5,
