@@ -1443,9 +1443,16 @@ def q_tfidf_top_terms(spark, sf_dir):
     df_col = F.sum("docs_in_src").over(Window.partitionBy("term"))
     idf = F.log((F.col("n_docs") + 1.0) / (df_col + 1.0)) + 1.0
     scored = st.crossJoin(F.broadcast(n_docs)).select(
-        "source", "term", F.round(F.col("tf_sum") * idf, 4).alias("tfidf")
+        "source",
+        "term",
+        # integer e4 score: tf_sum*idf is deterministic, but the rank cut
+        # below orders on it and round()-on-double differs across builds —
+        # floor(x*1e4+0.5) is the portable order-stable form
+        F.floor(F.col("tf_sum") * idf * 10_000 + F.lit(0.5))
+        .cast("long")
+        .alias("tfidf_e4"),
     )
-    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    w = Window.partitionBy("source").orderBy(F.col("tfidf_e4").desc(), F.col("term").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= TFIDF_TOP_K)
@@ -4651,13 +4658,14 @@ def _oracle_map() -> dict[str, str | None]:
             n AS (SELECT count(*) AS n_docs FROM documents),
             scored AS (
               SELECT source, term,
-                     round(tf_sum * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+                     CAST(floor(tf_sum * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0)
+                                * 10000 + 0.5) AS BIGINT) AS tfidf_e4
               FROM (SELECT source, term, sum(tf) AS tf_sum FROM tf GROUP BY 1, 2)
               JOIN df USING (term) CROSS JOIN n
             )
-            SELECT source, term, tfidf,
+            SELECT source, term, tfidf_e4,
                    CAST(row_number() OVER (
-                     PARTITION BY source ORDER BY tfidf DESC, term ASC
+                     PARTITION BY source ORDER BY tfidf_e4 DESC, term ASC
                    ) AS BIGINT) AS rank
             FROM scored
             QUALIFY rank <= {TFIDF_TOP_K}
