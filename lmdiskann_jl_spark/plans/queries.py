@@ -4828,32 +4828,42 @@ def _token_count_oracle() -> str:
 # Update after each round from the new CORRECTNESS file; the declaration
 # order below is the stable tiebreak.
 _LAST_DRIVER_VERIFIED: dict[str, int] = {
-    # --- r6 window (CORRECTNESS_r06.json): 44 green rows+schema+hash, 4
-    # rows-only recall gates (no_oracle by design).  r_above_avg_orders and
-    # r_above_avg_probe were r6's two hash mismatches (root-caused this round:
-    # DuckDB sum(BIGINT) -> HUGEINT -> float64/decimal128 at fetch; the oracle
-    # now CASTs both outputs to BIGINT) and stay UNSTAMPED so they sort first
-    # into the r7 window. ---
-    # a_extract_features deliberately UNSTAMPED (was rows-only green r6):
-    # its round-7 oracle upgrade should earn a hash-verified official row.
-    # r_table_stats and v_label_centroids likewise unstamped: their output
-    # schemas changed in round 7 (order-free fixed-point aggregation), so
-    # the r6 green no longer describes the current form
-    "a_embedding_neardup_lsh": 6,
-    "a_lsh_auto_recall": 6, "a_semantic_dedup": 6, "m_media_decode": 6,
-    "p_dataset_split": 6, "p_decontaminate": 6, "p_pack_sequences": 6,
-    "p_quality_filter": 6, "p_source_weighted_sample": 6,
-    "p_stratified_sample": 6, "p_token_budget_mix": 6,
-    "r_customer_deciles": 6, "r_customers_no_orders": 6,
-    "r_events_moving_avg": 6, "r_events_pivot": 6, "r_price_quantiles": 6,
-    "r_set_ops": 6, "r_source_mix": 6, "r_tpch_q1": 6,
-    "r_tpch_q10": 6, "r_tpch_q12": 6, "r_tpch_q13": 6, "r_tpch_q14": 6,
-    "r_tpch_q15": 6, "r_tpch_q18": 6, "r_tpch_q3": 6, "r_tpch_q4": 6,
-    "r_tpch_q5": 6, "r_tpch_q6": 6, "r_tpch_q7": 6, "r_tpch_q8": 6,
-    "r_tpch_q9": 6, "s_stream_dedup": 6, "s_stream_rollup": 6,
-    "s_stream_sessions": 6, "t_fingerprint": 6, "t_lang_id": 6,
-    "t_quality_score": 6, "t_token_count": 6, "t_top_terms": 6,
-    "v_filtered_topk": 6, "v_knn_classify": 6,
+    # --- r7 window (CORRECTNESS_r07.json): 46 green rows+schema+hash, 4
+    # rows-only recall gates (no_oracle by design, 0 reds).  a_mmr_rerank
+    # and a_semantic_dedup deliberately UNSTAMPED: both gain DuckDB hash
+    # oracles in round 8 and should earn fresh hash-verified rows. ---
+    "a_extract_features": 7, "a_graph_build_lsh_recall": 7,
+    "a_ivfpq_recall": 7, "a_pq_recall": 7, "d_span_removal": 7,
+    "k_keymap_count": 7, "k_keymap_lookup": 7, "m_frame_plan": 7,
+    "p_corpus_clean": 7, "r_above_avg_orders": 7, "r_above_avg_probe": 7,
+    "r_asof_attribution": 7, "r_events_hourly": 7, "r_grouping_sets": 7,
+    "r_range_join_windows": 7, "r_revenue_rollup": 7, "r_session_windows": 7,
+    "r_sketch_accuracy": 7, "r_table_stats": 7,
+    "r_top_orders_per_segment": 7, "r_tpch_q11": 7, "r_tpch_q16": 7,
+    "r_tpch_q17": 7, "r_tpch_q19": 7, "r_tpch_q2": 7, "r_tpch_q20": 7,
+    "r_tpch_q21": 7, "r_tpch_q22": 7, "r_user_sessions": 7,
+    "s_stream_clean": 7, "t_bm25_search": 7, "t_snippets": 7,
+    "t_tfidf_top_terms": 7, "t_unigram_logprob": 7, "v_adjacency_build": 7,
+    "v_batch_topk": 7, "v_degree_histogram": 7, "v_delete_repair": 7,
+    "v_exact_topk_cosine": 7, "v_exact_topk_euclidean": 7,
+    "v_get_embedding": 7, "v_get_embedding_by_key": 7, "v_hard_negatives": 7,
+    "v_hybrid_search": 7, "v_knn_join": 7, "v_label_centroids": 7,
+    "v_partial_topk": 7, "v_range_search": 7, "v_rrf_fusion": 7,
+    # --- r6 window (CORRECTNESS_r06.json) ---
+    "a_embedding_neardup_lsh": 6, "a_lsh_auto_recall": 6,
+    "m_media_decode": 6, "p_dataset_split": 6, "p_decontaminate": 6,
+    "p_pack_sequences": 6, "p_quality_filter": 6,
+    "p_source_weighted_sample": 6, "p_stratified_sample": 6,
+    "p_token_budget_mix": 6, "r_customer_deciles": 6,
+    "r_customers_no_orders": 6, "r_events_moving_avg": 6,
+    "r_events_pivot": 6, "r_price_quantiles": 6, "r_set_ops": 6,
+    "r_source_mix": 6, "r_tpch_q1": 6, "r_tpch_q10": 6, "r_tpch_q12": 6,
+    "r_tpch_q13": 6, "r_tpch_q14": 6, "r_tpch_q15": 6, "r_tpch_q18": 6,
+    "r_tpch_q3": 6, "r_tpch_q4": 6, "r_tpch_q5": 6, "r_tpch_q6": 6,
+    "r_tpch_q7": 6, "r_tpch_q8": 6, "r_tpch_q9": 6, "s_stream_dedup": 6,
+    "s_stream_rollup": 6, "s_stream_sessions": 6, "t_fingerprint": 6,
+    "t_lang_id": 6, "t_quality_score": 6, "t_token_count": 6,
+    "t_top_terms": 6, "v_filtered_topk": 6, "v_knn_classify": 6,
     "v_normalize": 6, "v_quantize": 6,
     # --- r5 window (CORRECTNESS_r05.json) ---
     "a_beam_recall": 5, "a_incremental_insert_recall": 5, "a_ivf_recall": 5,
@@ -4862,27 +4872,12 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "d_duplicate_spans": 5, "d_embedding_neardup": 5, "d_keep_best": 5,
     "d_minhash_lsh_pairs": 5, "d_minhash_signatures": 5,
     "d_ngram_jaccard_capped": 5, "d_ngram_jaccard_pairs": 5, "d_simhash": 5,
-    "d_simhash_neardup": 5, "d_span_profile": 5, "k_keymap_count": 5,
-    "k_keymap_delete": 5, "k_keymap_list": 5, "k_keymap_lookup": 5,
-    "k_keymap_reverse_lookup": 5, "m_payload_stats": 5, "p_group_sample_k": 5,
-    "p_leakage_safe_split": 5, "r_asof_forward": 5, "r_events_props": 5,
-    "t_chunk_documents": 5, "t_langid_accuracy": 5, "t_phrase_proximity": 5,
-    "t_pii_redact": 5, "t_repetition": 5, "t_vocab_build": 5,
-    "v_adjacency_build": 5, "v_auto_search": 5, "v_batch_topk": 5,
-    "v_degree_histogram": 5, "v_delete_repair": 5, "v_exact_topk_cosine": 5,
-    "v_exact_topk_euclidean": 5, "v_get_embedding": 5,
-    "v_get_embedding_by_key": 5, "v_hard_negatives": 5, "v_knn_join": 5,
-    "v_partial_topk": 5, "v_range_search": 5, "v_reduce_dim": 5,
-    # --- r4 window (CORRECTNESS_r04.json) ---
-    "a_graph_build_lsh_recall": 4, "a_ivfpq_recall": 4, "a_mmr_rerank": 4,
-    "a_pq_recall": 4, "m_frame_plan": 4, "r_asof_attribution": 4,
-    "r_events_hourly": 4, "r_grouping_sets": 4, "r_range_join_windows": 4,
-    "r_revenue_rollup": 4, "r_session_windows": 4, "r_sketch_accuracy": 4,
-    "r_top_orders_per_segment": 4, "r_tpch_q11": 4, "r_tpch_q16": 4,
-    "r_tpch_q17": 4, "r_tpch_q19": 4, "r_tpch_q2": 4, "r_tpch_q20": 4,
-    "r_tpch_q21": 4, "r_tpch_q22": 4, "r_user_sessions": 4,
-    "t_bm25_search": 4, "t_snippets": 4, "t_tfidf_top_terms": 4,
-    "t_unigram_logprob": 4, "v_rrf_fusion": 4,
+    "d_simhash_neardup": 5, "d_span_profile": 5, "k_keymap_delete": 5,
+    "k_keymap_list": 5, "k_keymap_reverse_lookup": 5, "m_payload_stats": 5,
+    "p_group_sample_k": 5, "p_leakage_safe_split": 5, "r_asof_forward": 5,
+    "r_events_props": 5, "t_chunk_documents": 5, "t_langid_accuracy": 5,
+    "t_phrase_proximity": 5, "t_pii_redact": 5, "t_repetition": 5,
+    "t_vocab_build": 5, "v_auto_search": 5, "v_reduce_dim": 5,
 }
 
 
