@@ -235,3 +235,15 @@ def test_lsh_insert_path_recall(spark, tmp_path):
         beam_ids = [r["id"] for r in idx.search(q, topk=10, mode="beam", ef=80).collect()]
         hits += len(set(exact_ids) & set(beam_ids)) / 10.0
     assert hits / len(probes) >= 0.70
+
+
+def test_recall_gate_fails_loudly_below_bar(spark):
+    """A recall collapse must surface as a hard error, not a quiet
+    passed=false row: the driver's rows-only check records only
+    (err, spark_rows), so raising is the only officially-visible signal."""
+    from lmdiskann_jl_spark.plans.queries import RECALL_BAR, _recall_row
+
+    ok = _recall_row(spark, RECALL_BAR).collect()
+    assert len(ok) == 1 and ok[0]["passed"] is True
+    with pytest.raises(AssertionError, match="recall gate failed"):
+        _recall_row(spark, RECALL_BAR - 0.01)

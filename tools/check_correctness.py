@@ -82,6 +82,20 @@ def main() -> int:
             failures.append(name)
             continue
         if name not in oracles:
+            # Rows-only gates still assert quality: any row carrying a falsy
+            # `passed` column (the recall gates' contract) is a FAILURE here,
+            # not a pass — mirrors _recall_row's raise-below-bar behavior so
+            # a recall collapse can't hide behind "has rows".
+            if "passed" in scols:
+                pi = scols.index("passed")
+                bad = [r for r in srows if not r[pi]]
+                if bad:
+                    print(
+                        f"FAIL  {name}: {len(bad)} gate row(s) with "
+                        f"passed=false [{time.time()-t0:.1f}s]"
+                    )
+                    failures.append(name)
+                    continue
             print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
