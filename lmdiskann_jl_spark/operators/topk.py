@@ -174,12 +174,23 @@ def recall_at_k(
 MMR_MAX_CANDIDATES = 10_000
 
 
-def _mmr_greedy(ids, rel, X, k: int, lam: float) -> list[tuple]:
+def _mmr_greedy(
+    ids, rel, X, k: int, lam: float, strict_fold: bool = False
+) -> list[tuple]:
     """The shared greedy MMR kernel (Carbonell & Goldstein, SIGIR 1998):
     pick argmax ``lam * rel(d) - (1 - lam) * max_cos_sim(d, S)`` until k.
     Deterministic ties (score desc, id asc); zero-norm vectors contribute
     similarity 0; one O(N*d) similarity column per pick — never the full
-    N x N Gram matrix.  Returns [(id, score, rank), ...] in pick order."""
+    N x N Gram matrix.  Returns [(id, score, rank), ...] in pick order.
+
+    ``strict_fold=True`` computes norms and dot products as LEFT-TO-RIGHT
+    pure-float folds (bit-identical to the DuckDB ``list_reduce`` mirrors in
+    plans/oracle_sql.py) and returns UNROUNDED scores — the arithmetic mode
+    the a_mmr_rerank hash gate replays step-by-step in SQL.  The default
+    numpy path (BLAS summation order, round-6 scores) is the production
+    kernel; pick-sequence parity between the two is pytest-gated."""
+    if strict_fold:
+        return _mmr_greedy_strict(ids, rel, X, k, lam)
     import numpy as np
 
     rel = np.asarray(rel, dtype=np.float64)
@@ -208,6 +219,55 @@ def _mmr_greedy(ids, rel, X, k: int, lam: float) -> list[tuple]:
     return out
 
 
+def _mmr_greedy_strict(ids, rel, X, k: int, lam: float) -> list[tuple]:
+    """Left-to-right-fold variant of ``_mmr_greedy`` — every norm and dot is
+    a sequential float accumulation, so each similarity is bit-identical to
+    ``oracle_sql.dot``/``norm`` (DuckDB ``list_reduce``) over the same
+    values, and ``lam * rel - (1 - lam) * best`` is the same three IEEE ops
+    both engines run.  O(N*d) per pick like the numpy path; intended for
+    bounded gate inputs, not a numpy replacement."""
+    import math
+
+    n = len(ids)
+    one_minus_lam = 1 - lam
+    xs = [[float(v) for v in row] for row in X]
+    nvecs: list[list[float] | None] = []
+    for row in xs:
+        s = 0.0
+        for v in row:
+            s += v * v
+        nrm = math.sqrt(s)
+        nvecs.append([v / nrm for v in row] if nrm > 0.0 else None)
+
+    def sim(i: int, j: int) -> float:
+        a, b = nvecs[i], nvecs[j]
+        if a is None or b is None:
+            return 0.0
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
+
+    selected: list[int] = []
+    best = [float("-inf")] * n
+    out = []
+    remaining = set(range(n))
+    for rank in range(1, min(k, n) + 1):
+        if selected:
+            score = {i: lam * rel[i] - one_minus_lam * best[i] for i in remaining}
+        else:
+            score = {i: lam * rel[i] for i in remaining}
+        pick = min(remaining, key=lambda i: (-score[i], ids[i]))
+        out.append((ids[pick], float(score[pick]), rank))
+        selected.append(pick)
+        remaining.discard(pick)
+        for i in remaining:
+            s = sim(i, pick)
+            if s > best[i]:
+                best[i] = s
+    return out
+
+
 def mmr_rerank(
     candidates: DataFrame,
     k: int = 10,
@@ -216,6 +276,7 @@ def mmr_rerank(
     rel_col: str = "rel",
     vec_col: str = "vec",
     exact: bool = False,
+    strict_fold: bool = False,
 ) -> DataFrame:
     """Maximal-marginal-relevance diversification.
 
@@ -274,7 +335,7 @@ def mmr_rerank(
         [r[id_col] for r in rows],
         [float(r[rel_col]) for r in rows],
         [r[vec_col] for r in rows],
-        k, lam,
+        k, lam, strict_fold=strict_fold,
     )
     return candidates.sparkSession.createDataFrame(out, out_schema)
 

@@ -567,18 +567,47 @@ def q_embedding_neardup_lsh(spark, sf_dir):
 
 SEMANTIC_DEDUP_COS = 0.45
 SEMANTIC_DEDUP_CELLS = 8
+# planted-twin gate constants: every PLANT_STEP-th vector (mod PLANT_MOD)
+# gets an identical copy at id + PLANT_OFFSET; the gate threshold sits far
+# above the corpus's natural max pairwise cosine (0.513 at sf0.01, 64-dim
+# gaussian-ish synthetic data) so the expected pair set is EXACTLY the
+# planted twins — SQL-expressible, hence hash-gateable
+SEMANTIC_PLANT_STEP = 50
+SEMANTIC_PLANT_MOD = 7
+SEMANTIC_PLANT_OFFSET = 1_000_000
+SEMANTIC_GATE_COS = 0.90
 
 
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style cluster-pruned semantic near-dup (operators/dedup.
     semantic_dedup_pairs): coarse k-means cells bound the pairwise work to
     ~n^2/n_cells, multi-probe assignment recovers cell-boundary pairs, exact
-    cosine verifies every reported pair.  Rows-only gate (k-means is not
-    SQL-expressible); quality is gated by the pytest planted-dup recall test
-    against the brute pairs."""
+    cosine verifies every reported pair.
+
+    FULL HASH GATE (round 8, was rows-only): k-means itself is not
+    SQL-expressible, but the gate instance is constructed so the EXPECTED
+    OUTPUT is — identical twins are planted for every PLANT_STEP-th vector
+    and the threshold (0.90) sits far above the corpus's natural max
+    pairwise cosine (0.513 at sf0.01), so the correct answer is exactly the
+    planted (orig, twin) pairs.  Identical vectors get identical centroid
+    distances, hence identical (deterministically tie-broken) cell
+    assignments, so cell pruning can NEVER separate a twin pair — the
+    operator must find all of them regardless of clustering quality.  The
+    DuckDB oracle brute-forces all pairs over the same planted union, so a
+    missed natural pair would also red the gate.  Threshold-level recall on
+    natural near-dups stays pytest-gated (tests/test_dedup.py planted-dup
+    recall)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    twins = emb.filter(
+        F.col("vec_id") % SEMANTIC_PLANT_STEP == SEMANTIC_PLANT_MOD
+    ).select(
+        (F.col("vec_id") + SEMANTIC_PLANT_OFFSET).alias("vec_id"),
+        "embedding",
+        "label",
+    )
     return D.semantic_dedup_pairs(
-        _t(spark, sf_dir, "embeddings"),
-        threshold=SEMANTIC_DEDUP_COS,
+        emb.unionByName(twins),
+        threshold=SEMANTIC_GATE_COS,
         n_cells=SEMANTIC_DEDUP_CELLS,
     )
 
@@ -1006,26 +1035,40 @@ def q_mmr_rerank(spark, sf_dir):
     """MMR-diversified top-10 over the cosine top-50 candidates
     (operators/topk.mmr_rerank).  The distributed leg produces the bounded
     candidate set; the greedy rerank is driver-side by design (inherently
-    sequential, <= 50 rows).  Rows-only gate: greedy iteration is not
-    SQL-expressible; parity/diversity are pytest-gated (tests/test_mmr.py
-    vs an independent reference)."""
+    sequential, <= 50 rows).
+
+    FULL HASH GATE (round 8, was rows-only): the greedy is deterministic
+    given the candidate set, so the DuckDB oracle replays it step-by-step as
+    {RRF_OUT_K} unrolled argmax CTEs.  Cross-engine bit-exactness by
+    construction: rel is portable-half-up quantized (floor(x*1e4+0.5)/1e4 —
+    never round() on a double), the kernel runs in strict_fold mode
+    (left-to-right float folds == DuckDB list_reduce), the score is three
+    shared IEEE ops (lam*rel - (1-lam)*max_sim), and the output score is the
+    integer floor(score*1e6+0.5).  Pick-sequence parity between strict_fold
+    and the production numpy kernel is pytest-gated (tests/test_mmr.py)."""
     from lmdiskann_jl_spark.functions.vector import query_vector_lit
     from lmdiskann_jl_spark.operators.topk import mmr_rerank
 
     qv = _query_vec(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
+    cos = cosine_similarity(F.col("embedding"), query_vector_lit(qv))
     cands = (
         emb.select(
             F.col("vec_id").alias("id"),
-            F.round(
-                cosine_similarity(F.col("embedding"), query_vector_lit(qv)), 4
-            ).alias("rel"),
+            (F.floor(cos * 10000.0 + F.lit(0.5)) / 10000.0).alias("rel"),
             F.col("embedding").alias("vec"),
         )
         .orderBy(F.col("rel").desc(), "id")
         .limit(RRF_DEPTH)
     )
-    return mmr_rerank(cands, k=RRF_OUT_K, lam=MMR_LAMBDA)
+    picked = mmr_rerank(cands, k=RRF_OUT_K, lam=MMR_LAMBDA, strict_fold=True)
+    return picked.select(
+        "id",
+        F.floor(F.col("mmr_score") * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .alias("score_e6"),
+        "rank",
+    )
 
 
 def q_quantize(spark, sf_dir):
@@ -4758,7 +4801,25 @@ def _oracle_map() -> dict[str, str | None]:
         "a_beam_recall": None,
         "a_ivf_recall": None,
         "a_embedding_neardup_lsh": None,
-        "a_semantic_dedup": None,
+        # planted-twin instance (see q_semantic_dedup): brute-force all
+        # pairs over the same planted union — the honest oracle; with the
+        # gate threshold above the natural max cosine the surviving set is
+        # exactly the planted twins, which cell pruning provably cannot miss
+        "a_semantic_dedup": f"""
+            WITH uni AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + {SEMANTIC_PLANT_OFFSET}, embedding
+              FROM embeddings
+              WHERE vec_id % {SEMANTIC_PLANT_STEP} = {SEMANTIC_PLANT_MOD}
+            )
+            SELECT id_a, id_b, cos_sim FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round({pair_cos}, 4) AS cos_sim
+              FROM uni a, uni b WHERE a.vec_id < b.vec_id
+            ) WHERE cos_sim >= {SEMANTIC_GATE_COS}
+        """,
+        "a_mmr_rerank": _mmr_oracle(),
         # the decode stub is a deterministic polynomial byte hash and the
         # fixture text is pure ASCII (max code point 121, all SFs), so
         # UTF-8 payload bytes == unicode(char): feature[0] folds the bytes
@@ -4784,6 +4845,69 @@ def _oracle_map() -> dict[str, str | None]:
     # oracle hash-gates both algorithms against each other and against SQL
     m["d_dup_clusters_star"] = m["d_dup_clusters"]
     return m
+
+
+def _mmr_oracle() -> str:
+    """Step-by-step SQL replay of the strict-fold MMR greedy: one unrolled
+    (pickN, selN) CTE pair per rank.  Arithmetic mirrors _mmr_greedy_strict
+    exactly — left-to-right list_reduce folds for norms/dots, the score's
+    three IEEE ops with the SAME float literals (repr() of the Python
+    doubles, so 1-lam is 0.30000000000000004 on both engines), ties broken
+    (score DESC, id ASC)."""
+    E = "list_transform(e.embedding, x -> CAST(x AS DOUBLE))"
+    QVD = "list_transform(q.qv, x -> CAST(x AS DOUBLE))"
+    co_sim = O.cosine_sim(E, QVD)
+    lam, oml = repr(MMR_LAMBDA), repr(1 - MMR_LAMBDA)
+    parts = [f"""
+            WITH cand AS MATERIALIZED (
+              SELECT e.vec_id AS id,
+                     floor(({co_sim}) * 10000.0 + 0.5) / 10000.0 AS rel,
+                     {O.dlist('e.embedding')} AS vec
+              FROM embeddings e, {_QV}
+              ORDER BY rel DESC, id LIMIT {RRF_DEPTH}
+            ),
+            nc AS MATERIALIZED (
+              SELECT id, rel,
+                     CASE WHEN nrm > 0 THEN list_transform(vec, x -> x / nrm)
+                          ELSE NULL END AS nvec
+              FROM (SELECT id, rel, vec,
+                           sqrt(list_reduce(list_transform(vec, x -> x * x),
+                                            (x, y) -> x + y)) AS nrm
+                    FROM cand)
+            ),
+            sim AS MATERIALIZED (
+              SELECT a.id AS ia, b.id AS ib,
+                     CASE WHEN a.nvec IS NULL OR b.nvec IS NULL THEN 0.0
+                          ELSE list_reduce(
+                                 list_transform(list_zip(a.nvec, b.nvec),
+                                                p -> p[1] * p[2]),
+                                 (x, y) -> x + y) END AS s
+              FROM nc a, nc b WHERE a.id != b.id
+            ),
+            pick1 AS MATERIALIZED (
+              SELECT id, {lam} * rel AS score, 1 AS rank
+              FROM cand ORDER BY score DESC, id LIMIT 1
+            ),
+            sel1 AS MATERIALIZED (SELECT * FROM pick1)"""]
+    for t in range(2, RRF_OUT_K + 1):
+        parts.append(f""",
+            pick{t} AS MATERIALIZED (
+              SELECT c.id,
+                     {lam} * c.rel - {oml} * (
+                       SELECT max(s) FROM sim
+                       WHERE ia = c.id AND ib IN (SELECT id FROM sel{t - 1})
+                     ) AS score, {t} AS rank
+              FROM cand c
+              WHERE c.id NOT IN (SELECT id FROM sel{t - 1})
+              ORDER BY score DESC, id LIMIT 1
+            ),
+            sel{t} AS MATERIALIZED (SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM pick{t})""")
+    parts.append(f"""
+            SELECT id,
+                   CAST(floor(score * 1000000.0 + 0.5) AS BIGINT) AS score_e6,
+                   CAST(rank AS BIGINT) AS rank
+            FROM sel{RRF_OUT_K}""")
+    return "".join(parts)
 
 
 def _quality_oracle() -> str:

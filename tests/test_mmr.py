@@ -158,3 +158,23 @@ def test_mmr_distributed_tolerates_empty_partitions(spark):
     out = mmr_rerank_distributed(df, k=5).collect()
     assert len(out) == 5
     assert max(r["id"] for r in out) == 19  # max-rel row survives
+
+
+def test_mmr_strict_fold_matches_numpy_kernel(spark):
+    """strict_fold (left-to-right folds, the a_mmr_rerank oracle's
+    arithmetic) must pick the same id sequence as the production numpy
+    kernel; scores may differ by summation-order ulps only."""
+    import random
+
+    random.seed(7)
+    cands = [
+        (i, round(random.uniform(-1, 1), 4), [random.gauss(0, 1) for _ in range(16)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(cands, "id long, rel double, vec array<double>")
+    base = mmr_rerank(df, k=10, lam=0.7).orderBy("rank").collect()
+    strict = mmr_rerank(df, k=10, lam=0.7, strict_fold=True).orderBy("rank").collect()
+    assert [r["id"] for r in base] == [r["id"] for r in strict]
+    # numpy path rounds scores to 6 decimals; strict returns raw
+    for b, s in zip(base, strict):
+        assert abs(b["mmr_score"] - s["mmr_score"]) <= 5e-7
