@@ -140,6 +140,88 @@ def wav_payload(data_bytes: Column) -> Column:
     )
 
 
+# ------------------------------------------- payloads WITH samples (JVM)
+#
+# Round 8: real sample decode needs real sample bytes.  Both builders stay
+# pure scan-stage expressions — repeat()/hex()/unhex() string algebra plus
+# closed-form integer checksums — so payload generation scales like any
+# other projection.
+
+ADLER_MOD = 65521
+
+
+def _adler32_stored(width: Column, height: Column, pix_val: Column):
+    """Closed-form Adler-32 of H filtered scanlines (filter byte 0 + 3W
+    pixel bytes of constant value v): A = 1 + sum(bytes); B = L + v * T
+    where T is the (L - k + 1) position-weight sum over pixel bytes only
+    (filter bytes are zero).  Pure integer columns, mod 65521."""
+    w, h, v = width.cast("long"), height.cast("long"), pix_val.cast("long")
+    row_len = 3 * w + 1
+    total = h * row_len  # L
+    a = (F.lit(1) + 3 * w * h * v) % ADLER_MOD
+    # T = L(L+1)/2 - [H*L - rowlen * H(H-1)/2]
+    t = total * (total + 1) / F.lit(2) - (
+        h * total - row_len * h * (h - 1) / F.lit(2)
+    )
+    b = (total + v * t.cast("long")) % ADLER_MOD
+    return a, b
+
+
+def png_payload_with_pixels(
+    width: Column, height: Column, pix_val: Column
+) -> Column:
+    """Spec-correct truecolor PNG whose IDAT really decompresses: scanlines
+    are filter-0 rows of constant byte ``pix_val``, deflated as a single
+    STORED block (zlib 0x7801 header, BFINAL=1/BTYPE=00, LEN/NLEN) with the
+    Adler-32 computed in closed form — all JVM-side string algebra, so
+    ``zlib.decompress`` (and any real PNG reader that skips chunk CRCs)
+    recovers the exact pixel bytes.  Chunk CRCs are zeroed, as in
+    ``png_payload``."""
+    w, h = width.cast("long"), height.cast("long")
+    row_len = 3 * w + 1
+    total = h * row_len
+    vhex = F.lpad(F.hex(pix_val.cast("bigint") % 256), 2, "0")
+    raw_hex = F.repeat(
+        F.concat(F.lit("00"), F.repeat(vhex, (3 * w).cast("int"))), h.cast("int")
+    )
+    a, b = _adler32_stored(width, height, pix_val)
+    zstream_hex = F.concat(
+        F.lit("7801" + "01"),                       # zlib hdr, BFINAL=1 BTYPE=00
+        _le_hex(total, 2),                          # LEN
+        _le_hex(F.lit(65535) - total, 2),           # NLEN = ~LEN
+        raw_hex,
+        _be_hex(b, 2), _be_hex(a, 2),               # adler32 = B<<16 | A, BE
+    )
+    idat_len = total + F.lit(11)                    # 2 hdr + 5 block + L + 4 adler
+    return F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+            _be_hex(w, 4),
+            _be_hex(h, 4),
+            F.lit("0802000000" + "00000000"),
+            _be_hex(idat_len, 4),
+            F.lit("49444154"),
+            zstream_hex,
+            F.lit("00000000"),                      # IDAT CRC (zeroed)
+            F.lit("0000000049454E44AE426082"),
+        )
+    )
+
+
+def wav_payload_with_pcm(amp: Column, pairs: Column) -> Column:
+    """RIFF/WAVE payload whose data chunk carries REAL 16-bit PCM: ``pairs``
+    repetitions of a (+amp, -amp) square-wave period, little-endian, mono
+    16 kHz — same header as ``wav_payload`` with the data section actually
+    materialized (two's-complement hex for the negative half)."""
+    a = amp.cast("long") % 32768
+    data_bytes = (pairs.cast("long") * 4).cast("long")
+    pair_hex = F.concat(_le_hex(a, 2), _le_hex(F.lit(65536) - a, 2))
+    return F.concat(
+        wav_payload(data_bytes),
+        F.unhex(F.repeat(pair_hex, pairs.cast("int"))),
+    )
+
+
 # --------------------------------------------------- header decode (Python)
 
 
@@ -250,6 +332,177 @@ def decode_media_headers(
             )
 
     return slim.mapInPandas(_batches, schema=DECODED_SCHEMA)
+
+
+# ------------------------------------------- sample decode (Python, REAL)
+#
+# Round 8: pure-stdlib pixel/PCM decoding for PNG and WAV — zlib inflate +
+# the full PNG defilter (types 0-4 incl. Paeth) and RIFF chunk walk +
+# struct int16 unpacking.  JPEG entropy decode genuinely needs a codec
+# library and stays the honest NotImplementedError boundary.
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _png_pixels(b: bytes) -> bytes:
+    """Chunk walk -> IHDR geometry -> concatenated IDAT -> zlib inflate ->
+    scanline defilter (PNG spec 4.5.4, all five filter types).  8-bit
+    depths only (the only depth our builders and fixtures use)."""
+    import zlib
+
+    if b[12:16] != b"IHDR":
+        raise ValueError("png: IHDR not first")
+    w, h = struct.unpack(">II", b[16:24])
+    depth, color = b[24], b[25]
+    if depth != 8:
+        raise NotImplementedError(f"png: bit depth {depth} (only 8 supported)")
+    bpp = _PNG_CHANNELS[color]
+    idat = bytearray()
+    pos = 8
+    while pos + 8 <= len(b):
+        (clen,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + clen]
+        if ctype == b"IEND":
+            break
+        pos += 12 + clen  # len + type + data + crc
+    raw = zlib.decompress(bytes(idat))
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError("png: inflated size != H * (1 + W*bpp)")
+    out = bytearray()
+    prev = bytearray(stride)
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1 : off + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                ul = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"png: unknown filter type {ftype}")
+        out += line
+        prev = line
+    return bytes(out)
+
+
+def _wav_samples(b: bytes) -> list[int]:
+    """RIFF chunk walk -> fmt geometry -> 16-bit LE PCM samples."""
+    if b[8:12] != b"WAVE":
+        raise ValueError("wav: not a WAVE stream")
+    pos, n = 12, len(b)
+    bits, data = None, None
+    while pos + 8 <= n:
+        cid = b[pos : pos + 4]
+        (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+        if cid == b"fmt " and pos + 24 <= n:
+            (bits,) = struct.unpack("<H", b[pos + 22 : pos + 24])
+        elif cid == b"data":
+            data = b[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if bits != 16 or data is None:
+        raise NotImplementedError("wav: only 16-bit PCM with a data chunk")
+    return list(struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2]))
+
+
+SAMPLE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("codec", T.StringType(), True),
+        T.StructField("n_values", T.LongType(), True),
+        T.StructField("v_sum", T.LongType(), True),
+        T.StructField("v_sumsq", T.LongType(), True),
+        T.StructField("v_min", T.LongType(), True),
+        T.StructField("v_max", T.LongType(), True),
+    ]
+)
+
+
+def _sample_stats(payload: bytes | None):
+    if payload is None or len(payload) < 12:
+        return (None, None, None, None, None, None)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        vals: list[int] = list(_png_pixels(payload))
+        codec = "png"
+    elif payload[:4] == b"RIFF":
+        vals = _wav_samples(payload)
+        codec = "wav"
+    elif payload[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "jpeg: entropy decode requires a codec library (PIL/libjpeg) — "
+            "not available in this environment"
+        )
+    else:
+        return (None, None, None, None, None, None)
+    if not vals:
+        return (codec, 0, 0, 0, None, None)
+    return (
+        codec,
+        len(vals),
+        sum(vals),
+        sum(v * v for v in vals),
+        min(vals),
+        max(vals),
+    )
+
+
+def decode_media_samples(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    target_partition_bytes: int = 128 << 20,
+) -> DataFrame:
+    """REAL (stdlib-only) sample decode: PNG pixel bytes via zlib inflate +
+    full defilter, WAV PCM via struct — reduced per row to exact integer
+    statistics (count/sum/sum-of-squares/min/max) so the result is
+    oracle-comparable without float risk.  Same Arrow-batched mapInPandas +
+    byte-budget partitioning shape as decode_media_headers."""
+    total = media.agg(F.sum(F.length(payload_col))).collect()[0][0] or 0
+    n_parts = max(1, int(total // target_partition_bytes) + 1)
+    slim = media.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.col(payload_col).alias("payload"),
+    ).repartition(n_parts)
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = pdf["payload"].map(_sample_stats)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "codec": stats.map(lambda t: t[0]),
+                    "n_values": stats.map(lambda t: t[1]).astype("Int64"),
+                    "v_sum": stats.map(lambda t: t[2]).astype("Int64"),
+                    "v_sumsq": stats.map(lambda t: t[3]).astype("Int64"),
+                    "v_min": stats.map(lambda t: t[4]).astype("Int64"),
+                    "v_max": stats.map(lambda t: t[5]).astype("Int64"),
+                }
+            )
+
+    return slim.mapInPandas(_batches, schema=SAMPLE_STATS_SCHEMA)
 
 
 def _stub_features(payload: bytes | None) -> list[float] | None:

@@ -954,6 +954,36 @@ def q_media_decode(spark, sf_dir):
     return M.decode_media_headers(media)
 
 
+def q_decode_samples(spark, sf_dir):
+    """REAL sample decode (round 8 — closes the PNG/WAV half of the codec
+    boundary): payloads are generated JVM-side WITH their sample data — PNG
+    IDAT as a zlib stored block with a closed-form Adler-32
+    (multimodal.png_payload_with_pixels), WAV with materialized square-wave
+    PCM (wav_payload_with_pcm) — then decode_media_samples inflates +
+    defilters the pixels (zlib + PNG spec 4.5.4) and struct-unpacks the PCM,
+    reducing each row to exact integer statistics.  The DuckDB oracle
+    computes the same statistics arithmetically from the generation
+    formulas, so the hash gate verifies generate -> REAL decode -> stats end
+    to end.  JPEG stays the honest NotImplementedError boundary (entropy
+    decode needs a codec library)."""
+    from lmdiskann_jl_spark.operators import multimodal as M
+
+    docs = _t(spark, sf_dir, "documents")
+    did, nch = F.col("doc_id"), F.col("n_chars")
+    media = docs.filter(did % 3 < 2).select(
+        F.col("doc_id").alias("media_id"),
+        F.when(
+            did % 3 == 0,
+            M.png_payload_with_pixels(
+                did % 8 + 4, nch % 6 + 3, (did * 37 + 11) % 256
+            ),
+        )
+        .otherwise(M.wav_payload_with_pcm(did % 1000 + 100, nch % 16 + 4))
+        .alias("payload"),
+    )
+    return M.decode_media_samples(media)
+
+
 FILTER_LABEL = 3
 HYBRID_TERMS = ["spark", "join", "vector"]
 
@@ -4733,6 +4763,31 @@ def _oracle_map() -> dict[str, str | None]:
                    CAST(CASE CAST(doc_id % 3 AS INT) WHEN 1 THEN n_chars * 2 END AS BIGINT) AS duration_ms
             FROM documents
         """,
+        # arithmetic mirror of the generation formulas in q_decode_samples:
+        # png -> 3WH constant-v pixel bytes, wav -> 2p square-wave samples
+        # of amplitude a (sum 0, sumsq n*a^2) — all scalar BIGINT math, no
+        # HUGEINT-producing aggregates
+        "m_decode_samples": """
+            SELECT doc_id AS media_id, 'png' AS codec,
+                   CAST(3 * w * h AS BIGINT) AS n_values,
+                   CAST(3 * w * h * v AS BIGINT) AS v_sum,
+                   CAST(3 * w * h * v * v AS BIGINT) AS v_sumsq,
+                   CAST(v AS BIGINT) AS v_min, CAST(v AS BIGINT) AS v_max
+            FROM (
+              SELECT doc_id, doc_id % 8 + 4 AS w, n_chars % 6 + 3 AS h,
+                     (doc_id * 37 + 11) % 256 AS v
+              FROM documents WHERE doc_id % 3 = 0
+            )
+            UNION ALL
+            SELECT doc_id, 'wav',
+                   CAST(2 * p AS BIGINT), CAST(0 AS BIGINT),
+                   CAST(2 * p * a * a AS BIGINT),
+                   CAST(-a AS BIGINT), CAST(a AS BIGINT)
+            FROM (
+              SELECT doc_id, doc_id % 1000 + 100 AS a, n_chars % 16 + 4 AS p
+              FROM documents WHERE doc_id % 3 = 1
+            )
+        """,
         "m_frame_plan": f"""
             SELECT media_id, unnest(range(0, dur, {FRAME_EVERY_MS})) AS frame_ts_ms
             FROM (
@@ -5084,6 +5139,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t_pii_redact": q_pii_redact,
         "m_payload_stats": q_media_payload_stats,
         "m_media_decode": q_media_decode,
+        "m_decode_samples": q_decode_samples,
         "t_chunk_documents": q_chunk_documents,
         "t_langid_accuracy": q_langid_accuracy,
         "r_source_mix": q_source_mix,

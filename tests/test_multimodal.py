@@ -105,3 +105,80 @@ def test_stub_feature_extraction_shape(spark):
     rows = {r["media_id"]: r for r in M.extract_features(media).collect()}
     assert len(rows[1]["features"]) == M.FEATURE_DIM
     assert rows[2]["features"] is None
+
+
+def test_png_sample_decode_all_filter_types():
+    """The defilter kernel must invert every PNG filter type (0-4), not just
+    the filter-0 rows our JVM builder emits: construct a 4x5 truecolor PNG
+    in Python with one scanline per filter type, compressed with real zlib,
+    and assert the decoded pixel bytes equal the original image."""
+    import random
+    import struct
+    import zlib
+
+    from lmdiskann_jl_spark.operators.multimodal import _paeth, _png_pixels
+
+    random.seed(11)
+    w, h, bpp = 4, 5, 3
+    stride = w * bpp
+    img = [[random.randrange(256) for _ in range(stride)] for _ in range(h)]
+
+    raw = bytearray()
+    prev = [0] * stride
+    for y, line in enumerate(img):
+        ftype = y % 5
+        raw.append(ftype)
+        for i in range(stride):
+            left = line[i - bpp] if i >= bpp else 0
+            up = prev[i]
+            ul = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                enc = line[i]
+            elif ftype == 1:
+                enc = line[i] - left
+            elif ftype == 2:
+                enc = line[i] - up
+            elif ftype == 3:
+                enc = line[i] - (left + up) // 2
+            else:
+                enc = line[i] - _paeth(left, up, ul)
+            raw.append(enc & 0xFF)
+        prev = line
+
+    def chunk(ctype, data):
+        return struct.pack(">I", len(data)) + ctype + data + b"\0\0\0\0"
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert list(_png_pixels(png)) == [v for line in img for v in line]
+
+
+def test_sample_decode_jpeg_stays_honest_boundary():
+    import pytest as _pytest
+
+    from lmdiskann_jl_spark.operators.multimodal import _sample_stats
+
+    with _pytest.raises(NotImplementedError, match="jpeg"):
+        _sample_stats(b"\xff\xd8\xff\xc0rest-of-jpeg-here")
+
+
+def test_wav_pcm_decode_matches_struct():
+    import struct
+
+    from lmdiskann_jl_spark.operators.multimodal import _sample_stats
+
+    samples = [100, -100, 32000, -32000, 7]
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    codec, n, s, ss, lo, hi = _sample_stats(hdr + data)
+    assert (codec, n) == ("wav", 5)
+    assert s == sum(samples) and ss == sum(v * v for v in samples)
+    assert (lo, hi) == (-32000, 32000)
