@@ -66,7 +66,15 @@ def main() -> None:
     n_cut_tokens = cleaned.agg(F.sum("n_removed")).first()[0] or 0
     canonical = (
         canonical.drop("text")
-        .join(cleaned.select("doc_id", F.col("clean_text").alias("text")), "doc_id")
+        .join(
+            # a fully-duplicated document survives the cut as empty text
+            # (n_kept = 0) — drop it here so sampling/chunking/packing
+            # never see empty docs
+            cleaned.filter(F.col("n_kept") > 0).select(
+                "doc_id", F.col("clean_text").alias("text")
+            ),
+            "doc_id",
+        )
         .cache()
     )
 

@@ -199,6 +199,7 @@ def lsh_knn_join(
     right_id: str = "id",
     vec_col: str = "vec",
     exclude_self: bool = True,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Approximate kNN join via sign-random-projection LSH bucketing.
 
@@ -213,9 +214,20 @@ def lsh_knn_join(
     and tests/test_graph_and_recall.py's pinned-T test do).  Output:
     (left id, right id, dist, rank) — same contract as
     brute_force_knn_join.
+
+    BEHAVIOR NOTE (round 7 default change): ``n_tables`` defaulting to
+    ``None`` means every default-arg caller is in AUTO mode, which sizes
+    the operating point from ``right.count()``.  That count is
+    metadata-only for a raw parquet scan but EXECUTES THE FULL LINEAGE for
+    derived inputs — an extra job per call.  Callers that already know the
+    corpus size (or rank a derived frame) should pass ``n_rows`` to skip
+    the count, or pin both ``n_planes``/``n_tables`` to avoid AUTO
+    entirely.
     """
     if n_planes is None or n_tables is None:
-        n = right.count()  # parquet metadata count — no scan
+        # metadata-only for parquet scans; full lineage for derived inputs
+        # — see the behavior note above (n_rows skips it)
+        n = n_rows if n_rows is not None else right.count()
         auto_p, auto_t = auto_lsh_config(n, k)
         n_planes = auto_p if n_planes is None else n_planes
         n_tables = auto_t if n_tables is None else n_tables

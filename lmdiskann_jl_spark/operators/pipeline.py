@@ -249,25 +249,34 @@ def scalable_rank(
     partition on the order keys, rank within each partition, then add
     per-partition row-count offsets.
 
-    ONE action, ONE pass over the data: both consumers of the range
-    exchange — the per-partition size aggregate and the ranked rows — live
-    in the same physical plan, and AQE's runtime stage cache materializes
-    the repartitionByRange shuffle ONCE for both branches (verified via
-    the UI stage metrics: a single input-reading stage), guaranteeing they
-    see the same placement.  Partition id and within-partition rank come
-    free from ``monotonically_increasing_id`` over the in-partition sort
-    (pid in the upper 31 bits, record index in the lower 33 — so no
-    Window.partitionBy(_pid), which would force a second full-data hash
-    exchange the ranked rows don't need), and the offsets side joins back
-    as a broadcast of at-most-npartitions rows.  This replaces the
-    previous persist + driver-collected counts + eager localCheckpoint
-    choreography (4 jobs, 2 full-data shuffles, a pinned cache — measured
-    0.9 s of pure scheduling overhead on a 31-row vocab at sf0.1).
-    Requires ``order_by`` to be a total order for a deterministic rank
-    (ties otherwise break by partition-arrival order); partitions are
-    bounded at 2^33 rows by the id layout — range partitioning keeps real
-    partitions far below that.
+    ONE action, ONE pass over the data: the ranked rows and the
+    per-partition size aggregate both consume the range exchange, and a
+    LAZY ``persist`` on the parted/ranked node is the consistency
+    guarantee — the offsets branch (the broadcast job AQE runs first)
+    materializes the cached partitions, the ranked branch then reads the
+    SAME blocks, so the two consumers can never see different placements
+    even when column pruning, AQE coalescing, or nondeterministic
+    upstream order would otherwise give each branch its own exchange.
+    (No eager action: this is a plain lazy cache, not the old persist +
+    driver-collected counts + eager localCheckpoint choreography — 4
+    jobs, 2 full-data shuffles — that round 7 removed.)  Partition id and
+    within-partition rank come free from ``monotonically_increasing_id``
+    over the in-partition sort (pid in the upper 31 bits, record index in
+    the lower 33 — so no Window.partitionBy(_pid), which would force a
+    second full-data hash exchange the ranked rows don't need), and the
+    offsets side joins back as a broadcast of at-most-npartitions rows —
+    a LEFT join whose null-offset arm is ``raise_error``, so if cache
+    loss + recomputation ever re-diverged the branches the query dies
+    loudly instead of silently mis-ranking.  Requires ``order_by`` to be
+    a total order for a deterministic rank (ties otherwise break by
+    partition-arrival order); partitions are bounded at 2^33 rows by the
+    id layout — range partitioning keeps real partitions far below that.
+    The cache is released after the first action via Spark's LRU (the
+    utility cannot unpersist mid-plan); rankings of very large inputs
+    spill to disk rather than evict (MEMORY_AND_DISK).
     """
+    from pyspark import StorageLevel
+
     if npartitions is not None:
         parted = df.repartitionByRange(npartitions, *order_by)
     else:
@@ -275,8 +284,10 @@ def scalable_rank(
         # a 31-row vocab collapses to one partition, a billion-term vocab
         # fans out — the dispatch is the optimizer's
         parted = df.repartitionByRange(*order_by)
-    parted = parted.sortWithinPartitions(*order_by).withColumn(
-        "_mid", F.monotonically_increasing_id()
+    parted = (
+        parted.sortWithinPartitions(*order_by)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     part = parted.withColumn(
         "_pid", F.shiftright("_mid", 33).cast("int")
@@ -290,9 +301,19 @@ def scalable_rank(
             F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)).alias("_off"),
         )
     )
+    off = F.when(
+        F.col("_off").isNull(),
+        F.raise_error(
+            F.lit(
+                "scalable_rank: partition offset missing — the offsets and "
+                "ranked branches saw different materializations of the "
+                "range exchange"
+            )
+        ).cast("long"),
+    ).otherwise(F.col("_off"))
     return (
-        part.join(F.broadcast(offsets), "_pid")
-        .withColumn(rank_col, (F.col("_lrank") + F.col("_off")).cast("long"))
+        part.join(F.broadcast(offsets), "_pid", "left")
+        .withColumn(rank_col, (F.col("_lrank") + off).cast("long"))
         .drop("_pid", "_off", "_mid", "_lrank")
     )
 

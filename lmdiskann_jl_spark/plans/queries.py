@@ -1160,7 +1160,11 @@ def _bm25_scores(spark, sf_dir) -> DataFrame:
     oracle's per-doc sum() visits term rows in engine-dependent order,
     and integer summation is the only order-free accumulation — so rank
     assignment and top-k selection order identically across engines with
-    no .xxxx5 rounding boundary (round-7; the unigram-logprob rule)."""
+    no .xxxx5 rounding boundary (round-7; the unigram-logprob rule).
+    Residual risk: the idf's F.log is a libm transcendental (not
+    guaranteed correctly rounded), so a last-ulp cross-engine difference
+    exactly on a quantum boundary could still flip one quantum — reduced
+    to that single edge, not zero; the hash gate would surface it."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
     per_doc = toks.groupBy("doc_id").agg(
@@ -1458,11 +1462,15 @@ def q_unigram_logprob(spark, sf_dir):
             "doc_id",
             "tf",
             # per-term weighted logprob quantized to 1e-6 integer units
-            # BEFORE the per-doc sum: identical input doubles through
-            # identical IEEE ops give identical quanta on every engine,
-            # and integer summation is ORDER-FREE — eliminating the
-            # summation-order hash divergence double sums carry (the
-            # r_events_* cents rule applied to a log-valued column).
+            # BEFORE the per-doc sum: integer summation is ORDER-FREE,
+            # which ELIMINATES the summation-order hash divergence double
+            # sums carry (the r_events_* cents rule applied to a
+            # log-valued column).  Residual cross-engine risk: F.log is a
+            # libm transcendental, not guaranteed correctly rounded — a
+            # last-ulp JVM-vs-DuckDB difference landing exactly on a
+            # floor(x*1e6+0.5) quantum boundary could still flip one
+            # quantum (never observed on this data; the hash gate would
+            # catch it).  The +, *, / feeding it are exact-identical IEEE.
             # Magnitudes stay far under 2^53: |wlp| <~ 30 => 3e7 per
             # term-row, ~1e12 for a 100k-token doc.
             F.floor(
