@@ -384,3 +384,154 @@ def test_stateless_stream_clean_equals_batch_under_multibatch_slicing(
     got = {tuple(r) for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     want = {tuple(r) for r in clean(docs).collect()}
     assert got == want
+
+
+def test_stateful_sessions_equal_batch_under_multibatch_slicing(
+    spark, tmp_path, finish_stream
+):
+    """The q_stream_sessions gate writes ONE input file because its
+    0-second watermark makes single-batch load-bearing (any cross-batch
+    disorder would be late).  This pins the GENERAL stateful contract the
+    gate's sentinel flush relies on: with a watermark delay >= the
+    stream's event-time span, the same session_window aggregation +
+    far-future sentinel equals the batch twin under worst-case slicing
+    (arbitrary 6-way split, maxFilesPerTrigger=1 => one micro-batch per
+    file, only the sentinel pinned to arrive last)."""
+    from lmdiskann_jl_spark.streaming.sessions import streaming_sessions
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_df = ev.select(
+        "user_id", F.timestamp_seconds(F.unix_timestamp("ts")).alias("tsec")
+    )
+    lo, hi = src_df.agg(
+        F.min(F.unix_timestamp("tsec")), F.max(F.unix_timestamp("tsec"))
+    ).first()
+    gap_sec, delay = 1800, int(hi - lo) + 1
+    sentinel = spark.range(1).select(
+        F.lit(-1).cast("long").alias("user_id"),
+        F.timestamp_seconds(F.lit(int(hi) + delay + gap_sec + 1)).alias("tsec"),
+    )
+    src = str(tmp_path / "in")
+    src_df.repartition(6).write.parquet(src)
+    sent_dir = str(tmp_path / "sent")
+    sentinel.coalesce(1).write.parquet(sent_dir)
+    import glob
+    import os
+    import shutil
+    import time
+
+    for f in glob.glob(f"{sent_dir}/part-*.parquet"):
+        shutil.copy(f, f"{src}/zz-sentinel.parquet")
+    t = time.time() + 3600
+    os.utime(os.path.join(src, "zz-sentinel.parquet"), (t, t))
+
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sess = streaming_sessions(
+        stream, key_col="user_id", ts_col="tsec",
+        gap=f"{gap_sec} seconds", watermark=f"{delay} seconds",
+    )
+    q = (
+        sess.writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("parquet")
+        .start(str(tmp_path / "out"))
+    )
+    finish_stream(q)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .filter(F.col("user_id") >= 0)
+        .collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in streaming_sessions(
+            src_df, key_col="user_id", ts_col="tsec", gap=f"{gap_sec} seconds"
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stateful_rollup_equal_batch_under_multibatch_slicing(
+    spark, tmp_path, finish_stream
+):
+    """Same multi-batch hardening for the tumbling-window rollup gate:
+    span-sized watermark delay + last-arriving sentinel => the windowed
+    cents aggregation equals the batch twin under one-file-per-batch
+    slicing."""
+    import os
+    import time
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src_df = ev.select(
+        F.timestamp_seconds(F.unix_timestamp("ts")).alias("tsec"),
+        "event_type",
+        "value",
+    )
+    lo, hi = src_df.agg(
+        F.min(F.unix_timestamp("tsec")), F.max(F.unix_timestamp("tsec"))
+    ).first()
+    delay = int(hi - lo) + 1
+    sentinel = spark.range(1).select(
+        F.timestamp_seconds(F.lit(int(hi) + delay + 7200)).alias("tsec"),
+        F.lit("__sentinel__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
+    src = str(tmp_path / "in")
+    src_df.repartition(6).write.parquet(src)
+    sent_dir = str(tmp_path / "sent")
+    sentinel.coalesce(1).write.parquet(sent_dir)
+    import glob
+    import shutil
+
+    for f in glob.glob(f"{sent_dir}/part-*.parquet"):
+        shutil.copy(f, f"{src}/zz-sentinel.parquet")
+    t = time.time() + 3600
+    os.utime(os.path.join(src, "zz-sentinel.parquet"), (t, t))
+
+    def rolled(df, wm=None):
+        base = df.withWatermark("tsec", wm) if wm else df
+        return (
+            base.groupBy(F.window("tsec", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(
+                    F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+                ).alias("sum_value_cents"),
+            )
+            .select(
+                F.unix_timestamp("w.start").alias("bucket"),
+                "event_type", "n", "sum_value_cents",
+            )
+        )
+
+    stream = (
+        spark.readStream.schema(src_df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        rolled(stream, wm=f"{delay} seconds")
+        .writeStream.trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .format("parquet")
+        .start(str(tmp_path / "out"))
+    )
+    finish_stream(q)
+    got = {
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value_cents"])
+        for r in spark.read.parquet(str(tmp_path / "out"))
+        .filter(F.col("event_type") != "__sentinel__")
+        .collect()
+    }
+    want = {
+        (r["bucket"], r["event_type"]): (r["n"], r["sum_value_cents"])
+        for r in rolled(src_df).collect()
+    }
+    assert got == want
