@@ -541,7 +541,10 @@ class LMDiskANNIndex:
         ivf = self.meta.get("ivf")
         return bool(ivf) and ivf.get("built_from") == self.meta["versions"]["vectors"]
 
-    def build_beam_blocks(self, n_entrypoints: int = 8) -> "LMDiskANNIndex":
+    def build_beam_blocks(
+        self, n_entrypoints: int = 8, compress: str | None = None,
+        pq_m: int = 8, pq_k: int = 32,
+    ) -> "LMDiskANNIndex":
         """Materialize the LM-DiskANN BLOCK layout: one self-contained row
         per node — its vector, neighbor ids, and copies of the neighbor
         vectors (the reference's defining disk format,
@@ -551,31 +554,58 @@ class LMDiskANNIndex:
         the single-block-read-per-expansion contract that makes the graph
         path viable on disk.
 
-        Storage trade (same as the paper's): ~(1 + degree) x the flat vector
-        table; the paper PQ-compresses the copies and re-ranks exact — here
-        copies are exact so recall is identical to the two-fetch path, and
-        PQ-coded blocks are the documented 100-TB follow-up.  ``n_entrypoints``
-        spread seed ids are computed once and stored in the layout's metadata
-        so searches seed with zero extra jobs.  Mutations invalidate the
-        layout (version-stamped like IVF); beam search then falls back to
-        the two-fetch path until the blocks are rebuilt.
+        Storage trade (same as the paper's): raw blocks cost ~(1 + degree) x
+        the flat vector table.  ``compress='pq'`` stores the paper's actual
+        format instead — each neighbor copy as ``pq_m`` PQ codes
+        (~(1 + degree*pq_m/(4*dim)) x storage; the node's OWN vector stays
+        full precision in its block exactly as in the paper) — and search
+        scores candidates by ADC lookups, then exact-re-ranks the retained
+        set in one extra pruned fetch, so returned distances are exact in
+        both modes.  PQ needs an additively-decomposable metric (euclidean/
+        sqeuclidean/manhattan/dot); cosine indexes must build raw.
+        ``n_entrypoints`` spread seed ids are computed once and stored in
+        the layout's metadata so searches seed with zero extra jobs.
+        Mutations invalidate the layout (version-stamped like IVF); beam
+        search then falls back to the two-fetch path until rebuilt.
         """
-        from lmdiskann_jl_spark.operators.beam import _pick_entrypoints
+        from lmdiskann_jl_spark.operators.beam import _adc_table, _pick_entrypoints
 
+        if compress not in (None, "pq"):
+            raise ValueError(f"compress must be None or 'pq', got {compress!r}")
         vec = self.vectors
         el = "double" if self.meta.get("eltype") == "float64" else "float"
-        nbr_vec = vec.select(
-            F.col("id").alias("nbr"), F.col("vec").alias("_nvec")
-        )
+        codebook_lists = None
+        if compress == "pq":
+            import numpy as np
+
+            from lmdiskann_jl_spark.operators.pq import build_pq, pq_encode
+
+            dim = int(self.meta["dim"])
+            cb_df = build_pq(vec, dim=dim, m=pq_m, k=pq_k)
+            # validate the metric decomposes additively BEFORE writing
+            books: list[list[list[float]]] = [[] for _ in range(pq_m)]
+            for r in sorted(cb_df.collect(), key=lambda r: (r["sub"], r["code"])):
+                books[r["sub"]].append([float(x) for x in r["centroid"]])
+            codebook_lists = books
+            _adc_table(self.meta["metric"], np.asarray(books), np.zeros(dim))
+            payload = pq_encode(vec, cb_df, dim=dim, m=pq_m).select(
+                F.col("id").alias("nbr"), F.col("codes").alias("_npay")
+            )
+            pay_cast = "array<array<int>>"
+            pay_name = "nbr_codes"
+        else:
+            payload = vec.select(F.col("id").alias("nbr"), F.col("vec").alias("_npay"))
+            pay_cast = f"array<array<{el}>>"
+            pay_name = "nbr_vecs"
         per_node = (
             self.adjacency.select("id", F.posexplode("neighbors").alias("pos", "nbr"))
-            .join(nbr_vec, "nbr")
+            .join(payload, "nbr")
             .groupBy("id")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "nbr", "_nvec"))).alias("s"))
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "nbr", "_npay"))).alias("s"))
             .select(
                 "id",
                 F.transform("s", lambda s: s["nbr"]).alias("neighbors"),
-                F.transform("s", lambda s: s["_nvec"]).alias("nbr_vecs"),
+                F.transform("s", lambda s: s["_npay"]).alias(pay_name),
             )
         )
         blocks = (
@@ -584,7 +614,7 @@ class LMDiskANNIndex:
                 "id",
                 "vec",
                 F.coalesce("neighbors", F.array().cast("array<bigint>")).alias("neighbors"),
-                F.coalesce("nbr_vecs", F.array().cast(f"array<array<{el}>>")).alias("nbr_vecs"),
+                F.coalesce(pay_name, F.array().cast(pay_cast)).alias(pay_name),
             )
             .withColumn("_b", F.pmod(F.col("id"), F.lit(N_ID_BUCKETS)).cast("int"))
         )
@@ -595,6 +625,10 @@ class LMDiskANNIndex:
             "dir": blocks_dir,
             "built_from": list(stamp),
             "entrypoints": _pick_entrypoints(vec, "id", max(1, n_entrypoints)),
+            "compress": compress,
+            # m*k*width doubles (default 8*32*8 = 2 KB) — meta-sized by
+            # construction, so searches rebuild ADC tables with zero jobs
+            "codebook": codebook_lists,
         }
         self.save()
         return self
@@ -783,6 +817,7 @@ class LMDiskANNIndex:
                     self.spark, self._blocks_fetcher(), queries,
                     ef=max(topk, ef), metric=metric,
                     seeds=seeds, max_hops=max_hops,
+                    codebook=self.meta["beam_blocks"].get("codebook"),
                 )
             else:
                 cand = beam_search_batch(

@@ -328,12 +328,14 @@ def beam_search_batch(
 # the block path below is the faithful one: ONE partition-pruned fetch per
 # hop, neighbor scoring driver-side from the fetched copies.
 #
-# Storage trade (documented, same as the paper's): blocks replicate each
-# vector once per in-edge, ~(1 + degree) x the flat vector table.  The paper
-# compresses the copies with PQ and re-ranks exact at the end; here copies
-# are exact (recall identical to the two-fetch path) and the PQ variant is
-# the documented 100-TB follow-up — the fetch shape is what matters for the
-# hop-latency contract.
+# Storage trade (same as the paper's): raw blocks replicate each vector once
+# per in-edge, ~(1 + degree) x the flat vector table — fine at moderate
+# degree, heavy at 100 TB.  The paper's answer is implemented here too:
+# ``codebook=`` switches the payload to PQ codes (m bytes per copy instead
+# of dim floats, ~(1 + degree*m/(4*dim)) x storage), traversal scores by ADC
+# table lookup, and one final pruned fetch re-ranks every retained candidate
+# against its full-precision vector (the reference re-scores exact at
+# src/LMDiskANN.jl:465-471), so returned distances are exact either way.
 #
 # Driver memory bound: O(unique ids seen x dim) vectors + O(expanded x degree)
 # neighbor ids — the same ids-only-plus-copies budget the paper holds in its
@@ -366,6 +368,39 @@ def _np_dists(metric: str, mat, q):
     raise ValueError(f"metric {metric!r} has no driver-side kernel; use the two-fetch path")
 
 
+def _adc_table(metric: str, cb, q):
+    """Per-query ADC lookup table over a PQ codebook ``cb`` (m, k, width):
+    table[sub, code] = the metric's additive contribution of that codeword
+    to the distance between ``q`` and any vector whose sub-th code is
+    ``code`` (Jegou et al., asymmetric distance computation).  Euclidean
+    accumulates squared contributions (sqrt at lookup); cosine does not
+    decompose additively and is rejected (build the layout raw for cosine
+    indexes)."""
+    import numpy as np
+
+    m_, _, width = cb.shape
+    qsub = np.asarray(q, dtype=np.float64).reshape(m_, width)
+    mt = metric.lower()
+    if mt in ("euclidean", "l2", "sqeuclidean"):
+        return ((cb - qsub[:, None, :]) ** 2).sum(axis=-1)
+    if mt in ("manhattan", "l1"):
+        return np.abs(cb - qsub[:, None, :]).sum(axis=-1)
+    if mt == "dot":
+        return -(cb * qsub[:, None, :]).sum(axis=-1)
+    raise ValueError(
+        f"metric {metric!r} has no additive ADC decomposition; "
+        "build the block layout uncompressed for this index"
+    )
+
+
+def _adc_lookup(metric: str, table, codes_mat):
+    """Approximate distances for a (n, m) code matrix via table lookups."""
+    import numpy as np
+
+    vals = table[np.arange(table.shape[0])[None, :], codes_mat].sum(axis=1)
+    return np.sqrt(vals) if metric.lower() in ("euclidean", "l2") else vals
+
+
 def beam_search_batch_blocks(
     spark,
     blocks_fetch: Callable[[Sequence[int]], DataFrame],
@@ -377,23 +412,43 @@ def beam_search_batch_blocks(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     stats: dict | None = None,
+    codebook=None,
 ) -> DataFrame:
-    """Batched beam search over a BLOCK table (id, vec, neighbors, nbr_vecs).
+    """Batched beam search over a BLOCK table.
 
     One Spark job per hop (vs two in beam_search_batch): fetching a frontier
-    node's block yields its neighbor ids AND their vector copies, so
-    candidate scoring is driver-side numpy on the copies just fetched — the
-    reference's single-block-read-per-expansion contract.  ``blocks_fetch``
-    must be a partition-pruned point fetch (index._fetcher over the bucketed
-    blocks snapshot).  ``seeds`` are required (the index stores spread
-    entrypoints in the block layout's metadata, so seeding costs no job).
+    node's block yields its neighbor ids AND their vector payloads, so
+    candidate scoring is driver-side numpy on the payloads just fetched —
+    the reference's single-block-read-per-expansion contract.
+    ``blocks_fetch`` must be a partition-pruned point fetch (index._fetcher
+    over the bucketed blocks snapshot).  ``seeds`` are required (the index
+    stores spread entrypoints in the block layout's metadata, so seeding
+    costs no job).
+
+    Two payload modes, switched by ``codebook``:
+
+    - RAW (codebook=None): block rows are (id, vec, neighbors, nbr_vecs)
+      with exact copies — candidate distances are true-metric immediately.
+    - PQ (codebook = (m, k, width) nested lists / ndarray, the paper's
+      actual format): rows are (id, vec, neighbors, nbr_codes); candidates
+      are scored by ADC table lookups during traversal, and the function
+      ends with ONE extra pruned fetch to re-score every retained candidate
+      against its full-precision vector (the reference re-ranks exact at
+      src/LMDiskANN.jl:465-471), so returned distances are always exact.
+      A node's OWN vector is stored full-precision in its block (as in the
+      paper), so already-expanded candidates re-rank without refetching.
 
     Returns (qid, id, dist): up to ef candidates per query, true-metric
-    distances computed from exact vector copies.
+    distances.
     """
     import numpy as np
 
-    _np_dists(metric, np.zeros((1, 2)), np.zeros(2))  # validate metric early
+    pq_mode = codebook is not None
+    if pq_mode:
+        cb = np.asarray(codebook, dtype=np.float64)
+        _adc_table(metric, cb, np.zeros(cb.shape[0] * cb.shape[2]))  # validate
+    else:
+        _np_dists(metric, np.zeros((1, 2)), np.zeros(2))  # validate metric early
 
     qid_type = queries.schema[qid_col].dataType.simpleString()
     q_rows = queries.select(qid_col, qvec_col).collect()
@@ -402,33 +457,59 @@ def beam_search_batch_blocks(
         return spark.createDataFrame([], empty)
     qids = [r[qid_col] for r in q_rows]
     qvec = {r[qid_col]: np.asarray(r[qvec_col], dtype=np.float64) for r in q_rows}
+    tables = {q: _adc_table(metric, cb, qvec[q]) for q in qids} if pq_mode else None
 
+    payload_col = "nbr_codes" if pq_mode else "nbr_vecs"
     seeds = sorted({int(s) for s in seeds})
-    vec_of: dict[int, "np.ndarray"] = {}
+    vec_of: dict[int, "np.ndarray"] = {}  # exact own vectors of FETCHED blocks
+    copy_of: dict[int, "np.ndarray"] = {}  # neighbor payloads (copies or codes)
     nbrs_of: dict[int, list[int]] = {}
     best: dict = {q: {} for q in qids}
     visited: dict = {q: set() for q in qids}
     frontier: dict = {q: list(seeds) for q in qids}
 
+    def fetch_blocks(ids):
+        rows = (
+            blocks_fetch(ids)
+            .select("id", "vec", "neighbors", payload_col)
+            .collect()
+        )
+        for r in rows:
+            i = int(r["id"])
+            vec_of[i] = np.asarray(r["vec"], dtype=np.float64)
+            nbrs = [int(n) for n in (r["neighbors"] or [])]
+            nbrs_of[i] = nbrs
+            for n, p in zip(nbrs, r[payload_col] or []):
+                if n not in copy_of and p is not None:
+                    copy_of[n] = np.asarray(
+                        p, dtype=np.int64 if pq_mode else np.float64
+                    )
+        return len(rows)
+
+    def score_cands(q, cand_ids):
+        """True-metric dists for exact-known ids; ADC (pq) or copy (raw)
+        dists for the rest — one vectorized pass each."""
+        exact = [c for c in cand_ids if c in vec_of]
+        approx = [c for c in cand_ids if c not in vec_of and c in copy_of]
+        out = {}
+        if exact:
+            d = _np_dists(metric, np.stack([vec_of[c] for c in exact]), qvec[q])
+            out.update(zip(exact, d.tolist()))
+        if approx:
+            if pq_mode:
+                d = _adc_lookup(metric, tables[q], np.stack([copy_of[c] for c in approx]))
+            else:
+                d = _np_dists(metric, np.stack([copy_of[c] for c in approx]), qvec[q])
+            out.update(zip(approx, d.tolist()))
+        return out
+
     for hop in range(max_hops):
         to_fetch = sorted({i for ids in frontier.values() for i in ids} - nbrs_of.keys())
         if to_fetch:
-            rows = (
-                blocks_fetch(to_fetch)
-                .select("id", "vec", "neighbors", "nbr_vecs")
-                .collect()
-            )
+            n_rows = fetch_blocks(to_fetch)
             if stats is not None:
                 stats["hops"] = stats.get("hops", 0) + 1
-                stats["blocks_fetched"] = stats.get("blocks_fetched", 0) + len(rows)
-            for r in rows:
-                i = int(r["id"])
-                vec_of[i] = np.asarray(r["vec"], dtype=np.float64)
-                nbrs = [int(n) for n in (r["neighbors"] or [])]
-                nbrs_of[i] = nbrs
-                for n, nv in zip(nbrs, r["nbr_vecs"] or []):
-                    if n not in vec_of and nv is not None:
-                        vec_of[n] = np.asarray(nv, dtype=np.float64)
+                stats["blocks_fetched"] = stats.get("blocks_fetched", 0) + n_rows
         improved: set = set()
         for q in list(frontier):
             front = frontier[q]
@@ -443,14 +524,14 @@ def beam_search_batch_blocks(
             cand -= visited[q]
             cand -= b.keys()
             visited[q].update(front)
-            cand_ids = sorted(c for c in cand if c in vec_of)
-            if not cand_ids:
-                continue
-            dists = _np_dists(metric, np.stack([vec_of[c] for c in cand_ids]), qvec[q])
+            scored = score_cands(q, sorted(cand))
             if stats is not None:
-                stats["rows_scored"] = stats.get("rows_scored", 0) + len(cand_ids)
+                stats["rows_scored"] = stats.get("rows_scored", 0) + len(scored)
+            if not scored:
+                continue
             worst = max(b.values()) if len(b) >= ef else float("inf")
-            for c, d in zip(cand_ids, dists.tolist()):
+            for c in sorted(scored):
+                d = scored[c]
                 if len(b) < ef or d < worst:
                     b[c] = d
                     improved.add(q)
@@ -465,6 +546,27 @@ def beam_search_batch_blocks(
             ]
             for q in improved
         }
+
+    if pq_mode:
+        # exact re-rank (the reference's :465-471): one pruned fetch for the
+        # retained candidates whose full-precision vector we don't yet hold,
+        # then every returned distance is recomputed from the exact vector
+        missing = sorted(
+            {i for b in best.values() for i in b} - vec_of.keys()
+        )
+        if missing:
+            rows = blocks_fetch(missing).select("id", "vec").collect()
+            for r in rows:
+                vec_of[int(r["id"])] = np.asarray(r["vec"], dtype=np.float64)
+            if stats is not None:
+                stats["rerank_fetched"] = len(rows)
+        for q, b in best.items():
+            ids = sorted(i for i in b if i in vec_of)
+            if ids:
+                d = _np_dists(metric, np.stack([vec_of[i] for i in ids]), qvec[q])
+                best[q] = dict(zip(ids, d.tolist()))
+            else:
+                best[q] = {}
 
     return spark.createDataFrame(
         [(q, i, d) for q, b in best.items() for i, d in b.items()],

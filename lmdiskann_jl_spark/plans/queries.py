@@ -3330,6 +3330,63 @@ def q_beam_recall(spark, sf_dir):
     return _recall_row(spark, r)
 
 
+def q_beam_pq_recall(spark, sf_dir):
+    """recall@10 of beam search over PQ-COMPRESSED blocks — the reference's
+    ACTUAL disk format (LM-DiskANN paper section 4: neighbor copies stored
+    as product-quantized codes, traversal ordered by ADC table lookups, the
+    retained set exact-re-ranked at the end, src/LMDiskANN.jl:465-471).
+    The raw-copy gate (a_beam_recall) pins the traversal; this gate pins
+    that COMPRESSION does not break the quality bar (>= 0.70,
+    test/runtests.jl:454).  Assembled from the session-shared artifacts:
+    the bulk adjacency edge set, the shared PQ codebook+codes, and the
+    shared exact baseline — so the gate's own cost is the blocks join plus
+    the one-fetch-per-hop traversal."""
+    import numpy as np
+
+    from lmdiskann_jl_spark.operators.beam import (
+        _pick_entrypoints,
+        beam_search_batch_blocks,
+        default_fetcher,
+    )
+
+    emb = _gate_emb(spark, sf_dir)
+    key = _gate_key(spark, sf_dir, "pq_blocks")
+    if key not in _GATE_CACHE:
+        cb_df, codes = _gate_pq(spark, sf_dir)
+        edges = _adjacency_edges_shared(spark, sf_dir)
+        per_node = (
+            edges.select("id", F.col("rank").alias("pos"), F.col("neighbor").alias("nbr"))
+            .join(codes.select(F.col("id").alias("nbr"), F.col("codes").alias("_npay")), "nbr")
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "nbr", "_npay"))).alias("s"))
+            .select(
+                "id",
+                F.transform("s", lambda s: s["nbr"]).alias("neighbors"),
+                F.transform("s", lambda s: s["_npay"]).alias("nbr_codes"),
+            )
+        )
+        blocks = emb.join(per_node, "id", "left").select(
+            "id", "vec",
+            F.coalesce("neighbors", F.array().cast("array<bigint>")).alias("neighbors"),
+            F.coalesce("nbr_codes", F.array().cast("array<array<int>>")).alias("nbr_codes"),
+        ).cache()
+        books: list[list[list[float]]] = [[] for _ in range(8)]
+        for r in sorted(cb_df.collect(), key=lambda r: (r["sub"], r["code"])):
+            books[r["sub"]].append([float(x) for x in r["centroid"]])
+        seeds = _pick_entrypoints(emb, "id", 4)
+        _GATE_CACHE[key] = (blocks, np.asarray(books), seeds)
+    blocks, codebook, seeds = _GATE_CACHE[key]
+    qdf = _recall_queries(emb)
+    exact = _gate_exact(spark, sf_dir).select("qid", "id")
+    approx = beam_search_batch_blocks(
+        spark, default_fetcher(blocks), qdf,
+        ef=100, metric="euclidean", seeds=seeds, max_hops=6,
+        codebook=codebook,
+    ).select("qid", "id")
+    r = recall_at_k(approx, exact, k=10)
+    return _recall_row(spark, r)
+
+
 def q_incremental_insert_recall(spark, sf_dir):
     """Quality gate for incremental ann_insert! (src/LMDiskANN.jl:531-584):
     build the graph on 80% of ids, insert the remaining 20% in two batches
@@ -4870,6 +4927,7 @@ def _oracle_map() -> dict[str, str | None]:
         "a_graph_build_lsh_recall": None,
         "a_incremental_insert_recall": None,
         "a_beam_recall": None,
+        "a_beam_pq_recall": None,
         "a_ivf_recall": None,
         "a_embedding_neardup_lsh": None,
         # planted-twin instance (see q_semantic_dedup): brute-force all
@@ -5213,6 +5271,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r_top_orders_per_segment": q_top_orders_per_segment,
         "v_auto_search": q_auto_search,
         "a_beam_recall": q_beam_recall,
+        "a_beam_pq_recall": q_beam_pq_recall,
         "a_incremental_insert_recall": q_incremental_insert_recall,
         "a_lsh_knn": q_lsh_knn,
         "a_lsh_knn_auto": q_lsh_knn_auto,

@@ -156,3 +156,57 @@ def test_blocks_rows_are_self_contained(spark, idx_path, batch):
     )
     mismatches = joined.filter(F.col("copy") != F.col("own")).count()
     assert mismatches == 0
+
+
+def test_pq_blocks_recall_and_exact_rerank(spark, idx_path, batch, queries):
+    """compress='pq' (the paper's actual block format): traversal orders by
+    ADC lookups, the final fetch re-ranks exact — returned distances must be
+    TRUE euclidean (match the exact scan bit-for-bit on the same ids) and
+    self-queries must still come back first."""
+    idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6)
+    idx.insert_batch(batch, vec_col="vec", key_col="k")
+    idx.build_beam_blocks(n_entrypoints=4, compress="pq", pq_m=4, pq_k=16)
+    assert idx.meta["beam_blocks"]["compress"] == "pq"
+    assert idx._blocks_fresh()
+
+    res = idx.search_batch(queries, topk=3, mode="beam", ef=40,
+                           n_entrypoints=4, max_hops=8)
+    rows = res.collect()
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append(r)
+    emb = {int(r["id"]): r for r in idx.vectors.collect()}
+    qrows = {r["qid"]: r["qvec"] for r in queries.collect()}
+    import math
+
+    for qid, rs in by_qid.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert rs[0]["key"] == f"key-{qid}", "self-match must rank first"
+        assert rs[0]["dist"] == pytest.approx(0.0, abs=1e-5)
+        # every returned dist is the TRUE euclidean distance, not ADC
+        for r in rs:
+            v, q = emb[r["id"]]["vec"], qrows[qid]
+            true_d = math.sqrt(sum((a - b) ** 2 for a, b in zip(v, q)))
+            assert r["dist"] == pytest.approx(true_d, rel=1e-9, abs=1e-9)
+
+
+def test_pq_blocks_reject_cosine(spark, idx_path, batch):
+    idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6, metric="cosine")
+    idx.insert_batch(batch, vec_col="vec", key_col="k")
+    with pytest.raises(ValueError, match="ADC|cosine|additive"):
+        idx.build_beam_blocks(compress="pq", pq_m=4, pq_k=16)
+
+
+def test_pq_blocks_recall_meets_reference_bar(spark, idx_path, batch, queries):
+    """ADC ordering + exact re-rank must hold recall@k >= 0.70 (the
+    reference's bar) against the exact scan on the fixture."""
+    from lmdiskann_jl_spark.operators.topk import batch_topk, recall_at_k
+
+    idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6)
+    idx.insert_batch(batch, vec_col="vec", key_col="k")
+    idx.build_beam_blocks(n_entrypoints=4, compress="pq", pq_m=4, pq_k=16)
+    approx = idx.search_batch(queries, topk=5, mode="beam", ef=40,
+                              n_entrypoints=4, max_hops=8).select("qid", "id")
+    vecs = idx.vectors
+    exact = batch_topk(queries, vecs, k=5, metric="euclidean").select("qid", "id")
+    assert recall_at_k(approx, exact, k=5) >= 0.70
