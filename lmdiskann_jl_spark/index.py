@@ -714,18 +714,46 @@ class LMDiskANNIndex:
             if mode == "lsh":  # single-query LSH degenerates to exact
                 mode = "exact"
         if mode == "beam":
-            # n_entrypoints > 1: ignore the stored single entrypoint and
-            # auto-pick a spread seed set (beam._pick_entrypoints) — fewer
-            # hops, same recall bar (the reference's single-seed semantics
-            # remain the default)
-            result = beam_search(
-                self.vectors, self.adjacency, query,
-                ef=ef, metric=self.meta["metric"],
-                entrypoint=int(self.meta["entrypoint"]) if n_entrypoints <= 1 else None,
-                n_entrypoints=n_entrypoints,
-                vectors_fetch=self._fetcher("vectors"),
-                adjacency_fetch=self._fetcher("adjacency"),
-            ).orderBy(F.col("dist").asc(), F.col("id").asc()).limit(topk)
+            from lmdiskann_jl_spark.operators.beam import _NUMPY_METRICS
+
+            metric = self.meta["metric"]
+            if self._blocks_fresh() and isinstance(metric, str) and metric.lower() in _NUMPY_METRICS:
+                # block layout present: run as a 1-row batch through the
+                # one-fetch-per-hop path (same facade contract, fewer jobs)
+                from lmdiskann_jl_spark.operators.beam import beam_search_batch_blocks
+
+                stored = [int(e) for e in self.meta["beam_blocks"]["entrypoints"]]
+                if n_entrypoints <= 1:
+                    ep = int(self.meta["entrypoint"])
+                    seeds = [ep] if ep >= 0 else stored[:1]
+                else:
+                    seeds = stored[:n_entrypoints]
+                qdf = self.spark.createDataFrame(
+                    [(0, [float(x) for x in query])], "qid long, qvec array<double>"
+                )
+                result = (
+                    beam_search_batch_blocks(
+                        self.spark, self._blocks_fetcher(), qdf,
+                        ef=ef, metric=metric, seeds=seeds,
+                        codebook=self.meta["beam_blocks"].get("codebook"),
+                    )
+                    .select("id", "dist")
+                    .orderBy(F.col("dist").asc(), F.col("id").asc())
+                    .limit(topk)
+                )
+            else:
+                # n_entrypoints > 1: ignore the stored single entrypoint and
+                # auto-pick a spread seed set (beam._pick_entrypoints) — fewer
+                # hops, same recall bar (the reference's single-seed semantics
+                # remain the default)
+                result = beam_search(
+                    self.vectors, self.adjacency, query,
+                    ef=ef, metric=metric,
+                    entrypoint=int(self.meta["entrypoint"]) if n_entrypoints <= 1 else None,
+                    n_entrypoints=n_entrypoints,
+                    vectors_fetch=self._fetcher("vectors"),
+                    adjacency_fetch=self._fetcher("adjacency"),
+                ).orderBy(F.col("dist").asc(), F.col("id").asc()).limit(topk)
         elif mode == "ivf":
             from lmdiskann_jl_spark.operators.ivf import ivf_search
 

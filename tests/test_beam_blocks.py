@@ -210,3 +210,19 @@ def test_pq_blocks_recall_meets_reference_bar(spark, idx_path, batch, queries):
     vecs = idx.vectors
     exact = batch_topk(queries, vecs, k=5, metric="euclidean").select("qid", "id")
     assert recall_at_k(approx, exact, k=5) >= 0.70
+
+
+def test_single_query_search_routes_through_blocks(spark, idx_path, batch):
+    """idx.search(mode='beam') on a blocks-fresh index runs as a 1-row batch
+    through the one-fetch path — same facade contract (key/id/dist, self
+    first), raw and pq layouts both."""
+    for compress in (None, "pq"):
+        shutil.rmtree(idx_path, ignore_errors=True)
+        idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6)
+        idx.insert_batch(batch, vec_col="vec", key_col="k")
+        kw = {"pq_m": 4, "pq_k": 16} if compress else {}
+        idx.build_beam_blocks(n_entrypoints=4, compress=compress, **kw)
+        q = [float(x) for x in batch.collect()[3]["vec"]]
+        top = idx.search(q, topk=2, mode="beam", ef=40, n_entrypoints=4).collect()
+        assert top[0]["key"] == "key-3", f"compress={compress}"
+        assert top[0]["dist"] == pytest.approx(0.0, abs=1e-5)
