@@ -595,12 +595,17 @@ def lsh_neardup_pairs(
 
     Candidate generation: sign-random-projection bucketing (the same
     machinery as ``knn_join.add_lsh_buckets``); candidates = pairs sharing a
-    (table, bucket).  Exact cosine re-scores every candidate, the pair-dedup
-    shuffle moves only (id_a, id_b, cos_sim) triples — vectors never leave
-    the bucketing stage — and the threshold filter verifies.  Same output
-    contract as the brute path for every pair the buckets surface;
-    (n_planes, n_tables) defaults come from ``lsh_neardup_params`` so the
-    per-pair miss probability is <= ``miss_target`` at the threshold.
+    (table, bucket).  The bucket self-join carries IDS ONLY — vectors never
+    ride the (table, bucket) exchange — then multi-table collisions collapse
+    to distinct pairs BEFORE scoring, so each candidate pair pays exactly one
+    exact-cosine verification (a pair colliding in T' of the tables used to
+    be scored T' times and carried both vectors through every collision row).
+    Vectors re-attach by two id equi-joins (Catalyst broadcasts the
+    embeddings side under the threshold; at 100 TB both joins co-partition
+    on the id key).  Same output contract as the brute path for every pair
+    the buckets surface; (n_planes, n_tables) defaults come from
+    ``lsh_neardup_params`` so the per-pair miss probability is <=
+    ``miss_target`` at the threshold.
 
     This is the 100-TB path for REALISTIC near-dup thresholds (>= ~0.8),
     where a k-plane bucket is selective; see ``lsh_neardup_params`` for why
@@ -619,27 +624,31 @@ def lsh_neardup_pairs(
     sel = _spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
     dim = len(sel.select("_v").first()["_v"])
     planes = random_hyperplanes(dim, n_planes, n_tables, seed)
-    bucketed = add_lsh_buckets(sel, planes, vec_col="_v").persist()
+    bucketed = (
+        add_lsh_buckets(sel, planes, vec_col="_v")
+        .select("_id", "lsh_table", "bucket")
+        .persist()
+    )
     bucketed.count()  # eager: both self-join branches reuse one materialization
-    a = bucketed.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("va"), "lsh_table", "bucket"
-    )
-    b = bucketed.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "lsh_table", "bucket"
-    )
-    return (
+    a = bucketed.select(F.col("_id").alias("id_a"), "lsh_table", "bucket")
+    b = bucketed.select(F.col("_id").alias("id_b"), "lsh_table", "bucket")
+    pairs = (
         a.join(b, ["lsh_table", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
         .select(
             "id_a",
             "id_b",
             F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        # multi-table collisions re-score cheaply in codegen; dedupe moves
-        # only 24-byte triples (same shape as lsh_knn_join's pair dedup)
-        .groupBy("id_a", "id_b")
-        .agg(F.min("cos_sim").alias("cos_sim"))
     )
 
 
