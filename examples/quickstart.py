@@ -45,6 +45,14 @@ def main() -> None:
     print("graph beam search (the _search_graph semantics):")
     index.search(query, topk=5, mode="beam").show()
 
+    # --- the paper's block layout (one disk read per expansion) ---------
+    # each node's block stores its vector + neighbor ids + neighbor copies
+    # (PQ-coded here, exactly the LM-DiskANN format); beam hops become one
+    # pruned fetch each and the retained set re-ranks exact
+    index.build_beam_blocks(compress="pq")
+    print("beam over PQ blocks (ADC traversal + exact re-rank):")
+    index.search(query, topk=5, mode="beam", n_entrypoints=4).show()
+
     # --- the scale path the reference doesn't have ----------------------
     index.build_ivf(n_cells=8)
     print("IVF probe search (partition-pruned):")
