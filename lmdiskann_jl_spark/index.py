@@ -895,7 +895,31 @@ class LMDiskANNIndex:
         return kvmap.list_all_keys(self.key_map)
 
     def vacuum(self, keep: int = 1) -> None:
+        """Drop old table snapshots (catalog vacuum) AND derived-layout dirs
+        (``ivf_cells/``, ``beam_blocks/``) no longer referenced by the
+        current metadata — rebuilding a layout writes a new versioned dir
+        and swaps the pointer, so without this the superseded copies
+        accumulate forever (each is O(corpus))."""
+        import shutil
+
         self.catalog.vacuum(self.meta, keep=keep)
+        live = set()
+        for key in ("ivf", "beam_blocks"):
+            entry = self.meta.get(key)
+            if entry and entry.get("dir"):
+                live.add(os.path.normpath(entry["dir"]))
+        for layout in ("ivf_cells", "beam_blocks"):
+            root = os.path.join(self.path, layout)
+            if not os.path.isdir(root):
+                continue
+            for d in os.listdir(root):
+                if d.endswith("_tombstones"):
+                    continue  # sidecar: lives and dies with its base dir below
+                full = os.path.normpath(os.path.join(root, d))
+                if d.startswith("v=") and full not in live:
+                    shutil.rmtree(full, ignore_errors=True)
+                    # the IVF tombstone sidecar lives NEXT TO its dir
+                    shutil.rmtree(full + "_tombstones", ignore_errors=True)
 
 
 def create_index(spark: SparkSession, path: str, dim: int, **kw) -> LMDiskANNIndex:

@@ -226,3 +226,30 @@ def test_single_query_search_routes_through_blocks(spark, idx_path, batch):
         top = idx.search(q, topk=2, mode="beam", ef=40, n_entrypoints=4).collect()
         assert top[0]["key"] == "key-3", f"compress={compress}"
         assert top[0]["dist"] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_vacuum_prunes_superseded_layout_dirs(spark, idx_path, batch):
+    """Rebuilding blocks/IVF writes a new versioned dir and swaps the meta
+    pointer; vacuum must remove the superseded copies (each is O(corpus))
+    while keeping the live ones."""
+    import os
+
+    idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6)
+    idx.insert_batch(batch, vec_col="vec", key_col="k")
+    idx.build_beam_blocks(n_entrypoints=4)
+    first_dir = idx.meta["beam_blocks"]["dir"]
+    # mutate -> stale -> rebuild writes a NEW dir
+    extra = spark.createDataFrame(
+        [("key-x", [0.01 * j for j in range(8)])], "k string, vec array<float>"
+    )
+    idx.insert_batch(extra, vec_col="vec", key_col="k")
+    idx.build_beam_blocks(n_entrypoints=4)
+    second_dir = idx.meta["beam_blocks"]["dir"]
+    assert first_dir != second_dir
+    assert os.path.isdir(first_dir) and os.path.isdir(second_dir)
+    idx.vacuum()
+    assert not os.path.isdir(first_dir), "superseded blocks dir must be pruned"
+    assert os.path.isdir(second_dir), "live blocks dir must survive vacuum"
+    # the live layout still searches
+    q = [float(x) for x in batch.collect()[1]["vec"]]
+    assert idx.search(q, topk=1, mode="beam", ef=40, n_entrypoints=4).collect()[0]["key"] == "key-1"
