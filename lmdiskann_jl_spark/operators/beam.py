@@ -413,6 +413,7 @@ def beam_search_batch_blocks(
     qvec_col: str = "qvec",
     stats: dict | None = None,
     codebook=None,
+    query_chunk: int = 1024,
 ) -> DataFrame:
     """Batched beam search over a BLOCK table.
 
@@ -438,6 +439,14 @@ def beam_search_batch_blocks(
       A node's OWN vector is stored full-precision in its block (as in the
       paper), so already-expanded candidates re-rank without refetching.
 
+    Driver memory: the sweep holds copies of every block payload it touched
+    — O(chunk_queries x (ef/4) x hops x degree x payload_size).  Raw copies
+    are dim floats; PQ codes are m ints (~dim/2 x smaller at default m), which
+    is why PQ blocks are the 100-TB configuration exactly as in the paper.
+    ``query_chunk`` bounds that footprint: larger batches run as sequential
+    driver sweeps of at most this many queries (fresh state per sweep; hop
+    jobs scale with the chunk count, memory does not).
+
     Returns (qid, id, dist): up to ef candidates per query, true-metric
     distances.
     """
@@ -455,12 +464,34 @@ def beam_search_batch_blocks(
     empty = f"{qid_col} {qid_type}, id long, dist double"
     if not q_rows or not seeds:
         return spark.createDataFrame([], empty)
+    seeds = sorted({int(s) for s in seeds})
+    chunk = max(1, int(query_chunk))
+    out_rows: list = []
+    for lo in range(0, len(q_rows), chunk):
+        out_rows.extend(
+            _blocks_sweep(
+                blocks_fetch, q_rows[lo : lo + chunk], ef, metric, seeds,
+                max_hops, qid_col, qvec_col, stats,
+                cb if pq_mode else None,
+            )
+        )
+    return spark.createDataFrame(out_rows, empty)
+
+
+def _blocks_sweep(
+    blocks_fetch, q_rows, ef, metric, seeds, max_hops, qid_col, qvec_col,
+    stats, cb,
+) -> list:
+    """One driver sweep of beam_search_batch_blocks over <= query_chunk
+    queries: fresh block/copy caches, returns (qid, id, dist) tuples."""
+    import numpy as np
+
+    pq_mode = cb is not None
     qids = [r[qid_col] for r in q_rows]
     qvec = {r[qid_col]: np.asarray(r[qvec_col], dtype=np.float64) for r in q_rows}
     tables = {q: _adc_table(metric, cb, qvec[q]) for q in qids} if pq_mode else None
 
     payload_col = "nbr_codes" if pq_mode else "nbr_vecs"
-    seeds = sorted({int(s) for s in seeds})
     vec_of: dict[int, "np.ndarray"] = {}  # exact own vectors of FETCHED blocks
     copy_of: dict[int, "np.ndarray"] = {}  # neighbor payloads (copies or codes)
     nbrs_of: dict[int, list[int]] = {}
@@ -568,7 +599,4 @@ def beam_search_batch_blocks(
             else:
                 best[q] = {}
 
-    return spark.createDataFrame(
-        [(q, i, d) for q, b in best.items() for i, d in b.items()],
-        empty,
-    )
+    return [(q, i, d) for q, b in best.items() for i, d in b.items()]

@@ -253,3 +253,22 @@ def test_vacuum_prunes_superseded_layout_dirs(spark, idx_path, batch):
     # the live layout still searches
     q = [float(x) for x in batch.collect()[1]["vec"]]
     assert idx.search(q, topk=1, mode="beam", ef=40, n_entrypoints=4).collect()[0]["key"] == "key-1"
+
+
+def test_query_chunking_matches_single_sweep(spark, idx_path, batch, queries):
+    """query_chunk bounds driver memory by splitting the batch into
+    sequential sweeps — results must equal the single-sweep run exactly
+    (each sweep is independent: per-query state never crosses queries)."""
+    idx = _built(spark, idx_path, batch)
+    seeds = [int(e) for e in idx.meta["beam_blocks"]["entrypoints"]]
+    one = beam_search_batch_blocks(
+        spark, idx._blocks_fetcher(), queries,
+        ef=40, metric="euclidean", seeds=seeds, max_hops=8,
+    )
+    chunked = beam_search_batch_blocks(
+        spark, idx._blocks_fetcher(), queries,
+        ef=40, metric="euclidean", seeds=seeds, max_hops=8, query_chunk=2,
+    )
+    a = {(r["qid"], r["id"], round(r["dist"], 9)) for r in one.collect()}
+    b = {(r["qid"], r["id"], round(r["dist"], 9)) for r in chunked.collect()}
+    assert a == b
