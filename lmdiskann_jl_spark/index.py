@@ -709,6 +709,7 @@ class LMDiskANNIndex:
                     n_vectors=int(self.meta["num_points"]),
                     has_ivf=self._ivf_fresh(),  # stale layouts never auto-selected
                     has_graph=True,
+                    has_blocks=self._blocks_fresh(),
                 )
             )
             if mode == "lsh":  # single-query LSH degenerates to exact

@@ -30,6 +30,11 @@ class SearchContext:
     n_queries: int = 1
     has_ivf: bool = False
     has_graph: bool = False
+    # a fresh LM-DiskANN block layout (index.build_beam_blocks): the hop
+    # ladder is ONE pruned fetch per hop shared by the whole batch (chunked
+    # driver sweeps bound memory), so beam stops being a small-batch-only
+    # strategy
+    has_blocks: bool = False
     # a single executor comfortably scans ~10^6 64-dim vectors/sec/core;
     # exact stays optimal while n * n_queries stays under this per-batch budget
     exact_budget: int = 50_000_000
@@ -41,8 +46,10 @@ def choose_search_strategy(ctx: SearchContext) -> str:
         return "exact"
     if ctx.has_ivf:
         return "ivf"
-    if ctx.has_graph and ctx.n_queries <= 100:
-        # beam pays a driver-loop latency per query — only for small batches
+    if ctx.has_graph and (ctx.has_blocks or ctx.n_queries <= 100):
+        # without blocks, beam pays a two-job driver ladder per hop — only
+        # worth it for small batches; WITH blocks the ladder is one pruned
+        # fetch per hop amortized across the whole (chunked) batch
         return "beam"
     if ctx.n_queries > 100:
         # huge query batches against huge tables: bucketed join amortizes

@@ -64,3 +64,22 @@ def test_strategy_selector():
     # batch size pushes past the exact budget
     assert choose_search_strategy(SearchContext(n_vectors=10**6, n_queries=1)) == "exact"
     assert choose_search_strategy(SearchContext(n_vectors=10**6, n_queries=200)) == "lsh"
+
+
+def test_auto_prefers_beam_for_big_batches_when_blocks_exist():
+    # without blocks: big batch on a huge graph-only index -> lsh
+    assert (
+        choose_search_strategy(
+            SearchContext(n_vectors=10**9, n_queries=10_000, has_graph=True)
+        )
+        == "lsh"
+    )
+    # WITH a fresh block layout the hop ladder amortizes across the batch
+    assert (
+        choose_search_strategy(
+            SearchContext(
+                n_vectors=10**9, n_queries=10_000, has_graph=True, has_blocks=True
+            )
+        )
+        == "beam"
+    )
