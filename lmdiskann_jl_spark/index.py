@@ -292,6 +292,7 @@ class LMDiskANNIndex:
         key_col: str | None = None,
         rebuild_graph: bool = False,
         maintain_ivf: bool = False,
+        maintain_blocks: bool = False,
         graph_knn: str = "auto",
     ) -> "LMDiskANNIndex":
         """Batch ann_insert! (src/LMDiskANN.jl:531-584).
@@ -301,6 +302,15 @@ class LMDiskANNIndex:
         ``str(id)`` when absent (``:553-556``), appends to ``vectors`` and
         ``key_map``, and updates ``adjacency`` incrementally (back-links +
         re-prune touched nodes) — or rebuilds it when ``rebuild_graph``.
+
+        ``maintain_blocks``: when a FRESH block layout exists, incremental
+        inserts also append the touched block rows (the adjacency MERGE
+        delta re-joined with vectors — PQ copies encoded with the FROZEN
+        codebook, like IVF's frozen centroids) as a stamped merge-on-read
+        segment, keeping beam search on the one-fetch path across ingest —
+        the Spark form of the reference updating node blocks in place
+        during ``ann_insert!`` (:567-573).  Without it the layout goes
+        stale and beam falls back to the two-fetch path until rebuilt.
         """
         eltype = self.meta["eltype"]
         el = "double" if eltype == "float64" else "float"
@@ -379,6 +389,11 @@ class LMDiskANNIndex:
                 changed_only=True,
                 use_lsh=use_lsh, dim=int(self.meta["dim"]),
             )
+            blocks_live = maintain_blocks and self._blocks_fresh()
+            if blocks_live:
+                # two consumers below (adjacency append + block delta):
+                # persist so the MERGE kNN join runs once
+                adj_delta = adj_delta.persist()
             bucket = F.pmod(F.col("id"), F.lit(N_ID_BUCKETS)).cast("int")
             meta = self.catalog.append(
                 "vectors", prepared.withColumn("_b", bucket), self.meta,
@@ -394,6 +409,28 @@ class LMDiskANNIndex:
                 prepared.select("key", "id").groupBy("key").agg(F.max("id").alias("id"))
             )
             meta = self.catalog.append("key_map", new_pairs, meta, stamp_segment=True)
+            if blocks_live:
+                # block maintenance: rebuild ONLY the touched rows' blocks
+                # (new nodes + back-linked existing nodes = the adjacency
+                # delta) over old-union-new vectors, append latest-wins
+                bb = dict(self.meta["beam_blocks"])
+                all_vecs = self.vectors.select("id", "vec").unionByName(
+                    prepared.select("id", "vec")
+                )
+                blocks_delta = self._block_rows(
+                    adj_delta, all_vecs, bb.get("compress"),
+                    bb.get("codebook"), len(bb["codebook"]) if bb.get("codebook") else 8,
+                )
+                meta = self.catalog.append(
+                    "beam_blocks", blocks_delta.withColumn("_b", bucket), meta,
+                    partition_by=["_b"], stamp_segment=True,
+                )
+                bb["built_from"] = [
+                    meta["versions"]["vectors"], meta["versions"]["adjacency"]
+                ]
+                bb["n_appended"] = int(bb.get("n_appended", 0)) + n_new
+                meta["beam_blocks"] = bb
+                adj_delta.unpersist()
         if ivf_live:
             # incremental IVF maintenance: assign the new rows to their
             # nearest EXISTING centroid (broadcast centroids — no KMeans
@@ -578,7 +615,7 @@ class LMDiskANNIndex:
         if compress == "pq":
             import numpy as np
 
-            from lmdiskann_jl_spark.operators.pq import build_pq, pq_encode
+            from lmdiskann_jl_spark.operators.pq import build_pq
 
             dim = int(self.meta["dim"])
             cb_df = build_pq(vec, dim=dim, m=pq_m, k=pq_k)
@@ -588,17 +625,64 @@ class LMDiskANNIndex:
                 books[r["sub"]].append([float(x) for x in r["centroid"]])
             codebook_lists = books
             _adc_table(self.meta["metric"], np.asarray(books), np.zeros(dim))
-            payload = pq_encode(vec, cb_df, dim=dim, m=pq_m).select(
-                F.col("id").alias("nbr"), F.col("codes").alias("_npay")
+        blocks = self._block_rows(
+            self.adjacency, vec, compress, codebook_lists, pq_m,
+            universe=vec.select("id"),
+        )
+        # blocks are a CATALOG table (versioned, bucketed by _b, merge-on-
+        # read): full builds write one snapshot; maintained inserts append
+        # the touched rows as stamped segments resolved latest-wins per id
+        # (the same machinery adjacency uses) — the Spark form of the
+        # reference's in-place block updates on ann_insert!.
+        meta = self._write_bucketed(
+            "beam_blocks", blocks, self.meta, empty=int(self.meta["num_points"]) == 0
+        )
+        meta["beam_blocks"] = {
+            "built_from": [meta["versions"]["vectors"], meta["versions"]["adjacency"]],
+            "entrypoints": _pick_entrypoints(vec, "id", max(1, n_entrypoints)),
+            "compress": compress,
+            # m*k*width doubles (default 8*32*8 = 2 KB) — meta-sized by
+            # construction, so searches rebuild ADC tables with zero jobs
+            "codebook": codebook_lists,
+        }
+        self.meta = meta
+        self.save()
+        return self
+
+    def _block_rows(
+        self, adj: DataFrame, all_vecs: DataFrame, compress: str | None,
+        codebook_lists, pq_m: int, universe: DataFrame | None = None,
+    ) -> DataFrame:
+        """(id, vec, neighbors, nbr_vecs|nbr_codes) block rows for the given
+        adjacency rows, with own vectors and neighbor payloads drawn from
+        ``all_vecs`` — shared by the full build and the incremental insert
+        maintenance path (which passes only the touched adjacency delta).
+        ``universe`` (ids) sets which nodes get a row: the full build passes
+        every vector id so ISOLATED nodes keep an empty-neighbor block;
+        the delta path defaults to the touched adjacency ids."""
+        el = "double" if self.meta.get("eltype") == "float64" else "float"
+        if compress == "pq":
+            from lmdiskann_jl_spark.operators.pq import pq_encode
+
+            cb_df = self.spark.createDataFrame(
+                [
+                    (sub, code, [float(x) for x in cent])
+                    for sub, book in enumerate(codebook_lists)
+                    for code, cent in enumerate(book)
+                ],
+                "sub int, code int, centroid array<double>",
             )
+            payload = pq_encode(
+                all_vecs, cb_df, dim=int(self.meta["dim"]), m=pq_m
+            ).select(F.col("id").alias("nbr"), F.col("codes").alias("_npay"))
             pay_cast = "array<array<int>>"
             pay_name = "nbr_codes"
         else:
-            payload = vec.select(F.col("id").alias("nbr"), F.col("vec").alias("_npay"))
+            payload = all_vecs.select(F.col("id").alias("nbr"), F.col("vec").alias("_npay"))
             pay_cast = f"array<array<{el}>>"
             pay_name = "nbr_vecs"
         per_node = (
-            self.adjacency.select("id", F.posexplode("neighbors").alias("pos", "nbr"))
+            adj.select("id", F.posexplode("neighbors").alias("pos", "nbr"))
             .join(payload, "nbr")
             .groupBy("id")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "nbr", "_npay"))).alias("s"))
@@ -608,30 +692,14 @@ class LMDiskANNIndex:
                 F.transform("s", lambda s: s["_npay"]).alias(pay_name),
             )
         )
-        blocks = (
-            vec.join(per_node, "id", "left")
-            .select(
-                "id",
-                "vec",
-                F.coalesce("neighbors", F.array().cast("array<bigint>")).alias("neighbors"),
-                F.coalesce(pay_name, F.array().cast(pay_cast)).alias(pay_name),
-            )
-            .withColumn("_b", F.pmod(F.col("id"), F.lit(N_ID_BUCKETS)).cast("int"))
+        ids = universe if universe is not None else adj.select("id")
+        own = ids.select("id").join(all_vecs.select("id", "vec"), "id")
+        return own.join(per_node, "id", "left").select(
+            "id",
+            "vec",
+            F.coalesce("neighbors", F.array().cast("array<bigint>")).alias("neighbors"),
+            F.coalesce(pay_name, F.array().cast(pay_cast)).alias(pay_name),
         )
-        stamp = (self.meta["versions"]["vectors"], self.meta["versions"]["adjacency"])
-        blocks_dir = os.path.join(self.path, "beam_blocks", f"v={stamp[0]}.{stamp[1]}")
-        blocks.write.mode("overwrite").partitionBy("_b").parquet(blocks_dir)
-        self.meta["beam_blocks"] = {
-            "dir": blocks_dir,
-            "built_from": list(stamp),
-            "entrypoints": _pick_entrypoints(vec, "id", max(1, n_entrypoints)),
-            "compress": compress,
-            # m*k*width doubles (default 8*32*8 = 2 KB) — meta-sized by
-            # construction, so searches rebuild ADC tables with zero jobs
-            "codebook": codebook_lists,
-        }
-        self.save()
-        return self
 
     def _blocks_fresh(self) -> bool:
         """True iff a block layout exists AND matches the current vectors
@@ -643,21 +711,11 @@ class LMDiskANNIndex:
         )
 
     def _blocks_fetcher(self):
-        """Partition-pruned point fetch over the bucketed blocks snapshot
-        (same pruning contract as _fetcher, but the blocks dir lives outside
-        the catalog like the IVF cell copy)."""
-        raw = self.spark.read.parquet(self.meta["beam_blocks"]["dir"])
-        spark = self.spark
-
-        def fetch(ids):
-            vals = sorted({int(i) for i in ids})
-            df = raw.filter(F.col("_b").isin(sorted({v % N_ID_BUCKETS for v in vals})))
-            if len(vals) <= 512:
-                return df.filter(F.col("id").isin(vals))
-            ids_df = F.broadcast(spark.createDataFrame([(v,) for v in vals], "id long"))
-            return df.join(ids_df, "id", "left_semi")
-
-        return fetch
+        """Partition-pruned point fetch over the bucketed blocks snapshot —
+        the shared catalog fetcher: bucket pruning first, then latest-wins
+        merge of the few fetched rows (maintained inserts append touched
+        blocks as stamped segments)."""
+        return self._fetcher("beam_blocks")
 
     def search(
         self,
@@ -896,23 +954,18 @@ class LMDiskANNIndex:
         return kvmap.list_all_keys(self.key_map)
 
     def vacuum(self, keep: int = 1) -> None:
-        """Drop old table snapshots (catalog vacuum) AND derived-layout dirs
-        (``ivf_cells/``, ``beam_blocks/``) no longer referenced by the
-        current metadata — rebuilding a layout writes a new versioned dir
-        and swaps the pointer, so without this the superseded copies
-        accumulate forever (each is O(corpus))."""
+        """Drop old table snapshots (catalog vacuum — includes the
+        ``beam_blocks`` catalog table) AND superseded IVF cell dirs:
+        rebuilding the IVF layout writes a new versioned dir outside the
+        catalog and swaps the pointer, so without this the old copies
+        (each O(corpus)) accumulate forever."""
         import shutil
 
         self.catalog.vacuum(self.meta, keep=keep)
-        live = set()
-        for key in ("ivf", "beam_blocks"):
-            entry = self.meta.get(key)
-            if entry and entry.get("dir"):
-                live.add(os.path.normpath(entry["dir"]))
-        for layout in ("ivf_cells", "beam_blocks"):
-            root = os.path.join(self.path, layout)
-            if not os.path.isdir(root):
-                continue
+        ivf = self.meta.get("ivf")
+        live = {os.path.normpath(ivf["dir"])} if ivf and ivf.get("dir") else set()
+        root = os.path.join(self.path, "ivf_cells")
+        if os.path.isdir(root):
             for d in os.listdir(root):
                 if d.endswith("_tombstones"):
                     continue  # sidecar: lives and dies with its base dir below

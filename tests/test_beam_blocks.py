@@ -143,7 +143,7 @@ def test_blocks_rows_are_self_contained(spark, idx_path, batch):
     copies equal the neighbors' own stored vectors (the self-containment
     invariant the one-read-per-expansion contract rests on)."""
     idx = _built(spark, idx_path, batch)
-    blocks = spark.read.parquet(idx.meta["beam_blocks"]["dir"])
+    blocks = idx.catalog.read("beam_blocks", idx.meta, merge_key="id")
     bad_align = blocks.filter(F.size("neighbors") != F.size("nbr_vecs")).count()
     assert bad_align == 0
     # spot-check copies against the flat vectors table via an explode-join
@@ -229,30 +229,84 @@ def test_single_query_search_routes_through_blocks(spark, idx_path, batch):
 
 
 def test_vacuum_prunes_superseded_layout_dirs(spark, idx_path, batch):
-    """Rebuilding blocks/IVF writes a new versioned dir and swaps the meta
-    pointer; vacuum must remove the superseded copies (each is O(corpus))
-    while keeping the live ones."""
+    """Rebuilding blocks (a catalog table) / IVF (a versioned dir) leaves
+    superseded O(corpus) copies; vacuum must remove them while keeping the
+    live ones."""
     import os
 
     idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6)
     idx.insert_batch(batch, vec_col="vec", key_col="k")
     idx.build_beam_blocks(n_entrypoints=4)
-    first_dir = idx.meta["beam_blocks"]["dir"]
-    # mutate -> stale -> rebuild writes a NEW dir
+    idx.build_ivf(n_cells=4)
+    first_blocks = os.path.join(idx_path, "beam_blocks", f"v={idx.meta['versions']['beam_blocks']}")
+    first_ivf = idx.meta["ivf"]["dir"]
+    # mutate -> stale -> rebuild writes NEW versions
     extra = spark.createDataFrame(
         [("key-x", [0.01 * j for j in range(8)])], "k string, vec array<float>"
     )
     idx.insert_batch(extra, vec_col="vec", key_col="k")
     idx.build_beam_blocks(n_entrypoints=4)
-    second_dir = idx.meta["beam_blocks"]["dir"]
-    assert first_dir != second_dir
-    assert os.path.isdir(first_dir) and os.path.isdir(second_dir)
+    idx.build_ivf(n_cells=4)
+    second_blocks = os.path.join(idx_path, "beam_blocks", f"v={idx.meta['versions']['beam_blocks']}")
+    second_ivf = idx.meta["ivf"]["dir"]
+    assert first_blocks != second_blocks and first_ivf != second_ivf
+    assert all(os.path.isdir(d) for d in (first_blocks, second_blocks, first_ivf, second_ivf))
     idx.vacuum()
-    assert not os.path.isdir(first_dir), "superseded blocks dir must be pruned"
-    assert os.path.isdir(second_dir), "live blocks dir must survive vacuum"
+    assert not os.path.isdir(first_blocks), "superseded blocks snapshot must be pruned"
+    assert not os.path.isdir(first_ivf), "superseded IVF dir must be pruned"
+    assert os.path.isdir(second_blocks) and os.path.isdir(second_ivf)
     # the live layout still searches
     q = [float(x) for x in batch.collect()[1]["vec"]]
     assert idx.search(q, topk=1, mode="beam", ef=40, n_entrypoints=4).collect()[0]["key"] == "key-1"
+
+
+def test_maintained_insert_keeps_blocks_fresh(spark, idx_path, batch):
+    """insert_batch(maintain_blocks=True) appends the touched block rows as
+    a merge-on-read segment: the layout stays FRESH (no fallback), the new
+    point is reachable through the one-fetch path, and back-linked existing
+    blocks resolve latest-wins."""
+    idx = _built(spark, idx_path, batch)  # raw blocks
+    assert idx._blocks_fresh()
+    extra = spark.createDataFrame(
+        [("key-new", [0.05 * j for j in range(8)])], "k string, vec array<float>"
+    )
+    idx.insert_batch(extra, vec_col="vec", key_col="k", maintain_blocks=True)
+    assert idx._blocks_fresh(), "maintained insert must keep the layout fresh"
+    assert idx.meta["beam_blocks"]["n_appended"] == 1
+    q = spark.createDataFrame(
+        [(0, [0.05 * j for j in range(8)])], "qid long, qvec array<float>"
+    )
+    res = idx.search_batch(q, topk=1, mode="beam", ef=40, n_entrypoints=4,
+                           max_hops=8).collect()
+    assert res[0]["key"] == "key-new"
+    # self-containment holds across the merged read: copies == own vectors
+    blocks = idx.catalog.read("beam_blocks", idx.meta, merge_key="id")
+    ex = blocks.select("id", F.posexplode("neighbors").alias("pos", "nbr"), "nbr_vecs")
+    ex = ex.select("nbr", F.col("nbr_vecs")[F.col("pos")].alias("copy"))
+    joined = ex.join(
+        idx.vectors.select(F.col("id").alias("nbr"), F.col("vec").alias("own")), "nbr"
+    )
+    assert joined.filter(F.col("copy") != F.col("own")).count() == 0
+
+
+def test_maintained_insert_pq_blocks(spark, idx_path, batch):
+    """PQ layout maintenance encodes new copies with the FROZEN codebook
+    (IVF's frozen-centroid contract) — layout stays fresh and searchable."""
+    idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6)
+    idx.insert_batch(batch, vec_col="vec", key_col="k")
+    idx.build_beam_blocks(n_entrypoints=4, compress="pq", pq_m=4, pq_k=16)
+    extra = spark.createDataFrame(
+        [("key-new", [0.05 * j for j in range(8)])], "k string, vec array<float>"
+    )
+    idx.insert_batch(extra, vec_col="vec", key_col="k", maintain_blocks=True)
+    assert idx._blocks_fresh()
+    q = spark.createDataFrame(
+        [(0, [0.05 * j for j in range(8)])], "qid long, qvec array<float>"
+    )
+    res = idx.search_batch(q, topk=1, mode="beam", ef=40, n_entrypoints=4,
+                           max_hops=8).collect()
+    assert res[0]["key"] == "key-new"
+    assert res[0]["dist"] == pytest.approx(0.0, abs=1e-5)  # exact re-rank
 
 
 def test_query_chunking_matches_single_sweep(spark, idx_path, batch, queries):
