@@ -31,13 +31,17 @@ def stream_insert(
     vec_col: str = "vec",
     key_col: str | None = None,
     trigger_seconds: int | None = None,
+    maintain_blocks: bool = False,
 ):
     """Attach a streaming source of new vectors to the index.
 
     ``stream_df`` must be a streaming DataFrame (``spark.readStream...``)
     with a vector column.  Every micro-batch runs the index's batch insert —
     the streaming analog of calling ``ann_insert!`` per arriving vector.
-    Returns the StreamingQuery handle.
+    ``maintain_blocks`` keeps a fresh LM-DiskANN block layout current across
+    micro-batches (touched rows append as merge-on-read segments), so beam
+    search stays on the one-fetch path while the stream runs.  Returns the
+    StreamingQuery handle.
     """
     if not stream_df.isStreaming:
         raise ValueError("stream_insert needs a streaming DataFrame (use spark.readStream)")
@@ -45,7 +49,10 @@ def stream_insert(
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        index.insert_batch(batch_df, vec_col=vec_col, key_col=key_col)
+        index.insert_batch(
+            batch_df, vec_col=vec_col, key_col=key_col,
+            maintain_blocks=maintain_blocks,
+        )
 
     writer = stream_df.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

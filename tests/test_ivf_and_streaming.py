@@ -535,3 +535,56 @@ def test_stateful_rollup_equal_batch_under_multibatch_slicing(
         for r in rolled(src_df).collect()
     }
     assert got == want
+
+
+def test_stream_insert_maintains_blocks(spark, tmp_path, finish_stream):
+    """stream_insert(maintain_blocks=True): every micro-batch keeps the
+    LM-DiskANN block layout fresh (touched rows append as merge-on-read
+    segments), so beam search stays on the one-fetch path mid-stream and
+    finds points from every batch.  maxFilesPerTrigger=1 forces the two
+    source files into SEPARATE micro-batches."""
+    import random
+
+    import lmdiskann_jl_spark as pkg
+
+    from pyspark.sql import functions as F
+
+    from lmdiskann_jl_spark.streaming.ingest import stream_insert
+
+    random.seed(11)
+    base = spark.createDataFrame(
+        [(f"seed-{i}", [random.gauss(0, 1) for _ in range(8)]) for i in range(40)],
+        "k string, vec array<float>",
+    )
+    idx = pkg.create_index(spark, str(tmp_path / "idx"), dim=8, maxdegree=6)
+    idx.insert_batch(base, vec_col="vec", key_col="k")
+    idx.build_beam_blocks(n_entrypoints=4)
+    assert idx._blocks_fresh()
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    probe_a = [0.11 * j for j in range(8)]
+    probe_b = [-0.13 * j for j in range(8)]
+    schema = "k string, vec array<float>"
+    spark.createDataFrame([("stream-a", probe_a)], schema).coalesce(1).write.parquet(
+        str(src / "f1")
+    )
+    spark.createDataFrame([("stream-b", probe_b)], schema).coalesce(1).write.parquet(
+        str(src / "f2")
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = stream_insert(
+        idx, stream, str(tmp_path / "ckpt"), vec_col="vec", key_col="k",
+        maintain_blocks=True,
+    )
+    finish_stream(q)
+
+    assert idx._blocks_fresh(), "layout must stay fresh across micro-batches"
+    assert idx.meta["beam_blocks"]["n_appended"] == 2
+    for key, probe in (("stream-a", probe_a), ("stream-b", probe_b)):
+        top = idx.search(probe, topk=1, mode="beam", ef=40, n_entrypoints=4).collect()
+        assert top[0]["key"] == key
