@@ -479,6 +479,7 @@ class LMDiskANNIndex:
         ids: Sequence[int] | DataFrame | None = None,
         keys: Sequence[str] | DataFrame | None = None,
         maintain_ivf: bool = False,
+        maintain_blocks: bool = False,
     ) -> "LMDiskANNIndex":
         """Batch ann_delete! (src/LMDiskANN.jl:605-646): resolve keys -> ids,
         drop rows from vectors/key_map, remove the ids from all neighbor
@@ -489,6 +490,14 @@ class LMDiskANNIndex:
         as a 10-id delete (no plan-size blowup, broadcast-hash anti-joins).
         ``ids``/``keys`` accept a DataFrame (columns ``id`` / ``key``) or a
         driver-side sequence.
+
+        ``maintain_blocks``: when a FRESH block layout exists, append the
+        repaired blocks of survivors that referenced a dead neighbor (the
+        reference's in-place neighbor-list repair, :622-629) and repair the
+        stored entrypoints, keeping beam on the one-fetch path.  Dead nodes'
+        own block rows become unreachable garbage (no live block references
+        them and seeds are live) collapsed at the next full build/compact —
+        the same contract as the reference's zeroed tombstone slots.
         """
         dead: DataFrame | None = None
         if ids is not None:
@@ -521,9 +530,53 @@ class LMDiskANNIndex:
 
         ivf_live = maintain_ivf and self._ivf_fresh()
         all_deleted = int(self.meta["num_points"]) - n_dead <= 0
+        blocks_live = maintain_blocks and self._blocks_fresh() and not all_deleted
+        if blocks_live:
+            # survivors whose neighbor list referenced a dead id — computed
+            # against the PRE-delete adjacency, before the snapshot swap
+            touched = (
+                self.adjacency.select("id", F.explode("neighbors").alias("nbr"))
+                .join(F.broadcast(dead.select(F.col("id").alias("nbr"))), "nbr", "left_semi")
+                .select("id")
+                .distinct()
+                .join(dead, "id", "left_anti")
+                .persist()
+            )
+            touched.count()  # pin before the underlying snapshots change
         meta = self._write_bucketed("vectors", new_vectors, self.meta, empty=all_deleted)
         meta = self._write_bucketed("adjacency", new_adj, meta, empty=all_deleted)
         meta = self.catalog.write("key_map", new_key_map, meta)
+        if blocks_live:
+            bb = dict(self.meta["beam_blocks"])
+            delta_adj = new_adj.join(touched, "id", "left_semi")
+            blocks_delta = self._block_rows(
+                delta_adj, new_vectors.select("id", "vec"), bb.get("compress"),
+                bb.get("codebook"), len(bb["codebook"]) if bb.get("codebook") else 8,
+            )
+            bucket = F.pmod(F.col("id"), F.lit(N_ID_BUCKETS)).cast("int")
+            meta = self.catalog.append(
+                "beam_blocks", blocks_delta.withColumn("_b", bucket), meta,
+                partition_by=["_b"], stamp_segment=True,
+            )
+            dead_set = {
+                int(r["id"])
+                for r in dead.filter(
+                    F.col("id").isin([int(e) for e in bb["entrypoints"]])
+                ).collect()
+            }
+            if dead_set:
+                from lmdiskann_jl_spark.operators.beam import _pick_entrypoints
+
+                bb["entrypoints"] = _pick_entrypoints(
+                    new_vectors, "id", max(1, len(bb["entrypoints"]))
+                )
+            bb["built_from"] = [
+                meta["versions"]["vectors"], meta["versions"]["adjacency"]
+            ]
+            meta["beam_blocks"] = bb
+            touched.unpersist()
+        elif all_deleted:
+            meta.pop("beam_blocks", None)
         if ivf_live:
             # incremental IVF maintenance: tombstone the dead ids (probe-time
             # anti-join filters them) instead of dropping the whole layout —

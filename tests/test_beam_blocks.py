@@ -326,3 +326,29 @@ def test_query_chunking_matches_single_sweep(spark, idx_path, batch, queries):
     a = {(r["qid"], r["id"], round(r["dist"], 9)) for r in one.collect()}
     b = {(r["qid"], r["id"], round(r["dist"], 9)) for r in chunked.collect()}
     assert a == b
+
+
+def test_maintained_delete_repairs_blocks(spark, idx_path, batch):
+    """delete_batch(maintain_blocks=True): the layout stays fresh, deleted
+    keys never surface through the one-fetch path (repaired survivor blocks
+    drop the dead neighbor; dead rows become unreachable), and stored
+    entrypoints are re-picked if a seed died."""
+    idx = _built(spark, idx_path, batch)
+    assert idx._blocks_fresh()
+    target = batch.collect()[0]  # key-0
+    # delete one stored entrypoint too, forcing seed repair
+    seed0 = int(idx.meta["beam_blocks"]["entrypoints"][0])
+    dead_keys = ["key-0", idx.get_key_from_id(seed0)]
+    idx.delete_batch(keys=sorted(set(dead_keys)), maintain_blocks=True)
+    assert idx._blocks_fresh(), "maintained delete must keep the layout fresh"
+    dead_ids = {0, seed0}
+    assert not dead_ids & {int(e) for e in idx.meta["beam_blocks"]["entrypoints"]}
+    res = idx.search(list(target["vec"]), topk=10, mode="beam", ef=40,
+                     n_entrypoints=4).collect()
+    assert set(dead_keys) & {r["key"] for r in res} == set()
+    # repaired survivor blocks no longer reference any dead id
+    blocks = idx.catalog.read("beam_blocks", idx.meta, merge_key="id")
+    live = idx.vectors.select("id")
+    refs = blocks.join(live, "id", "left_semi").select(F.explode("neighbors").alias("nbr"))
+    dead_refs = refs.join(live.withColumnRenamed("id", "nbr"), "nbr", "left_anti").count()
+    assert dead_refs == 0
