@@ -219,6 +219,23 @@ class LMDiskANNIndex:
                 name, meta, target_bytes,
                 merge_key="key" if name == "key_map" else "id",
             )
+        if meta.get("beam_blocks") and "beam_blocks" in meta.get("versions", {}):
+            # one latest-wins + live-filtered rewrite: collapses the
+            # maintained-insert/delete segments AND drops dead nodes'
+            # unreachable block rows (ids no longer in vectors) —
+            # completing the delete contract for the block layout
+            live = self.catalog.read("beam_blocks", meta, merge_key="id").join(
+                self.catalog.read("vectors", meta).select("id"), "id", "left_semi"
+            )
+            meta = self._write_bucketed("beam_blocks", live, meta, empty=False)
+            if self._blocks_fresh():
+                # compaction rewrites bytes, not data: a layout that was
+                # fresh stays fresh under the new snapshot versions
+                bb = dict(meta["beam_blocks"])
+                bb["built_from"] = [
+                    meta["versions"]["vectors"], meta["versions"]["adjacency"]
+                ]
+                meta["beam_blocks"] = bb
         self.meta = meta
         self.save()
         return self

@@ -352,3 +352,27 @@ def test_maintained_delete_repairs_blocks(spark, idx_path, batch):
     refs = blocks.join(live, "id", "left_semi").select(F.explode("neighbors").alias("nbr"))
     dead_refs = refs.join(live.withColumnRenamed("id", "nbr"), "nbr", "left_anti").count()
     assert dead_refs == 0
+
+
+def test_compact_collapses_block_segments_and_drops_dead_rows(spark, idx_path, batch):
+    """compact(): maintained-mutation segments collapse to one snapshot and
+    dead nodes' unreachable block rows disappear — the layout stays fresh
+    and searchable afterwards."""
+    idx = _built(spark, idx_path, batch)
+    extra = spark.createDataFrame(
+        [("key-new", [0.05 * j for j in range(8)])], "k string, vec array<float>"
+    )
+    idx.insert_batch(extra, vec_col="vec", key_col="k", maintain_blocks=True)
+    idx.delete_batch(keys=["key-2"], maintain_blocks=True)
+    dead_id_rows = idx.catalog.read("beam_blocks", idx.meta, merge_key="id").join(
+        idx.vectors.select("id"), "id", "left_anti"
+    )
+    assert dead_id_rows.count() >= 1, "pre-compact: dead row is expected garbage"
+    idx.compact()
+    blocks = idx.catalog.read("beam_blocks", idx.meta, merge_key="id")
+    assert blocks.join(idx.vectors.select("id"), "id", "left_anti").count() == 0
+    assert blocks.count() == idx.vectors.count()
+    # compaction rewrites bytes, not data: a fresh layout STAYS fresh
+    assert idx._blocks_fresh(), "compact must not stale a fresh layout"
+    q = [float(x) for x in batch.collect()[1]["vec"]]
+    assert idx.search(q, topk=1, mode="beam", ef=40, n_entrypoints=4).collect()[0]["key"] == "key-1"
