@@ -64,6 +64,11 @@ N_ID_BUCKETS = 64
 # bottleneck at scale)
 LSH_INSERT_THRESHOLD = 200_000
 
+# filtered beam search materializes the allowed-id set driver-side (ints —
+# ~50 MB at this bound); beyond it the exact pre-filter scan is the right
+# plan anyway (the filter is no longer selective)
+_FILTER_SET_LIMIT = 1_000_000
+
 
 SUPPORTED_ELTYPES = ("float16", "float32", "float64")
 
@@ -807,23 +812,67 @@ class LMDiskANNIndex:
         ef is promoted to >= topk as in ``:463``.  Returns (key, id, dist)
         nearest-first.
 
-        ``where``: optional SQL predicate over key-map keys (filtered ANN,
-        pre-filter form): candidates are restricted to matching keys BEFORE
-        ranking, so the top-k is exact within the filtered set.  Applied to
-        exact mode; approximate modes raise (post-filtering an approximate
-        candidate set silently under-fills k — the caller should over-fetch
-        instead).
+        ``where``: optional SQL predicate over key-map keys (filtered ANN).
+        exact/auto modes pre-filter: candidates are restricted to matching
+        keys BEFORE ranking, so the top-k is exact within the filtered set.
+        mode='beam' on a FRESH block layout runs filter-DURING-search (the
+        FilteredDiskANN form): traversal routes through every node so the
+        graph stays navigable under selective filters, while the result
+        list admits matching ids only — it can never under-fill k the way
+        post-filtering an approximate candidate set would.  Beam without a
+        block layout still raises (over-fetch and filter instead).
         """
         ef = max(topk, ef)
         if where is not None:
-            if mode not in ("exact", "auto"):
+            from lmdiskann_jl_spark.operators.beam import _NUMPY_METRICS
+
+            metric = self.meta["metric"]
+            beam_filtered = (
+                mode == "beam"
+                and self._blocks_fresh()
+                and isinstance(metric, str)
+                and metric.lower() in _NUMPY_METRICS
+            )
+            if mode not in ("exact", "auto") and not beam_filtered:
                 raise ValueError(
-                    "filtered search supports mode='exact' (pre-filter); "
-                    "for approximate modes over-fetch and filter the result"
+                    "filtered search supports mode='exact' (pre-filter) or "
+                    "mode='beam' on a fresh block layout (filter-during-"
+                    "search); for other approximate modes over-fetch and "
+                    "filter the result"
                 )
             allowed = self.key_map.filter(where).select("id")
-            filtered = self.vectors.join(F.broadcast(allowed), "id", "left_semi")
-            result = exact_topk(filtered, query, k=topk, metric=self.meta["metric"])
+            if beam_filtered:
+                from lmdiskann_jl_spark.operators.beam import beam_search_batch_blocks
+
+                vals = [
+                    int(r["id"])
+                    for r in allowed.limit(_FILTER_SET_LIMIT + 1).collect()
+                ]
+                if len(vals) > _FILTER_SET_LIMIT:
+                    raise ValueError(
+                        f"filter matches more than {_FILTER_SET_LIMIT} keys — "
+                        "at that selectivity the exact pre-filter scan is the "
+                        "right plan (mode='exact')"
+                    )
+                stored = [int(e) for e in self.meta["beam_blocks"]["entrypoints"]]
+                seeds = stored[: max(1, n_entrypoints)]
+                qdf = self.spark.createDataFrame(
+                    [(0, [float(x) for x in query])], "qid long, qvec array<double>"
+                )
+                result = (
+                    beam_search_batch_blocks(
+                        self.spark, self._blocks_fetcher(), qdf,
+                        ef=ef, metric=metric, seeds=seeds,
+                        codebook=self.meta["beam_blocks"].get("codebook"),
+                        allowed=set(vals),
+                    )
+                    .select("id", "dist")
+                    .orderBy(F.col("dist").asc(), F.col("id").asc())
+                    .limit(topk)
+                )
+            else:
+                filtered = self.vectors.join(F.broadcast(allowed), "id", "left_semi")
+                result = exact_topk(filtered, query, k=topk, metric=self.meta["metric"])
             return (
                 result.join(F.broadcast(self.key_map), "id", "left")
                 .select("key", "id", "dist")

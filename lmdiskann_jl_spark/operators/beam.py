@@ -414,6 +414,7 @@ def beam_search_batch_blocks(
     stats: dict | None = None,
     codebook=None,
     query_chunk: int = 1024,
+    allowed: "set[int] | None" = None,
 ) -> DataFrame:
     """Batched beam search over a BLOCK table.
 
@@ -438,6 +439,12 @@ def beam_search_batch_blocks(
       src/LMDiskANN.jl:465-471), so returned distances are always exact.
       A node's OWN vector is stored full-precision in its block (as in the
       paper), so already-expanded candidates re-rank without refetching.
+
+    ``allowed`` (optional id set) is FILTERED ANN in the filter-DURING-search
+    form (the FilteredDiskANN idea, public literature): traversal routes
+    through EVERY scored node — disallowed nodes still navigate, keeping the
+    graph connected under selective filters — while the ef-bounded RESULT
+    list admits allowed ids only, so post-filtering can never under-fill k.
 
     Driver memory: the sweep holds copies of every block payload it touched
     — O(chunk_queries x (ef/4) x hops x degree x payload_size).  Raw copies
@@ -472,7 +479,7 @@ def beam_search_batch_blocks(
             _blocks_sweep(
                 blocks_fetch, q_rows[lo : lo + chunk], ef, metric, seeds,
                 max_hops, qid_col, qvec_col, stats,
-                cb if pq_mode else None,
+                cb if pq_mode else None, allowed,
             )
         )
     return spark.createDataFrame(out_rows, empty)
@@ -480,10 +487,12 @@ def beam_search_batch_blocks(
 
 def _blocks_sweep(
     blocks_fetch, q_rows, ef, metric, seeds, max_hops, qid_col, qvec_col,
-    stats, cb,
+    stats, cb, allowed=None,
 ) -> list:
     """One driver sweep of beam_search_batch_blocks over <= query_chunk
-    queries: fresh block/copy caches, returns (qid, id, dist) tuples."""
+    queries: fresh block/copy caches, returns (qid, id, dist) tuples.
+    ``allowed``: routing scores every node, but only allowed ids enter the
+    returned result list (filter-during-search)."""
     import numpy as np
 
     pq_mode = cb is not None
@@ -496,6 +505,9 @@ def _blocks_sweep(
     copy_of: dict[int, "np.ndarray"] = {}  # neighbor payloads (copies or codes)
     nbrs_of: dict[int, list[int]] = {}
     best: dict = {q: {} for q in qids}
+    # filtered form: ``best`` keeps ROUTING candidates (every node scored —
+    # disallowed nodes still navigate); ``out`` admits allowed ids only
+    out: dict = best if allowed is None else {q: {} for q in qids}
     visited: dict = {q: set() for q in qids}
     frontier: dict = {q: list(seeds) for q in qids}
 
@@ -561,6 +573,11 @@ def _blocks_sweep(
             if not scored:
                 continue
             worst = max(b.values()) if len(b) >= ef else float("inf")
+            o = out[q]
+            oworst = (
+                None if allowed is None
+                else (max(o.values()) if len(o) >= ef else float("inf"))
+            )
             for c in sorted(scored):
                 d = scored[c]
                 if len(b) < ef or d < worst:
@@ -569,6 +586,14 @@ def _blocks_sweep(
                     if len(b) > ef:
                         del b[max(b, key=b.get)]
                     worst = max(b.values()) if len(b) >= ef else float("inf")
+                if allowed is not None and c in allowed and (len(o) < ef or d < oworst):
+                    # result admission is independent of routing admission:
+                    # a selective filter's best allowed hit may rank below
+                    # the routing beam's ef-worst
+                    o[c] = d
+                    if len(o) > ef:
+                        del o[max(o, key=o.get)]
+                    oworst = max(o.values()) if len(o) >= ef else float("inf")
         if not improved:  # early termination, :404-406
             break
         frontier = {
@@ -583,7 +608,7 @@ def _blocks_sweep(
         # retained candidates whose full-precision vector we don't yet hold,
         # then every returned distance is recomputed from the exact vector
         missing = sorted(
-            {i for b in best.values() for i in b} - vec_of.keys()
+            {i for b in out.values() for i in b} - vec_of.keys()
         )
         if missing:
             rows = blocks_fetch(missing).select("id", "vec").collect()
@@ -591,12 +616,12 @@ def _blocks_sweep(
                 vec_of[int(r["id"])] = np.asarray(r["vec"], dtype=np.float64)
             if stats is not None:
                 stats["rerank_fetched"] = len(rows)
-        for q, b in best.items():
+        for q, b in out.items():
             ids = sorted(i for i in b if i in vec_of)
             if ids:
                 d = _np_dists(metric, np.stack([vec_of[i] for i in ids]), qvec[q])
-                best[q] = dict(zip(ids, d.tolist()))
+                out[q] = dict(zip(ids, d.tolist()))
             else:
-                best[q] = {}
+                out[q] = {}
 
-    return [(q, i, d) for q, b in best.items() for i, d in b.items()]
+    return [(q, i, d) for q, b in out.items() for i, d in b.items()]

@@ -3387,6 +3387,59 @@ def q_beam_pq_recall(spark, sf_dir):
     return _recall_row(spark, r)
 
 
+def q_filtered_beam_recall(spark, sf_dir):
+    """recall@10 of FILTERED beam search (filter-DURING-search, the
+    FilteredDiskANN form, public literature) on the shared block-layout
+    index: the predicate admits only even source vec_ids (~half the
+    corpus), traversal routes through every node so the graph stays
+    navigable, and the result list admits allowed ids only.  Baseline =
+    the exact top-10 over the filtered subset; bar >= 0.70 (the
+    reference's quality bar applied to the filtered surface the reference
+    itself lacks — post-filtering its output would under-fill k)."""
+    from lmdiskann_jl_spark.operators.beam import beam_search_batch_blocks
+
+    idx = _gate_auto_index(spark, sf_dir)
+    emb = _gate_emb(spark, sf_dir)
+    qdf = _recall_queries(emb)
+    key = _gate_key(spark, sf_dir, "filtered_beam")
+    if key not in _GATE_CACHE:
+        # allowed = INDEX ids whose key encodes an even vec_id; the exact
+        # baseline is the filtered-subset top-10 in vec_id space
+        id_map = idx.key_map.select(
+            "id", F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("vec_id")
+        )
+        allowed_ids = {
+            int(r["id"]) for r in id_map.filter(F.col("vec_id") % 2 == 0).collect()
+        }
+        exact = batch_topk(
+            qdf, emb.filter(F.col("id") % 2 == 0), k=10, metric="euclidean"
+        ).select("qid", "id").persist()
+        exact.count()
+        _GATE_CACHE[key] = (allowed_ids, exact)
+    allowed_ids, exact = _GATE_CACHE[key]
+    seeds = [int(e) for e in idx.meta["beam_blocks"]["entrypoints"]][:4]
+    approx = (
+        beam_search_batch_blocks(
+            spark, idx._blocks_fetcher(), qdf,
+            ef=100, metric="euclidean", seeds=seeds, max_hops=6,
+            codebook=idx.meta["beam_blocks"].get("codebook"),
+            allowed=allowed_ids,
+        )
+        .join(
+            F.broadcast(
+                idx.key_map.select(
+                    "id",
+                    F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("vec_id"),
+                )
+            ),
+            "id",
+        )
+        .select("qid", F.col("vec_id").alias("id"))
+    )
+    r = recall_at_k(approx, exact, k=10)
+    return _recall_row(spark, r)
+
+
 def q_incremental_insert_recall(spark, sf_dir):
     """Quality gate for incremental ann_insert! (src/LMDiskANN.jl:531-584):
     build the graph on 80% of ids, insert the remaining 20% in two batches
@@ -4928,6 +4981,7 @@ def _oracle_map() -> dict[str, str | None]:
         "a_incremental_insert_recall": None,
         "a_beam_recall": None,
         "a_beam_pq_recall": None,
+        "a_filtered_beam_recall": None,
         "a_ivf_recall": None,
         "a_embedding_neardup_lsh": None,
         # planted-twin instance (see q_semantic_dedup): brute-force all
@@ -5272,6 +5326,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_auto_search": q_auto_search,
         "a_beam_recall": q_beam_recall,
         "a_beam_pq_recall": q_beam_pq_recall,
+        "a_filtered_beam_recall": q_filtered_beam_recall,
         "a_incremental_insert_recall": q_incremental_insert_recall,
         "a_lsh_knn": q_lsh_knn,
         "a_lsh_knn_auto": q_lsh_knn_auto,

@@ -376,3 +376,44 @@ def test_compact_collapses_block_segments_and_drops_dead_rows(spark, idx_path, b
     assert idx._blocks_fresh(), "compact must not stale a fresh layout"
     q = [float(x) for x in batch.collect()[1]["vec"]]
     assert idx.search(q, topk=1, mode="beam", ef=40, n_entrypoints=4).collect()[0]["key"] == "key-1"
+
+
+def test_filtered_beam_search_on_blocks(spark, idx_path, batch):
+    """where= on mode='beam' with a fresh block layout: filter-during-search
+    — every returned key matches the predicate, the best allowed neighbor is
+    found even when it ranks below the routing beam's view, and raw + pq
+    layouts behave alike."""
+    import math
+
+    for compress in (None, "pq"):
+        shutil.rmtree(idx_path, ignore_errors=True)
+        idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6)
+        idx.insert_batch(batch, vec_col="vec", key_col="k")
+        kw = {"pq_m": 4, "pq_k": 16} if compress else {}
+        idx.build_beam_blocks(n_entrypoints=4, compress=compress, **kw)
+
+        rows = batch.collect()
+        q = [float(x) for x in rows[3]["vec"]]
+        # allow only keys ending in an even digit — a ~50% filter
+        res = idx.search(q, topk=5, mode="beam", ef=40, n_entrypoints=4,
+                         where="key rlike '[02468]$'").collect()
+        assert res, f"compress={compress}: filtered beam returned nothing"
+        assert all(int(r["key"].rsplit("-", 1)[1]) % 2 == 0 for r in res)
+        # exact filtered baseline: top-1 among allowed must match
+        vecs = {r["k"]: [float(x) for x in r["vec"]] for r in rows}
+        allowed = {k: v for k, v in vecs.items() if int(k.rsplit("-", 1)[1]) % 2 == 0}
+        exact_top = min(
+            allowed, key=lambda k: math.dist(allowed[k], q)
+        )
+        assert res[0]["key"] == exact_top, f"compress={compress}"
+
+
+def test_filtered_beam_requires_blocks(spark, idx_path, batch):
+    idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6)
+    idx.insert_batch(batch, vec_col="vec", key_col="k")
+    q = [float(x) for x in batch.collect()[0]["vec"]]
+    with pytest.raises(ValueError, match="block layout|over-fetch"):
+        idx.search(q, topk=3, mode="beam", where="key rlike '0$'")
+    # exact pre-filter path still works regardless
+    res = idx.search(q, topk=3, mode="exact", where="key rlike '0$'").collect()
+    assert all(r["key"].endswith("0") for r in res)
