@@ -967,6 +967,7 @@ class LMDiskANNIndex:
         ef: int = DEFAULT_EF_SEARCH,
         n_entrypoints: int = 1,
         max_hops: int = 12,
+        where: str | None = None,
     ) -> DataFrame:
         """Batched search: (qid, qvec) -> per-query top-k with keys.
 
@@ -980,7 +981,16 @@ class LMDiskANNIndex:
         kNN graph), while the reference-style run-until-no-improvement
         tail only churns deep beam entries — each hop is a fixed-latency
         Spark job, so the bound is the beam path's cost knob.
+
+        ``where``: same filtered-ANN contract as ``search`` — exact mode
+        pre-filters (per-query top-k exact within the filtered set); beam
+        mode on a fresh block layout runs filter-during-search (one allowed
+        set shared by the whole batch); other approximate modes raise.
         """
+        if where is not None:
+            return self._search_batch_filtered(
+                queries, topk, mode, max(topk, ef), n_entrypoints, max_hops, where
+            )
         if mode == "ivf":
             from lmdiskann_jl_spark.operators.ivf import ivf_search_batch
 
@@ -1039,6 +1049,60 @@ class LMDiskANNIndex:
             res = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
         else:
             res = batch_topk(queries, self.vectors, k=topk, metric=self.meta["metric"])
+        return res.join(F.broadcast(self.key_map), "id", "left").select(
+            "qid", "key", "id", "dist", "rank"
+        )
+
+    def _search_batch_filtered(
+        self, queries, topk, mode, ef, n_entrypoints, max_hops, where
+    ) -> DataFrame:
+        """search_batch's ``where`` dispatch: exact pre-filter or blocks
+        filter-during-search (see ``search`` for the contract)."""
+        from pyspark.sql import Window
+
+        from lmdiskann_jl_spark.operators.beam import (
+            _NUMPY_METRICS,
+            beam_search_batch_blocks,
+        )
+
+        metric = self.meta["metric"]
+        beam_filtered = (
+            mode == "beam"
+            and self._blocks_fresh()
+            and isinstance(metric, str)
+            and metric.lower() in _NUMPY_METRICS
+        )
+        if mode not in ("exact",) and not beam_filtered:
+            raise ValueError(
+                "filtered search_batch supports mode='exact' (pre-filter) or "
+                "mode='beam' on a fresh block layout (filter-during-search)"
+            )
+        allowed = self.key_map.filter(where).select("id")
+        if beam_filtered:
+            vals = [int(r["id"]) for r in allowed.limit(_FILTER_SET_LIMIT + 1).collect()]
+            if len(vals) > _FILTER_SET_LIMIT:
+                raise ValueError(
+                    f"filter matches more than {_FILTER_SET_LIMIT} keys — "
+                    "at that selectivity the exact pre-filter scan is the "
+                    "right plan (mode='exact')"
+                )
+            stored = [int(e) for e in self.meta["beam_blocks"]["entrypoints"]]
+            if n_entrypoints <= 1:
+                ep = int(self.meta["entrypoint"])
+                seeds = [ep] if ep >= 0 else stored[:1]
+            else:
+                seeds = stored[:n_entrypoints]
+            cand = beam_search_batch_blocks(
+                self.spark, self._blocks_fetcher(), queries,
+                ef=ef, metric=metric, seeds=seeds, max_hops=max_hops,
+                codebook=self.meta["beam_blocks"].get("codebook"),
+                allowed=set(vals),
+            )
+            w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+            res = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
+        else:
+            filtered = self.vectors.join(F.broadcast(allowed), "id", "left_semi")
+            res = batch_topk(queries, filtered, k=topk, metric=metric)
         return res.join(F.broadcast(self.key_map), "id", "left").select(
             "qid", "key", "id", "dist", "rank"
         )

@@ -417,3 +417,25 @@ def test_filtered_beam_requires_blocks(spark, idx_path, batch):
     # exact pre-filter path still works regardless
     res = idx.search(q, topk=3, mode="exact", where="key rlike '0$'").collect()
     assert all(r["key"].endswith("0") for r in res)
+
+
+def test_filtered_search_batch(spark, idx_path, batch, queries):
+    """search_batch(where=...): exact pre-filter and blocks filter-during-
+    search return only matching keys; per-qid top-1 agrees between the two
+    paths on the fixture."""
+    idx = _built(spark, idx_path, batch)
+    pred = "key rlike '[02468]$'"
+    exact = idx.search_batch(queries, topk=3, mode="exact", where=pred).collect()
+    beam = idx.search_batch(queries, topk=3, mode="beam", ef=40,
+                            n_entrypoints=4, max_hops=8, where=pred).collect()
+    for rows in (exact, beam):
+        assert rows
+        assert all(int(r["key"].rsplit("-", 1)[1]) % 2 == 0 for r in rows)
+    top_exact = {r["qid"]: r["key"] for r in exact if r["rank"] == 1}
+    top_beam = {r["qid"]: r["key"] for r in beam if r["rank"] == 1}
+    agree = sum(top_exact[q] == top_beam.get(q) for q in top_exact)
+    assert agree >= 0.8 * len(top_exact)
+    # ivf + where raises
+    idx.build_ivf(n_cells=4)
+    with pytest.raises(ValueError, match="filtered search_batch"):
+        idx.search_batch(queries, topk=3, mode="ivf", where=pred)
