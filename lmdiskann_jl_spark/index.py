@@ -357,6 +357,12 @@ class LMDiskANNIndex:
         counts = {r["_pid"]: r["cnt"] for r in
                   parted.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
         n_new = sum(counts.values())
+        if n_new == 0:
+            # appending a 0-row PARTITIONED segment leaves a schema-less dir
+            # that breaks every later read of the table — an empty batch is
+            # a no-op commit
+            parted.unpersist()
+            return self
         offsets, acc = {}, 0
         for pid in sorted(counts):
             offsets[pid] = acc
@@ -570,16 +576,21 @@ class LMDiskANNIndex:
         meta = self.catalog.write("key_map", new_key_map, meta)
         if blocks_live:
             bb = dict(self.meta["beam_blocks"])
-            delta_adj = new_adj.join(touched, "id", "left_semi")
-            blocks_delta = self._block_rows(
-                delta_adj, new_vectors.select("id", "vec"), bb.get("compress"),
-                bb.get("codebook"), len(bb["codebook"]) if bb.get("codebook") else 8,
-            )
-            bucket = F.pmod(F.col("id"), F.lit(N_ID_BUCKETS)).cast("int")
-            meta = self.catalog.append(
-                "beam_blocks", blocks_delta.withColumn("_b", bucket), meta,
-                partition_by=["_b"], stamp_segment=True,
-            )
+            # a delete can touch NO survivor (the dead node had no in-edges
+            # after degree pruning): appending a 0-row partitioned segment
+            # would leave a schema-less dir that breaks every later read —
+            # skip the append, the repair below is a no-op anyway
+            if touched.count() > 0:
+                delta_adj = new_adj.join(touched, "id", "left_semi")
+                blocks_delta = self._block_rows(
+                    delta_adj, new_vectors.select("id", "vec"), bb.get("compress"),
+                    bb.get("codebook"), len(bb["codebook"]) if bb.get("codebook") else 8,
+                )
+                bucket = F.pmod(F.col("id"), F.lit(N_ID_BUCKETS)).cast("int")
+                meta = self.catalog.append(
+                    "beam_blocks", blocks_delta.withColumn("_b", bucket), meta,
+                    partition_by=["_b"], stamp_segment=True,
+                )
             dead_set = {
                 int(r["id"])
                 for r in dead.filter(
@@ -785,6 +796,27 @@ class LMDiskANNIndex:
             self.meta["versions"]["adjacency"],
         )
 
+    def _blocks_usable(self) -> bool:
+        """Fresh block layout AND a metric with a driver-side kernel — the
+        single gate every blocks-path dispatch must check."""
+        from lmdiskann_jl_spark.operators.beam import _NUMPY_METRICS
+
+        metric = self.meta["metric"]
+        return (
+            self._blocks_fresh()
+            and isinstance(metric, str)
+            and metric.lower() in _NUMPY_METRICS
+        )
+
+    def _blocks_seeds(self, n_entrypoints: int) -> list[int]:
+        """Seed ids for a blocks-path search: the stored single entrypoint
+        for n<=1 (reference semantics), else the layout's stored spread set."""
+        stored = [int(e) for e in self.meta["beam_blocks"]["entrypoints"]]
+        if n_entrypoints <= 1:
+            ep = int(self.meta["entrypoint"])
+            return [ep] if ep >= 0 else stored[:1]
+        return stored[:n_entrypoints]
+
     def _blocks_fetcher(self):
         """Partition-pruned point fetch over the bucketed blocks snapshot —
         the shared catalog fetcher: bucket pruning first, then latest-wins
@@ -824,15 +856,8 @@ class LMDiskANNIndex:
         """
         ef = max(topk, ef)
         if where is not None:
-            from lmdiskann_jl_spark.operators.beam import _NUMPY_METRICS
-
             metric = self.meta["metric"]
-            beam_filtered = (
-                mode == "beam"
-                and self._blocks_fresh()
-                and isinstance(metric, str)
-                and metric.lower() in _NUMPY_METRICS
-            )
+            beam_filtered = mode == "beam" and self._blocks_usable()
             if mode not in ("exact", "auto") and not beam_filtered:
                 raise ValueError(
                     "filtered search supports mode='exact' (pre-filter) or "
@@ -854,8 +879,7 @@ class LMDiskANNIndex:
                         "at that selectivity the exact pre-filter scan is the "
                         "right plan (mode='exact')"
                     )
-                stored = [int(e) for e in self.meta["beam_blocks"]["entrypoints"]]
-                seeds = stored[: max(1, n_entrypoints)]
+                seeds = self._blocks_seeds(n_entrypoints)
                 qdf = self.spark.createDataFrame(
                     [(0, [float(x) for x in query])], "qid long, qvec array<double>"
                 )
@@ -892,20 +916,13 @@ class LMDiskANNIndex:
             if mode == "lsh":  # single-query LSH degenerates to exact
                 mode = "exact"
         if mode == "beam":
-            from lmdiskann_jl_spark.operators.beam import _NUMPY_METRICS
-
             metric = self.meta["metric"]
-            if self._blocks_fresh() and isinstance(metric, str) and metric.lower() in _NUMPY_METRICS:
+            if self._blocks_usable():
                 # block layout present: run as a 1-row batch through the
                 # one-fetch-per-hop path (same facade contract, fewer jobs)
                 from lmdiskann_jl_spark.operators.beam import beam_search_batch_blocks
 
-                stored = [int(e) for e in self.meta["beam_blocks"]["entrypoints"]]
-                if n_entrypoints <= 1:
-                    ep = int(self.meta["entrypoint"])
-                    seeds = [ep] if ep >= 0 else stored[:1]
-                else:
-                    seeds = stored[:n_entrypoints]
+                seeds = self._blocks_seeds(n_entrypoints)
                 qdf = self.spark.createDataFrame(
                     [(0, [float(x) for x in query])], "qid long, qvec array<double>"
                 )
@@ -1013,22 +1030,16 @@ class LMDiskANNIndex:
             from pyspark.sql import Window
 
             from lmdiskann_jl_spark.operators.beam import (
-                _NUMPY_METRICS,
                 beam_search_batch,
                 beam_search_batch_blocks,
             )
 
             metric = self.meta["metric"]
-            if self._blocks_fresh() and isinstance(metric, str) and metric.lower() in _NUMPY_METRICS:
+            if self._blocks_usable():
                 # LM-DiskANN block path: one pruned fetch per hop, neighbors
                 # scored from the vector copies in the fetched blocks; seeds
                 # come pre-computed from the layout metadata (zero jobs)
-                stored = [int(e) for e in self.meta["beam_blocks"]["entrypoints"]]
-                if n_entrypoints <= 1:
-                    ep = int(self.meta["entrypoint"])
-                    seeds = [ep] if ep >= 0 else stored[:1]
-                else:
-                    seeds = stored[:n_entrypoints]
+                seeds = self._blocks_seeds(n_entrypoints)
                 cand = beam_search_batch_blocks(
                     self.spark, self._blocks_fetcher(), queries,
                     ef=max(topk, ef), metric=metric,
@@ -1060,18 +1071,10 @@ class LMDiskANNIndex:
         filter-during-search (see ``search`` for the contract)."""
         from pyspark.sql import Window
 
-        from lmdiskann_jl_spark.operators.beam import (
-            _NUMPY_METRICS,
-            beam_search_batch_blocks,
-        )
+        from lmdiskann_jl_spark.operators.beam import beam_search_batch_blocks
 
         metric = self.meta["metric"]
-        beam_filtered = (
-            mode == "beam"
-            and self._blocks_fresh()
-            and isinstance(metric, str)
-            and metric.lower() in _NUMPY_METRICS
-        )
+        beam_filtered = mode == "beam" and self._blocks_usable()
         if mode not in ("exact",) and not beam_filtered:
             raise ValueError(
                 "filtered search_batch supports mode='exact' (pre-filter) or "
@@ -1086,12 +1089,7 @@ class LMDiskANNIndex:
                     "at that selectivity the exact pre-filter scan is the "
                     "right plan (mode='exact')"
                 )
-            stored = [int(e) for e in self.meta["beam_blocks"]["entrypoints"]]
-            if n_entrypoints <= 1:
-                ep = int(self.meta["entrypoint"])
-                seeds = [ep] if ep >= 0 else stored[:1]
-            else:
-                seeds = stored[:n_entrypoints]
+            seeds = self._blocks_seeds(n_entrypoints)
             cand = beam_search_batch_blocks(
                 self.spark, self._blocks_fetcher(), queries,
                 ef=ef, metric=metric, seeds=seeds, max_hops=max_hops,

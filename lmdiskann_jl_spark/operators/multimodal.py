@@ -180,6 +180,18 @@ def png_payload_with_pixels(
     w, h = width.cast("long"), height.cast("long")
     row_len = 3 * w + 1
     total = h * row_len
+    # a single STORED deflate block caps LEN at 16 bits: fail LOUDLY past it
+    # instead of emitting a silently-corrupt stream (the truncated-lpad LEN
+    # and negative NLEN would only surface as zlib.error rows downstream);
+    # the bound also keeps _adler32_stored's L(L+1)/2 double math exact
+    total = F.when(
+        F.assert_true(
+            total <= 65535,
+            "png_payload_with_pixels: h*(3w+1) filtered bytes exceed 65535 — "
+            "too large for a single STORED deflate block",
+        ).isNull(),
+        total,
+    )
     vhex = F.lpad(F.hex(pix_val.cast("bigint") % 256), 2, "0")
     raw_hex = F.repeat(
         F.concat(F.lit("00"), F.repeat(vhex, (3 * w).cast("int"))), h.cast("int")
@@ -213,9 +225,11 @@ def wav_payload_with_pcm(amp: Column, pairs: Column) -> Column:
     repetitions of a (+amp, -amp) square-wave period, little-endian, mono
     16 kHz — same header as ``wav_payload`` with the data section actually
     materialized (two's-complement hex for the negative half)."""
-    a = amp.cast("long") % 32768
+    # pmod keeps negative amplitudes in [0, 32767]; the negative half-wave
+    # needs % 65536 so amp == 0 encodes sample 0, not a truncated 0x10000
+    a = F.pmod(amp.cast("long"), F.lit(32768))
     data_bytes = (pairs.cast("long") * 4).cast("long")
-    pair_hex = F.concat(_le_hex(a, 2), _le_hex(F.lit(65536) - a, 2))
+    pair_hex = F.concat(_le_hex(a, 2), _le_hex(F.pmod(F.lit(65536) - a, F.lit(65536)), 2))
     return F.concat(
         wav_payload(data_bytes),
         F.unhex(F.repeat(pair_hex, pairs.cast("int"))),
@@ -451,10 +465,11 @@ def _sample_stats(payload: bytes | None):
         vals = _wav_samples(payload)
         codec = "wav"
     elif payload[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "jpeg: entropy decode requires a codec library (PIL/libjpeg) — "
-            "not available in this environment"
-        )
+        # the honest codec boundary (module note above _png_pixels): JPEG
+        # entropy decode needs a codec library.  Report the codec with null
+        # statistics instead of raising — one JPEG row in a mixed corpus
+        # must not abort the decode of every PNG/WAV row sharing the job.
+        return ("jpeg", None, None, None, None, None)
     else:
         return (None, None, None, None, None, None)
     if not vals:

@@ -271,9 +271,14 @@ def scalable_rank(
     a total order for a deterministic rank (ties otherwise break by
     partition-arrival order); partitions are bounded at 2^33 rows by the
     id layout — range partitioning keeps real partitions far below that.
-    The cache is released after the first action via Spark's LRU (the
-    utility cannot unpersist mid-plan); rankings of very large inputs
-    spill to disk rather than evict (MEMORY_AND_DISK).
+    The cache is released by Spark's LRU for MEMORY blocks; the utility
+    cannot unpersist mid-plan (the returned DataFrame's correctness rests
+    on the cached node, and an eager count-then-unpersist would reopen the
+    two-exchange divergence this persist exists to close).  ACCEPTED
+    TRADE: disk-spilled blocks (MEMORY_AND_DISK) survive until the
+    SparkContext ends, so a long-lived session ranking MANY large inputs
+    accumulates spill — such callers should `spark.catalog.clearCache()`
+    between batches once the ranked output is consumed/written.
     """
     from pyspark import StorageLevel
 

@@ -3330,6 +3330,20 @@ def q_beam_recall(spark, sf_dir):
     return _recall_row(spark, r)
 
 
+def _per_query_topk(cand: DataFrame, k: int) -> DataFrame:
+    """Truncate a (qid, id, dist) candidate set to the per-query top-k —
+    recall@k must be measured over the RETURNED top-k, not the ef-wide
+    retained set (which would silently report recall@ef)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("qid", "id")
+    )
+
+
 def q_beam_pq_recall(spark, sf_dir):
     """recall@10 of beam search over PQ-COMPRESSED blocks — the reference's
     ACTUAL disk format (LM-DiskANN paper section 4: neighbor copies stored
@@ -3370,19 +3384,24 @@ def q_beam_pq_recall(spark, sf_dir):
             F.coalesce("neighbors", F.array().cast("array<bigint>")).alias("neighbors"),
             F.coalesce("nbr_codes", F.array().cast("array<array<int>>")).alias("nbr_codes"),
         ).cache()
-        books: list[list[list[float]]] = [[] for _ in range(8)]
-        for r in sorted(cb_df.collect(), key=lambda r: (r["sub"], r["code"])):
+        cb_rows = sorted(cb_df.collect(), key=lambda r: (r["sub"], r["code"]))
+        m = max(r["sub"] for r in cb_rows) + 1  # derived, never assumed
+        books: list[list[list[float]]] = [[] for _ in range(m)]
+        for r in cb_rows:
             books[r["sub"]].append([float(x) for x in r["centroid"]])
         seeds = _pick_entrypoints(emb, "id", 4)
         _GATE_CACHE[key] = (blocks, np.asarray(books), seeds)
     blocks, codebook, seeds = _GATE_CACHE[key]
     qdf = _recall_queries(emb)
     exact = _gate_exact(spark, sf_dir).select("qid", "id")
-    approx = beam_search_batch_blocks(
-        spark, default_fetcher(blocks), qdf,
-        ef=100, metric="euclidean", seeds=seeds, max_hops=6,
-        codebook=codebook,
-    ).select("qid", "id")
+    approx = _per_query_topk(
+        beam_search_batch_blocks(
+            spark, default_fetcher(blocks), qdf,
+            ef=100, metric="euclidean", seeds=seeds, max_hops=6,
+            codebook=codebook,
+        ),
+        k=10,
+    )
     r = recall_at_k(approx, exact, k=10)
     return _recall_row(spark, r)
 
@@ -3419,11 +3438,14 @@ def q_filtered_beam_recall(spark, sf_dir):
     allowed_ids, exact = _GATE_CACHE[key]
     seeds = [int(e) for e in idx.meta["beam_blocks"]["entrypoints"]][:4]
     approx = (
-        beam_search_batch_blocks(
-            spark, idx._blocks_fetcher(), qdf,
-            ef=100, metric="euclidean", seeds=seeds, max_hops=6,
-            codebook=idx.meta["beam_blocks"].get("codebook"),
-            allowed=allowed_ids,
+        _per_query_topk(
+            beam_search_batch_blocks(
+                spark, idx._blocks_fetcher(), qdf,
+                ef=100, metric="euclidean", seeds=seeds, max_hops=6,
+                codebook=idx.meta["beam_blocks"].get("codebook"),
+                allowed=allowed_ids,
+            ),
+            k=10,
         )
         .join(
             F.broadcast(

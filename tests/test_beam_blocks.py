@@ -72,20 +72,25 @@ def test_blocks_match_two_fetch_beam(spark, idx_path, batch, queries):
         vectors_fetch=idx._fetcher("vectors"),
         adjacency_fetch=idx._fetcher("adjacency"),
     )
-    a = {(r["qid"], r["id"]) for r in via_blocks.collect()}
-    b = {(r["qid"], r["id"]) for r in via_two_fetch.collect()}
+    rows_a = via_blocks.collect()
+    rows_b = via_two_fetch.collect()
+    a = {(r["qid"], r["id"]) for r in rows_a}
+    b = {(r["qid"], r["id"]) for r in rows_b}
     # both walks expand the same frontier from the same seeds; tiny dist
     # ties at the ef boundary may swap an id, so require near-identity
     assert len(a & b) >= 0.9 * max(len(a), len(b))
-    # and the TOP candidates (what search_batch returns) must agree exactly
-    top_a = {
-        (q, i)
-        for q, i, _ in sorted(
-            ((r["qid"], r["id"], r["dist"]) for r in via_blocks.collect()),
-            key=lambda t: (t[0], t[2], t[1]),
-        )
-    }
-    assert {(r["qid"], r["id"]) for r in via_two_fetch.collect()} & top_a
+
+    # and the per-query TOP-3 (what search_batch actually returns) must
+    # agree EXACTLY — truncate each side by (dist, id) before comparing
+    def top3(rows):
+        per = {}
+        for r in rows:
+            per.setdefault(r["qid"], []).append((r["dist"], r["id"]))
+        return {
+            q: [i for _, i in sorted(v)[:3]] for q, v in per.items()
+        }
+
+    assert top3(rows_a) == top3(rows_b)
 
 
 def test_search_batch_routes_through_blocks_and_finds_self(spark, idx_path, batch, queries):

@@ -157,13 +157,16 @@ def test_png_sample_decode_all_filter_types():
     assert list(_png_pixels(png)) == [v for line in img for v in line]
 
 
-def test_sample_decode_jpeg_stays_honest_boundary():
-    import pytest as _pytest
-
+def test_sample_decode_jpeg_reports_codec_with_null_stats():
+    """JPEG entropy decode needs a codec library (the honest boundary lives
+    in extract_features' decode_stub=False); the sample kernel must report
+    the codec with null statistics rather than raising, so one JPEG row in
+    a mixed corpus cannot abort the decode of every PNG/WAV row in the job."""
     from lmdiskann_jl_spark.operators.multimodal import _sample_stats
 
-    with _pytest.raises(NotImplementedError, match="jpeg"):
-        _sample_stats(b"\xff\xd8\xff\xc0rest-of-jpeg-here")
+    assert _sample_stats(b"\xff\xd8\xff\xc0rest-of-jpeg-here") == (
+        "jpeg", None, None, None, None, None,
+    )
 
 
 def test_wav_pcm_decode_matches_struct():
@@ -182,3 +185,36 @@ def test_wav_pcm_decode_matches_struct():
     assert (codec, n) == ("wav", 5)
     assert s == sum(samples) and ss == sum(v * v for v in samples)
     assert (lo, hi) == (-32000, 32000)
+
+
+def test_png_payload_rejects_oversized_single_block(spark):
+    """h*(3w+1) > 65535 cannot fit one STORED deflate block — the builder
+    must fail LOUDLY instead of emitting a silently corrupt zlib stream."""
+    from pyspark.sql import functions as F
+    from py4j.protocol import Py4JJavaError
+
+    from lmdiskann_jl_spark.operators import multimodal as M
+
+    df = spark.range(1).select(
+        M.png_payload_with_pixels(F.lit(150), F.lit(150), F.lit(7)).alias("p")
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="65535|STORED|assert"):
+        df.collect()
+
+
+def test_wav_pcm_zero_amplitude_encodes_zero_samples(spark):
+    """amp % 32768 == 0 must encode PCM sample 0, not a truncated 0x10000."""
+    from pyspark.sql import functions as F
+
+    from lmdiskann_jl_spark.operators import multimodal as M
+
+    df = spark.range(1).select(
+        M.wav_payload_with_pcm(F.lit(0), F.lit(3)).alias("p")
+    )
+    payload = bytes(df.collect()[0]["p"])
+    from lmdiskann_jl_spark.operators.multimodal import _sample_stats
+
+    codec, n, s, sq, lo, hi = _sample_stats(payload)
+    assert (codec, n, s, sq, lo, hi) == ("wav", 6, 0, 0, 0, 0)
