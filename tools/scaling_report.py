@@ -41,6 +41,7 @@ DEFAULT = [
     "p_corpus_clean",  # end-to-end: exact + near-dup + span dedup composed
     "a_beam_recall",  # gate: one-fetch-per-hop block-layout beam vs exact
     "a_beam_pq_recall",  # gate: PQ-coded blocks, ADC traversal + exact re-rank
+    "a_filtered_beam_recall",  # gate: filter-during-search on blocks
     "m_decode_samples",  # stdlib PNG/WAV sample decode in mapInPandas
     "t_quality_score",
     "t_tfidf_top_terms",
