@@ -54,6 +54,16 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def l2_normalize(a: Column) -> Column:
+    """a / ||a||_2 as array<double> (zero vectors pass through unchanged).
+    Used by the cosine PQ block layout: for unit vectors
+    cosine_dist(a, b) = ||a - b||^2 / 2, so normalizing payloads at build
+    time lets the sqeuclidean ADC machinery serve cosine exactly."""
+    n = l2_norm(a)
+    safe = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
+    return F.transform(a, lambda x: x.cast(_D) / safe)
+
+
 def sq_euclidean_distance(a: Column, b: Column) -> Column:
     """Squared L2 — monotone in L2, cheaper: use for ranking, sqrt only at the end."""
     return F.aggregate(

@@ -64,12 +64,6 @@ N_ID_BUCKETS = 64
 # bottleneck at scale)
 LSH_INSERT_THRESHOLD = 200_000
 
-# filtered beam search materializes the allowed-id set driver-side (ints —
-# ~50 MB at this bound); beyond it the exact pre-filter scan is the right
-# plan anyway (the filter is no longer selective)
-_FILTER_SET_LIMIT = 1_000_000
-
-
 SUPPORTED_ELTYPES = ("float16", "float32", "float64")
 
 
@@ -448,6 +442,7 @@ class LMDiskANNIndex:
                 blocks_delta = self._block_rows(
                     adj_delta, all_vecs, bb.get("compress"),
                     bb.get("codebook"), len(bb["codebook"]) if bb.get("codebook") else 8,
+                    normalized=bb.get("normalized", False),
                 )
                 meta = self.catalog.append(
                     "beam_blocks", blocks_delta.withColumn("_b", bucket), meta,
@@ -585,6 +580,7 @@ class LMDiskANNIndex:
                 blocks_delta = self._block_rows(
                     delta_adj, new_vectors.select("id", "vec"), bb.get("compress"),
                     bb.get("codebook"), len(bb["codebook"]) if bb.get("codebook") else 8,
+                    normalized=bb.get("normalized", False),
                 )
                 bucket = F.pmod(F.col("id"), F.lit(N_ID_BUCKETS)).cast("int")
                 meta = self.catalog.append(
@@ -670,12 +666,15 @@ class LMDiskANNIndex:
     ) -> "LMDiskANNIndex":
         """Materialize the LM-DiskANN BLOCK layout: one self-contained row
         per node — its vector, neighbor ids, and copies of the neighbor
-        vectors (the reference's defining disk format,
-        /root/reference/src/LMDiskANN.jl:82-100; paper section 4).  With
-        blocks, each beam-search hop is ONE partition-pruned fetch instead
-        of two (adjacency then vectors), halving the per-hop job ladder —
-        the single-block-read-per-expansion contract that makes the graph
-        path viable on disk.
+        vectors.  The block format (and its PQ-compressed payloads) comes
+        from the LM-DiskANN PAPER, section 4 (PAPERS.md) — NOT from the
+        reference Julia source, which stores vectors and adjacency as two
+        separate mmapped arrays (src/LMDiskANN.jl:82-100 is metadata/mmap
+        setup); the behavior the reference DOES share is the exact final
+        re-rank (:465-471).  With blocks, each beam-search hop is ONE
+        partition-pruned fetch instead of two (adjacency then vectors),
+        halving the per-hop job ladder — the single-block-read-per-
+        expansion contract that makes the graph path viable on disk.
 
         Storage trade (same as the paper's): raw blocks cost ~(1 + degree) x
         the flat vector table.  ``compress='pq'`` stores the paper's actual
@@ -685,7 +684,12 @@ class LMDiskANNIndex:
         scores candidates by ADC lookups, then exact-re-ranks the retained
         set in one extra pruned fetch, so returned distances are exact in
         both modes.  PQ needs an additively-decomposable metric (euclidean/
-        sqeuclidean/manhattan/dot); cosine indexes must build raw.
+        sqeuclidean/manhattan/dot).  COSINE indexes compress too: payloads
+        are L2-normalized at build time (layout flag ``normalized``), and
+        for unit vectors cosine_dist = ||a - b||^2 / 2, so the sqeuclidean
+        ADC machinery serves cosine exactly (queries normalize in
+        _adc_table; the exact re-rank recomputes true cosine from the
+        full-precision vectors either way).
         ``n_entrypoints`` spread seed ids are computed once and stored in
         the layout's metadata so searches seed with zero extra jobs.
         Mutations invalidate the layout (version-stamped like IVF); beam
@@ -698,22 +702,34 @@ class LMDiskANNIndex:
         vec = self.vectors
         el = "double" if self.meta.get("eltype") == "float64" else "float"
         codebook_lists = None
+        metric = self.meta["metric"]
+        # cosine has no additive ADC decomposition on raw vectors, but on
+        # L2-normalized ones cosine_dist = sqeuclidean/2 — normalize the PQ
+        # training/encoding input and stamp the layout so search knows
+        normalized = (
+            compress == "pq" and isinstance(metric, str) and metric.lower() == "cosine"
+        )
         if compress == "pq":
             import numpy as np
 
             from lmdiskann_jl_spark.operators.pq import build_pq
 
             dim = int(self.meta["dim"])
-            cb_df = build_pq(vec, dim=dim, m=pq_m, k=pq_k)
+            pq_input = vec
+            if normalized:
+                from lmdiskann_jl_spark.functions.vector import l2_normalize
+
+                pq_input = vec.select("id", l2_normalize(F.col("vec")).alias("vec"))
+            cb_df = build_pq(pq_input, dim=dim, m=pq_m, k=pq_k)
             # validate the metric decomposes additively BEFORE writing
             books: list[list[list[float]]] = [[] for _ in range(pq_m)]
             for r in sorted(cb_df.collect(), key=lambda r: (r["sub"], r["code"])):
                 books[r["sub"]].append([float(x) for x in r["centroid"]])
             codebook_lists = books
-            _adc_table(self.meta["metric"], np.asarray(books), np.zeros(dim))
+            _adc_table(metric, np.asarray(books), np.zeros(dim), normalized)
         blocks = self._block_rows(
             self.adjacency, vec, compress, codebook_lists, pq_m,
-            universe=vec.select("id"),
+            universe=vec.select("id"), normalized=normalized,
         )
         # blocks are a CATALOG table (versioned, bucketed by _b, merge-on-
         # read): full builds write one snapshot; maintained inserts append
@@ -730,6 +746,8 @@ class LMDiskANNIndex:
             # m*k*width doubles (default 8*32*8 = 2 KB) — meta-sized by
             # construction, so searches rebuild ADC tables with zero jobs
             "codebook": codebook_lists,
+            # cosine PQ layouts store L2-normalized payloads (see docstring)
+            "normalized": normalized,
         }
         self.meta = meta
         self.save()
@@ -738,6 +756,7 @@ class LMDiskANNIndex:
     def _block_rows(
         self, adj: DataFrame, all_vecs: DataFrame, compress: str | None,
         codebook_lists, pq_m: int, universe: DataFrame | None = None,
+        normalized: bool = False,
     ) -> DataFrame:
         """(id, vec, neighbors, nbr_vecs|nbr_codes) block rows for the given
         adjacency rows, with own vectors and neighbor payloads drawn from
@@ -745,7 +764,10 @@ class LMDiskANNIndex:
         maintenance path (which passes only the touched adjacency delta).
         ``universe`` (ids) sets which nodes get a row: the full build passes
         every vector id so ISOLATED nodes keep an empty-neighbor block;
-        the delta path defaults to the touched adjacency ids."""
+        the delta path defaults to the touched adjacency ids.
+        ``normalized``: cosine PQ layouts encode L2-normalized payloads
+        (codebooks were fit on normalized input; own vectors stay raw —
+        exact scoring/re-rank uses the true scale-invariant metric)."""
         el = "double" if self.meta.get("eltype") == "float64" else "float"
         if compress == "pq":
             from lmdiskann_jl_spark.operators.pq import pq_encode
@@ -758,8 +780,15 @@ class LMDiskANNIndex:
                 ],
                 "sub int, code int, centroid array<double>",
             )
+            enc_input = all_vecs
+            if normalized:
+                from lmdiskann_jl_spark.functions.vector import l2_normalize
+
+                enc_input = all_vecs.select(
+                    "id", l2_normalize(F.col("vec")).alias("vec")
+                )
             payload = pq_encode(
-                all_vecs, cb_df, dim=int(self.meta["dim"]), m=pq_m
+                enc_input, cb_df, dim=int(self.meta["dim"]), m=pq_m
             ).select(F.col("id").alias("nbr"), F.col("codes").alias("_npay"))
             pay_cast = "array<array<int>>"
             pay_name = "nbr_codes"
@@ -869,16 +898,13 @@ class LMDiskANNIndex:
             if beam_filtered:
                 from lmdiskann_jl_spark.operators.beam import beam_search_batch_blocks
 
-                vals = [
-                    int(r["id"])
-                    for r in allowed.limit(_FILTER_SET_LIMIT + 1).collect()
-                ]
-                if len(vals) > _FILTER_SET_LIMIT:
-                    raise ValueError(
-                        f"filter matches more than {_FILTER_SET_LIMIT} keys — "
-                        "at that selectivity the exact pre-filter scan is the "
-                        "right plan (mode='exact')"
-                    )
+                # allowed admission is EXECUTOR-side: the ids stay a table
+                # (beam._AllowedMembership batches one pruned membership
+                # lookup per hop), so driver memory is O(ids the sweep
+                # scored), never O(|allowed|) — no cardinality cap needed.
+                # Highly UNselective filters are still usually better served
+                # by the exact pre-filter scan (mode='exact'): that is a
+                # cost choice, not a memory constraint.
                 seeds = self._blocks_seeds(n_entrypoints)
                 qdf = self.spark.createDataFrame(
                     [(0, [float(x) for x in query])], "qid long, qvec array<double>"
@@ -888,7 +914,8 @@ class LMDiskANNIndex:
                         self.spark, self._blocks_fetcher(), qdf,
                         ef=ef, metric=metric, seeds=seeds,
                         codebook=self.meta["beam_blocks"].get("codebook"),
-                        allowed=set(vals),
+                        allowed=allowed,
+                        normalized=self.meta["beam_blocks"].get("normalized", False),
                     )
                     .select("id", "dist")
                     .orderBy(F.col("dist").asc(), F.col("id").asc())
@@ -931,6 +958,7 @@ class LMDiskANNIndex:
                         self.spark, self._blocks_fetcher(), qdf,
                         ef=ef, metric=metric, seeds=seeds,
                         codebook=self.meta["beam_blocks"].get("codebook"),
+                        normalized=self.meta["beam_blocks"].get("normalized", False),
                     )
                     .select("id", "dist")
                     .orderBy(F.col("dist").asc(), F.col("id").asc())
@@ -1045,6 +1073,7 @@ class LMDiskANNIndex:
                     ef=max(topk, ef), metric=metric,
                     seeds=seeds, max_hops=max_hops,
                     codebook=self.meta["beam_blocks"].get("codebook"),
+                    normalized=self.meta["beam_blocks"].get("normalized", False),
                 )
             else:
                 cand = beam_search_batch(
@@ -1082,19 +1111,15 @@ class LMDiskANNIndex:
             )
         allowed = self.key_map.filter(where).select("id")
         if beam_filtered:
-            vals = [int(r["id"]) for r in allowed.limit(_FILTER_SET_LIMIT + 1).collect()]
-            if len(vals) > _FILTER_SET_LIMIT:
-                raise ValueError(
-                    f"filter matches more than {_FILTER_SET_LIMIT} keys — "
-                    "at that selectivity the exact pre-filter scan is the "
-                    "right plan (mode='exact')"
-                )
+            # executor-side membership (see search): no cardinality cap,
+            # driver state bounded by the sweep's scored-id footprint
             seeds = self._blocks_seeds(n_entrypoints)
             cand = beam_search_batch_blocks(
                 self.spark, self._blocks_fetcher(), queries,
                 ef=ef, metric=metric, seeds=seeds, max_hops=max_hops,
                 codebook=self.meta["beam_blocks"].get("codebook"),
-                allowed=set(vals),
+                allowed=allowed,
+                normalized=self.meta["beam_blocks"].get("normalized", False),
             )
             w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
             res = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)

@@ -318,14 +318,18 @@ def beam_search_batch(
 # LM-DiskANN block layout: one fetch per hop
 # --------------------------------------------------------------------------
 #
-# The reference's defining trick (the "LM" in LM-DiskANN, paper section 4;
-# block layout at /root/reference/src/LMDiskANN.jl:82-100) is that each node's
-# disk block is SELF-CONTAINED: the node's vector, its neighbor ids, AND
-# (compressed) copies of the neighbor vectors live in one block, so expanding
-# a node costs exactly one read — neighbors are scored from the copies in the
-# block just read, never from a second lookup.  The two-fetch loop above
-# (adjacency fetch + vector fetch per hop) is the uncompressed-graph shape;
-# the block path below is the faithful one: ONE partition-pruned fetch per
+# The LM-DiskANN PAPER's defining trick (the "LM" in LM-DiskANN, paper
+# section 4 — see PAPERS.md) is that each node's disk block is
+# SELF-CONTAINED: the node's vector, its neighbor ids, AND (compressed)
+# copies of the neighbor vectors live in one block, so expanding a node
+# costs exactly one read — neighbors are scored from the copies in the
+# block just read, never from a second lookup.  (The reference Julia
+# implementation stores vectors and adjacency as two separate mmapped
+# arrays — src/LMDiskANN.jl:82-100 is its metadata/mmap setup, NOT a block
+# format; the two-fetch loop above matches the reference's layout, the
+# block path below matches the paper's.)  The two-fetch loop (adjacency
+# fetch + vector fetch per hop) is the uncompressed-graph shape; the block
+# path below is the paper-faithful one: ONE partition-pruned fetch per
 # hop, neighbor scoring driver-side from the fetched copies.
 #
 # Storage trade (same as the paper's): raw blocks replicate each vector once
@@ -368,19 +372,37 @@ def _np_dists(metric: str, mat, q):
     raise ValueError(f"metric {metric!r} has no driver-side kernel; use the two-fetch path")
 
 
-def _adc_table(metric: str, cb, q):
+def _adc_table(metric: str, cb, q, normalized: bool = False):
     """Per-query ADC lookup table over a PQ codebook ``cb`` (m, k, width):
     table[sub, code] = the metric's additive contribution of that codeword
     to the distance between ``q`` and any vector whose sub-th code is
     ``code`` (Jegou et al., asymmetric distance computation).  Euclidean
-    accumulates squared contributions (sqrt at lookup); cosine does not
-    decompose additively and is rejected (build the layout raw for cosine
-    indexes)."""
+    accumulates squared contributions (sqrt at lookup).
+
+    Cosine does not decompose additively in general, but on a layout built
+    with ``normalized=True`` (vectors L2-normalized before codebook fit and
+    encoding) the identity ``cosine_dist(a, b) = ||a - b||^2 / 2`` for unit
+    vectors makes the sqeuclidean decomposition exact: the query is
+    normalized here (cosine is scale-invariant, so raw exact scoring is
+    unaffected) and ``_adc_lookup`` halves the accumulated squares so ADC
+    scores stay commensurate with true cosine distances of exact-known
+    candidates in the same beam."""
     import numpy as np
 
     m_, _, width = cb.shape
     qsub = np.asarray(q, dtype=np.float64).reshape(m_, width)
     mt = metric.lower()
+    if mt == "cosine":
+        if not normalized:
+            raise ValueError(
+                "cosine ADC requires a normalized block layout "
+                "(build_beam_blocks normalizes cosine indexes automatically; "
+                "legacy un-normalized layouts must rebuild)"
+            )
+        qn = float(np.sqrt((qsub**2).sum()))
+        if qn > 0.0:
+            qsub = qsub / qn
+        return ((cb - qsub[:, None, :]) ** 2).sum(axis=-1)
     if mt in ("euclidean", "l2", "sqeuclidean"):
         return ((cb - qsub[:, None, :]) ** 2).sum(axis=-1)
     if mt in ("manhattan", "l1"):
@@ -394,11 +416,18 @@ def _adc_table(metric: str, cb, q):
 
 
 def _adc_lookup(metric: str, table, codes_mat):
-    """Approximate distances for a (n, m) code matrix via table lookups."""
+    """Approximate distances for a (n, m) code matrix via table lookups.
+    Cosine tables are sqeuclidean over unit vectors (see _adc_table), so
+    the halved sum IS the cosine distance."""
     import numpy as np
 
     vals = table[np.arange(table.shape[0])[None, :], codes_mat].sum(axis=1)
-    return np.sqrt(vals) if metric.lower() in ("euclidean", "l2") else vals
+    mt = metric.lower()
+    if mt in ("euclidean", "l2"):
+        return np.sqrt(vals)
+    if mt == "cosine":
+        return vals / 2.0
+    return vals
 
 
 def beam_search_batch_blocks(
@@ -414,7 +443,8 @@ def beam_search_batch_blocks(
     stats: dict | None = None,
     codebook=None,
     query_chunk: int = 1024,
-    allowed: "set[int] | None" = None,
+    allowed: "set[int] | DataFrame | None" = None,
+    normalized: bool = False,
 ) -> DataFrame:
     """Batched beam search over a BLOCK table.
 
@@ -440,11 +470,20 @@ def beam_search_batch_blocks(
       A node's OWN vector is stored full-precision in its block (as in the
       paper), so already-expanded candidates re-rank without refetching.
 
-    ``allowed`` (optional id set) is FILTERED ANN in the filter-DURING-search
-    form (the FilteredDiskANN idea, public literature): traversal routes
-    through EVERY scored node — disallowed nodes still navigate, keeping the
-    graph connected under selective filters — while the ef-bounded RESULT
-    list admits allowed ids only, so post-filtering can never under-fill k.
+    ``allowed`` (optional) is FILTERED ANN in the filter-DURING-search form
+    (the FilteredDiskANN idea, public literature): traversal routes through
+    EVERY scored node — disallowed nodes still navigate, keeping the graph
+    connected under selective filters — while the ef-bounded RESULT list
+    admits allowed ids only, so post-filtering can never under-fill k.
+    Accepts a small driver-side ``set`` OR an allowed-ids DataFrame
+    (column ``id``): the DataFrame form resolves membership EXECUTOR-side —
+    one pruned lookup per hop for the ids actually scored — so driver
+    memory is O(ids touched by the sweep), never O(|allowed|); an
+    unselective 100-TB filter costs hop-sized lookups, not a collect.
+
+    ``normalized``: the block layout stored L2-normalized neighbor payloads
+    (build_beam_blocks sets this for cosine PQ layouts) — routes cosine ADC
+    through the unit-vector sqeuclidean identity (see _adc_table).
 
     Driver memory: the sweep holds copies of every block payload it touched
     — O(chunk_queries x (ef/4) x hops x degree x payload_size).  Raw copies
@@ -462,15 +501,27 @@ def beam_search_batch_blocks(
     pq_mode = codebook is not None
     if pq_mode:
         cb = np.asarray(codebook, dtype=np.float64)
-        _adc_table(metric, cb, np.zeros(cb.shape[0] * cb.shape[2]))  # validate
+        _adc_table(  # validate the metric decomposes before any job runs
+            metric, cb, np.zeros(cb.shape[0] * cb.shape[2]), normalized
+        )
     else:
         _np_dists(metric, np.zeros((1, 2)), np.zeros(2))  # validate metric early
 
     qid_type = queries.schema[qid_col].dataType.simpleString()
     q_rows = queries.select(qid_col, qvec_col).collect()
     empty = f"{qid_col} {qid_type}, id long, dist double"
-    if not q_rows or not seeds:
+    if not q_rows:
         return spark.createDataFrame([], empty)
+    if not seeds:
+        # a mis-seeded call (e.g. empty stored entrypoints) must not be
+        # indistinguishable from 'no matches'
+        raise ValueError(
+            "beam_search_batch_blocks: queries provided but seeds is empty — "
+            "pass at least one live entrypoint id (block layouts store them "
+            "in their metadata)"
+        )
+    if isinstance(allowed, DataFrame):
+        allowed = _AllowedMembership(allowed)
     seeds = sorted({int(s) for s in seeds})
     chunk = max(1, int(query_chunk))
     out_rows: list = []
@@ -479,26 +530,61 @@ def beam_search_batch_blocks(
             _blocks_sweep(
                 blocks_fetch, q_rows[lo : lo + chunk], ef, metric, seeds,
                 max_hops, qid_col, qvec_col, stats,
-                cb if pq_mode else None, allowed,
+                cb if pq_mode else None, allowed, normalized,
             )
         )
     return spark.createDataFrame(out_rows, empty)
 
 
+class _AllowedMembership:
+    """Executor-side allowed-set admission for filtered block search.
+
+    Holds the allowed ids as a TABLE (never collected): each ``resolve``
+    call runs one pruned membership lookup (literal isin below the plan
+    threshold, broadcast semi-join above — default_fetcher's split) for the
+    batch of candidate ids whose status is still unknown, and caches the
+    boolean per id.  Driver memory is O(distinct ids the sweep scored) —
+    the same footprint class as the block/copy caches — independent of the
+    allowed set's cardinality, so unselective filters at 100 TB stay
+    driver-safe.  ``stats['allowed_lookups']`` counts the lookup jobs."""
+
+    def __init__(self, allowed_df: DataFrame, id_col: str = "id"):
+        self._fetch = default_fetcher(
+            allowed_df.select(F.col(id_col).cast("long").alias("id")), "id"
+        )
+        self._known: dict[int, bool] = {}
+
+    def resolve(self, ids, stats: dict | None = None) -> set:
+        """Subset of ``ids`` present in the allowed table (batched lookup)."""
+        unknown = sorted({int(i) for i in ids} - self._known.keys())
+        if unknown:
+            hit = {int(r["id"]) for r in self._fetch(unknown).select("id").collect()}
+            for i in unknown:
+                self._known[i] = i in hit
+            if stats is not None:
+                stats["allowed_lookups"] = stats.get("allowed_lookups", 0) + 1
+        return {int(i) for i in ids if self._known[int(i)]}
+
+
 def _blocks_sweep(
     blocks_fetch, q_rows, ef, metric, seeds, max_hops, qid_col, qvec_col,
-    stats, cb, allowed=None,
+    stats, cb, allowed=None, normalized=False,
 ) -> list:
     """One driver sweep of beam_search_batch_blocks over <= query_chunk
     queries: fresh block/copy caches, returns (qid, id, dist) tuples.
     ``allowed``: routing scores every node, but only allowed ids enter the
-    returned result list (filter-during-search)."""
+    returned result list (filter-during-search).  A set checks membership
+    driver-side; an _AllowedMembership resolves it executor-side per hop."""
     import numpy as np
 
     pq_mode = cb is not None
     qids = [r[qid_col] for r in q_rows]
     qvec = {r[qid_col]: np.asarray(r[qvec_col], dtype=np.float64) for r in q_rows}
-    tables = {q: _adc_table(metric, cb, qvec[q]) for q in qids} if pq_mode else None
+    tables = (
+        {q: _adc_table(metric, cb, qvec[q], normalized) for q in qids}
+        if pq_mode
+        else None
+    )
 
     payload_col = "nbr_codes" if pq_mode else "nbr_vecs"
     vec_of: dict[int, "np.ndarray"] = {}  # exact own vectors of FETCHED blocks
@@ -553,20 +639,31 @@ def _blocks_sweep(
             if stats is not None:
                 stats["hops"] = stats.get("hops", 0) + 1
                 stats["blocks_fetched"] = stats.get("blocks_fetched", 0) + n_rows
-        improved: set = set()
+        # phase 1: per-query candidate sets (ids only), so the filtered
+        # form can resolve allowed-membership for the WHOLE hop in one
+        # batched executor-side lookup instead of per-query jobs
+        cand_by_q: dict = {}
         for q in list(frontier):
             front = frontier[q]
             if not front:
                 continue
-            b = best[q]
             cand = set()
             for i in front:
                 cand.update(nbrs_of.get(i, ()))
             if hop == 0:
                 cand.update(front)  # seeds score their own vectors too
             cand -= visited[q]
-            cand -= b.keys()
+            cand -= best[q].keys()
             visited[q].update(front)
+            cand_by_q[q] = cand
+        allowed_now = allowed
+        if isinstance(allowed, _AllowedMembership) and cand_by_q:
+            allowed_now = allowed.resolve(
+                set().union(*cand_by_q.values()), stats
+            )
+        improved: set = set()
+        for q, cand in cand_by_q.items():
+            b = best[q]
             scored = score_cands(q, sorted(cand))
             if stats is not None:
                 stats["rows_scored"] = stats.get("rows_scored", 0) + len(scored)
@@ -586,11 +683,19 @@ def _blocks_sweep(
                     if len(b) > ef:
                         del b[max(b, key=b.get)]
                     worst = max(b.values()) if len(b) >= ef else float("inf")
-                if allowed is not None and c in allowed and (len(o) < ef or d < oworst):
+                if (
+                    allowed is not None
+                    and c in allowed_now
+                    and (len(o) < ef or d < oworst)
+                ):
                     # result admission is independent of routing admission:
                     # a selective filter's best allowed hit may rank below
-                    # the routing beam's ef-worst
+                    # the routing beam's ef-worst.  An o-only improvement
+                    # still marks the query improved — allowed-result
+                    # candidates can keep sharpening after the routing list
+                    # saturates, so the frontier must survive the hop
                     o[c] = d
+                    improved.add(q)
                     if len(o) > ef:
                         del o[max(o, key=o.get)]
                     oworst = max(o.values()) if len(o) >= ef else float("inf")

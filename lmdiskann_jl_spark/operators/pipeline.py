@@ -243,6 +243,7 @@ def scalable_rank(
     order_by: list,
     rank_col: str = "rank",
     npartitions: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Global 1-based row_number over ``order_by`` WITHOUT the
     single-partition global window (the classic scale anti-pattern): range-
@@ -274,11 +275,14 @@ def scalable_rank(
     The cache is released by Spark's LRU for MEMORY blocks; the utility
     cannot unpersist mid-plan (the returned DataFrame's correctness rests
     on the cached node, and an eager count-then-unpersist would reopen the
-    two-exchange divergence this persist exists to close).  ACCEPTED
-    TRADE: disk-spilled blocks (MEMORY_AND_DISK) survive until the
-    SparkContext ends, so a long-lived session ranking MANY large inputs
-    accumulates spill — such callers should `spark.catalog.clearCache()`
-    between batches once the ranked output is consumed/written.
+    two-exchange divergence this persist exists to close).  Long-lived
+    sessions ranking MANY large inputs should pass ``cache_registry``
+    (a list): the cached node is appended to it, and the caller calls
+    ``node.unpersist()`` on each entry AFTER the ranked output has been
+    materialized (written / collected) — releasing the disk-spilled
+    blocks without the blunt `spark.catalog.clearCache()`.  Without a
+    registry the node stays cached until Spark's LRU or context end (the
+    prior accepted trade, still the default for one-shot queries).
     """
     from pyspark import StorageLevel
 
@@ -294,6 +298,8 @@ def scalable_rank(
         .withColumn("_mid", F.monotonically_increasing_id())
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if cache_registry is not None:
+        cache_registry.append(parted)
     part = parted.withColumn(
         "_pid", F.shiftright("_mid", 33).cast("int")
     ).withColumn("_lrank", (F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + 1))

@@ -598,6 +598,20 @@ def q_semantic_dedup(spark, sf_dir):
     natural near-dups stays pytest-gated (tests/test_dedup.py planted-dup
     recall)."""
     emb = _t(spark, sf_dir, "embeddings")
+    # the planted ids live at vec_id + PLANT_OFFSET; a corpus with
+    # vec_id >= PLANT_OFFSET would collide twins with real rows, silently
+    # degrading the "expected output = exactly the planted twins"
+    # construction (both engines would stay consistent, so the hash would
+    # still match — the gate instance, not the operator, would be wrong).
+    # The offset is a LITERAL shared with the DuckDB oracle SQL, so it
+    # cannot be derived at runtime: assert the precondition loudly instead.
+    max_id = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+    if max_id is not None and int(max_id) >= SEMANTIC_PLANT_OFFSET:
+        raise AssertionError(
+            f"semantic-dedup gate precondition violated: max vec_id "
+            f"{max_id} >= SEMANTIC_PLANT_OFFSET {SEMANTIC_PLANT_OFFSET} — "
+            "raise the offset (and its oracle literal) for this corpus"
+        )
     twins = emb.filter(
         F.col("vec_id") % SEMANTIC_PLANT_STEP == SEMANTIC_PLANT_MOD
     ).select(
@@ -3422,20 +3436,22 @@ def q_filtered_beam_recall(spark, sf_dir):
     qdf = _recall_queries(emb)
     key = _gate_key(spark, sf_dir, "filtered_beam")
     if key not in _GATE_CACHE:
-        # allowed = INDEX ids whose key encodes an even vec_id; the exact
-        # baseline is the filtered-subset top-10 in vec_id space
+        # allowed = INDEX ids whose key encodes an even vec_id, kept as a
+        # TABLE (never collected): beam resolves membership executor-side,
+        # one pruned lookup per hop, so driver state stays O(ids scored)
+        # even for this ~half-the-corpus filter.  The exact baseline is the
+        # filtered-subset top-10 in vec_id space.
         id_map = idx.key_map.select(
             "id", F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("vec_id")
         )
-        allowed_ids = {
-            int(r["id"]) for r in id_map.filter(F.col("vec_id") % 2 == 0).collect()
-        }
+        allowed_df = id_map.filter(F.col("vec_id") % 2 == 0).select("id").persist()
+        allowed_df.count()
         exact = batch_topk(
             qdf, emb.filter(F.col("id") % 2 == 0), k=10, metric="euclidean"
         ).select("qid", "id").persist()
         exact.count()
-        _GATE_CACHE[key] = (allowed_ids, exact)
-    allowed_ids, exact = _GATE_CACHE[key]
+        _GATE_CACHE[key] = (allowed_df, exact)
+    allowed_df, exact = _GATE_CACHE[key]
     seeds = [int(e) for e in idx.meta["beam_blocks"]["entrypoints"]][:4]
     approx = (
         _per_query_topk(
@@ -3443,7 +3459,7 @@ def q_filtered_beam_recall(spark, sf_dir):
                 spark, idx._blocks_fetcher(), qdf,
                 ef=100, metric="euclidean", seeds=seeds, max_hops=6,
                 codebook=idx.meta["beam_blocks"].get("codebook"),
-                allowed=allowed_ids,
+                allowed=allowed_df,
             ),
             k=10,
         )
@@ -3498,6 +3514,144 @@ def q_incremental_insert_recall(spark, sf_dir):
         F.col("id").alias("qid"), F.col("neighbor").alias("id")
     )
     r = recall_at_k(approx, exact, k=ADJ_DEGREE)
+    return _recall_row(spark, r)
+
+
+def _gate_cosine_index(spark: SparkSession, sf_dir: str):
+    """A real on-disk COSINE index per (session, sf_dir), carrying the
+    PQ-compressed block layout.  The reference's own surface is half cosine
+    (test/runtests.jl:31-67; the GloVe demo, docs/src/index.md:84), so the
+    100-TB block configuration must serve it too: build_beam_blocks
+    L2-normalizes the PQ payloads (unit vectors make cosine =
+    sqeuclidean/2, an exact additive ADC decomposition) and stamps the
+    layout ``normalized``.  Built once, shared by the cosine gates."""
+    key = _gate_key(spark, sf_dir, "cosidx")
+    if key not in _GATE_CACHE:
+        import tempfile
+
+        from lmdiskann_jl_spark.index import LMDiskANNIndex
+
+        emb = _t(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="lmdiskann_cos_")
+        _register_temp_path(key, path)
+        idx = LMDiskANNIndex.create(
+            spark, path, dim=64, maxdegree=ADJ_DEGREE, metric="cosine"
+        )
+        batch = emb.select(
+            F.col("embedding").alias("vec"),
+            F.format_string("vec-%08d", F.col("vec_id")).alias("k"),
+        )
+        idx.insert_batch(batch, vec_col="vec", key_col="k")
+        idx.build_beam_blocks(compress="pq")
+        _GATE_CACHE[key] = idx
+    return _GATE_CACHE[key]
+
+
+def _gate_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = _gate_key(spark, sf_dir, "exact_cos")
+    if key not in _GATE_CACHE:
+        emb = _gate_emb(spark, sf_dir)
+        _GATE_CACHE[key] = batch_topk(
+            _recall_queries(emb), emb, k=10, metric="cosine"
+        ).persist()
+    return _GATE_CACHE[key]
+
+
+def q_beam_pq_cosine_recall(spark, sf_dir):
+    """recall@10 of beam search over PQ-compressed blocks on a COSINE
+    index, end-to-end through the index facade — the reference's cosine
+    surface (CosineDist configs in test/runtests.jl:31-67, GloVe demo in
+    docs/src/index.md:84) running in the paper's compressed block format.
+    Cosine has no additive ADC decomposition on raw vectors; the layout
+    L2-normalizes payloads at build time (for unit vectors cosine_dist =
+    ||a - b||^2 / 2) so the sqeuclidean ADC machinery is exact, queries
+    normalize inside the per-query table, and the final re-rank recomputes
+    true cosine from full-precision vectors.  Bar >= 0.70
+    (test/runtests.jl:454), loud.  Rows-only gate (PQ k-means is not
+    SQL-expressible)."""
+    idx = _gate_cosine_index(spark, sf_dir)
+    assert idx.meta["beam_blocks"].get("normalized") is True
+    emb = _gate_emb(spark, sf_dir)
+    qdf = _recall_queries(emb)
+    exact = _gate_exact_cosine(spark, sf_dir).select("qid", "id")
+    approx = idx.search_batch(
+        qdf, topk=10, mode="beam", ef=100, n_entrypoints=4, max_hops=6
+    ).select(
+        "qid",
+        F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("id"),
+    )
+    r = recall_at_k(approx, exact, k=10)
+    return _recall_row(spark, r)
+
+
+def q_ivf_maintained_recall(spark, sf_dir):
+    """recall@10 of mode='ivf' search on a MAINTAINED index: build the IVF
+    layout, then insert a 10% batch and delete two ids with
+    maintain_ivf=True — new rows assign to their nearest FROZEN centroid
+    (one broadcast join), deletes become probe-time tombstones, and
+    _ivf_fresh stays true so auto-search never silently loses the IVF
+    option (round 8's maintenance lifecycle, index.py insert_batch /
+    delete_batch).  Baseline = the exact top-10 over the index's CURRENT
+    corpus.  Bar >= 0.70 (test/runtests.jl:454), loud.  Runs on a bounded
+    quarter-corpus twin index so the gate's build cost stays a fraction of
+    the shared auto-index.  Rows-only gate (k-means + iterative
+    maintenance, not SQL-expressible)."""
+    key = _gate_key(spark, sf_dir, "ivfmaint")
+    if key not in _GATE_CACHE:
+        import tempfile
+
+        from lmdiskann_jl_spark.index import LMDiskANNIndex
+
+        emb = _t(spark, sf_dir, "embeddings")
+        sub = emb.filter(F.col("vec_id") % 4 == 0)
+        base = sub.filter(F.col("vec_id") % 40 != 0)
+        extra = sub.filter(F.col("vec_id") % 40 == 0)
+        dead_vec_ids = [100, 300]  # % 4 == 0, % 40 != 0 -> in the base load
+
+        path = tempfile.mkdtemp(prefix="lmdiskann_ivfmaint_")
+        _register_temp_path(key, path)
+        idx = LMDiskANNIndex.create(
+            spark, path, dim=64, maxdegree=ADJ_DEGREE, metric="euclidean"
+        )
+
+        def as_batch(df):
+            return df.select(
+                F.col("embedding").alias("vec"),
+                F.format_string("vec-%08d", F.col("vec_id")).alias("k"),
+            )
+
+        idx.insert_batch(as_batch(base), vec_col="vec", key_col="k")
+        idx.build_ivf(n_cells=8)
+        idx.insert_batch(
+            as_batch(extra), vec_col="vec", key_col="k", maintain_ivf=True
+        )
+        idx.delete_batch(
+            keys=[f"vec-{v:08d}" for v in dead_vec_ids], maintain_ivf=True
+        )
+        if not idx._ivf_fresh():
+            raise AssertionError(
+                "maintained IVF layout went stale across insert+delete — "
+                "maintenance contract broken"
+            )
+        # exact baseline over the index's CURRENT corpus, in vec_id space
+        corpus = sub.filter(~F.col("vec_id").isin(dead_vec_ids)).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        exact = (
+            batch_topk(_recall_queries(_gate_emb(spark, sf_dir)), corpus,
+                       k=10, metric="euclidean")
+            .select("qid", "id")
+            .persist()
+        )
+        exact.count()
+        _GATE_CACHE[key] = (idx, exact)
+    idx, exact = _GATE_CACHE[key]
+    qdf = _recall_queries(_gate_emb(spark, sf_dir))
+    approx = idx.search_batch(qdf, topk=10, mode="ivf").select(
+        "qid",
+        F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("id"),
+    )
+    r = recall_at_k(approx, exact, k=10)
     return _recall_row(spark, r)
 
 
@@ -5003,8 +5157,10 @@ def _oracle_map() -> dict[str, str | None]:
         "a_incremental_insert_recall": None,
         "a_beam_recall": None,
         "a_beam_pq_recall": None,
+        "a_beam_pq_cosine_recall": None,
         "a_filtered_beam_recall": None,
         "a_ivf_recall": None,
+        "a_ivf_maintained_recall": None,
         "a_embedding_neardup_lsh": None,
         # planted-twin instance (see q_semantic_dedup): brute-force all
         # pairs over the same planted union — the honest oracle; with the
@@ -5165,10 +5321,27 @@ def _token_count_oracle() -> str:
 # Update after each round from the new CORRECTNESS file; the declaration
 # order below is the stable tiebreak.
 _LAST_DRIVER_VERIFIED: dict[str, int] = {
-    # --- r7 window (CORRECTNESS_r07.json): 46 green rows+schema+hash, 4
-    # rows-only recall gates (no_oracle by design, 0 reds).  a_mmr_rerank
-    # and a_semantic_dedup deliberately UNSTAMPED: both gain DuckDB hash
-    # oracles in round 8 and should earn fresh hash-verified rows. ---
+    # --- r8 window (CORRECTNESS_r08.json): 41 green rows+schema+hash, 9
+    # rows-only recall gates (no_oracle by design, 0 reds). ---
+    "a_beam_pq_recall": 8, "a_beam_recall": 8, "a_embedding_neardup_lsh": 8,
+    "a_filtered_beam_recall": 8, "a_incremental_insert_recall": 8,
+    "a_ivf_recall": 8, "a_lsh_knn": 8, "a_lsh_knn_auto": 8,
+    "a_lsh_recall": 8, "a_mmr_rerank": 8, "a_semantic_dedup": 8,
+    "d_dedup_exact": 8, "d_dup_clusters": 8, "d_dup_clusters_star": 8,
+    "d_duplicate_spans": 8, "d_embedding_neardup": 8, "d_keep_best": 8,
+    "d_minhash_lsh_pairs": 8, "d_minhash_signatures": 8,
+    "d_ngram_jaccard_capped": 8, "d_ngram_jaccard_pairs": 8, "d_simhash": 8,
+    "d_simhash_neardup": 8, "d_span_profile": 8, "k_keymap_delete": 8,
+    "k_keymap_list": 8, "k_keymap_reverse_lookup": 8, "m_decode_samples": 8,
+    "m_payload_stats": 8, "p_group_sample_k": 8, "p_leakage_safe_split": 8,
+    "p_stratified_sample": 8, "r_asof_forward": 8, "r_events_props": 8,
+    "t_chunk_documents": 8, "t_fingerprint": 8, "t_lang_id": 8,
+    "t_langid_accuracy": 8, "t_phrase_proximity": 8, "t_pii_redact": 8,
+    "t_quality_score": 8, "t_repetition": 8, "t_token_count": 8,
+    "t_top_terms": 8, "t_vocab_build": 8, "v_auto_search": 8,
+    "v_filtered_topk": 8, "v_normalize": 8, "v_quantize": 8,
+    "v_reduce_dim": 8,
+    # --- r7 window (CORRECTNESS_r07.json) ---
     "a_extract_features": 7, "a_graph_build_lsh_recall": 7,
     "a_ivfpq_recall": 7, "a_pq_recall": 7, "d_span_removal": 7,
     "k_keymap_count": 7, "k_keymap_lookup": 7, "m_frame_plan": 7,
@@ -5187,34 +5360,17 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "v_hybrid_search": 7, "v_knn_join": 7, "v_label_centroids": 7,
     "v_partial_topk": 7, "v_range_search": 7, "v_rrf_fusion": 7,
     # --- r6 window (CORRECTNESS_r06.json) ---
-    "a_embedding_neardup_lsh": 6, "a_lsh_auto_recall": 6,
-    "m_media_decode": 6, "p_dataset_split": 6, "p_decontaminate": 6,
-    "p_pack_sequences": 6, "p_quality_filter": 6,
-    "p_source_weighted_sample": 6, "p_stratified_sample": 6,
-    "p_token_budget_mix": 6, "r_customer_deciles": 6,
-    "r_customers_no_orders": 6, "r_events_moving_avg": 6,
-    "r_events_pivot": 6, "r_price_quantiles": 6, "r_set_ops": 6,
-    "r_source_mix": 6, "r_tpch_q1": 6, "r_tpch_q10": 6, "r_tpch_q12": 6,
-    "r_tpch_q13": 6, "r_tpch_q14": 6, "r_tpch_q15": 6, "r_tpch_q18": 6,
-    "r_tpch_q3": 6, "r_tpch_q4": 6, "r_tpch_q5": 6, "r_tpch_q6": 6,
-    "r_tpch_q7": 6, "r_tpch_q8": 6, "r_tpch_q9": 6, "s_stream_dedup": 6,
-    "s_stream_rollup": 6, "s_stream_sessions": 6, "t_fingerprint": 6,
-    "t_lang_id": 6, "t_quality_score": 6, "t_token_count": 6,
-    "t_top_terms": 6, "v_filtered_topk": 6, "v_knn_classify": 6,
-    "v_normalize": 6, "v_quantize": 6,
-    # --- r5 window (CORRECTNESS_r05.json) ---
-    "a_beam_recall": 5, "a_incremental_insert_recall": 5, "a_ivf_recall": 5,
-    "a_lsh_knn": 5, "a_lsh_knn_auto": 5, "a_lsh_recall": 5,
-    "d_dedup_exact": 5, "d_dup_clusters": 5, "d_dup_clusters_star": 5,
-    "d_duplicate_spans": 5, "d_embedding_neardup": 5, "d_keep_best": 5,
-    "d_minhash_lsh_pairs": 5, "d_minhash_signatures": 5,
-    "d_ngram_jaccard_capped": 5, "d_ngram_jaccard_pairs": 5, "d_simhash": 5,
-    "d_simhash_neardup": 5, "d_span_profile": 5, "k_keymap_delete": 5,
-    "k_keymap_list": 5, "k_keymap_reverse_lookup": 5, "m_payload_stats": 5,
-    "p_group_sample_k": 5, "p_leakage_safe_split": 5, "r_asof_forward": 5,
-    "r_events_props": 5, "t_chunk_documents": 5, "t_langid_accuracy": 5,
-    "t_phrase_proximity": 5, "t_pii_redact": 5, "t_repetition": 5,
-    "t_vocab_build": 5, "v_auto_search": 5, "v_reduce_dim": 5,
+    "a_lsh_auto_recall": 6, "m_media_decode": 6, "p_dataset_split": 6,
+    "p_decontaminate": 6, "p_pack_sequences": 6, "p_quality_filter": 6,
+    "p_source_weighted_sample": 6, "p_token_budget_mix": 6,
+    "r_customer_deciles": 6, "r_customers_no_orders": 6,
+    "r_events_moving_avg": 6, "r_events_pivot": 6, "r_price_quantiles": 6,
+    "r_set_ops": 6, "r_source_mix": 6, "r_tpch_q1": 6, "r_tpch_q10": 6,
+    "r_tpch_q12": 6, "r_tpch_q13": 6, "r_tpch_q14": 6, "r_tpch_q15": 6,
+    "r_tpch_q18": 6, "r_tpch_q3": 6, "r_tpch_q4": 6, "r_tpch_q5": 6,
+    "r_tpch_q6": 6, "r_tpch_q7": 6, "r_tpch_q8": 6, "r_tpch_q9": 6,
+    "s_stream_dedup": 6, "s_stream_rollup": 6, "s_stream_sessions": 6,
+    "v_knn_classify": 6,
 }
 
 
@@ -5348,6 +5504,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v_auto_search": q_auto_search,
         "a_beam_recall": q_beam_recall,
         "a_beam_pq_recall": q_beam_pq_recall,
+        "a_beam_pq_cosine_recall": q_beam_pq_cosine_recall,
         "a_filtered_beam_recall": q_filtered_beam_recall,
         "a_incremental_insert_recall": q_incremental_insert_recall,
         "a_lsh_knn": q_lsh_knn,
@@ -5356,6 +5513,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_lsh_recall": q_lsh_recall,
         "a_graph_build_lsh_recall": q_graph_build_lsh_recall,
         "a_ivf_recall": q_ivf_recall,
+        "a_ivf_maintained_recall": q_ivf_maintained_recall,
         "a_pq_recall": q_pq_recall,
         "a_ivfpq_recall": q_ivfpq_recall,
     }

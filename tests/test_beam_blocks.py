@@ -195,11 +195,52 @@ def test_pq_blocks_recall_and_exact_rerank(spark, idx_path, batch, queries):
             assert r["dist"] == pytest.approx(true_d, rel=1e-9, abs=1e-9)
 
 
-def test_pq_blocks_reject_cosine(spark, idx_path, batch):
+def test_pq_blocks_cosine_via_normalization(spark, idx_path, batch, queries):
+    """Cosine indexes BUILD the PQ block layout (round 9): payloads are
+    L2-normalized at build time — for unit vectors cosine_dist =
+    ||a - b||^2 / 2, so the sqeuclidean ADC decomposition is exact — the
+    layout carries normalized=True, search routes through it, returned
+    distances are true cosine (exact re-rank), and recall holds the
+    reference's 0.70 bar (test/runtests.jl:454; the reference's own surface
+    is half cosine, test/runtests.jl:31-67)."""
+    from lmdiskann_jl_spark.operators.topk import batch_topk, recall_at_k
+
     idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6, metric="cosine")
     idx.insert_batch(batch, vec_col="vec", key_col="k")
-    with pytest.raises(ValueError, match="ADC|cosine|additive"):
-        idx.build_beam_blocks(compress="pq", pq_m=4, pq_k=16)
+    idx.build_beam_blocks(n_entrypoints=4, compress="pq", pq_m=4, pq_k=16)
+    assert idx.meta["beam_blocks"]["normalized"] is True
+    assert idx._blocks_usable()
+    approx = idx.search_batch(queries, topk=5, mode="beam", ef=40,
+                              n_entrypoints=4, max_hops=8)
+    exact = batch_topk(queries, idx.vectors, k=5, metric="cosine").select("qid", "id")
+    assert recall_at_k(approx.select("qid", "id"), exact, k=5) >= 0.70
+    # returned distances are TRUE cosine (exact re-rank), not ADC scores:
+    # each query is its own vector, so its self-hit must score ~0
+    self_hits = {r["qid"]: r["dist"] for r in approx.filter(F.col("rank") == 1).collect()}
+    assert all(d == pytest.approx(0.0, abs=1e-9) for d in self_hits.values())
+
+
+def test_pq_blocks_cosine_maintained_insert_keeps_normalization(spark, idx_path, batch, queries):
+    """maintain_blocks on a cosine PQ layout must encode the DELTA payloads
+    with the same normalization the build used — a raw-encoded delta would
+    silently mis-rank every neighbor copy the insert touched."""
+    idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6, metric="cosine")
+    idx.insert_batch(batch, vec_col="vec", key_col="k")
+    idx.build_beam_blocks(n_entrypoints=4, compress="pq", pq_m=4, pq_k=16)
+    import random
+
+    random.seed(23)
+    extra = spark.createDataFrame(
+        [(f"x-{i}", [random.gauss(0, 1) for _ in range(8)]) for i in range(6)],
+        "k string, vec array<float>",
+    )
+    idx.insert_batch(extra, vec_col="vec", key_col="k", maintain_blocks=True)
+    assert idx._blocks_fresh() and idx.meta["beam_blocks"]["normalized"] is True
+    # a new node must be findable through the maintained blocks with a
+    # true-cosine 0 self-distance
+    qv = [float(x) for x in extra.collect()[0]["vec"]]
+    res = idx.search(qv, topk=1, mode="beam").collect()
+    assert res and res[0]["key"] == "x-0" and res[0]["dist"] == pytest.approx(0.0, abs=1e-9)
 
 
 def test_pq_blocks_recall_meets_reference_bar(spark, idx_path, batch, queries):
@@ -444,3 +485,54 @@ def test_filtered_search_batch(spark, idx_path, batch, queries):
     idx.build_ivf(n_cells=4)
     with pytest.raises(ValueError, match="filtered search_batch"):
         idx.search_batch(queries, topk=3, mode="ivf", where=pred)
+
+
+def test_allowed_dataframe_membership_bounded_driver_state(spark, idx_path, batch, queries):
+    """A LARGE allowed set passed as a DataFrame must (a) return the same
+    results as the driver-side set form, (b) never materialize the full set
+    driver-side — the membership cache holds only ids the sweep actually
+    scored — and (c) batch membership into at most one lookup job per hop."""
+    from lmdiskann_jl_spark.operators.beam import _AllowedMembership
+
+    idx = _built(spark, idx_path, batch)
+    seeds = idx._blocks_seeds(4)
+    all_ids = [int(r["id"]) for r in idx.vectors.select("id").collect()]
+    even = sorted(i for i in all_ids if i % 2 == 0)
+    allowed_df = spark.createDataFrame([(i,) for i in even], "id long")
+
+    stats: dict = {}
+    via_df = beam_search_batch_blocks(
+        spark, idx._blocks_fetcher(), queries, ef=40, seeds=seeds,
+        max_hops=8, allowed=allowed_df, stats=stats,
+    )
+    via_set = beam_search_batch_blocks(
+        spark, idx._blocks_fetcher(), queries, ef=40, seeds=seeds,
+        max_hops=8, allowed=set(even),
+    )
+    as_rows = lambda df: {(r["qid"], r["id"], round(r["dist"], 9)) for r in df.collect()}
+    assert as_rows(via_df) == as_rows(via_set)
+    assert all(i % 2 == 0 for _, i, _ in as_rows(via_df))
+    # membership lookups are per-hop batches, bounded by the hop count
+    assert 1 <= stats.get("allowed_lookups", 0) <= stats.get("hops", 99) + 1
+
+    # bounded state: resolve() caches only the ids it was asked about
+    m = _AllowedMembership(allowed_df)
+    got = m.resolve(all_ids[:10])
+    assert got == {i for i in all_ids[:10] if i % 2 == 0}
+    assert len(m._known) == 10  # NOT len(even): no full-set collect
+
+
+def test_blocks_empty_seeds_raise(spark, idx_path, batch, queries):
+    """Queries with an empty seed list is a mis-seeded call, not 'no
+    matches' — it must raise, never return an empty frame."""
+    idx = _built(spark, idx_path, batch)
+    with pytest.raises(ValueError, match="seeds is empty"):
+        beam_search_batch_blocks(
+            spark, idx._blocks_fetcher(), queries, ef=10, seeds=[]
+        )
+    # an empty QUERY set still short-circuits to an empty result
+    empty_q = queries.limit(0)
+    out = beam_search_batch_blocks(
+        spark, idx._blocks_fetcher(), empty_q, ef=10, seeds=[]
+    )
+    assert out.count() == 0
