@@ -64,6 +64,14 @@ N_ID_BUCKETS = 64
 # bottleneck at scale)
 LSH_INSERT_THRESHOLD = 200_000
 
+# maintained block mutations append MOR segments; each segment adds one
+# parquet dir to every point fetch's union scan, so read amplification grows
+# linearly with segment count (measured in SCALING.md "Block-segment read
+# amplification").  Past this many live segments the maintenance path
+# auto-collapses them (one latest-wins + live-filter rewrite) — the Spark
+# form of the reference overwriting blocks in place, amortized.
+BLOCKS_AUTOCOMPACT_SEGMENTS = 8
+
 SUPPORTED_ELTYPES = ("float16", "float32", "float64")
 
 
@@ -453,6 +461,7 @@ class LMDiskANNIndex:
                 ]
                 bb["n_appended"] = int(bb.get("n_appended", 0)) + n_new
                 meta["beam_blocks"] = bb
+                meta = self._maybe_autocompact_blocks(meta)
                 adj_delta.unpersist()
         if ivf_live:
             # incremental IVF maintenance: assign the new rows to their
@@ -603,6 +612,7 @@ class LMDiskANNIndex:
                 meta["versions"]["vectors"], meta["versions"]["adjacency"]
             ]
             meta["beam_blocks"] = bb
+            meta = self._maybe_autocompact_blocks(meta)
             touched.unpersist()
         elif all_deleted:
             meta.pop("beam_blocks", None)
@@ -815,6 +825,32 @@ class LMDiskANNIndex:
             F.coalesce("neighbors", F.array().cast("array<bigint>")).alias("neighbors"),
             F.coalesce(pay_name, F.array().cast(pay_cast)).alias(pay_name),
         )
+
+    def _maybe_autocompact_blocks(self, meta: dict) -> dict:
+        """Collapse the block layout's MOR segments once
+        BLOCKS_AUTOCOMPACT_SEGMENTS accumulate: one latest-wins read,
+        live-filtered against vectors (drops dead nodes' unreachable rows),
+        rewritten as a single bucketed snapshot.  Freshness is preserved —
+        compaction rewrites bytes, not data — so the maintenance paths can
+        call this inline without staling the layout.  The reference's
+        analog is free (it overwrites 4 KB blocks in place,
+        src/LMDiskANN.jl ann_insert!); Spark's immutable files make the
+        rewrite a periodic amortized cost instead, bounding per-fetch read
+        amplification at O(threshold) segment dirs."""
+        segs = meta.get("segments", {}).get("beam_blocks") or []
+        if len(segs) < BLOCKS_AUTOCOMPACT_SEGMENTS or not meta.get("beam_blocks"):
+            return meta
+        live = self.catalog.read("beam_blocks", meta, merge_key="id").join(
+            self.catalog.read("vectors", meta).select("id"), "id", "left_semi"
+        )
+        meta = self._write_bucketed("beam_blocks", live, meta, empty=False)
+        bb = dict(meta["beam_blocks"])
+        bb["built_from"] = [
+            meta["versions"]["vectors"], meta["versions"]["adjacency"]
+        ]
+        bb["n_autocompactions"] = int(bb.get("n_autocompactions", 0)) + 1
+        meta["beam_blocks"] = bb
+        return meta
 
     def _blocks_fresh(self) -> bool:
         """True iff a block layout exists AND matches the current vectors

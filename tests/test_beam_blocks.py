@@ -1,9 +1,11 @@
 """LM-DiskANN block layout (index.build_beam_blocks + beam_search_batch_blocks).
 
-The block layout is the reference's defining disk format
-(/root/reference/src/LMDiskANN.jl:82-100; LM-DiskANN paper section 4): each
-node's record holds its vector, neighbor ids, AND copies of the neighbor
-vectors, so expanding a node during beam search costs exactly one read.
+The block layout is the LM-DiskANN PAPER's defining disk format (section 4,
+PAPERS.md): each node's record holds its vector, neighbor ids, AND copies of
+the neighbor vectors, so expanding a node during beam search costs exactly
+one read.  (The reference Julia source keeps vectors and adjacency in two
+separate mmapped files — its parity surface here is the exact final re-rank,
+src/LMDiskANN.jl:465-471, and the search semantics.)
 These tests pin the Spark re-expression: result parity with the two-fetch
 beam path, freshness invalidation on mutation, the one-fetch-per-hop job
 shape, and the stored-entrypoint seeding.
@@ -536,3 +538,36 @@ def test_blocks_empty_seeds_raise(spark, idx_path, batch, queries):
         spark, idx._blocks_fetcher(), empty_q, ef=10, seeds=[]
     )
     assert out.count() == 0
+
+
+def test_blocks_autocompact_bounds_segment_count(spark, idx_path, batch):
+    """Maintained inserts append MOR segments; once
+    BLOCKS_AUTOCOMPACT_SEGMENTS accumulate the maintenance path collapses
+    them inline — segment count stays bounded, the layout stays FRESH
+    across the compaction, and search still finds every maintained row."""
+    from lmdiskann_jl_spark.index import BLOCKS_AUTOCOMPACT_SEGMENTS
+
+    idx = _built(spark, idx_path, batch)
+    import random
+
+    random.seed(31)
+    max_live_segments = 0
+    n_batches = BLOCKS_AUTOCOMPACT_SEGMENTS + 2
+    for i in range(n_batches):
+        extra = spark.createDataFrame(
+            [(f"seg-{i}-{j}", [random.gauss(0, 1) for _ in range(8)]) for j in range(3)],
+            "k string, vec array<float>",
+        )
+        idx.insert_batch(extra, vec_col="vec", key_col="k", maintain_blocks=True)
+        assert idx._blocks_fresh(), f"layout went stale at batch {i}"
+        segs = idx.meta.get("segments", {}).get("beam_blocks") or [1]
+        max_live_segments = max(max_live_segments, len(segs))
+    assert idx.meta["beam_blocks"].get("n_autocompactions", 0) >= 1
+    assert max_live_segments <= BLOCKS_AUTOCOMPACT_SEGMENTS
+    # post-compaction searches still resolve a maintained row exactly
+    last_key = f"seg-{n_batches - 1}-0"
+    qv = [float(x) for x in idx.vectors.join(
+        idx.key_map.filter(F.col("key") == last_key), "id"
+    ).collect()[0]["vec"]]
+    res = idx.search(qv, topk=1, mode="beam").collect()
+    assert res[0]["key"] == last_key and res[0]["dist"] == pytest.approx(0.0, abs=1e-6)
