@@ -222,6 +222,7 @@ def test_pq_blocks_cosine_via_normalization(spark, idx_path, batch, queries):
     assert all(d == pytest.approx(0.0, abs=1e-9) for d in self_hits.values())
 
 
+@pytest.mark.slow
 def test_pq_blocks_cosine_maintained_insert_keeps_normalization(spark, idx_path, batch, queries):
     """maintain_blocks on a cosine PQ layout must encode the DELTA payloads
     with the same normalization the build used — a raw-encoded delta would
@@ -260,6 +261,7 @@ def test_pq_blocks_recall_meets_reference_bar(spark, idx_path, batch, queries):
     assert recall_at_k(approx, exact, k=5) >= 0.70
 
 
+@pytest.mark.slow
 def test_single_query_search_routes_through_blocks(spark, idx_path, batch):
     """idx.search(mode='beam') on a blocks-fresh index runs as a 1-row batch
     through the one-fetch path — same facade contract (key/id/dist, self
@@ -276,6 +278,7 @@ def test_single_query_search_routes_through_blocks(spark, idx_path, batch):
         assert top[0]["dist"] == pytest.approx(0.0, abs=1e-5)
 
 
+@pytest.mark.slow
 def test_vacuum_prunes_superseded_layout_dirs(spark, idx_path, batch):
     """Rebuilding blocks (a catalog table) / IVF (a versioned dir) leaves
     superseded O(corpus) copies; vacuum must remove them while keeping the
@@ -337,6 +340,7 @@ def test_maintained_insert_keeps_blocks_fresh(spark, idx_path, batch):
     assert joined.filter(F.col("copy") != F.col("own")).count() == 0
 
 
+@pytest.mark.slow
 def test_maintained_insert_pq_blocks(spark, idx_path, batch):
     """PQ layout maintenance encodes new copies with the FROZEN codebook
     (IVF's frozen-centroid contract) — layout stays fresh and searchable."""
@@ -402,6 +406,7 @@ def test_maintained_delete_repairs_blocks(spark, idx_path, batch):
     assert dead_refs == 0
 
 
+@pytest.mark.slow
 def test_compact_collapses_block_segments_and_drops_dead_rows(spark, idx_path, batch):
     """compact(): maintained-mutation segments collapse to one snapshot and
     dead nodes' unreachable block rows disappear — the layout stays fresh
@@ -426,6 +431,7 @@ def test_compact_collapses_block_segments_and_drops_dead_rows(spark, idx_path, b
     assert idx.search(q, topk=1, mode="beam", ef=40, n_entrypoints=4).collect()[0]["key"] == "key-1"
 
 
+@pytest.mark.slow
 def test_filtered_beam_search_on_blocks(spark, idx_path, batch):
     """where= on mode='beam' with a fresh block layout: filter-during-search
     — every returned key matches the predicate, the best allowed neighbor is
@@ -540,6 +546,7 @@ def test_blocks_empty_seeds_raise(spark, idx_path, batch, queries):
     assert out.count() == 0
 
 
+@pytest.mark.slow
 def test_blocks_autocompact_bounds_segment_count(spark, idx_path, batch):
     """Maintained inserts append MOR segments; once
     BLOCKS_AUTOCOMPACT_SEGMENTS accumulate the maintenance path collapses

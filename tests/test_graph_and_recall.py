@@ -129,6 +129,7 @@ def test_batched_beam_search_recall(emb, spark):
     assert r >= 0.70, f"batched beam recall {r:.3f} below reference bar"
 
 
+@pytest.mark.slow
 def test_beam_search_recall_meets_reference_bar(emb):
     """Graph beam search vs exact scan — reference bar >= 0.70 avg recall@10."""
     maxdeg = 16
@@ -170,6 +171,7 @@ def test_lsh_built_adjacency_beam_recall(emb, spark):
     assert r >= 0.70, f"beam recall over LSH-built graph {r:.3f} below reference bar"
 
 
+@pytest.mark.slow
 def test_beam_recall_survives_churn(spark, tmp_path):
     """After interleaved insert/delete waves (exercising segment appends,
     merge-on-read adjacency, and delete repair), graph beam search must
@@ -206,6 +208,7 @@ def test_beam_recall_survives_churn(spark, tmp_path):
     assert hits / len(probe_keys) >= 0.70  # runtests.jl:454 bar
 
 
+@pytest.mark.slow
 def test_lsh_insert_path_recall(spark, tmp_path):
     """graph_knn='lsh' (the 100-TB ingest path — bucketed candidates instead
     of batch x table brute force) must keep beam recall above the bar after

@@ -234,6 +234,7 @@ def test_beam_hops_are_pruned_point_lookups(spark, idx_path):
     )
 
 
+@pytest.mark.slow
 def test_compact_coalesces_small_files(spark, idx_path):
     """After several incremental inserts the snapshots hold many small
     files; compact() must shrink the file count without changing contents."""
@@ -267,6 +268,7 @@ def test_compact_coalesces_small_files(spark, idx_path):
     assert "_b" in idx.catalog.read("vectors", idx.meta, raw=True).columns
 
 
+@pytest.mark.slow
 def test_compact_vacuum_search_equality_at_bench_scale(spark, idx_path):
     """Snapshot-GC at the sf0.1 table scale: build the index from the real
     bench embeddings in two insert waves (so every table accumulates
@@ -317,6 +319,7 @@ def test_stats_reports_invariants(spark, idx_path, small_batch):
     assert not s["ivf_fresh"]
 
 
+@pytest.mark.slow
 def test_incremental_insert_is_o_batch_append(spark, idx_path):
     """Incremental inserts must append segments, not rewrite the table: the
     first batch's files stay byte-identical on disk, the manifest grows, and

@@ -537,6 +537,7 @@ def test_stateful_rollup_equal_batch_under_multibatch_slicing(
     assert got == want
 
 
+@pytest.mark.slow
 def test_stream_insert_maintains_blocks(spark, tmp_path, finish_stream):
     """stream_insert(maintain_blocks=True): every micro-batch keeps the
     LM-DiskANN block layout fresh (touched rows append as merge-on-read

@@ -41,6 +41,7 @@ def ref_vectors(spark):
     return spark.createDataFrame(rows, "id long, vec array<float>").repartition(8).cache()
 
 
+@pytest.mark.slow
 def test_reference_headline_recall(spark, ref_vectors):
     """BASELINE.md row 1: n=2000, dim=100, 30 queries, k=10, Euclidean."""
     r = _beam_recall(spark, ref_vectors, "euclidean", N_QUERIES, K, MAXDEG)
@@ -64,6 +65,7 @@ def test_reference_cosine_recall(spark):
         (10_000, 10, 10, 20),  # runtests.jl:544-545 scenario 2
     ],
 )
+@pytest.mark.slow
 def test_reference_scenario_recall(spark, n, dim, n_queries, k):
     """The reference's two 'Larger Tests' scenarios
     (test/runtests.jl:490-546): n random vectors, 10 queries drawn from the
@@ -82,6 +84,7 @@ def test_reference_scenario_recall(spark, n, dim, n_queries, k):
         (10_000, 10, 10, 20),  # runtests.jl:544-545 scenario 2
     ],
 )
+@pytest.mark.slow
 def test_scenario_recall_multi_entrypoint_fewer_hops(spark, n, dim, n_queries, k):
     """Multi-entrypoint seeding (SURVEY §4's natural Spark generalization of
     the reference's single stored entrypoint): 8 spread seeds must hold the
