@@ -467,6 +467,11 @@ def main() -> int:
             "  membership resolves executor-side (one pruned lookup per\n"
             "  hop, batched across the whole query chunk), driver state is\n"
             "  O(ids scored) not O(|allowed|), the 1M-id cap is gone.\n"
+            "  Measured cost at fixture scale: a_filtered_beam_recall\n"
+            "  ~2.3 -> ~3.0 s (one extra pruned membership job per hop) —\n"
+            "  the price of bounded driver state; at 100 TB the old\n"
+            "  collect-the-set form is not runnable at all, and selective\n"
+            "  filters resolve against a small table anyway.\n"
         )
     print(f"wrote {out}")
     return 0
