@@ -53,6 +53,19 @@ def main() -> None:
     print("beam over PQ blocks (ADC traversal + exact re-rank):")
     index.search(query, topk=5, mode="beam", n_entrypoints=4).show()
 
+    # --- CosineDist, the reference's GloVe demo metric -------------------
+    # (docs/src/index.md:84 builds a cosine GloVe index).  Cosine indexes
+    # build the PQ block layout too: payloads are L2-normalized at build
+    # (unit vectors make cosine = sqeuclidean/2, so ADC is exact) and the
+    # final re-rank returns true cosine distances.
+    cos_path = tempfile.mkdtemp(prefix="lmdiskann_cos_")
+    cos = pkg.create_index(spark, cos_path, dim=64, maxdegree=16, metric="cosine")
+    cos.insert_batch(batch, vec_col="vec", key_col="key")
+    cos.build_beam_blocks(compress="pq")
+    print(f"cosine PQ blocks (normalized={cos.meta['beam_blocks']['normalized']}):")
+    cos.search(query, topk=5, mode="beam", n_entrypoints=4).show()
+    shutil.rmtree(cos_path, ignore_errors=True)
+
     # --- the scale path the reference doesn't have ----------------------
     index.build_ivf(n_cells=8)
     print("IVF probe search (partition-pruned):")
