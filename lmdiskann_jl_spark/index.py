@@ -212,6 +212,27 @@ class LMDiskANNIndex:
             "max_degree": int(deg["max_degree"] or 0),
             "min_degree": int(deg["min_degree"] or 0),
             "ivf_fresh": self._ivf_fresh(),
+            # maintenance observability: how far each derived layout has
+            # drifted from its training snapshot (frozen centroids / frozen
+            # PQ codebook), and how much MOR read amplification the block
+            # layout currently carries — the scalars a rebuild policy reads
+            "ivf_drift": (
+                int(self.meta["ivf"].get("n_appended", 0)) / max(1, int(self.meta["num_points"]))
+                if self.meta.get("ivf") else None
+            ),
+            "blocks_fresh": self._blocks_fresh(),
+            "blocks_segments": len(
+                self.meta.get("segments", {}).get("beam_blocks")
+                or ([1] if self.meta.get("beam_blocks") else [])
+            ),
+            "blocks_autocompactions": (
+                int(self.meta["beam_blocks"].get("n_autocompactions", 0))
+                if self.meta.get("beam_blocks") else None
+            ),
+            "blocks_appended": (
+                int(self.meta["beam_blocks"].get("n_appended", 0))
+                if self.meta.get("beam_blocks") else None
+            ),
             "storage_bytes": sizes,
         }
 

@@ -578,3 +578,42 @@ def test_blocks_autocompact_bounds_segment_count(spark, idx_path, batch):
     ).collect()[0]["vec"]]
     res = idx.search(qv, topk=1, mode="beam").collect()
     assert res[0]["key"] == last_key and res[0]["dist"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_adc_cosine_identity_numpy():
+    """The normalized-cosine ADC math, pinned without Spark: (a) the cosine
+    table is the sqeuclidean table of the normalized query (lookup halves
+    it), and (b) for unit-vector payloads whose PQ reconstruction is exact,
+    ADC cosine equals TRUE cosine distance — the identity
+    cosine_dist(a, b) = ||a - b||^2 / 2 for unit vectors."""
+    import numpy as np
+
+    from lmdiskann_jl_spark.operators.beam import _adc_lookup, _adc_table
+
+    rng = np.random.default_rng(5)
+    m, k, w = 4, 16, 2  # dim 8, 16 codewords per subspace
+    n = 16
+
+    # (a) halved-sqeuclidean equivalence on an arbitrary codebook
+    cb = rng.normal(size=(m, k, w))
+    q = rng.normal(size=m * w)
+    codes = rng.integers(0, k, size=(n, m))
+    d_cos = _adc_lookup("cosine", _adc_table("cosine", cb, q, normalized=True), codes)
+    qn = q / np.linalg.norm(q)
+    d_sq = _adc_lookup("sqeuclidean", _adc_table("sqeuclidean", cb, qn), codes)
+    assert np.allclose(d_cos, d_sq / 2.0)
+
+    # (b) exact-reconstruction case: each unit vector is its own codeword
+    vecs = rng.normal(size=(n, m * w))
+    units = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cb_exact = np.stack([units[:, s * w : (s + 1) * w] for s in range(m)])  # (m, n, w)
+    codes_exact = np.tile(np.arange(n)[:, None], (1, m))
+    d_adc = _adc_lookup(
+        "cosine", _adc_table("cosine", cb_exact, q, normalized=True), codes_exact
+    )
+    truth = 1.0 - units @ (q / np.linalg.norm(q))
+    assert np.allclose(d_adc, truth)
+
+    # (c) cosine ADC without a normalized layout is a contract violation
+    with pytest.raises(ValueError, match="normalized"):
+        _adc_table("cosine", cb, q, normalized=False)
