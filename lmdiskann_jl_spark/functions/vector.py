@@ -54,14 +54,25 @@ def l2_norm(a: Column) -> Column:
     )
 
 
-def l2_normalize(a: Column) -> Column:
-    """a / ||a||_2 as array<double> (zero vectors pass through unchanged).
+def l2_normalize_col(df, vec_col: str, out_col: str | None = None):
+    """Project ``vec_col`` L2-normalized (array<double>; zero vectors pass
+    through) in ONE norm computation per ROW: the norm lands as a sibling
+    column first, and the transform lambda only references it.  Embedding
+    the l2_norm aggregate inside the lambda would re-evaluate it per
+    ELEMENT — higher-order functions are interpreted, not codegen'd, so
+    that shape is O(dim^2) per row and was measured as redundant work
+    across the whole cosine PQ build/encode path.
+
     Used by the cosine PQ block layout: for unit vectors
     cosine_dist(a, b) = ||a - b||^2 / 2, so normalizing payloads at build
     time lets the sqeuclidean ADC machinery serve cosine exactly."""
-    n = l2_norm(a)
-    safe = F.when(n == 0.0, F.lit(1.0)).otherwise(n)
-    return F.transform(a, lambda x: x.cast(_D) / safe)
+    out = out_col or vec_col
+    safe = F.when(F.col("_l2n") == 0.0, F.lit(1.0)).otherwise(F.col("_l2n"))
+    return (
+        df.withColumn("_l2n", l2_norm(F.col(vec_col)))
+        .withColumn(out, F.transform(F.col(vec_col), lambda x: x.cast(_D) / safe))
+        .drop("_l2n")
+    )
 
 
 def sq_euclidean_distance(a: Column, b: Column) -> Column:

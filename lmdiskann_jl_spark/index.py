@@ -748,9 +748,9 @@ class LMDiskANNIndex:
             dim = int(self.meta["dim"])
             pq_input = vec
             if normalized:
-                from lmdiskann_jl_spark.functions.vector import l2_normalize
+                from lmdiskann_jl_spark.functions.vector import l2_normalize_col
 
-                pq_input = vec.select("id", l2_normalize(F.col("vec")).alias("vec"))
+                pq_input = l2_normalize_col(vec.select("id", "vec"), "vec")
             cb_df = build_pq(pq_input, dim=dim, m=pq_m, k=pq_k)
             # validate the metric decomposes additively BEFORE writing
             books: list[list[list[float]]] = [[] for _ in range(pq_m)]
@@ -813,11 +813,9 @@ class LMDiskANNIndex:
             )
             enc_input = all_vecs
             if normalized:
-                from lmdiskann_jl_spark.functions.vector import l2_normalize
+                from lmdiskann_jl_spark.functions.vector import l2_normalize_col
 
-                enc_input = all_vecs.select(
-                    "id", l2_normalize(F.col("vec")).alias("vec")
-                )
+                enc_input = l2_normalize_col(all_vecs.select("id", "vec"), "vec")
             payload = pq_encode(
                 enc_input, cb_df, dim=int(self.meta["dim"]), m=pq_m
             ).select(F.col("id").alias("nbr"), F.col("codes").alias("_npay"))

@@ -126,7 +126,11 @@ def _segment_amplification(spark) -> list[tuple[int, float]]:
         import random
 
         random.seed(17)
-        for i in range(BLOCKS_AUTOCOMPACT_SEGMENTS):  # stops AT the collapse
+        # runs ONE insert past the collapse so the curve shows the
+        # post-collapse state; live segments never reach the threshold
+        # itself — the collapse fires INSIDE the insert that would have
+        # created the BLOCKS_AUTOCOMPACT_SEGMENTS-th dir
+        for i in range(BLOCKS_AUTOCOMPACT_SEGMENTS):
             extra = spark.createDataFrame(
                 [(f"s-{i}", [random.gauss(0, 1) for _ in range(64)])],
                 "k string, vec array<float>",
@@ -270,9 +274,11 @@ def main() -> int:
             "Maintained block mutations append MOR segments; every live\n"
             "segment adds one parquet dir to each point fetch's union scan.\n"
             "Measured warm 8-id block-fetch wall vs live segment count on a\n"
-            "500-node raw layout (median of 3; the last row is AFTER the\n"
-            "maintenance path's inline auto-collapse fired at\n"
-            "BLOCKS_AUTOCOMPACT_SEGMENTS=8 — the bound in action):\n\n"
+            "500-node raw layout (median of 3).  Live segments never reach\n"
+            "BLOCKS_AUTOCOMPACT_SEGMENTS=8: the inline auto-collapse fires\n"
+            "INSIDE the insert that would have created the 8th dir, so the\n"
+            "curve tops out at 7 and the trailing 1- and 2-segment rows are\n"
+            "the post-collapse state — the bound in action:\n\n"
             "| live segments | fetch s |\n|---|---|\n"
         )
         for n_seg, w in seg_curve:
