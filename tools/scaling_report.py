@@ -478,6 +478,15 @@ def main() -> int:
             "  the price of bounded driver state; at 100 TB the old\n"
             "  collect-the-set form is not runnable at all, and selective\n"
             "  filters resolve against a small table anyway.\n"
+            "- Round-9 ambient-variance observation: four full bench runs\n"
+            "  of IDENTICAL code on the same day measured 78.0 / 82.3 /\n"
+            "  92.8 / 87.5 s totals (spread correlated with residual\n"
+            "  machine load from preceding suite/replica runs; isolated\n"
+            "  warm reps of an unchanged query spanned 2.6-3.0 s vs the\n"
+            "  round-8 session's 2.4 s).  Single-session suite totals carry\n"
+            "  ~±10% ambient noise on this box — cross-round per-query\n"
+            "  comparisons need the isolated worktree A/B, not suite\n"
+            "  deltas (the d_embedding_neardup lesson, now twice).\n"
         )
     print(f"wrote {out}")
     return 0
