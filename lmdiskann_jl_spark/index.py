@@ -240,8 +240,13 @@ class LMDiskANNIndex:
         """OPTIMIZE-style maintenance: coalesce each table's accumulated
         small files (incremental inserts write shuffle-partition-many files
         per snapshot) into right-sized ones, as new versions — run off the
-        hot path; ``catalog.vacuum`` reclaims old snapshots."""
+        hot path; ``catalog.vacuum`` reclaims old snapshots.  Derived
+        layouts are compacted too: block MOR segments collapse (dead rows
+        dropped) and IVF probe-time tombstones fold into a rewritten cell
+        table — and BOTH layouts stay FRESH across the rewrite (compaction
+        moves bytes, never data)."""
         meta = self.meta
+        ivf_was_fresh = self._ivf_fresh()
         for name in ("vectors", "adjacency", "key_map"):
             meta = self.catalog.compact(
                 name, meta, target_bytes,
@@ -264,6 +269,31 @@ class LMDiskANNIndex:
                     meta["versions"]["vectors"], meta["versions"]["adjacency"]
                 ]
                 meta["beam_blocks"] = bb
+        ivf = meta.get("ivf")
+        if ivf and ivf.get("tombstones"):
+            # fold probe-time tombstones into the cell table: one
+            # live-filtered rewrite to a new versioned dir + pointer swap,
+            # so the anti-join cost (and the dead rows) stop riding every
+            # probe.  Centroid drift (n_appended) deliberately SURVIVES —
+            # compaction rewrites bytes, the frozen centroids don't refit.
+            assigned = self.spark.read.parquet(ivf["dir"])
+            tombs = self.spark.read.parquet(ivf["dir"] + "_tombstones")
+            live_rows = assigned.join(F.broadcast(tombs), "id", "left_anti")
+            n_c = int(ivf.get("n_compactions", 0)) + 1
+            new_dir = f"{ivf['dir'].split('.c')[0]}.c{n_c}"
+            live_rows.write.mode("overwrite").partitionBy("cell").parquet(new_dir)
+            ivf = dict(ivf)
+            ivf["dir"] = new_dir
+            ivf.pop("tombstones", None)
+            ivf["n_compactions"] = n_c
+            meta["ivf"] = ivf
+        if ivf and ivf_was_fresh:
+            # same contract as blocks above: compaction rewrites bytes, not
+            # data — a fresh IVF layout must stay fresh under the new
+            # vectors snapshot version (previously it silently staled here)
+            ivf = dict(ivf)
+            ivf["built_from"] = meta["versions"]["vectors"]
+            meta["ivf"] = ivf
         self.meta = meta
         self.save()
         return self

@@ -32,6 +32,7 @@ def stream_insert(
     key_col: str | None = None,
     trigger_seconds: int | None = None,
     maintain_blocks: bool = False,
+    maintain_ivf: bool = False,
 ):
     """Attach a streaming source of new vectors to the index.
 
@@ -40,8 +41,12 @@ def stream_insert(
     the streaming analog of calling ``ann_insert!`` per arriving vector.
     ``maintain_blocks`` keeps a fresh LM-DiskANN block layout current across
     micro-batches (touched rows append as merge-on-read segments), so beam
-    search stays on the one-fetch path while the stream runs.  Returns the
-    StreamingQuery handle.
+    search stays on the one-fetch path while the stream runs.
+    ``maintain_ivf`` does the same for a fresh IVF layout (each micro-batch
+    assigns its rows to the nearest frozen centroid — one broadcast join —
+    and appends to the cell table), so mode='ivf'/auto probes keep working
+    across ingest; ``stats()['ivf_drift']`` tracks when a rebuild is due.
+    Returns the StreamingQuery handle.
     """
     if not stream_df.isStreaming:
         raise ValueError("stream_insert needs a streaming DataFrame (use spark.readStream)")
@@ -51,7 +56,7 @@ def stream_insert(
             return
         index.insert_batch(
             batch_df, vec_col=vec_col, key_col=key_col,
-            maintain_blocks=maintain_blocks,
+            maintain_blocks=maintain_blocks, maintain_ivf=maintain_ivf,
         )
 
     writer = stream_df.writeStream.foreachBatch(_process).option(

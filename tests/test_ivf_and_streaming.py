@@ -589,3 +589,85 @@ def test_stream_insert_maintains_blocks(spark, tmp_path, finish_stream):
     for key, probe in (("stream-a", probe_a), ("stream-b", probe_b)):
         top = idx.search(probe, topk=1, mode="beam", ef=40, n_entrypoints=4).collect()
         assert top[0]["key"] == key
+
+
+def test_compact_folds_ivf_tombstones_and_keeps_fresh(spark, tmp_path):
+    """compact() on an index with maintained-IVF tombstones: the cell table
+    rewrites live-only into a new versioned dir (pointer swap), the
+    tombstone flag clears, probes stay correct, and freshness survives the
+    compaction — previously compacting the base tables silently staled a
+    fresh IVF layout."""
+    import os
+    import random
+
+    import lmdiskann_jl_spark as pkg
+
+    random.seed(13)
+    rows = [(f"k-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(100)]
+    batch = spark.createDataFrame(rows, "k string, vec array<float>")
+    idx = pkg.create_index(spark, str(tmp_path / "ivfc"), dim=4, maxdegree=4)
+    idx.insert_batch(batch, vec_col="vec", key_col="k")
+    idx.build_ivf(n_cells=4)
+    idx.delete_batch(keys=["k-3", "k-9"], maintain_ivf=True)
+    assert idx.meta["ivf"].get("tombstones") is True
+    old_dir = idx.meta["ivf"]["dir"]
+
+    idx.compact()
+    assert idx._ivf_fresh(), "compaction must not stale a fresh IVF layout"
+    ivf = idx.meta["ivf"]
+    assert "tombstones" not in ivf and ivf["n_compactions"] == 1
+    assert ivf["dir"] != old_dir
+    # dead rows are physically gone from the new cell table
+    cells = spark.read.parquet(ivf["dir"])
+    dead_ids = {idx.get_id_from_key(k) for k in ("k-3", "k-9")}
+    assert dead_ids == {None}  # keys resolved to nothing post-delete
+    assert cells.count() == 98
+    res = idx.search(rows[3][1], topk=3, mode="ivf").collect()
+    assert "k-3" not in {r["key"] for r in res} and len(res) == 3
+    # vacuum prunes the superseded dir + its tombstone sidecar
+    idx.vacuum()
+    assert not os.path.isdir(old_dir)
+    assert not os.path.isdir(old_dir + "_tombstones")
+    assert os.path.isdir(ivf["dir"])
+
+
+def test_stream_insert_maintains_ivf(spark, tmp_path, finish_stream):
+    """stream_insert(maintain_ivf=True): each micro-batch assigns its rows
+    to the nearest frozen centroid and appends — mode='ivf' keeps answering
+    mid-stream and finds points from every batch."""
+    import random
+
+    import lmdiskann_jl_spark as pkg
+    from lmdiskann_jl_spark.streaming.ingest import stream_insert
+
+    random.seed(17)
+    base = spark.createDataFrame(
+        [(f"seed-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(60)],
+        "k string, vec array<float>",
+    )
+    idx = pkg.create_index(spark, str(tmp_path / "idx"), dim=4, maxdegree=4)
+    idx.insert_batch(base, vec_col="vec", key_col="k")
+    idx.build_ivf(n_cells=4)
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    probe_a = [0.2, -0.4, 0.6, -0.8]
+    probe_b = [-0.5, 0.3, -0.1, 0.7]
+    schema = "k string, vec array<float>"
+    spark.createDataFrame([("stream-a", probe_a)], schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame([("stream-b", probe_b)], schema).coalesce(1).write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = stream_insert(
+        idx, stream, str(tmp_path / "ckpt"), vec_col="vec", key_col="k",
+        maintain_ivf=True,
+    )
+    finish_stream(q)
+
+    assert idx._ivf_fresh() and idx.meta["ivf"]["n_appended"] == 2
+    for key, probe in (("stream-a", probe_a), ("stream-b", probe_b)):
+        res = idx.search(probe, topk=1, mode="ivf").collect()
+        assert res[0]["key"] == key and res[0]["dist"] == pytest.approx(0.0, abs=1e-6)
