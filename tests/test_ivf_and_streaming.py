@@ -215,6 +215,17 @@ def test_ivf_incremental_maintenance(spark, tmp_path):
     res2 = idx.search(q, topk=3, mode="ivf").collect()
     assert res2[0]["key"] == "new-1" and res2[0]["dist"] == pytest.approx(0.0, abs=1e-6)
 
+    # compact() folds the tombstones into a rewritten cell table AND keeps
+    # the fresh layout fresh (round 9; the standalone slow-tier test covers
+    # the vacuum pruning of the superseded dir)
+    assert idx.meta["ivf"].get("tombstones") is True
+    idx.compact()
+    assert idx._ivf_fresh(), "compaction must not stale a fresh IVF layout"
+    assert "tombstones" not in idx.meta["ivf"]
+    assert idx.meta["ivf"]["n_compactions"] == 1
+    res3 = idx.search(q, topk=3, mode="ivf").collect()
+    assert "k-5" not in {r["key"] for r in res3} and len(res3) == 3
+
     # a rebuild clears the incremental state (fresh dir, no tombstones)
     idx.build_ivf(n_cells=4)
     assert "tombstones" not in idx.meta["ivf"] and idx.meta["ivf"].get("n_appended", 0) == 0
@@ -591,6 +602,7 @@ def test_stream_insert_maintains_blocks(spark, tmp_path, finish_stream):
         assert top[0]["key"] == key
 
 
+@pytest.mark.slow
 def test_compact_folds_ivf_tombstones_and_keeps_fresh(spark, tmp_path):
     """compact() on an index with maintained-IVF tombstones: the cell table
     rewrites live-only into a new versioned dir (pointer swap), the
