@@ -439,11 +439,22 @@ class LMDiskANNIndex:
 
         ivf_live = maintain_ivf and self._ivf_fresh()
         if rebuild_graph or base == 0:
-            # initial load / explicit rebuild: full snapshots
+            # initial load / explicit rebuild: full snapshots.  graph_knn
+            # governs candidate generation HERE too (round 9; previously
+            # only the incremental path switched): a 10^9-row bulk load
+            # through the facade must take the LSH-bucketed build, never
+            # the brute n^2 crossJoin — 'auto' switches on the post-load
+            # corpus size, same threshold as the incremental path.
+            n_total = int(self.meta["num_points"]) + n_new
+            bulk_lsh = graph_knn == "lsh" or (
+                graph_knn == "auto" and n_total > LSH_INSERT_THRESHOLD
+            )
             new_key_map = kvmap.insert_keys(self.key_map, prepared.select("key", "id"))
             new_vectors_tbl = self.vectors.unionByName(prepared)
             new_adj = build_adjacency(
-                new_vectors_tbl, maxdegree=self.meta["maxdegree"], metric=self.meta["metric"]
+                new_vectors_tbl, maxdegree=self.meta["maxdegree"],
+                metric=self.meta["metric"],
+                use_lsh=bulk_lsh, dim=int(self.meta["dim"]),
             )
             meta = self._write_bucketed("vectors", new_vectors_tbl, self.meta, empty=False)
             meta = self._write_bucketed("adjacency", new_adj, meta, empty=False)

@@ -250,3 +250,30 @@ def test_recall_gate_fails_loudly_below_bar(spark):
     assert len(ok) == 1 and ok[0]["passed"] is True
     with pytest.raises(AssertionError, match="recall gate failed"):
         _recall_row(spark, RECALL_BAR - 0.01)
+
+
+@pytest.mark.slow
+def test_lsh_bulk_load_recall(spark, tmp_path):
+    """graph_knn='lsh' on the INITIAL bulk load (round 9 — previously only
+    the incremental path honored it, so a 10^9-row facade load would have
+    taken the brute n^2 crossJoin): the LSH-bucketed bulk build must keep
+    beam recall above the bar."""
+    import random
+
+    import lmdiskann_jl_spark as pkg
+
+    random.seed(19)
+    dim = 16
+    rows = [(f"k-{i}", [random.gauss(0, 1) for _ in range(dim)]) for i in range(120)]
+    batch = spark.createDataFrame(rows, "k string, vec array<float>")
+    idx = pkg.create_index(spark, str(tmp_path / "lshbulk"), dim=dim, maxdegree=12)
+    idx.insert_batch(batch, vec_col="vec", key_col="k", graph_knn="lsh")
+
+    hits = 0.0
+    probes = ["k-5", "k-42", "k-110"]
+    for pk in probes:
+        q = idx.get_embedding_from_key(pk)
+        exact_ids = [r["id"] for r in idx.search(q, topk=10).collect()]
+        beam_ids = [r["id"] for r in idx.search(q, topk=10, mode="beam", ef=80).collect()]
+        hits += len(set(exact_ids) & set(beam_ids)) / 10.0
+    assert hits / len(probes) >= 0.70
