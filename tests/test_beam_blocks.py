@@ -646,3 +646,32 @@ def test_blocks_autocompact_fires_fast(spark, idx_path, batch, monkeypatch):
         idx.key_map.filter(F.col("key") == "fast-1"), "id"
     ).collect()[0]["vec"]]
     assert idx.search(qv, topk=1, mode="beam").collect()[0]["key"] == "fast-1"
+
+
+@pytest.mark.slow
+def test_pq_blocks_cosine_maintained_delete_repairs(spark, idx_path, batch):
+    """Maintained DELETE on a cosine PQ layout: survivor blocks re-encode
+    with the frozen codebook over NORMALIZED payloads (the delete path
+    shares _block_rows with the insert path), dead ids leave every
+    neighbor list, and post-delete beam search returns true-cosine
+    distances with the deleted key gone."""
+    idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6, metric="cosine")
+    idx.insert_batch(batch, vec_col="vec", key_col="k")
+    idx.build_beam_blocks(n_entrypoints=4, compress="pq", pq_m=4, pq_k=16)
+    victim = "key-3"
+    vq = [float(x) for x in idx.vectors.join(
+        idx.key_map.filter(F.col("key") == victim), "id"
+    ).collect()[0]["vec"]]
+    idx.delete_batch(keys=[victim], maintain_blocks=True)
+    assert idx._blocks_fresh() and idx.meta["beam_blocks"]["normalized"] is True
+    res = idx.search(vq, topk=5, mode="beam", ef=40, n_entrypoints=4).collect()
+    assert res and victim not in {r["key"] for r in res}
+    # dead id is gone from every live block's neighbor list
+    dead_id = None  # key resolved to nothing post-delete
+    assert idx.get_id_from_key(victim) is None
+    blocks = idx.catalog.read("beam_blocks", idx.meta, merge_key="id")
+    live_ids = {int(r["id"]) for r in idx.vectors.select("id").collect()}
+    ex = blocks.join(idx.vectors.select("id"), "id", "left_semi").select(
+        F.explode("neighbors").alias("nbr")
+    )
+    assert {int(r["nbr"]) for r in ex.distinct().collect()} <= live_ids
