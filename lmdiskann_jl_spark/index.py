@@ -739,7 +739,7 @@ class LMDiskANNIndex:
         """Materialize the LM-DiskANN BLOCK layout: one self-contained row
         per node — its vector, neighbor ids, and copies of the neighbor
         vectors.  The block format (and its PQ-compressed payloads) comes
-        from the LM-DiskANN PAPER, section 4 (PAPERS.md) — NOT from the
+        from the LM-DiskANN PAPER, section 4 (Pan/Sun/Yu, IEEE BigData 2023) — NOT from the
         reference Julia source, which stores vectors and adjacency as two
         separate mmapped arrays (src/LMDiskANN.jl:82-100 is metadata/mmap
         setup); the behavior the reference DOES share is the exact final

@@ -319,7 +319,7 @@ def beam_search_batch(
 # --------------------------------------------------------------------------
 #
 # The LM-DiskANN PAPER's defining trick (the "LM" in LM-DiskANN, paper
-# section 4 — see PAPERS.md) is that each node's disk block is
+# section 4 — Pan/Sun/Yu, IEEE BigData 2023) is that each node's disk block is
 # SELF-CONTAINED: the node's vector, its neighbor ids, AND (compressed)
 # copies of the neighbor vectors live in one block, so expanding a node
 # costs exactly one read — neighbors are scored from the copies in the

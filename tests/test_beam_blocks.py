@@ -1,7 +1,7 @@
 """LM-DiskANN block layout (index.build_beam_blocks + beam_search_batch_blocks).
 
 The block layout is the LM-DiskANN PAPER's defining disk format (section 4,
-PAPERS.md): each node's record holds its vector, neighbor ids, AND copies of
+Pan/Sun/Yu, IEEE BigData 2023): each node's record holds its vector, neighbor ids, AND copies of
 the neighbor vectors, so expanding a node during beam search costs exactly
 one read.  (The reference Julia source keeps vectors and adjacency in two
 separate mmapped files — its parity surface here is the exact final re-rank,
