@@ -67,11 +67,14 @@ def l2_normalize_col(df, vec_col: str, out_col: str | None = None):
     cosine_dist(a, b) = ||a - b||^2 / 2, so normalizing payloads at build
     time lets the sqeuclidean ADC machinery serve cosine exactly."""
     out = out_col or vec_col
-    safe = F.when(F.col("_l2n") == 0.0, F.lit(1.0)).otherwise(F.col("_l2n"))
+    tmp = "_l2n"
+    while tmp in df.columns:  # never clobber a caller's column
+        tmp += "_"
+    safe = F.when(F.col(tmp) == 0.0, F.lit(1.0)).otherwise(F.col(tmp))
     return (
-        df.withColumn("_l2n", l2_norm(F.col(vec_col)))
+        df.withColumn(tmp, l2_norm(F.col(vec_col)))
         .withColumn(out, F.transform(F.col(vec_col), lambda x: x.cast(_D) / safe))
-        .drop("_l2n")
+        .drop(tmp)
     )
 
 

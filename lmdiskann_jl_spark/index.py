@@ -276,17 +276,35 @@ class LMDiskANNIndex:
             # so the anti-join cost (and the dead rows) stop riding every
             # probe.  Centroid drift (n_appended) deliberately SURVIVES —
             # compaction rewrites bytes, the frozen centroids don't refit.
+            import re as _re
+
             assigned = self.spark.read.parquet(ivf["dir"])
             tombs = self.spark.read.parquet(ivf["dir"] + "_tombstones")
-            live_rows = assigned.join(F.broadcast(tombs), "id", "left_anti")
-            n_c = int(ivf.get("n_compactions", 0)) + 1
-            new_dir = f"{ivf['dir'].split('.c')[0]}.c{n_c}"
-            live_rows.write.mode("overwrite").partitionBy("cell").parquet(new_dir)
-            ivf = dict(ivf)
-            ivf["dir"] = new_dir
-            ivf.pop("tombstones", None)
-            ivf["n_compactions"] = n_c
-            meta["ivf"] = ivf
+            live_rows = (
+                assigned.join(F.broadcast(tombs), "id", "left_anti").persist()
+            )
+            if live_rows.count() == 0:
+                # every cell row was tombstoned: a 0-row partitioned write
+                # would leave a schema-less dir that breaks every later
+                # read (same landmine insert_batch/delete_batch guard) —
+                # the layout covers nothing, so drop it instead
+                live_rows.unpersist()
+                meta.pop("ivf", None)
+                ivf = None
+            else:
+                n_c = int(ivf.get("n_compactions", 0)) + 1
+                # strip only a TRAILING compaction suffix: a bare
+                # split('.c') would truncate at any '.c' in the index
+                # path (e.g. ~/.cache/...) and write outside the root
+                base = _re.sub(r"\.c\d+$", "", ivf["dir"])
+                new_dir = f"{base}.c{n_c}"
+                live_rows.write.mode("overwrite").partitionBy("cell").parquet(new_dir)
+                live_rows.unpersist()
+                ivf = dict(ivf)
+                ivf["dir"] = new_dir
+                ivf.pop("tombstones", None)
+                ivf["n_compactions"] = n_c
+                meta["ivf"] = ivf
         if ivf and ivf_was_fresh:
             # same contract as blocks above: compaction rewrites bytes, not
             # data — a fresh IVF layout must stay fresh under the new

@@ -507,14 +507,15 @@ def test_allowed_dataframe_membership_bounded_driver_state(spark, idx_path, batc
     even = sorted(i for i in all_ids if i % 2 == 0)
     allowed_df = spark.createDataFrame([(i,) for i in even], "id long")
 
+    MAX_HOPS = 8
     stats: dict = {}
     via_df = beam_search_batch_blocks(
         spark, idx._blocks_fetcher(), queries, ef=40, seeds=seeds,
-        max_hops=8, allowed=allowed_df, stats=stats,
+        max_hops=MAX_HOPS, allowed=allowed_df, stats=stats,
     )
     via_set = beam_search_batch_blocks(
         spark, idx._blocks_fetcher(), queries, ef=40, seeds=seeds,
-        max_hops=8, allowed=set(even),
+        max_hops=MAX_HOPS, allowed=set(even),
     )
     as_rows = lambda df: {(r["qid"], r["id"], round(r["dist"], 9)) for r in df.collect()}
     assert as_rows(via_df) == as_rows(via_set)
@@ -523,7 +524,7 @@ def test_allowed_dataframe_membership_bounded_driver_state(spark, idx_path, batc
     # round (bounded by max_hops, NOT stats['hops'] — that counter only
     # ticks on rounds that fetched new blocks, while a fetch-free round
     # can still surface ids needing resolution)
-    assert 1 <= stats.get("allowed_lookups", 0) <= 8 + 1
+    assert 1 <= stats.get("allowed_lookups", 0) <= MAX_HOPS + 1
 
     # bounded state: resolve() caches only the ids it was asked about
     m = _AllowedMembership(allowed_df)
@@ -666,8 +667,7 @@ def test_pq_blocks_cosine_maintained_delete_repairs(spark, idx_path, batch):
     assert idx._blocks_fresh() and idx.meta["beam_blocks"]["normalized"] is True
     res = idx.search(vq, topk=5, mode="beam", ef=40, n_entrypoints=4).collect()
     assert res and victim not in {r["key"] for r in res}
-    # dead id is gone from every live block's neighbor list
-    dead_id = None  # key resolved to nothing post-delete
+    # victim's key resolves to nothing, and no live block references it
     assert idx.get_id_from_key(victim) is None
     blocks = idx.catalog.read("beam_blocks", idx.meta, merge_key="id")
     live_ids = {int(r["id"]) for r in idx.vectors.select("id").collect()}

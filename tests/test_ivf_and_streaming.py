@@ -683,3 +683,53 @@ def test_stream_insert_maintains_ivf(spark, tmp_path, finish_stream):
     for key, probe in (("stream-a", probe_a), ("stream-b", probe_b)):
         res = idx.search(probe, topk=1, mode="ivf").collect()
         assert res[0]["key"] == key and res[0]["dist"] == pytest.approx(0.0, abs=1e-6)
+
+
+@pytest.mark.slow
+def test_ivf_compact_edge_cases(spark, tmp_path):
+    """Two compaction edges: (a) an index PATH containing '.c' must not
+    confuse the compaction-suffix strip (the fold writes inside the index
+    root and vacuum can reclaim it); (b) tombstoning EVERY cell row then
+    compacting drops the layout instead of writing a schema-less 0-row
+    partitioned dir that would break later reads."""
+    import os
+    import random
+
+    import lmdiskann_jl_spark as pkg
+
+    random.seed(29)
+
+    # (a) '.c' inside the path
+    root = tmp_path / "proj.cache" / "idx"
+    rows = [(f"k-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(40)]
+    idx = pkg.create_index(spark, str(root), dim=4, maxdegree=4)
+    idx.insert_batch(spark.createDataFrame(rows, "k string, vec array<float>"),
+                     vec_col="vec", key_col="k")
+    idx.build_ivf(n_cells=2)
+    idx.delete_batch(keys=["k-1"], maintain_ivf=True)
+    idx.compact()
+    assert idx._ivf_fresh() and idx.meta["ivf"]["n_compactions"] == 1
+    new_dir = os.path.normpath(idx.meta["ivf"]["dir"])
+    assert new_dir.startswith(os.path.normpath(str(root))), new_dir
+    assert spark.read.parquet(new_dir).count() == 39
+    # a second compact cycle strips the prior .cN suffix, never stacks it
+    idx.delete_batch(keys=["k-2"], maintain_ivf=True)
+    idx.compact()
+    assert idx.meta["ivf"]["dir"].endswith(".c2")
+    assert ".c1.c2" not in idx.meta["ivf"]["dir"]
+
+    # (b) EVERY cell row tombstoned (maintained delete of all keys keeps
+    # the IVF layout with full tombstone coverage) -> compact() must DROP
+    # the layout, not write a schema-less 0-row partitioned dir
+    root2 = tmp_path / "idx2"
+    rows2 = [(f"j-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(20)]
+    idx2 = pkg.create_index(spark, str(root2), dim=4, maxdegree=4)
+    idx2.insert_batch(spark.createDataFrame(rows2, "j string, vec array<float>"),
+                      vec_col="vec", key_col="j")
+    idx2.build_ivf(n_cells=2)
+    idx2.delete_batch(keys=[f"j-{i}" for i in range(20)], maintain_ivf=True)
+    assert idx2.meta.get("ivf", {}).get("tombstones") is True
+    idx2.compact()
+    assert "ivf" not in idx2.meta  # layout covers nothing -> dropped
+    with pytest.raises(ValueError, match="no IVF layout"):
+        idx2.search([0.0, 0.0, 0.0, 0.0], topk=1, mode="ivf")
