@@ -5326,56 +5326,55 @@ def _token_count_oracle() -> str:
 # Update after each round from the new CORRECTNESS file; the declaration
 # order below is the stable tiebreak.
 _LAST_DRIVER_VERIFIED: dict[str, int] = {
-    # --- r8 window (CORRECTNESS_r08.json): 41 green rows+schema+hash, 9
+    # --- r9 window (CORRECTNESS_r09.json): 47 green rows+schema+hash, 3
     # rows-only recall gates (no_oracle by design, 0 reds). ---
+    "a_beam_pq_cosine_recall": 9, "a_ivf_maintained_recall": 9,
+    "a_lsh_auto_recall": 9, "d_span_removal": 9, "k_keymap_count": 9,
+    "k_keymap_lookup": 9, "m_media_decode": 9, "p_dataset_split": 9,
+    "p_decontaminate": 9, "p_pack_sequences": 9, "p_quality_filter": 9,
+    "p_source_weighted_sample": 9, "p_token_budget_mix": 9,
+    "r_customer_deciles": 9, "r_customers_no_orders": 9,
+    "r_events_moving_avg": 9, "r_events_pivot": 9, "r_price_quantiles": 9,
+    "r_set_ops": 9, "r_source_mix": 9, "r_tpch_q1": 9, "r_tpch_q10": 9,
+    "r_tpch_q12": 9, "r_tpch_q13": 9, "r_tpch_q14": 9, "r_tpch_q15": 9,
+    "r_tpch_q18": 9, "r_tpch_q3": 9, "r_tpch_q4": 9, "r_tpch_q5": 9,
+    "r_tpch_q6": 9, "r_tpch_q7": 9, "r_tpch_q8": 9, "r_tpch_q9": 9,
+    "s_stream_dedup": 9, "s_stream_rollup": 9, "s_stream_sessions": 9,
+    "v_adjacency_build": 9, "v_batch_topk": 9, "v_degree_histogram": 9,
+    "v_delete_repair": 9, "v_exact_topk_cosine": 9,
+    "v_exact_topk_euclidean": 9, "v_get_embedding": 9,
+    "v_get_embedding_by_key": 9, "v_hard_negatives": 9, "v_knn_classify": 9,
+    "v_knn_join": 9, "v_partial_topk": 9, "v_range_search": 9,
+    # --- r8 window (CORRECTNESS_r08.json) ---
     "a_beam_pq_recall": 8, "a_beam_recall": 8, "a_embedding_neardup_lsh": 8,
     "a_filtered_beam_recall": 8, "a_incremental_insert_recall": 8,
-    "a_ivf_recall": 8, "a_lsh_knn": 8, "a_lsh_knn_auto": 8,
-    "a_lsh_recall": 8, "a_mmr_rerank": 8, "a_semantic_dedup": 8,
-    "d_dedup_exact": 8, "d_dup_clusters": 8, "d_dup_clusters_star": 8,
-    "d_duplicate_spans": 8, "d_embedding_neardup": 8, "d_keep_best": 8,
-    "d_minhash_lsh_pairs": 8, "d_minhash_signatures": 8,
-    "d_ngram_jaccard_capped": 8, "d_ngram_jaccard_pairs": 8, "d_simhash": 8,
-    "d_simhash_neardup": 8, "d_span_profile": 8, "k_keymap_delete": 8,
-    "k_keymap_list": 8, "k_keymap_reverse_lookup": 8, "m_decode_samples": 8,
-    "m_payload_stats": 8, "p_group_sample_k": 8, "p_leakage_safe_split": 8,
-    "p_stratified_sample": 8, "r_asof_forward": 8, "r_events_props": 8,
-    "t_chunk_documents": 8, "t_fingerprint": 8, "t_lang_id": 8,
-    "t_langid_accuracy": 8, "t_phrase_proximity": 8, "t_pii_redact": 8,
-    "t_quality_score": 8, "t_repetition": 8, "t_token_count": 8,
-    "t_top_terms": 8, "t_vocab_build": 8, "v_auto_search": 8,
-    "v_filtered_topk": 8, "v_normalize": 8, "v_quantize": 8,
-    "v_reduce_dim": 8,
+    "a_ivf_recall": 8, "a_lsh_knn": 8, "a_lsh_knn_auto": 8, "a_lsh_recall": 8,
+    "a_mmr_rerank": 8, "a_semantic_dedup": 8, "d_dedup_exact": 8,
+    "d_dup_clusters": 8, "d_dup_clusters_star": 8, "d_duplicate_spans": 8,
+    "d_embedding_neardup": 8, "d_keep_best": 8, "d_minhash_lsh_pairs": 8,
+    "d_minhash_signatures": 8, "d_ngram_jaccard_capped": 8,
+    "d_ngram_jaccard_pairs": 8, "d_simhash": 8, "d_simhash_neardup": 8,
+    "d_span_profile": 8, "k_keymap_delete": 8, "k_keymap_list": 8,
+    "k_keymap_reverse_lookup": 8, "m_decode_samples": 8, "m_payload_stats": 8,
+    "p_group_sample_k": 8, "p_leakage_safe_split": 8, "p_stratified_sample": 8,
+    "r_asof_forward": 8, "r_events_props": 8, "t_chunk_documents": 8,
+    "t_fingerprint": 8, "t_lang_id": 8, "t_langid_accuracy": 8,
+    "t_phrase_proximity": 8, "t_pii_redact": 8, "t_quality_score": 8,
+    "t_repetition": 8, "t_token_count": 8, "t_top_terms": 8,
+    "t_vocab_build": 8, "v_auto_search": 8, "v_filtered_topk": 8,
+    "v_normalize": 8, "v_quantize": 8, "v_reduce_dim": 8,
     # --- r7 window (CORRECTNESS_r07.json) ---
     "a_extract_features": 7, "a_graph_build_lsh_recall": 7,
-    "a_ivfpq_recall": 7, "a_pq_recall": 7, "d_span_removal": 7,
-    "k_keymap_count": 7, "k_keymap_lookup": 7, "m_frame_plan": 7,
+    "a_ivfpq_recall": 7, "a_pq_recall": 7, "m_frame_plan": 7,
     "p_corpus_clean": 7, "r_above_avg_orders": 7, "r_above_avg_probe": 7,
     "r_asof_attribution": 7, "r_events_hourly": 7, "r_grouping_sets": 7,
     "r_range_join_windows": 7, "r_revenue_rollup": 7, "r_session_windows": 7,
-    "r_sketch_accuracy": 7, "r_table_stats": 7,
-    "r_top_orders_per_segment": 7, "r_tpch_q11": 7, "r_tpch_q16": 7,
-    "r_tpch_q17": 7, "r_tpch_q19": 7, "r_tpch_q2": 7, "r_tpch_q20": 7,
-    "r_tpch_q21": 7, "r_tpch_q22": 7, "r_user_sessions": 7,
-    "s_stream_clean": 7, "t_bm25_search": 7, "t_snippets": 7,
-    "t_tfidf_top_terms": 7, "t_unigram_logprob": 7, "v_adjacency_build": 7,
-    "v_batch_topk": 7, "v_degree_histogram": 7, "v_delete_repair": 7,
-    "v_exact_topk_cosine": 7, "v_exact_topk_euclidean": 7,
-    "v_get_embedding": 7, "v_get_embedding_by_key": 7, "v_hard_negatives": 7,
-    "v_hybrid_search": 7, "v_knn_join": 7, "v_label_centroids": 7,
-    "v_partial_topk": 7, "v_range_search": 7, "v_rrf_fusion": 7,
-    # --- r6 window (CORRECTNESS_r06.json) ---
-    "a_lsh_auto_recall": 6, "m_media_decode": 6, "p_dataset_split": 6,
-    "p_decontaminate": 6, "p_pack_sequences": 6, "p_quality_filter": 6,
-    "p_source_weighted_sample": 6, "p_token_budget_mix": 6,
-    "r_customer_deciles": 6, "r_customers_no_orders": 6,
-    "r_events_moving_avg": 6, "r_events_pivot": 6, "r_price_quantiles": 6,
-    "r_set_ops": 6, "r_source_mix": 6, "r_tpch_q1": 6, "r_tpch_q10": 6,
-    "r_tpch_q12": 6, "r_tpch_q13": 6, "r_tpch_q14": 6, "r_tpch_q15": 6,
-    "r_tpch_q18": 6, "r_tpch_q3": 6, "r_tpch_q4": 6, "r_tpch_q5": 6,
-    "r_tpch_q6": 6, "r_tpch_q7": 6, "r_tpch_q8": 6, "r_tpch_q9": 6,
-    "s_stream_dedup": 6, "s_stream_rollup": 6, "s_stream_sessions": 6,
-    "v_knn_classify": 6,
+    "r_sketch_accuracy": 7, "r_table_stats": 7, "r_top_orders_per_segment": 7,
+    "r_tpch_q11": 7, "r_tpch_q16": 7, "r_tpch_q17": 7, "r_tpch_q19": 7,
+    "r_tpch_q2": 7, "r_tpch_q20": 7, "r_tpch_q21": 7, "r_tpch_q22": 7,
+    "r_user_sessions": 7, "s_stream_clean": 7, "t_bm25_search": 7,
+    "t_snippets": 7, "t_tfidf_top_terms": 7, "t_unigram_logprob": 7,
+    "v_hybrid_search": 7, "v_label_centroids": 7, "v_rrf_fusion": 7,
 }
 
 
