@@ -72,6 +72,18 @@ LSH_INSERT_THRESHOLD = 200_000
 # form of the reference overwriting blocks in place, amortized.
 BLOCKS_AUTOCOMPACT_SEGMENTS = 8
 
+# maintained inserts assign new rows to FROZEN centroids, so IVF cell
+# geometry drifts as appends accumulate and probe recall decays
+# monotonically with no other signal.  Past this fraction of the corpus
+# size AT BUILD TIME (the denominator a rebuild policy must use — the
+# post-churn corpus size would let heavy delete traffic mask drift),
+# insert_batch auto-refits the cells: one bounded-sample k-means + one
+# assignment pass, the same cost as build_ivf, amortized over >=25% of a
+# corpus of ingest.  This closes the maintenance contract — auto-search
+# never silently degrades: the layout is either within the drift budget
+# or freshly refit.
+IVF_AUTOREFIT_DRIFT = 0.25
+
 SUPPORTED_ELTYPES = ("float16", "float32", "float64")
 
 
@@ -217,7 +229,8 @@ class LMDiskANNIndex:
             # PQ codebook), and how much MOR read amplification the block
             # layout currently carries — the scalars a rebuild policy reads
             "ivf_drift": (
-                int(self.meta["ivf"].get("n_appended", 0)) / max(1, int(self.meta["num_points"]))
+                int(self.meta["ivf"].get("n_appended", 0))
+                / max(1, int(self.meta["ivf"].get("built_n", self.meta["num_points"])))
                 if self.meta.get("ivf") else None
             ),
             "blocks_fresh": self._blocks_fresh(),
@@ -544,23 +557,59 @@ class LMDiskANNIndex:
                 meta = self._maybe_autocompact_blocks(meta)
                 adj_delta.unpersist()
         if ivf_live:
-            # incremental IVF maintenance: assign the new rows to their
-            # nearest EXISTING centroid (broadcast centroids — no KMeans
-            # refit, no rescan of old rows) and append them to the cell
-            # layout.  Centroids are frozen, so recall drifts as appends
-            # accumulate; n_appended records the drift for rebuild policy.
-            # The append is not transactional with the meta commit —
-            # production swaps it for a MERGE (sources/tables.py pattern).
-            from lmdiskann_jl_spark.operators.ivf import assign_cells
-
-            centroids = self.catalog.read("ivf_centroids", self.meta)
-            assign_cells(prepared, centroids, self.meta["metric"]).write.mode(
-                "append"
-            ).partitionBy("cell").parquet(self.meta["ivf"]["dir"])
             ivf = dict(self.meta["ivf"])
-            ivf["built_from"] = meta["versions"]["vectors"]
-            ivf["n_appended"] = int(ivf.get("n_appended", 0)) + n_new
-            meta["ivf"] = ivf
+            built_n = int(ivf.get("built_n") or max(
+                1, int(self.meta["num_points"]) - int(ivf.get("n_appended", 0))
+            ))
+            n_appended = int(ivf.get("n_appended", 0)) + n_new
+            if n_appended > IVF_AUTOREFIT_DRIFT * max(1, built_n):
+                # drift policy: frozen-centroid assignment has accumulated
+                # past the budget — refit the cells from the CURRENT corpus
+                # (the new vectors segment is already committed into
+                # ``meta``, so one bounded-sample k-means + one assignment
+                # pass covers everything, including this batch).  Probe-time
+                # tombstones die with the old layout: the refit reads only
+                # live vectors.  Without this, a long-lived maintained index
+                # degrades recall unboundedly with no signal but a stat.
+                from lmdiskann_jl_spark.operators.ivf import build_ivf as _build
+
+                live = self.catalog.read("vectors", meta).select("id", "vec")
+                centroids, assigned = _build(
+                    live, n_cells=int(ivf["n_cells"]),
+                    metric=self.meta["metric"], seed=int(ivf.get("seed", 42)),
+                )
+                meta = self.catalog.write("ivf_centroids", centroids, meta)
+                new_dir = os.path.join(
+                    self.path, "ivf_cells",
+                    f"v={meta['versions']['ivf_centroids']}",
+                )
+                assigned.select("id", "vec", "cell").write.mode(
+                    "overwrite"
+                ).partitionBy("cell").parquet(new_dir)
+                meta["ivf"] = {
+                    "n_cells": int(ivf["n_cells"]),
+                    "seed": int(ivf.get("seed", 42)),
+                    "dir": new_dir,
+                    "built_from": meta["versions"]["vectors"],
+                    "built_n": int(self.meta["num_points"]) + n_new,
+                    "n_refits": int(ivf.get("n_refits", 0)) + 1,
+                }
+            else:
+                # within budget: assign the new rows to their nearest
+                # EXISTING centroid (broadcast centroids — no KMeans refit,
+                # no rescan of old rows) and append them to the cell layout.
+                # The append is not transactional with the meta commit —
+                # production swaps it for a MERGE (sources/tables.py
+                # pattern).
+                from lmdiskann_jl_spark.operators.ivf import assign_cells
+
+                centroids = self.catalog.read("ivf_centroids", self.meta)
+                assign_cells(prepared, centroids, self.meta["metric"]).write.mode(
+                    "append"
+                ).partitionBy("cell").parquet(self.meta["ivf"]["dir"])
+                ivf["built_from"] = meta["versions"]["vectors"]
+                ivf["n_appended"] = n_appended
+                meta["ivf"] = ivf
         else:
             meta.pop("ivf", None)  # cell layout no longer covers the new rows
         parted.unpersist()
@@ -736,8 +785,14 @@ class LMDiskANNIndex:
         # detected (and is also dropped eagerly by insert/delete)
         meta["ivf"] = {
             "n_cells": n_cells,
+            "seed": seed,
             "dir": ivf_dir,
             "built_from": meta["versions"]["vectors"],
+            # corpus size at fit time: the drift denominator.  n_appended /
+            # built_n is the fraction of rows assigned to frozen centroids;
+            # dividing by the CURRENT num_points instead would shrink under
+            # deletes and overstate health under churn.
+            "built_n": int(self.meta["num_points"]),
         }
         self.meta = meta
         self.save()

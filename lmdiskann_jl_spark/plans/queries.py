@@ -3529,7 +3529,16 @@ def _gate_cosine_index(spark: SparkSession, sf_dir: str):
     100-TB block configuration must serve it too: build_beam_blocks
     L2-normalizes the PQ payloads (unit vectors make cosine =
     sqeuclidean/2, an exact additive ADC decomposition) and stamps the
-    layout ``normalized``.  Built once, shared by the cosine gates."""
+    layout ``normalized``.
+
+    Round 10: the index is built MAINTAINED — 1/16 of the corpus is held
+    out of the bulk load and re-inserted with ``maintain_blocks=True``
+    AFTER the PQ block build, so beam search must traverse a merge-on-read
+    segment whose payloads were encoded by the frozen codebook through the
+    normalized-delta re-encode path (index._block_rows, normalized=True).
+    The final corpus is exactly the full embeddings table, so the shared
+    exact-cosine baseline stays the correct oracle.  Built once, shared by
+    the cosine gates."""
     key = _gate_key(spark, sf_dir, "cosidx")
     if key not in _GATE_CACHE:
         import tempfile
@@ -3542,12 +3551,25 @@ def _gate_cosine_index(spark: SparkSession, sf_dir: str):
         idx = LMDiskANNIndex.create(
             spark, path, dim=64, maxdegree=ADJ_DEGREE, metric="cosine"
         )
-        batch = emb.select(
-            F.col("embedding").alias("vec"),
-            F.format_string("vec-%08d", F.col("vec_id")).alias("k"),
-        )
-        idx.insert_batch(batch, vec_col="vec", key_col="k")
+
+        def as_batch(df):
+            return df.select(
+                F.col("embedding").alias("vec"),
+                F.format_string("vec-%08d", F.col("vec_id")).alias("k"),
+            )
+
+        held_out = F.col("vec_id") % 16 == 0
+        idx.insert_batch(as_batch(emb.filter(~held_out)), vec_col="vec", key_col="k")
         idx.build_beam_blocks(compress="pq")
+        idx.insert_batch(
+            as_batch(emb.filter(held_out)), vec_col="vec", key_col="k",
+            maintain_blocks=True,
+        )
+        if not idx._blocks_fresh():
+            raise AssertionError(
+                "maintained cosine-PQ block layout went stale across the "
+                "insert — maintenance contract broken"
+            )
         _GATE_CACHE[key] = idx
     return _GATE_CACHE[key]
 
@@ -3571,9 +3593,12 @@ def q_beam_pq_cosine_recall(spark, sf_dir):
     L2-normalizes payloads at build time (for unit vectors cosine_dist =
     ||a - b||^2 / 2) so the sqeuclidean ADC machinery is exact, queries
     normalize inside the per-query table, and the final re-rank recomputes
-    true cosine from full-precision vectors.  Bar >= 0.70
-    (test/runtests.jl:454), loud.  Rows-only gate (PQ k-means is not
-    SQL-expressible)."""
+    true cosine from full-precision vectors.  The index is MAINTAINED
+    (round 10): 1/16 of the corpus arrives via maintain_blocks=True after
+    the block build, so this recall bar also gates the frozen-codebook
+    normalized-delta re-encode path at sf scale, not just at pytest toy
+    size.  Bar >= 0.70 (test/runtests.jl:454), loud.  Rows-only gate (PQ
+    k-means is not SQL-expressible)."""
     idx = _gate_cosine_index(spark, sf_dir)
     assert idx.meta["beam_blocks"].get("normalized") is True
     emb = _gate_emb(spark, sf_dir)
@@ -5328,8 +5353,10 @@ def _token_count_oracle() -> str:
 _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # --- r9 window (CORRECTNESS_r09.json): 47 green rows+schema+hash, 3
     # rows-only recall gates (no_oracle by design, 0 reds). ---
-    "a_beam_pq_cosine_recall": 9, "a_ivf_maintained_recall": 9,
-    "a_lsh_auto_recall": 9, "d_span_removal": 9, "k_keymap_count": 9,
+    # (a_beam_pq_cosine_recall was r9-verified but is UNSTAMPED again: the
+    # r10 gate upgrade adds a maintained block segment to the index under
+    # test, so the driver must re-verify the new form first.)
+    "a_ivf_maintained_recall": 9, "a_lsh_auto_recall": 9, "d_span_removal": 9, "k_keymap_count": 9,
     "k_keymap_lookup": 9, "m_media_decode": 9, "p_dataset_split": 9,
     "p_decontaminate": 9, "p_pack_sequences": 9, "p_quality_filter": 9,
     "p_source_weighted_sample": 9, "p_token_budget_mix": 9,

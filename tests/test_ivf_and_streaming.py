@@ -231,6 +231,63 @@ def test_ivf_incremental_maintenance(spark, tmp_path):
     assert "tombstones" not in idx.meta["ivf"] and idx.meta["ivf"].get("n_appended", 0) == 0
 
 
+def test_ivf_drift_autorefit_keeps_recall(spark, tmp_path):
+    """Drift policy stress (round 10): push maintained batches from a NEW
+    cluster the frozen centroids never saw.  Within the budget
+    (n_appended <= IVF_AUTOREFIT_DRIFT * built_n) inserts append under
+    frozen assignment; the batch that crosses it triggers an automatic cell
+    refit inside insert_batch (fresh k-means over the current corpus, new
+    built_n snapshot, n_refits bumped) — so the layout never silently
+    degrades: after every batch the index is fresh AND recall@10 vs the
+    exact scan stays >= the reference's 0.70 bar (test/runtests.jl:454)."""
+    import random
+
+    import lmdiskann_jl_spark as pkg
+    from lmdiskann_jl_spark.index import IVF_AUTOREFIT_DRIFT
+
+    random.seed(23)
+    base = [(f"b-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(200)]
+    idx = pkg.create_index(spark, str(tmp_path / "drift"), dim=4, maxdegree=4)
+    idx.insert_batch(
+        spark.createDataFrame(base, "k string, vec array<float>"),
+        vec_col="vec", key_col="k",
+    )
+    idx.build_ivf(n_cells=4)
+    assert idx.meta["ivf"]["built_n"] == 200
+
+    def recall_at_10(q):
+        ivf_ids = {r["id"] for r in idx.search(q, topk=10, mode="ivf", nprobe=2).collect()}
+        exact_ids = {r["id"] for r in idx.search(q, topk=10, mode="exact").collect()}
+        return len(ivf_ids & exact_ids) / 10
+
+    # three 40-row batches centered at (5,5,5,5): a cluster no frozen
+    # centroid covers — exactly the ingest pattern that decays recall
+    probe_q = [5.0, 5.0, 5.0, 5.0]
+    for wave in range(3):
+        rows = [
+            (f"n{wave}-{i}", [5.0 + random.gauss(0, 0.3) for _ in range(4)])
+            for i in range(40)
+        ]
+        idx.insert_batch(
+            spark.createDataFrame(rows, "k string, vec array<float>"),
+            vec_col="vec", key_col="k", maintain_ivf=True,
+        )
+        assert idx._ivf_fresh(), "maintained layout must never go silently stale"
+        drift = idx.stats()["ivf_drift"]
+        assert drift is not None and drift <= IVF_AUTOREFIT_DRIFT, (
+            f"wave {wave}: drift {drift} exceeds the refit budget — policy did not fire"
+        )
+        assert recall_at_10(probe_q) >= 0.70
+
+    # wave 0: 40 <= 0.25*200 -> frozen append; wave 1: 80 > 50 -> refit
+    # (built_n resnapshots to 280, counter resets); wave 2: 40 <= 70 -> append
+    ivf = idx.meta["ivf"]
+    assert ivf.get("n_refits", 0) == 1
+    assert ivf["built_n"] == 280
+    assert ivf.get("n_appended", 0) == 40
+    assert idx.stats()["ivf_drift"] == pytest.approx(40 / 280)
+
+
 def test_ivf_search_batch_matches_single_probes(emb, spark):
     """The batched probe must return the same per-query top-k as running the
     single-query probe per qid, in one job, with the scan pruned to the
