@@ -520,19 +520,25 @@ def beam_search_batch_blocks(
             "pass at least one live entrypoint id (block layouts store them "
             "in their metadata)"
         )
-    if isinstance(allowed, DataFrame):
+    owns_allowed = isinstance(allowed, DataFrame)
+    if owns_allowed:
         allowed = _AllowedMembership(allowed)
     seeds = sorted({int(s) for s in seeds})
     chunk = max(1, int(query_chunk))
     out_rows: list = []
-    for lo in range(0, len(q_rows), chunk):
-        out_rows.extend(
-            _blocks_sweep(
-                blocks_fetch, q_rows[lo : lo + chunk], ef, metric, seeds,
-                max_hops, qid_col, qvec_col, stats,
-                cb if pq_mode else None, allowed, normalized,
+    try:
+        for lo in range(0, len(q_rows), chunk):
+            out_rows.extend(
+                _blocks_sweep(
+                    blocks_fetch, q_rows[lo : lo + chunk], ef, metric, seeds,
+                    max_hops, qid_col, qvec_col, stats,
+                    cb if pq_mode else None, allowed, normalized,
+                )
             )
-        )
+    finally:
+        if owns_allowed:
+            # results are already local rows — the snapshot's job is done
+            allowed.close()
     return spark.createDataFrame(out_rows, empty)
 
 
@@ -543,19 +549,52 @@ class _AllowedMembership:
     call runs one pruned membership lookup (literal isin below the plan
     threshold, broadcast semi-join above — default_fetcher's split) for the
     batch of candidate ids whose status is still unknown, and caches the
-    boolean per id.  Driver memory is O(distinct ids the sweep scored) —
-    the same footprint class as the block/copy caches — independent of the
-    allowed set's cardinality, so unselective filters at 100 TB stay
-    driver-safe.  ``stats['allowed_lookups']`` counts the lookup jobs."""
+    boolean per id — so across hops AND across query-chunk sweeps each id
+    is looked up at most once.  Driver memory is O(distinct ids the sweep
+    scored) — the same footprint class as the block/copy caches —
+    independent of the allowed set's cardinality, so unselective filters
+    at 100 TB stay driver-safe.  ``stats['allowed_lookups']`` counts the
+    lookup jobs.
+
+    The id projection is SNAPSHOTTED (persisted) at construction: callers
+    hand in derived frames (typically ``key_map.filter(where)`` over a
+    merge-on-read view whose latest-wins window blocks id pushdown), and
+    without the snapshot every per-hop lookup would re-execute the full
+    scan+shuffle lineage — O(max_hops) window scans per search.  With it,
+    the lineage runs once and lookups read the cache.  Small allowed sets
+    additionally collapse the lookup source to one partition so each
+    per-hop membership job is a single task (fixed job latency, not a
+    32-task fan-out, dominates these point lookups); large sets keep their
+    parallelism.  ``close()`` releases the snapshot — the batch entry
+    point owns that lifecycle when it wrapped the frame itself."""
+
+    # below this many allowed ids the lookup source collapses to 1
+    # partition: the per-hop membership job is latency-bound, and a scan
+    # of <=1M cached longs is microseconds per task
+    _COALESCE_LIMIT = 1_000_000
 
     def __init__(self, allowed_df: DataFrame, id_col: str = "id"):
-        self._fetch = default_fetcher(
-            allowed_df.select(F.col(id_col).cast("long").alias("id")), "id"
-        )
+        self._cached = allowed_df.select(
+            F.col(id_col).cast("long").alias("id")
+        ).persist()
+        n = self._cached.count()  # materializes the snapshot once
+        self._small = n <= self._COALESCE_LIMIT
+        src = self._cached.coalesce(1) if self._small else self._cached
+        self._fetch = default_fetcher(src, "id")
         self._known: dict[int, bool] = {}
 
+    def close(self) -> None:
+        self._cached.unpersist()
+
     def resolve(self, ids, stats: dict | None = None) -> set:
-        """Subset of ``ids`` present in the allowed table (batched lookup)."""
+        """Subset of ``ids`` present in the allowed table.
+
+        Normally a pure cache read: the blocks sweep prefetches membership
+        for every id a hop can score inside the hop's own fetch job
+        (``collect_blocks_with_membership``), so the standalone lookup job
+        below is a safety net for ids that arrive outside that contract —
+        ``stats['allowed_lookups']`` counts it and stays 0 on the block
+        path."""
         unknown = sorted({int(i) for i in ids} - self._known.keys())
         if unknown:
             hit = {int(r["id"]) for r in self._fetch(unknown).select("id").collect()}
@@ -564,6 +603,48 @@ class _AllowedMembership:
             if stats is not None:
                 stats["allowed_lookups"] = stats.get("allowed_lookups", 0) + 1
         return {int(i) for i in ids if self._known[int(i)]}
+
+    def collect_blocks_with_membership(
+        self, blocks_df: DataFrame, stats: dict | None = None
+    ) -> list:
+        """Collect the hop's block rows AND the allowed-membership of every
+        id they mention — {block ids} ∪ {their neighbors}, exactly the ids
+        the hop can score — in ONE Spark job.
+
+        The membership branch rides the same pruned point fetch as the
+        block rows (a second, column-pruned branch of one union plan:
+        explode neighbors, distinct, left-semi against the snapshot), so
+        filtered traversal costs one job per hop — the same job ladder as
+        unfiltered search.  A standalone per-hop lookup job has a ~0.3 s
+        fixed floor (probe-side broadcast + scheduling) that this removes
+        entirely.  Misses are learned driver-side: the probed universe is
+        recoverable from the block rows themselves, so absent ids mark
+        ``known=False`` without shipping a miss list."""
+        # no distinct() on the probe: it would shuffle every hop, while
+        # duplicate hit ids collapse driver-side for free.  Small snapshots
+        # get an explicit broadcast hint so the semi-join stays in the
+        # scan's own stage (zero exchanges in the membership branch); big
+        # allowed sets must NOT be force-broadcast — Spark picks the
+        # strategy, and the hop pays the shuffle an unbounded filter costs
+        probe = blocks_df.select(F.explode("neighbors").alias("id")).unionByName(
+            blocks_df.select("id")
+        )
+        snap = F.broadcast(self._cached) if self._small else self._cached
+        hits = probe.join(snap, "id", "left_semi")
+        combined = blocks_df.withColumn("_mem", F.lit(False)).unionByName(
+            hits.withColumn("_mem", F.lit(True)), allowMissingColumns=True
+        )
+        rows = combined.collect()
+        block_rows = [r for r in rows if not r["_mem"]]
+        hit_ids = {int(r["id"]) for r in rows if r["_mem"]}
+        for r in block_rows:
+            i = int(r["id"])
+            self._known.setdefault(i, i in hit_ids)
+            for n in r["neighbors"] or []:
+                self._known.setdefault(int(n), int(n) in hit_ids)
+        if stats is not None:
+            stats["allowed_prefetches"] = stats.get("allowed_prefetches", 0) + 1
+        return block_rows
 
 
 def _blocks_sweep(
@@ -574,7 +655,8 @@ def _blocks_sweep(
     queries: fresh block/copy caches, returns (qid, id, dist) tuples.
     ``allowed``: routing scores every node, but only allowed ids enter the
     returned result list (filter-during-search).  A set checks membership
-    driver-side; an _AllowedMembership resolves it executor-side per hop."""
+    driver-side; an _AllowedMembership resolves it executor-side, prefetched
+    inside each hop's block-fetch job (zero extra jobs per hop)."""
     import numpy as np
 
     pq_mode = cb is not None
@@ -598,11 +680,14 @@ def _blocks_sweep(
     frontier: dict = {q: list(seeds) for q in qids}
 
     def fetch_blocks(ids):
-        rows = (
-            blocks_fetch(ids)
-            .select("id", "vec", "neighbors", payload_col)
-            .collect()
-        )
+        df = blocks_fetch(ids).select("id", "vec", "neighbors", payload_col)
+        if isinstance(allowed, _AllowedMembership):
+            # membership prefetch rides the fetch job: every id this hop
+            # can score ({fetched ids} ∪ {their neighbors}) resolves here,
+            # so the per-hop resolve() below is a cache read, not a job
+            rows = allowed.collect_blocks_with_membership(df, stats)
+        else:
+            rows = df.collect()
         for r in rows:
             i = int(r["id"])
             vec_of[i] = np.asarray(r["vec"], dtype=np.float64)

@@ -520,17 +520,24 @@ def test_allowed_dataframe_membership_bounded_driver_state(spark, idx_path, batc
     as_rows = lambda df: {(r["qid"], r["id"], round(r["dist"], 9)) for r in df.collect()}
     assert as_rows(via_df) == as_rows(via_set)
     assert all(i % 2 == 0 for _, i, _ in as_rows(via_df))
-    # membership lookups are per-hop batches: at most one per traversal
-    # round (bounded by max_hops, NOT stats['hops'] — that counter only
-    # ticks on rounds that fetched new blocks, while a fetch-free round
-    # can still surface ids needing resolution)
-    assert 1 <= stats.get("allowed_lookups", 0) <= MAX_HOPS + 1
+    # membership is PREFETCHED inside each hop's block-fetch job (one
+    # column-pruned union branch over the same pruned scan), so filtered
+    # traversal adds ZERO standalone lookup jobs — resolve()'s fallback
+    # job never fires on the block path
+    assert stats.get("allowed_lookups", 0) == 0
+    assert stats.get("allowed_prefetches", 0) >= 1
 
     # bounded state: resolve() caches only the ids it was asked about
     m = _AllowedMembership(allowed_df)
     got = m.resolve(all_ids[:10])
     assert got == {i for i in all_ids[:10] if i % 2 == 0}
     assert len(m._known) == 10  # NOT len(even): no full-set collect
+    # the id projection is snapshotted once at construction (per-hop
+    # lookups must not re-execute the allowed frame's lineage) and
+    # released by close() — the batch entry point calls it in finally
+    assert m._cached.storageLevel.useMemory or m._cached.storageLevel.useDisk
+    m.close()
+    assert not (m._cached.storageLevel.useMemory or m._cached.storageLevel.useDisk)
 
 
 def test_blocks_empty_seeds_raise(spark, idx_path, batch, queries):

@@ -487,6 +487,36 @@ def main() -> int:
             "  ~±10% ambient noise on this box — cross-round per-query\n"
             "  comparisons need the isolated worktree A/B, not suite\n"
             "  deltas (the d_embedding_neardup lesson, now twice).\n"
+            "- Round-10 star-contraction A/B (judge item:\n"
+            "  `d_dup_clusters_star` +42% in the r9 suite, 1.23 -> 1.75 s,\n"
+            "  dedup.py untouched in r9).  Isolated worktree A/B — r8-end\n"
+            "  (16c31b9) vs r9-end (c0b9a78), the query ALONE, fresh\n"
+            "  process per side, interleaved twice, 5 warm reps each at\n"
+            "  sf0.1: r8 medians 1.713 / 1.856 s vs r9 medians 1.877 /\n"
+            "  1.917 s (~+5%, inside the rep spread of 1.5-2.7 s that BOTH\n"
+            "  sides show).  No code regression — the r8 suite's 1.23 s\n"
+            "  was a favorable co-residency draw, and the r9 suite's\n"
+            "  1.75 s matches the query's isolated cost.  Third\n"
+            "  consecutive suite-delta scare resolved as session pressure;\n"
+            "  the ambient band above stands.\n"
+            "- Round-10 filtered-beam membership: resolution now rides\n"
+            "  INSIDE each hop's block-fetch job (a column-pruned union\n"
+            "  branch over the same pruned scan: explode neighbors,\n"
+            "  broadcast-semi-join the persisted allowed snapshot — no\n"
+            "  added exchange), so the filtered job ladder equals the\n"
+            "  unfiltered one; resolve()'s standalone lookup job is a\n"
+            "  never-firing fallback (asserted in pytest).  The allowed\n"
+            "  projection is also SNAPSHOTTED once per search call —\n"
+            "  previously the facade path re-executed the key_map\n"
+            "  latest-wins window per hop (the id filter cannot push below\n"
+            "  the window), O(max_hops) full scan+shuffles per search.\n"
+            "  Measured: facade filtered search 3.82 -> 3.44 s warm-median\n"
+            "  at sf0.1; the gate a_filtered_beam_recall is parity (3.04\n"
+            "  -> 3.10 s isolated median — its allowed table was already\n"
+            "  persisted, and the saved lookup job is offset by the\n"
+            "  fetch's second scan branch, ~+0.13 s/hop measured).  At\n"
+            "  scale the win is structural: half the jobs per hop and no\n"
+            "  per-hop re-execution of the allowed frame's lineage.\n"
         )
     print(f"wrote {out}")
     return 0
