@@ -739,10 +739,27 @@ def q_vocab_build(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= VOCAB_MIN_COUNT)
     )
+    # managed cache lifecycle: scalable_rank's correctness rests on a lazy
+    # persisted node that must outlive THIS result's materialization, so it
+    # can't be unpersisted here — but the PREVIOUS call's node is done by
+    # now (its result was materialized or abandoned), so repeated calls in
+    # one session hold at most one cached rank node instead of accumulating
+    # spill until context end
+    while _VOCAB_RANK_NODES:
+        node = _VOCAB_RANK_NODES.pop()
+        try:
+            node.unpersist()
+        except Exception:
+            pass  # node belonged to an already-stopped session
     ranked = P.scalable_rank(
-        tf, [F.col("n").desc(), F.col("term").asc()], rank_col="token_id"
+        tf, [F.col("n").desc(), F.col("term").asc()], rank_col="token_id",
+        cache_registry=_VOCAB_RANK_NODES,
     )
     return ranked.select("term", "n", "token_id")
+
+
+# scalable_rank cache nodes from prior q_vocab_build calls (see above)
+_VOCAB_RANK_NODES: list = []
 
 
 def q_leakage_safe_split(spark, sf_dir):
