@@ -969,7 +969,12 @@ class LMDiskANNIndex:
         analog is free (it overwrites 4 KB blocks in place,
         src/LMDiskANN.jl ann_insert!); Spark's immutable files make the
         rewrite a periodic amortized cost instead, bounding per-fetch read
-        amplification at O(threshold) segment dirs."""
+        amplification at O(threshold) segment dirs.  The cost lands INLINE
+        in the one mutation (batch or streaming tick) that crosses the
+        threshold — a deliberate latency spike documented at the streaming
+        entry point (streaming/ingest.stream_insert); latency-critical
+        ingest paths leave maintain_blocks off and run compact() off the
+        hot path instead."""
         segs = meta.get("segments", {}).get("beam_blocks") or []
         if len(segs) < BLOCKS_AUTOCOMPACT_SEGMENTS or not meta.get("beam_blocks"):
             return meta

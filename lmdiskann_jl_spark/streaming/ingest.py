@@ -45,8 +45,21 @@ def stream_insert(
     ``maintain_ivf`` does the same for a fresh IVF layout (each micro-batch
     assigns its rows to the nearest frozen centroid — one broadcast join —
     and appends to the cell table), so mode='ivf'/auto probes keep working
-    across ingest; ``stats()['ivf_drift']`` tracks when a rebuild is due.
-    Returns the StreamingQuery handle.
+    across ingest; ``stats()['ivf_drift']`` tracks accumulated drift.
+
+    LATENCY SPIKES, by design: maintenance amortizes two O(table) events
+    into the unlucky micro-batch that triggers them, trading one slow tick
+    for bounded read cost on every search in between.  (1) blocks: the
+    insert that would create the BLOCKS_AUTOCOMPACT_SEGMENTS-th
+    merge-on-read segment runs the full latest-wins collapse inline
+    (index._maybe_autocompact_blocks — the read-amplification bound).
+    (2) IVF: the insert that pushes frozen-centroid drift past
+    IVF_AUTOREFIT_DRIFT refits the cells inline (bounded-sample k-means +
+    one assignment pass — the recall bound).  Pipelines that cannot absorb
+    a slow tick should run maintenance off the hot path instead: leave
+    these flags off and schedule ``compact()`` / ``build_ivf()`` /
+    ``build_beam_blocks()`` between query windows (searches fall back to
+    two-fetch / exact until then).  Returns the StreamingQuery handle.
     """
     if not stream_df.isStreaming:
         raise ValueError("stream_insert needs a streaming DataFrame (use spark.readStream)")
