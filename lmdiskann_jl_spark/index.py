@@ -84,6 +84,17 @@ BLOCKS_AUTOCOMPACT_SEGMENTS = 8
 # or freshly refit.
 IVF_AUTOREFIT_DRIFT = 0.25
 
+# the PQ block layout has the same frozen-artifact drift as IVF: maintained
+# inserts encode neighbor payloads with the codebook fit at build time, so a
+# distribution shift in the ingest makes ADC routing noisier batch over
+# batch (the exact final re-rank bounds the damage but can't re-rank
+# candidates the noisy beam never retained).  Past this fraction of the
+# build-time corpus, the maintained insert skips the frozen-codebook delta
+# and rebuilds the layout with a REFIT codebook right after the commit —
+# one PQ k-means + one block rewrite, amortized over >=25% of a corpus of
+# ingest.  Raw (uncompressed) layouts store exact copies and never drift.
+BLOCKS_PQ_REFIT_DRIFT = 0.25
+
 SUPPORTED_ELTYPES = ("float16", "float32", "float64")
 
 
@@ -245,6 +256,17 @@ class LMDiskANNIndex:
             "blocks_appended": (
                 int(self.meta["beam_blocks"].get("n_appended", 0))
                 if self.meta.get("beam_blocks") else None
+            ),
+            # PQ-only: raw layouts append exact copies (no frozen artifact
+            # to drift from); see BLOCKS_PQ_REFIT_DRIFT for the policy
+            "blocks_pq_drift": (
+                int(self.meta["beam_blocks"].get("n_appended", 0))
+                / max(1, int(self.meta["beam_blocks"].get(
+                    "built_n", self.meta["num_points"]
+                )))
+                if self.meta.get("beam_blocks")
+                and self.meta["beam_blocks"].get("compress") == "pq"
+                else None
             ),
             "storage_bytes": sizes,
         }
@@ -409,6 +431,18 @@ class LMDiskANNIndex:
         ``key_map``, and updates ``adjacency`` incrementally (back-links +
         re-prune touched nodes) — or rebuilds it when ``rebuild_graph``.
 
+        NAVIGABILITY CAVEAT (shared with the reference): neighbor pruning
+        is plain nearest-k (the reference's _prune_neighbors,
+        src/LMDiskANN.jl:491-506 — no RobustPrune alpha-diversity), so a
+        batch that is FAR from the existing corpus can island: its nodes
+        link among themselves, and full existing nodes prune the inbound
+        back-links to it (the reference's one-at-a-time ann_insert! drops
+        them the same way once nodes reach maxdegree, :567-573).  Beam
+        search then cannot route into the new region from old seeds.
+        Out-of-distribution ingest should pass ``rebuild_graph=True`` (or
+        rebuild layouts afterwards — refit entrypoints spread over the new
+        region); IVF/exact modes are unaffected.
+
         ``maintain_blocks``: when a FRESH block layout exists, incremental
         inserts also append the touched block rows (the adjacency MERGE
         delta re-joined with vectors — PQ copies encoded with the FROZEN
@@ -469,6 +503,7 @@ class LMDiskANNIndex:
             prepared = prepared.withColumn("vec", _float16_quantize(F.col("vec")))
 
         ivf_live = maintain_ivf and self._ivf_fresh()
+        refit_blocks = None  # set when PQ codebook drift crosses its budget
         if rebuild_graph or base == 0:
             # initial load / explicit rebuild: full snapshots.  graph_knn
             # governs candidate generation HERE too (round 9; previously
@@ -533,29 +568,48 @@ class LMDiskANNIndex:
             )
             meta = self.catalog.append("key_map", new_pairs, meta, stamp_segment=True)
             if blocks_live:
-                # block maintenance: rebuild ONLY the touched rows' blocks
-                # (new nodes + back-linked existing nodes = the adjacency
-                # delta) over old-union-new vectors, append latest-wins
                 bb = dict(self.meta["beam_blocks"])
-                all_vecs = self.vectors.select("id", "vec").unionByName(
-                    prepared.select("id", "vec")
-                )
-                blocks_delta = self._block_rows(
-                    adj_delta, all_vecs, bb.get("compress"),
-                    bb.get("codebook"), len(bb["codebook"]) if bb.get("codebook") else 8,
-                    normalized=bb.get("normalized", False),
-                )
-                meta = self.catalog.append(
-                    "beam_blocks", blocks_delta.withColumn("_b", bucket), meta,
-                    partition_by=["_b"], stamp_segment=True,
-                )
-                bb["built_from"] = [
-                    meta["versions"]["vectors"], meta["versions"]["adjacency"]
-                ]
-                bb["n_appended"] = int(bb.get("n_appended", 0)) + n_new
-                meta["beam_blocks"] = bb
-                meta = self._maybe_autocompact_blocks(meta)
-                adj_delta.unpersist()
+                blocks_built_n = int(bb.get("built_n") or max(
+                    1, int(self.meta["num_points"]) - int(bb.get("n_appended", 0))
+                ))
+                blocks_n_app = int(bb.get("n_appended", 0)) + n_new
+                if bb.get("compress") == "pq" and (
+                    blocks_n_app > BLOCKS_PQ_REFIT_DRIFT * max(1, blocks_built_n)
+                ):
+                    # codebook drift policy: this batch pushes the frozen
+                    # codebook past its budget — skip the frozen-encode
+                    # delta (it would be the noisiest segment yet) and
+                    # rebuild the layout with a REFIT codebook right after
+                    # the table commits below (refit_blocks marks it);
+                    # between here and there the layout is version-stale,
+                    # which is also the safe state if the rebuild dies
+                    refit_blocks = bb
+                    adj_delta.unpersist()
+                else:
+                    # block maintenance: rebuild ONLY the touched rows'
+                    # blocks (new nodes + back-linked existing nodes = the
+                    # adjacency delta) over old-union-new vectors, append
+                    # latest-wins
+                    all_vecs = self.vectors.select("id", "vec").unionByName(
+                        prepared.select("id", "vec")
+                    )
+                    blocks_delta = self._block_rows(
+                        adj_delta, all_vecs, bb.get("compress"),
+                        bb.get("codebook"),
+                        len(bb["codebook"]) if bb.get("codebook") else 8,
+                        normalized=bb.get("normalized", False),
+                    )
+                    meta = self.catalog.append(
+                        "beam_blocks", blocks_delta.withColumn("_b", bucket), meta,
+                        partition_by=["_b"], stamp_segment=True,
+                    )
+                    bb["built_from"] = [
+                        meta["versions"]["vectors"], meta["versions"]["adjacency"]
+                    ]
+                    bb["n_appended"] = blocks_n_app
+                    meta["beam_blocks"] = bb
+                    meta = self._maybe_autocompact_blocks(meta)
+                    adj_delta.unpersist()
         if ivf_live:
             ivf = dict(self.meta["ivf"])
             built_n = int(ivf.get("built_n") or max(
@@ -622,6 +676,19 @@ class LMDiskANNIndex:
         if meta["entrypoint"] < 0 and meta["num_points"] > 0:
             meta["entrypoint"] = base  # first insert seeds entrypoint, :549-561
         self.meta = meta
+        if refit_blocks is not None:
+            # PQ codebook refit (BLOCKS_PQ_REFIT_DRIFT): the batch is
+            # committed, so the standard build path sees the full current
+            # corpus — fresh codebook, fresh built_n snapshot, fresh stamps
+            cb = refit_blocks["codebook"]
+            self.build_beam_blocks(
+                n_entrypoints=max(1, len(refit_blocks.get("entrypoints") or [])),
+                compress="pq", pq_m=len(cb), pq_k=len(cb[0]),
+            )
+            bbn = dict(self.meta["beam_blocks"])
+            bbn["n_refits"] = int(refit_blocks.get("n_refits", 0)) + 1
+            self.meta["beam_blocks"] = bbn
+            meta = self.meta
         self.save()
         return self
 
@@ -893,6 +960,9 @@ class LMDiskANNIndex:
             "codebook": codebook_lists,
             # cosine PQ layouts store L2-normalized payloads (see docstring)
             "normalized": normalized,
+            # corpus size at codebook-fit time: the PQ drift denominator
+            # (see BLOCKS_PQ_REFIT_DRIFT)
+            "built_n": int(self.meta["num_points"]),
         }
         self.meta = meta
         self.save()

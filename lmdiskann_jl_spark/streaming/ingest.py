@@ -47,7 +47,7 @@ def stream_insert(
     and appends to the cell table), so mode='ivf'/auto probes keep working
     across ingest; ``stats()['ivf_drift']`` tracks accumulated drift.
 
-    LATENCY SPIKES, by design: maintenance amortizes two O(table) events
+    LATENCY SPIKES, by design: maintenance amortizes three O(table) events
     into the unlucky micro-batch that triggers them, trading one slow tick
     for bounded read cost on every search in between.  (1) blocks: the
     insert that would create the BLOCKS_AUTOCOMPACT_SEGMENTS-th
@@ -55,7 +55,10 @@ def stream_insert(
     (index._maybe_autocompact_blocks — the read-amplification bound).
     (2) IVF: the insert that pushes frozen-centroid drift past
     IVF_AUTOREFIT_DRIFT refits the cells inline (bounded-sample k-means +
-    one assignment pass — the recall bound).  Pipelines that cannot absorb
+    one assignment pass — the recall bound).  (3) PQ blocks: the insert
+    that pushes frozen-codebook drift past BLOCKS_PQ_REFIT_DRIFT rebuilds
+    the block layout with a refit codebook inline (the ADC routing-noise
+    bound; raw layouts never drift).  Pipelines that cannot absorb
     a slow tick should run maintenance off the hot path instead: leave
     these flags off and schedule ``compact()`` / ``build_ivf()`` /
     ``build_beam_blocks()`` between query windows (searches fall back to

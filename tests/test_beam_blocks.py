@@ -360,6 +360,65 @@ def test_maintained_insert_pq_blocks(spark, idx_path, batch):
     assert res[0]["dist"] == pytest.approx(0.0, abs=1e-5)  # exact re-rank
 
 
+def test_pq_blocks_codebook_drift_autorefit(spark, idx_path, batch):
+    """PQ codebook drift policy stress (round 10, the IVF policy's twin):
+    maintained inserts from a cluster the codebook never saw accumulate
+    under frozen encoding only up to BLOCKS_PQ_REFIT_DRIFT of the
+    build-time corpus; the batch that crosses it triggers a full layout
+    rebuild with a REFIT codebook inside insert_batch — layout fresh after
+    every wave, drift bounded, counter and built_n resnapshot, and search
+    still lands exact hits in the new region through the refit layout."""
+    import random
+
+    from lmdiskann_jl_spark.index import BLOCKS_PQ_REFIT_DRIFT
+
+    idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6)
+    idx.insert_batch(batch, vec_col="vec", key_col="k")  # 80 rows ~N(0,1)
+    idx.build_beam_blocks(n_entrypoints=4, compress="pq", pq_m=4, pq_k=16)
+    assert idx.meta["beam_blocks"]["built_n"] == 80
+    old_codebook = idx.meta["beam_blocks"]["codebook"]
+
+    random.seed(31)
+    # wave 0: 12 <= 0.25*80 -> frozen-codebook delta append; wave 1:
+    # 24 > 20 -> inline refit (built_n resnapshots to 104, counter resets)
+    for wave in range(2):
+        rows = [
+            (f"n{wave}-{i}", [6.0 + random.gauss(0, 0.2) for _ in range(8)])
+            for i in range(12)
+        ]
+        idx.insert_batch(
+            spark.createDataFrame(rows, "k string, vec array<float>"),
+            vec_col="vec", key_col="k", maintain_blocks=True,
+        )
+        assert idx._blocks_fresh(), "maintained PQ layout must never go silently stale"
+        drift = idx.stats()["blocks_pq_drift"]
+        assert drift is not None and drift <= BLOCKS_PQ_REFIT_DRIFT
+
+    bb = idx.meta["beam_blocks"]
+    assert bb.get("n_refits") == 1
+    assert bb["built_n"] == 104
+    assert bb.get("n_appended", 0) == 0
+    assert bb["codebook"] != old_codebook, "refit must re-train the codebook"
+    # the rebuild replaces the MOR segments with one fresh snapshot
+    assert idx.stats()["blocks_segments"] == 1
+    # the refit is MATERIAL, not just different bytes: the new codebook
+    # reconstructs a new-region vector at a fraction of the frozen
+    # codebook's quantization error (the frozen one never saw the cluster,
+    # so its ADC distances there were routing noise)
+    import numpy as np
+
+    def recon_err(cb, v):
+        cb = np.asarray(cb, dtype=float)  # [m][k][width]
+        m, _, w = cb.shape
+        return sum(
+            (((cb[s] - v[s * w:(s + 1) * w]) ** 2).sum(axis=1)).min()
+            for s in range(m)
+        )
+
+    probe = np.array([6.0 + 0.1 * j for j in range(8)])
+    assert recon_err(bb["codebook"], probe) < 0.25 * recon_err(old_codebook, probe)
+
+
 def test_query_chunking_matches_single_sweep(spark, idx_path, batch, queries):
     """query_chunk bounds driver memory by splitting the batch into
     sequential sweeps — results must equal the single-sweep run exactly

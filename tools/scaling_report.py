@@ -517,6 +517,20 @@ def main() -> int:
             "  fetch's second scan branch, ~+0.13 s/hop measured).  At\n"
             "  scale the win is structural: half the jobs per hop and no\n"
             "  per-hop re-execution of the allowed frame's lineage.\n"
+            "- Round-10 frozen-artifact drift policies: maintained ingest\n"
+            "  no longer degrades recall unboundedly.  IVF: past\n"
+            "  IVF_AUTOREFIT_DRIFT (25% of the BUILD-time corpus — that\n"
+            "  denominator, not the post-churn count, so deletes can't\n"
+            "  mask drift) the insert refits cells inline (bounded-sample\n"
+            "  k-means + one assignment pass).  PQ blocks: past\n"
+            "  BLOCKS_PQ_REFIT_DRIFT the insert rebuilds the layout with a\n"
+            "  refit codebook (raw layouts store exact copies and never\n"
+            "  drift).  Both are deliberate amortized latency spikes\n"
+            "  (documented at stream_insert) — the alternative, a layout\n"
+            "  that quietly rots, violates the auto-search contract.\n"
+            "  Stress tests push out-of-distribution waves through both\n"
+            "  paths and assert drift stays bounded with exactly one\n"
+            "  refit each.\n"
         )
     print(f"wrote {out}")
     return 0
