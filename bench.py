@@ -161,6 +161,21 @@ def main() -> None:
             rep_ratios.append(worst / best)
         print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
 
+    # warm-vs-warm noise probe: the rep ratios above compare a COLD first
+    # run (gate-cache builds, plan compilation) against a warm one, which
+    # overstates ambient noise.  One extra pass over the headline subset —
+    # everything is warm now — measures co-tenant jitter proper: the band
+    # a round-over-round delta must clear before it means anything.
+    warm_ratios: list[float] = []
+    for name in headline:
+        if name not in times or times[name] <= 0.2:
+            continue
+        t0 = time.time()
+        qs[name](spark, sf_dir).count()
+        dt = time.time() - t0
+        lo, hi = sorted((dt, times[name]))
+        warm_ratios.append(hi / max(lo, 1e-9))
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     summary = {
         "metric": "full_suite_total",
@@ -181,15 +196,21 @@ def main() -> None:
         "queries_total": round(
             sum(t for q, t in times.items() if not q.startswith("a_")), 3
         ),
-        # measured ambient-noise band for THIS invocation: the median
-        # worst/best ratio across each query's two reps (cold-cache firsts
-        # excluded by best-of-2; sub-0.2s entries excluded as latency-bound).
-        # Round-over-round suite deltas inside this band are session
+        # measured ambient-noise band for THIS invocation.  The usable
+        # band is median_warm_ratio: headline queries re-run fully warm vs
+        # their recorded best — pure co-tenant jitter.  median_cold_warm
+        # _ratio (each query's two main reps) includes one-time gate-cache
+        # builds and plan compilation, so it OVERSTATES noise; it is kept
+        # as the warmup-cost indicator, not the regression band.
+        # Round-over-round suite deltas inside the warm band are session
         # pressure, not code — four identical-code runs spanned ±10% on
         # this box (SCALING.md "ambient-variance"); A/B isolated worktrees
         # before attributing anything within ~1.5x of the band.
         "noise": {
-            "median_rep_ratio": round(
+            "median_warm_ratio": round(
+                sorted(warm_ratios)[len(warm_ratios) // 2], 3
+            ) if warm_ratios else None,
+            "median_cold_warm_ratio": round(
                 sorted(rep_ratios)[len(rep_ratios) // 2], 3
             ) if rep_ratios else None,
             "ambient_band_frac": 0.10,

@@ -98,6 +98,20 @@ BLOCKS_PQ_REFIT_DRIFT = 0.25
 SUPPORTED_ELTYPES = ("float16", "float32", "float64")
 
 
+def _layout_built_n(layout: dict, num_points: int) -> int:
+    """The drift denominator for a frozen-artifact layout (IVF cells / PQ
+    codebook): the corpus size when the artifact was FIT.  One definition
+    shared by stats() and both insert-time refit policies, so the reported
+    drift scalar and the trigger can never disagree.  Legacy layouts
+    (pre-round-10 meta without ``built_n``) reconstruct it as the current
+    count minus the appends made since — the best available estimate, and
+    exact when no deletes happened."""
+    return int(
+        layout.get("built_n")
+        or max(1, int(num_points) - int(layout.get("n_appended", 0)))
+    )
+
+
 def _vectors_schema(eltype: str) -> T.StructType:
     # float16: Spark/Parquet have no half type — stored as float32 whose
     # values are exact IEEE-half roundings (see _float16_quantize)
@@ -241,7 +255,7 @@ class LMDiskANNIndex:
             # layout currently carries — the scalars a rebuild policy reads
             "ivf_drift": (
                 int(self.meta["ivf"].get("n_appended", 0))
-                / max(1, int(self.meta["ivf"].get("built_n", self.meta["num_points"])))
+                / _layout_built_n(self.meta["ivf"], self.meta["num_points"])
                 if self.meta.get("ivf") else None
             ),
             "blocks_fresh": self._blocks_fresh(),
@@ -261,9 +275,7 @@ class LMDiskANNIndex:
             # to drift from); see BLOCKS_PQ_REFIT_DRIFT for the policy
             "blocks_pq_drift": (
                 int(self.meta["beam_blocks"].get("n_appended", 0))
-                / max(1, int(self.meta["beam_blocks"].get(
-                    "built_n", self.meta["num_points"]
-                )))
+                / _layout_built_n(self.meta["beam_blocks"], self.meta["num_points"])
                 if self.meta.get("beam_blocks")
                 and self.meta["beam_blocks"].get("compress") == "pq"
                 else None
@@ -569,9 +581,7 @@ class LMDiskANNIndex:
             meta = self.catalog.append("key_map", new_pairs, meta, stamp_segment=True)
             if blocks_live:
                 bb = dict(self.meta["beam_blocks"])
-                blocks_built_n = int(bb.get("built_n") or max(
-                    1, int(self.meta["num_points"]) - int(bb.get("n_appended", 0))
-                ))
+                blocks_built_n = _layout_built_n(bb, self.meta["num_points"])
                 blocks_n_app = int(bb.get("n_appended", 0)) + n_new
                 if bb.get("compress") == "pq" and (
                     blocks_n_app > BLOCKS_PQ_REFIT_DRIFT * max(1, blocks_built_n)
@@ -612,9 +622,7 @@ class LMDiskANNIndex:
                     adj_delta.unpersist()
         if ivf_live:
             ivf = dict(self.meta["ivf"])
-            built_n = int(ivf.get("built_n") or max(
-                1, int(self.meta["num_points"]) - int(ivf.get("n_appended", 0))
-            ))
+            built_n = _layout_built_n(ivf, self.meta["num_points"])
             n_appended = int(ivf.get("n_appended", 0)) + n_new
             if n_appended > IVF_AUTOREFIT_DRIFT * max(1, built_n):
                 # drift policy: frozen-centroid assignment has accumulated
@@ -682,7 +690,10 @@ class LMDiskANNIndex:
             # corpus — fresh codebook, fresh built_n snapshot, fresh stamps
             cb = refit_blocks["codebook"]
             self.build_beam_blocks(
-                n_entrypoints=max(1, len(refit_blocks.get("entrypoints") or [])),
+                n_entrypoints=int(
+                    refit_blocks.get("n_entrypoints")
+                    or max(1, len(refit_blocks.get("entrypoints") or []))
+                ),
                 compress="pq", pq_m=len(cb), pq_k=len(cb[0]),
             )
             bbn = dict(self.meta["beam_blocks"])
@@ -954,6 +965,11 @@ class LMDiskANNIndex:
         meta["beam_blocks"] = {
             "built_from": [meta["versions"]["vectors"], meta["versions"]["adjacency"]],
             "entrypoints": _pick_entrypoints(vec, "id", max(1, n_entrypoints)),
+            # the CONFIGURED count, distinct from len(entrypoints): a small
+            # corpus can realize fewer seeds than asked, and the drift
+            # refit must re-request the configuration, not ratchet down to
+            # whatever the last build realized
+            "n_entrypoints": int(n_entrypoints),
             "compress": compress,
             # m*k*width doubles (default 8*32*8 = 2 KB) — meta-sized by
             # construction, so searches rebuild ADC tables with zero jobs

@@ -577,7 +577,14 @@ class _AllowedMembership:
         self._cached = allowed_df.select(
             F.col(id_col).cast("long").alias("id")
         ).persist()
-        n = self._cached.count()  # materializes the snapshot once
+        try:
+            n = self._cached.count()  # materializes the snapshot once
+        except Exception:
+            # the lineage failed at materialization — release the persist
+            # registration before propagating, or failing filtered searches
+            # would accumulate cache entries the lifecycle exists to prevent
+            self._cached.unpersist()
+            raise
         self._small = n <= self._COALESCE_LIMIT
         src = self._cached.coalesce(1) if self._small else self._cached
         self._fetch = default_fetcher(src, "id")
