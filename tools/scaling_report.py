@@ -531,6 +531,14 @@ def main() -> int:
             "  Stress tests push out-of-distribution waves through both\n"
             "  paths and assert drift stays bounded with exactly one\n"
             "  refit each.\n"
+            "- Round-10 gate upgrade cost, attributed in advance:\n"
+            "  a_beam_pq_cosine_recall ~2.2 -> ~3.8 s at sf0.1 because the\n"
+            "  gate index is now built MAINTAINED (1/16 of the corpus\n"
+            "  arrives as an incremental maintain_blocks insert after the\n"
+            "  PQ build — adjacency MERGE delta + frozen-codebook block\n"
+            "  delta), so the recall bar also covers the normalized-delta\n"
+            "  re-encode path at sf scale; recall 0.96.  The extra wall is\n"
+            "  the one-time gate-index build, memoized per session.\n"
         )
     print(f"wrote {out}")
     return 0
