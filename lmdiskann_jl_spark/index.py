@@ -72,6 +72,19 @@ LSH_INSERT_THRESHOLD = 200_000
 # form of the reference overwriting blocks in place, amortized.
 BLOCKS_AUTOCOMPACT_SEGMENTS = 8
 
+# the BASE tables have the same read-amplification arithmetic as the block
+# layout: every incremental insert appends one segment to vectors,
+# adjacency, and key_map, and every fetch/scan unions the live segment
+# dirs — so a long-running maintained stream would otherwise grow per-read
+# cost linearly with tick count (the blocks bound alone would leave the
+# two-fetch and exact paths unbounded).  Past this many live segments the
+# violating insert collapses that table inline (catalog.compact:
+# latest-wins merge, one new version, derived layouts restamped — bytes
+# move, data doesn't).  Higher than the blocks threshold: base-table
+# segments are plain unions (no per-row merge work until read), so the
+# amortization window can be wider.
+TABLES_AUTOCOMPACT_SEGMENTS = 16
+
 # maintained inserts assign new rows to FROZEN centroids, so IVF cell
 # geometry drifts as appends accumulate and probe recall decays
 # monotonically with no other signal.  Past this fraction of the corpus
@@ -259,6 +272,13 @@ class LMDiskANNIndex:
                 if self.meta.get("ivf") else None
             ),
             "blocks_fresh": self._blocks_fresh(),
+            # base-table read amplification: live segment dirs per union
+            # read (bounded inline at TABLES_AUTOCOMPACT_SEGMENTS)
+            "table_segments": {
+                n: len(self.meta.get("segments", {}).get(n) or [1])
+                for n in ("vectors", "adjacency", "key_map")
+            },
+            "table_autocompactions": int(self.meta.get("table_autocompactions", 0)),
             "blocks_segments": len(
                 self.meta.get("segments", {}).get("beam_blocks")
                 or ([1] if self.meta.get("beam_blocks") else [])
@@ -674,6 +694,9 @@ class LMDiskANNIndex:
                 meta["ivf"] = ivf
         else:
             meta.pop("ivf", None)  # cell layout no longer covers the new rows
+        # base-table segment bound LAST, after every layout stamp above is
+        # final (the restamp inside must see the freshness this batch set)
+        meta = self._maybe_autocompact_tables(meta)
         parted.unpersist()
         meta["num_points"] = int(meta["num_points"]) + n_new
         # next_id is monotone — NEVER decremented by deletes, so freed ids are
@@ -1044,6 +1067,46 @@ class LMDiskANNIndex:
             F.coalesce("neighbors", F.array().cast("array<bigint>")).alias("neighbors"),
             F.coalesce(pay_name, F.array().cast(pay_cast)).alias(pay_name),
         )
+
+    def _maybe_autocompact_tables(self, meta: dict) -> dict:
+        """Bound BASE-table read amplification the way
+        ``_maybe_autocompact_blocks`` bounds the block layout's: past
+        TABLES_AUTOCOMPACT_SEGMENTS live segments, collapse that table
+        (one latest-wins merge rewrite, new version) inside the violating
+        insert — the same amortized inline latency spike, documented at
+        streaming/ingest.stream_insert.  Derived layouts that were FRESH
+        against the pre-compact snapshot are restamped afterwards:
+        compaction moves bytes, never data (index.compact's invariant), so
+        freshness must survive it or maintained ingest would stale its own
+        layouts every threshold crossing."""
+        over = [
+            n for n in ("vectors", "adjacency", "key_map")
+            if len(meta.get("segments", {}).get(n) or []) >= TABLES_AUTOCOMPACT_SEGMENTS
+        ]
+        if not over:
+            return meta
+        ivf = meta.get("ivf")
+        ivf_fresh = bool(ivf) and ivf.get("built_from") == meta["versions"]["vectors"]
+        bb = meta.get("beam_blocks")
+        bb_fresh = bool(bb) and tuple(bb.get("built_from", ())) == (
+            meta["versions"]["vectors"], meta["versions"]["adjacency"],
+        )
+        for name in over:
+            meta = self.catalog.compact(
+                name, meta, merge_key="key" if name == "key_map" else "id",
+            )
+        meta["table_autocompactions"] = int(meta.get("table_autocompactions", 0)) + 1
+        if ivf_fresh:
+            ivf = dict(ivf)
+            ivf["built_from"] = meta["versions"]["vectors"]
+            meta["ivf"] = ivf
+        if bb_fresh:
+            bb = dict(bb)
+            bb["built_from"] = [
+                meta["versions"]["vectors"], meta["versions"]["adjacency"]
+            ]
+            meta["beam_blocks"] = bb
+        return meta
 
     def _maybe_autocompact_blocks(self, meta: dict) -> dict:
         """Collapse the block layout's MOR segments once

@@ -47,9 +47,13 @@ def stream_insert(
     and appends to the cell table), so mode='ivf'/auto probes keep working
     across ingest; ``stats()['ivf_drift']`` tracks accumulated drift.
 
-    LATENCY SPIKES, by design: maintenance amortizes three O(table) events
+    LATENCY SPIKES, by design: maintenance amortizes four O(table) events
     into the unlucky micro-batch that triggers them, trading one slow tick
-    for bounded read cost on every search in between.  (1) blocks: the
+    for bounded read cost on every search in between.  (0) base tables:
+    every incremental insert appends one segment to vectors/adjacency/
+    key_map; the insert that reaches TABLES_AUTOCOMPACT_SEGMENTS collapses
+    that table inline (index._maybe_autocompact_tables) so union-read cost
+    stays bounded for ALL search paths, not just blocks.  (1) blocks: the
     insert that would create the BLOCKS_AUTOCOMPACT_SEGMENTS-th
     merge-on-read segment runs the full latest-wins collapse inline
     (index._maybe_autocompact_blocks — the read-amplification bound).

@@ -373,6 +373,47 @@ def test_incremental_insert_is_o_batch_append(spark, idx_path):
     assert idx.adjacency.count() == 80
 
 
+def test_tables_autocompact_bounds_segment_count(spark, idx_path, monkeypatch):
+    """Base-table segment bound (round 10, the blocks bound's twin): every
+    incremental insert appends one segment to vectors/adjacency/key_map;
+    past TABLES_AUTOCOMPACT_SEGMENTS the violating insert collapses the
+    table inline.  With the threshold lowered to 3: segment lists stay
+    bounded across 5 batches, the collapse preserves every row and the
+    latest-wins keymap semantics, search equals the pre-collapse answers,
+    and a FRESH block layout survives the rewrite (compaction moves bytes,
+    never data)."""
+    import random
+
+    import lmdiskann_jl_spark.index as idx_mod
+
+    monkeypatch.setattr(idx_mod, "TABLES_AUTOCOMPACT_SEGMENTS", 3)
+    random.seed(17)
+
+    def batch(tag, n):
+        rows = [(f"{tag}-{i}", [random.gauss(0, 1) for _ in range(6)]) for i in range(n)]
+        return spark.createDataFrame(rows, "k string, vec array<float>")
+
+    idx = pkg.create_index(spark, idx_path, dim=6, maxdegree=6)
+    idx.insert_batch(batch("a", 40), vec_col="vec", key_col="k")
+    idx.build_beam_blocks(n_entrypoints=2)
+    for w in range(4):
+        idx.insert_batch(
+            batch(f"b{w}", 5), vec_col="vec", key_col="k", maintain_blocks=True
+        )
+        segs = idx.stats()["table_segments"]
+        assert all(v <= 3 for v in segs.values()), f"unbounded segments: {segs}"
+        assert idx._blocks_fresh(), "table collapse must not stale the block layout"
+    assert idx.meta.get("table_autocompactions", 0) >= 1
+    # nothing lost across the inline collapses
+    assert idx.vectors.count() == 60
+    assert idx.key_map.count() == 60
+    q = [float(x) for x in idx.get_embedding_from_key("b2-3")]
+    assert idx.search(q, topk=1).collect()[0]["key"] == "b2-3"
+    assert idx.search(q, topk=1, mode="beam").collect()[0]["dist"] == pytest.approx(
+        0.0, abs=1e-5
+    )
+
+
 def test_keymap_upsert_across_segments(spark, idx_path):
     """Re-inserting an existing key in a later batch must resolve to the NEW
     id (LevelDB put-overwrite) through the merge-on-read key_map — and the
