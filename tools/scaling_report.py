@@ -539,6 +539,14 @@ def main() -> int:
             "  delta), so the recall bar also covers the normalized-delta\n"
             "  re-encode path at sf scale; recall 0.96.  The extra wall is\n"
             "  the one-time gate-index build, memoized per session.\n"
+            "- Round-10 base-table segment bound: blocks had an autocompact\n"
+            "  threshold since r9, but vectors/adjacency/key_map still grew one\n"
+            "  union-scanned segment dir per incremental insert — unbounded\n"
+            "  per-fetch read cost for the two-fetch and exact paths under a\n"
+            "  long-running maintained stream.  TABLES_AUTOCOMPACT_SEGMENTS=16\n"
+            "  now collapses the violating table inline (latest-wins rewrite,\n"
+            "  derived layouts restamped so maintained ingest can't stale its\n"
+            "  own layouts); stats() exposes table_segments/table_autocompactions.\n"
         )
     print(f"wrote {out}")
     return 0
