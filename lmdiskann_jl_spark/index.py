@@ -454,6 +454,7 @@ class LMDiskANNIndex:
         maintain_ivf: bool = False,
         maintain_blocks: bool = False,
         graph_knn: str = "auto",
+        refresh_entrypoints: bool = False,
     ) -> "LMDiskANNIndex":
         """Batch ann_insert! (src/LMDiskANN.jl:531-584).
 
@@ -474,6 +475,14 @@ class LMDiskANNIndex:
         Out-of-distribution ingest should pass ``rebuild_graph=True`` (or
         rebuild layouts afterwards — refit entrypoints spread over the new
         region); IVF/exact modes are unaffected.
+        ``refresh_entrypoints`` (with ``maintain_blocks``) is the cheap
+        middle path: re-pick the layout's spread seeds over old∪new ids
+        (one TakeOrdered job per batch) so hash-uniform seeding can land
+        in newly-ingested regions — routing can then ENTER an island from
+        a seed inside it even though cross-cluster edges are still thin.
+        Off by default: it changes stored seeds batch over batch, and most
+        ingest is in-distribution where existing seeds already cover the
+        corpus.
 
         ``maintain_blocks``: when a FRESH block layout exists, incremental
         inserts also append the touched block rows (the adjacency MERGE
@@ -633,6 +642,17 @@ class LMDiskANNIndex:
                         "beam_blocks", blocks_delta.withColumn("_b", bucket), meta,
                         partition_by=["_b"], stamp_segment=True,
                     )
+                    if refresh_entrypoints:
+                        # opt-in navigability aid (see docstring): re-pick
+                        # the spread seeds over old∪new ids so hash-uniform
+                        # seeding covers newly-ingested regions
+                        from lmdiskann_jl_spark.operators.beam import _pick_entrypoints
+
+                        bb["entrypoints"] = _pick_entrypoints(
+                            all_vecs, "id",
+                            int(bb.get("n_entrypoints")
+                                or max(1, len(bb.get("entrypoints") or []))),
+                        )
                     bb["built_from"] = [
                         meta["versions"]["vectors"], meta["versions"]["adjacency"]
                     ]

@@ -33,6 +33,7 @@ def stream_insert(
     trigger_seconds: int | None = None,
     maintain_blocks: bool = False,
     maintain_ivf: bool = False,
+    refresh_entrypoints: bool = False,
 ):
     """Attach a streaming source of new vectors to the index.
 
@@ -46,6 +47,9 @@ def stream_insert(
     assigns its rows to the nearest frozen centroid — one broadcast join —
     and appends to the cell table), so mode='ivf'/auto probes keep working
     across ingest; ``stats()['ivf_drift']`` tracks accumulated drift.
+    ``refresh_entrypoints`` re-picks the block layout's spread seeds over
+    old∪new ids each tick (one extra tiny job) — the opt-in navigability
+    aid for out-of-distribution streams (see index.insert_batch's caveat).
 
     LATENCY SPIKES, by design: maintenance amortizes four O(table) events
     into the unlucky micro-batch that triggers them, trading one slow tick
@@ -77,6 +81,7 @@ def stream_insert(
         index.insert_batch(
             batch_df, vec_col=vec_col, key_col=key_col,
             maintain_blocks=maintain_blocks, maintain_ivf=maintain_ivf,
+            refresh_entrypoints=refresh_entrypoints,
         )
 
     writer = stream_df.writeStream.foreachBatch(_process).option(

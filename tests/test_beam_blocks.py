@@ -419,6 +419,44 @@ def test_pq_blocks_codebook_drift_autorefit(spark, idx_path, batch):
     assert recon_err(bb["codebook"], probe) < 0.25 * recon_err(old_codebook, probe)
 
 
+def test_refresh_entrypoints_reaches_ingested_island(spark, idx_path, batch):
+    """Opt-in navigability aid for the documented nearest-k-pruning caveat:
+    a far-away maintained batch islands (its nodes interlink, inbound
+    back-links get distance-pruned), so beam search from the ORIGINAL seeds
+    can never route into it — but insert_batch(refresh_entrypoints=True)
+    re-picks the spread seeds over old∪new ids, a seed lands inside the
+    island (hash-uniform over 43% of the id space — deterministic for this
+    fixture), and beam retrieves exact island hits."""
+    import random
+
+    idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6)
+    idx.insert_batch(batch, vec_col="vec", key_col="k")  # ids 0..79 ~N(0,1)
+    idx.build_beam_blocks(n_entrypoints=6)
+    old_seeds = list(idx.meta["beam_blocks"]["entrypoints"])
+
+    random.seed(47)
+    island = spark.createDataFrame(
+        [(f"isl-{i}", [6.0 + random.gauss(0, 0.2) for _ in range(8)])
+         for i in range(60)],  # ids 80..139
+        "k string, vec array<float>",
+    )
+    idx.insert_batch(
+        island, vec_col="vec", key_col="k",
+        maintain_blocks=True, refresh_entrypoints=True,
+    )
+    assert idx._blocks_fresh()
+    seeds = [int(e) for e in idx.meta["beam_blocks"]["entrypoints"]]
+    assert len(seeds) == 6  # configured count preserved
+    assert any(s >= 80 for s in seeds), (
+        f"refresh must spread seeds over new ids too (got {seeds}, "
+        f"old {old_seeds})"
+    )
+    res = idx.search([6.0] * 8, topk=3, mode="beam", ef=40,
+                     n_entrypoints=6).collect()
+    assert res[0]["key"].startswith("isl-")
+    assert res[0]["dist"] < 1.0  # inside the island, not the old corpus
+
+
 def test_query_chunking_matches_single_sweep(spark, idx_path, batch, queries):
     """query_chunk bounds driver memory by splitting the batch into
     sequential sweeps — results must equal the single-sweep run exactly
