@@ -619,9 +619,14 @@ class LMDiskANNIndex:
                     # codebook past its budget — skip the frozen-encode
                     # delta (it would be the noisiest segment yet) and
                     # rebuild the layout with a REFIT codebook right after
-                    # the table commits below (refit_blocks marks it);
-                    # between here and there the layout is version-stale,
-                    # which is also the safe state if the rebuild dies
+                    # the table stamps settle (refit_blocks marks it).
+                    # Durability note: on this path the WHOLE batch commit
+                    # rides on build_beam_blocks' internal save — the meta
+                    # pointer swaps only after the refit layout is written,
+                    # so a mid-refit crash rolls back the entire batch
+                    # (segments become orphan files, no pointer swap), not
+                    # just block freshness.  That is still atomic/safe, but
+                    # don't move save() earlier without re-deriving this.
                     refit_blocks = bb
                     adj_delta.unpersist()
                 else:

@@ -443,7 +443,7 @@ def beam_search_batch_blocks(
     stats: dict | None = None,
     codebook=None,
     query_chunk: int = 1024,
-    allowed: "set[int] | DataFrame | None" = None,
+    allowed: "set[int] | DataFrame | _AllowedMembership | None" = None,
     normalized: bool = False,
 ) -> DataFrame:
     """Batched beam search over a BLOCK table.
@@ -475,11 +475,15 @@ def beam_search_batch_blocks(
     EVERY scored node — disallowed nodes still navigate, keeping the graph
     connected under selective filters — while the ef-bounded RESULT list
     admits allowed ids only, so post-filtering can never under-fill k.
-    Accepts a small driver-side ``set`` OR an allowed-ids DataFrame
-    (column ``id``): the DataFrame form resolves membership EXECUTOR-side —
-    one pruned lookup per hop for the ids actually scored — so driver
-    memory is O(ids touched by the sweep), never O(|allowed|); an
-    unselective 100-TB filter costs hop-sized lookups, not a collect.
+    Accepts a small driver-side ``set``, an allowed-ids DataFrame
+    (column ``id``), OR a pre-built ``_AllowedMembership``: the DataFrame
+    form resolves membership EXECUTOR-side — one pruned lookup per hop for
+    the ids actually scored — so driver memory is O(ids touched by the
+    sweep), never O(|allowed|); an unselective 100-TB filter costs
+    hop-sized lookups, not a collect.  A DataFrame is wrapped (snapshot
+    persisted) and released here; pass a pre-built ``_AllowedMembership``
+    instead to amortize that snapshot across repeated searches with the
+    same filter — its ``close()`` is then the caller's to call.
 
     ``normalized``: the block layout stored L2-normalized neighbor payloads
     (build_beam_blocks sets this for cosine PQ layouts) — routes cosine ADC
@@ -550,23 +554,31 @@ class _AllowedMembership:
     threshold, broadcast semi-join above — default_fetcher's split) for the
     batch of candidate ids whose status is still unknown, and caches the
     boolean per id — so across hops AND across query-chunk sweeps each id
-    is looked up at most once.  Driver memory is O(distinct ids the sweep
+    is looked up at most once.  DRIVER memory is O(distinct ids the sweep
     scored) — the same footprint class as the block/copy caches —
     independent of the allowed set's cardinality, so unselective filters
-    at 100 TB stay driver-safe.  ``stats['allowed_lookups']`` counts the
-    lookup jobs.
+    at 100 TB stay driver-safe.  CLUSTER memory is a different budget: the
+    snapshot below persists the full allowed id projection (8 bytes/id
+    spread across executors — cheap relative to the vectors themselves,
+    but proportional to |allowed|, and materialized eagerly even if the
+    traversal then touches few ids).  ``stats['allowed_lookups']`` counts
+    the lookup jobs.
 
-    The id projection is SNAPSHOTTED (persisted) at construction: callers
-    hand in derived frames (typically ``key_map.filter(where)`` over a
-    merge-on-read view whose latest-wins window blocks id pushdown), and
-    without the snapshot every per-hop lookup would re-execute the full
-    scan+shuffle lineage — O(max_hops) window scans per search.  With it,
-    the lineage runs once and lookups read the cache.  Small allowed sets
-    additionally collapse the lookup source to one partition so each
-    per-hop membership job is a single task (fixed job latency, not a
-    32-task fan-out, dominates these point lookups); large sets keep their
-    parallelism.  ``close()`` releases the snapshot — the batch entry
-    point owns that lifecycle when it wrapped the frame itself."""
+    The id projection is SNAPSHOTTED (persisted + counted) at
+    construction: callers hand in derived frames (typically
+    ``key_map.filter(where)`` over a merge-on-read view whose latest-wins
+    window blocks id pushdown), and without the snapshot every per-hop
+    lookup would re-execute the full scan+shuffle lineage — O(max_hops)
+    window scans per search.  With it, the lineage runs once and lookups
+    read the cache.  Small allowed sets additionally collapse the lookup
+    source to one partition so each per-hop membership job is a single
+    task (fixed job latency, not a 32-task fan-out, dominates these point
+    lookups); large sets keep their parallelism.  ``close()`` releases the
+    snapshot — the batch entry point owns that lifecycle when it wrapped
+    the frame itself; to AMORTIZE the snapshot across repeated searches
+    with the same filter, build one ``_AllowedMembership`` and pass it as
+    ``allowed`` directly (``beam_search_batch_blocks`` then leaves the
+    lifecycle to you — call ``close()`` when done)."""
 
     # below this many allowed ids the lookup source collapses to 1
     # partition: the per-hop membership job is latency-bound, and a scan
@@ -612,20 +624,32 @@ class _AllowedMembership:
         return {int(i) for i in ids if self._known[int(i)]}
 
     def collect_blocks_with_membership(
-        self, blocks_df: DataFrame, stats: dict | None = None
+        self,
+        blocks_df: DataFrame,
+        stats: dict | None = None,
+        requested: Sequence[int] | None = None,
     ) -> list:
         """Collect the hop's block rows AND the allowed-membership of every
-        id they mention — {block ids} ∪ {their neighbors}, exactly the ids
-        the hop can score — in ONE Spark job.
+        id they mention — {block ids} ∪ {their neighbors} ∪ {requested ids}
+        — exactly the ids the hop can score — in ONE Spark job.
 
         The membership branch rides the same pruned point fetch as the
         block rows (a second, column-pruned branch of one union plan:
-        explode neighbors, distinct, left-semi against the snapshot), so
-        filtered traversal costs one job per hop — the same job ladder as
-        unfiltered search.  A standalone per-hop lookup job has a ~0.3 s
-        fixed floor (probe-side broadcast + scheduling) that this removes
-        entirely.  Misses are learned driver-side: the probed universe is
-        recoverable from the block rows themselves, so absent ids mark
+        explode neighbors, left-semi against the snapshot), so filtered
+        traversal costs one job per hop — the same job ladder as unfiltered
+        search.  A standalone per-hop lookup job has a ~0.3 s fixed floor
+        (probe-side broadcast + scheduling) that this removes entirely.
+
+        ``requested`` is the id list the fetch was asked for.  It is
+        unioned into the probe as a literal frame because a requested id
+        with NO block row (a stored entrypoint seed whose node was deleted,
+        a stale neighbor pointer) still enters the hop-0 candidate set —
+        without probing it here, ``resolve()`` would fire its standalone
+        fallback job for exactly those ids.  With it, misses among
+        requested ids are learned in the same job and the zero-extra-jobs
+        invariant holds even on indexes with stale seeds after deletes.
+        Misses are learned driver-side: the probed universe is recoverable
+        from the block rows + the requested list, so absent ids mark
         ``known=False`` without shipping a miss list."""
         # no distinct() on the probe: it would shuffle every hop, while
         # duplicate hit ids collapse driver-side for free.  Small snapshots
@@ -636,6 +660,15 @@ class _AllowedMembership:
         probe = blocks_df.select(F.explode("neighbors").alias("id")).unionByName(
             blocks_df.select("id")
         )
+        req = sorted({int(i) for i in requested}) if requested else []
+        if req:
+            # a literal local frame (frontier-sized: <= ef ids) — no scan,
+            # no shuffle; it only widens the semi-join's probe side
+            probe = probe.unionByName(
+                blocks_df.sparkSession.createDataFrame(
+                    [(i,) for i in req], "id long"
+                )
+            )
         snap = F.broadcast(self._cached) if self._small else self._cached
         hits = probe.join(snap, "id", "left_semi")
         combined = blocks_df.withColumn("_mem", F.lit(False)).unionByName(
@@ -649,6 +682,8 @@ class _AllowedMembership:
             self._known.setdefault(i, i in hit_ids)
             for n in r["neighbors"] or []:
                 self._known.setdefault(int(n), int(n) in hit_ids)
+        for i in req:  # requested ids with no block row learn here too
+            self._known.setdefault(i, i in hit_ids)
         if stats is not None:
             stats["allowed_prefetches"] = stats.get("allowed_prefetches", 0) + 1
         return block_rows
@@ -690,9 +725,11 @@ def _blocks_sweep(
         df = blocks_fetch(ids).select("id", "vec", "neighbors", payload_col)
         if isinstance(allowed, _AllowedMembership):
             # membership prefetch rides the fetch job: every id this hop
-            # can score ({fetched ids} ∪ {their neighbors}) resolves here,
-            # so the per-hop resolve() below is a cache read, not a job
-            rows = allowed.collect_blocks_with_membership(df, stats)
+            # can score ({fetched ids} ∪ {their neighbors} ∪ the requested
+            # list itself — covering requested ids whose block row is gone,
+            # e.g. stale seeds after deletes) resolves here, so the per-hop
+            # resolve() below is a cache read, not a job
+            rows = allowed.collect_blocks_with_membership(df, stats, requested=ids)
         else:
             rows = df.collect()
         for r in rows:

@@ -740,30 +740,27 @@ def q_vocab_build(spark, sf_dir):
         .filter(F.col("n") >= VOCAB_MIN_COUNT)
     )
     # managed cache lifecycle: scalable_rank's correctness rests on a lazy
-    # persisted node that must outlive THIS result's materialization, so it
-    # can't be unpersisted here — the PREVIOUS call's node is released
-    # instead, so repeated calls in one session hold at most one cached
-    # rank node instead of accumulating spill until context end.
-    # CONTRACT: re-invoking this query invalidates DataFrames returned by
-    # earlier invocations in the same session (their consistency pin is
-    # gone; re-materializing one could recompute the two rank branches
-    # against different placements).  The driver harness materializes each
-    # result before the next call, which satisfies this.
-    while _VOCAB_RANK_NODES:
-        node = _VOCAB_RANK_NODES.pop()
-        try:
-            node.unpersist()
-        except Exception:
-            pass  # node belonged to an already-stopped session
+    # persisted node that must be pinned while the result materializes.
+    # Rather than a cross-invocation contract ("don't re-materialize an
+    # earlier call's frame after the next call" — unenforceable, and a
+    # violation would silently mis-rank), the result is EAGERLY
+    # localCheckpointed here: the returned frame's lineage is truncated to
+    # the checkpoint blocks, so it no longer depends on the rank node at
+    # all — which can then be released IMMEDIATELY, same call.  Repeated
+    # calls hold zero lingering rank-cache nodes; old checkpoints are
+    # reclaimed by the ContextCleaner when their frames are GC'd.  The
+    # vocab table is count-floored (min_count), so the checkpoint is small
+    # relative to the corpus it ranks — the eager pass costs one extra
+    # materialization of exactly the rows the caller is about to consume.
+    nodes: list = []
     ranked = P.scalable_rank(
         tf, [F.col("n").desc(), F.col("term").asc()], rank_col="token_id",
-        cache_registry=_VOCAB_RANK_NODES,
+        cache_registry=nodes,
     )
-    return ranked.select("term", "n", "token_id")
-
-
-# scalable_rank cache nodes from prior q_vocab_build calls (see above)
-_VOCAB_RANK_NODES: list = []
+    out = ranked.select("term", "n", "token_id").localCheckpoint(eager=True)
+    for node in nodes:
+        node.unpersist()
+    return out
 
 
 def q_leakage_safe_split(spark, sf_dir):

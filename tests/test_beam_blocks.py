@@ -637,6 +637,77 @@ def test_allowed_dataframe_membership_bounded_driver_state(spark, idx_path, batc
     assert not (m._cached.storageLevel.useMemory or m._cached.storageLevel.useDisk)
 
 
+def test_allowed_membership_stale_seed_stays_zero_lookup_jobs(
+    spark, idx_path, batch, queries
+):
+    """A requested id with NO block row — a stored entrypoint whose node
+    was deleted, a stale neighbor pointer — enters the hop-0 candidate set
+    but used to miss the membership probe (built only from RETURNED block
+    rows), so resolve()'s standalone fallback job fired exactly for those
+    ids.  The probe now unions the requested id list itself, so the
+    zero-extra-jobs invariant holds on indexes with stale seeds too."""
+    idx = _built(spark, idx_path, batch)
+    seeds = idx._blocks_seeds(4)
+    all_ids = [int(r["id"]) for r in idx.vectors.select("id").collect()]
+    even = sorted(i for i in all_ids if i % 2 == 0)
+    allowed_df = spark.createDataFrame([(i,) for i in even], "id long")
+    dead_seed = max(all_ids) + 1_000  # never inserted: no block row exists
+
+    stats: dict = {}
+    out = beam_search_batch_blocks(
+        spark, idx._blocks_fetcher(), queries, ef=40,
+        seeds=list(seeds) + [dead_seed], max_hops=8,
+        allowed=allowed_df, stats=stats,
+    )
+    rows = out.collect()
+    assert rows and all(r["id"] % 2 == 0 for r in rows)
+    assert dead_seed not in {r["id"] for r in rows}
+    # the dead seed's membership was learned inside the hop's fetch job —
+    # the standalone lookup fallback never fires
+    assert stats.get("allowed_lookups", 0) == 0
+    assert stats.get("allowed_prefetches", 0) >= 1
+
+
+def test_prebuilt_allowed_membership_amortizes_snapshot(
+    spark, idx_path, batch, queries
+):
+    """Passing a pre-built _AllowedMembership amortizes the allowed-set
+    snapshot across repeated searches with the same filter: the entry
+    point must NOT close it (the caller owns the lifecycle), and the
+    second search reuses the cached projection + learned memberships."""
+    from lmdiskann_jl_spark.operators.beam import _AllowedMembership
+
+    idx = _built(spark, idx_path, batch)
+    seeds = idx._blocks_seeds(4)
+    all_ids = [int(r["id"]) for r in idx.vectors.select("id").collect()]
+    even = sorted(i for i in all_ids if i % 2 == 0)
+    allowed_df = spark.createDataFrame([(i,) for i in even], "id long")
+
+    m = _AllowedMembership(allowed_df)
+    try:
+        first = beam_search_batch_blocks(
+            spark, idx._blocks_fetcher(), queries, ef=40, seeds=seeds,
+            max_hops=8, allowed=m,
+        ).collect()
+        # entry point did not close the caller-owned snapshot
+        assert m._cached.storageLevel.useMemory or m._cached.storageLevel.useDisk
+        known_after_first = len(m._known)
+        assert known_after_first > 0
+        second = beam_search_batch_blocks(
+            spark, idx._blocks_fetcher(), queries, ef=40, seeds=seeds,
+            max_hops=8, allowed=m,
+        ).collect()
+        key = lambda rows: {(r["qid"], r["id"], round(r["dist"], 9)) for r in rows}
+        assert key(first) == key(second)
+        assert all(i % 2 == 0 for _, i, _ in key(first))
+        # same traversal, memberships already learned: cache only grew by
+        # ids the second sweep saw that the first didn't (none here)
+        assert len(m._known) == known_after_first
+    finally:
+        m.close()
+    assert not (m._cached.storageLevel.useMemory or m._cached.storageLevel.useDisk)
+
+
 def test_blocks_empty_seeds_raise(spark, idx_path, batch, queries):
     """Queries with an empty seed list is a mis-seeded call, not 'no
     matches' — it must raise, never return an empty frame."""

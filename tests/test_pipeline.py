@@ -136,3 +136,33 @@ def test_group_sample_k_exact_quota_and_determinism(spark):
     # small groups keep everything with contiguous ranks
     tiny = spark.createDataFrame([(1, "x"), (2, "x")], "doc_id long, source string")
     assert sorted(r["sample_rank"] for r in P.group_sample_k(tiny, k=5).collect()) == [1, 2]
+
+
+def test_vocab_build_results_survive_reinvocation(spark, sf_dir):
+    """q_vocab_build returns an eagerly-checkpointed frame: a result from
+    an EARLIER invocation must stay correct when re-materialized AFTER a
+    later invocation (the old cross-invocation contract is gone — the
+    returned frame no longer depends on scalable_rank's cache node), and
+    repeated calls must leave zero lingering rank-cache nodes."""
+    from lmdiskann_jl_spark.plans.queries import q_vocab_build
+
+    def n_cached():
+        return len([i for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
+
+    base = n_cached()
+    first = q_vocab_build(spark, sf_dir)
+    snapshot = {(r["term"], r["n"], r["token_id"]) for r in first.collect()}
+    assert snapshot
+    second = q_vocab_build(spark, sf_dir)  # releases its own rank node inline
+    # the FIRST frame re-materialized after the SECOND call: identical
+    replay = {(r["term"], r["n"], r["token_id"]) for r in first.collect()}
+    assert replay == snapshot
+    assert {tuple(r) for r in second.collect()} == snapshot  # same input, same rank
+    # token_id is a contiguous 1..N total-order rank
+    ranks = sorted(t[2] for t in snapshot)
+    assert ranks == list(range(1, len(ranks) + 1))
+    # the rank-cache nodes were released inline; what remains in storage is
+    # at most ONE small checkpoint per live returned frame (vocab-sized,
+    # reclaimed by the ContextCleaner once the frame is GC'd) — never the
+    # full-corpus rank node the registry used to hold across calls
+    assert n_cached() <= base + 2
