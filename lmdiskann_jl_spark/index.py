@@ -92,9 +92,11 @@ TABLES_AUTOCOMPACT_SEGMENTS = 16
 # post-churn corpus size would let heavy delete traffic mask drift),
 # insert_batch auto-refits the cells: one bounded-sample k-means + one
 # assignment pass, the same cost as build_ivf, amortized over >=25% of a
-# corpus of ingest.  This closes the maintenance contract — auto-search
-# never silently degrades: the layout is either within the drift budget
-# or freshly refit.
+# corpus of ingest.  The NUMERATOR counts appends AND tombstoned deletes
+# (_layout_drift_n) — churn without net growth still moves the live
+# distribution away from the frozen fit.  This closes the maintenance
+# contract — auto-search never silently degrades: the layout is either
+# within the drift budget or freshly refit.
 IVF_AUTOREFIT_DRIFT = 0.25
 
 # the PQ block layout has the same frozen-artifact drift as IVF: maintained
@@ -105,7 +107,9 @@ IVF_AUTOREFIT_DRIFT = 0.25
 # build-time corpus, the maintained insert skips the frozen-codebook delta
 # and rebuilds the layout with a REFIT codebook right after the commit —
 # one PQ k-means + one block rewrite, amortized over >=25% of a corpus of
-# ingest.  Raw (uncompressed) layouts store exact copies and never drift.
+# ingest.  Maintained deletes count toward the same budget
+# (_layout_drift_n).  Raw (uncompressed) layouts store exact copies and
+# never drift.
 BLOCKS_PQ_REFIT_DRIFT = 0.25
 
 SUPPORTED_ELTYPES = ("float16", "float32", "float64")
@@ -123,6 +127,20 @@ def _layout_built_n(layout: dict, num_points: int) -> int:
         layout.get("built_n")
         or max(1, int(num_points) - int(layout.get("n_appended", 0)))
     )
+
+
+def _layout_drift_n(layout: dict) -> int:
+    """The drift NUMERATOR for a frozen-artifact layout: rows appended
+    since the artifact was fit PLUS rows deleted since (IVF maintained
+    deletes are probe-time tombstones; block maintained deletes leave dead
+    rows unreachable — ``n_deleted`` counts both).  Deletes count because
+    the policy's own rationale — the frozen centroids/codebook describe
+    the corpus AT FIT TIME — applies symmetrically: deleting 40% of the
+    corpus changes the live distribution just as surely as appending 40%
+    OOD rows, and a churn workload (50% delete + 20% insert) has drifted
+    70%, not 20%.  One definition shared by stats() and both insert-time
+    refit triggers, mirroring _layout_built_n for the denominator."""
+    return int(layout.get("n_appended", 0)) + int(layout.get("n_deleted", 0))
 
 
 def _vectors_schema(eltype: str) -> T.StructType:
@@ -266,8 +284,11 @@ class LMDiskANNIndex:
             # drifted from its training snapshot (frozen centroids / frozen
             # PQ codebook), and how much MOR read amplification the block
             # layout currently carries — the scalars a rebuild policy reads
+            # numerator = appends + deletes since fit (_layout_drift_n):
+            # tombstoned rows drift the live distribution away from the
+            # frozen artifact exactly as appended rows do
             "ivf_drift": (
-                int(self.meta["ivf"].get("n_appended", 0))
+                _layout_drift_n(self.meta["ivf"])
                 / _layout_built_n(self.meta["ivf"], self.meta["num_points"])
                 if self.meta.get("ivf") else None
             ),
@@ -294,7 +315,7 @@ class LMDiskANNIndex:
             # PQ-only: raw layouts append exact copies (no frozen artifact
             # to drift from); see BLOCKS_PQ_REFIT_DRIFT for the policy
             "blocks_pq_drift": (
-                int(self.meta["beam_blocks"].get("n_appended", 0))
+                _layout_drift_n(self.meta["beam_blocks"])
                 / _layout_built_n(self.meta["beam_blocks"], self.meta["num_points"])
                 if self.meta.get("beam_blocks")
                 and self.meta["beam_blocks"].get("compress") == "pq"
@@ -612,8 +633,11 @@ class LMDiskANNIndex:
                 bb = dict(self.meta["beam_blocks"])
                 blocks_built_n = _layout_built_n(bb, self.meta["num_points"])
                 blocks_n_app = int(bb.get("n_appended", 0)) + n_new
+                # trigger on appends + deletes since fit (see _layout_drift_n:
+                # churn drifts the corpus even when net growth is small)
+                blocks_drift_n = blocks_n_app + int(bb.get("n_deleted", 0))
                 if bb.get("compress") == "pq" and (
-                    blocks_n_app > BLOCKS_PQ_REFIT_DRIFT * max(1, blocks_built_n)
+                    blocks_drift_n > BLOCKS_PQ_REFIT_DRIFT * max(1, blocks_built_n)
                 ):
                     # codebook drift policy: this batch pushes the frozen
                     # codebook past its budget — skip the frozen-encode
@@ -669,7 +693,9 @@ class LMDiskANNIndex:
             ivf = dict(self.meta["ivf"])
             built_n = _layout_built_n(ivf, self.meta["num_points"])
             n_appended = int(ivf.get("n_appended", 0)) + n_new
-            if n_appended > IVF_AUTOREFIT_DRIFT * max(1, built_n):
+            # appends + tombstoned deletes both count (see _layout_drift_n)
+            ivf_drift_n = n_appended + int(ivf.get("n_deleted", 0))
+            if ivf_drift_n > IVF_AUTOREFIT_DRIFT * max(1, built_n):
                 # drift policy: frozen-centroid assignment has accumulated
                 # past the budget — refit the cells from the CURRENT corpus
                 # (the new vectors segment is already committed into
@@ -785,6 +811,14 @@ class LMDiskANNIndex:
         own block rows become unreachable garbage (no live block references
         them and seeds are live) collapsed at the next full build/compact —
         the same contract as the reference's zeroed tombstone slots.
+
+        Maintained deletes COUNT TOWARD the frozen-artifact drift budgets
+        (``n_deleted`` joins ``n_appended`` in _layout_drift_n's numerator
+        for both IVF centroids and the PQ codebook): churn moves the live
+        distribution away from the fit-time corpus even when net growth is
+        zero, so a delete-heavy workload crosses the 25% budget in stats()
+        and the next maintained insert auto-refits.  The reference has no
+        analog — it never refits anything.
         """
         dead: DataFrame | None = None
         if ids is not None:
@@ -863,6 +897,12 @@ class LMDiskANNIndex:
                 bb["entrypoints"] = _pick_entrypoints(
                     new_vectors, "id", max(1, len(bb["entrypoints"]))
                 )
+            if bb.get("compress") == "pq":
+                # deletes count toward codebook drift (_layout_drift_n): the
+                # dead rows' distribution mass leaves the live corpus while
+                # the frozen codebook keeps describing it.  Raw layouts
+                # store exact copies — nothing frozen to drift from.
+                bb["n_deleted"] = int(bb.get("n_deleted", 0)) + n_dead
             bb["built_from"] = [
                 meta["versions"]["vectors"], meta["versions"]["adjacency"]
             ]
@@ -879,6 +919,14 @@ class LMDiskANNIndex:
             ivf = dict(self.meta["ivf"])
             ivf["built_from"] = meta["versions"]["vectors"]
             ivf["tombstones"] = True
+            # tombstones count toward centroid drift (_layout_drift_n): a
+            # churn workload must not read as 0 drift while the frozen
+            # centroids describe a corpus that no longer exists.  The next
+            # maintained insert past the budget refits; until then stats()
+            # reports the crossing.  Folding tombstones at compact() keeps
+            # this counter — compaction moves bytes, the centroids stay fit
+            # on the old corpus.
+            ivf["n_deleted"] = int(ivf.get("n_deleted", 0)) + n_dead
             meta["ivf"] = ivf
         else:
             meta.pop("ivf", None)  # stale probes would surface deleted ids

@@ -419,6 +419,44 @@ def test_pq_blocks_codebook_drift_autorefit(spark, idx_path, batch):
     assert recon_err(bb["codebook"], probe) < 0.25 * recon_err(old_codebook, probe)
 
 
+def test_pq_blocks_deletes_count_toward_codebook_drift(spark, idx_path, batch):
+    """Churn stress for the PQ twin (round 11): maintained DELETES move the
+    codebook drift meter too — delete 40% of an 80-row PQ layout and
+    stats() crosses the refit budget loudly with zero inserts; the next
+    small maintained insert (10%) then fires the layout refit."""
+    from lmdiskann_jl_spark.index import BLOCKS_PQ_REFIT_DRIFT
+
+    idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6)
+    idx.insert_batch(batch, vec_col="vec", key_col="k")  # 80 rows
+    idx.build_beam_blocks(n_entrypoints=4, compress="pq", pq_m=4, pq_k=16)
+    assert idx.meta["beam_blocks"]["built_n"] == 80
+
+    dead = [int(r["id"]) for r in idx.vectors.select("id").collect()][:32]  # 40%
+    idx.delete_batch(ids=dead, maintain_blocks=True)
+    assert idx._blocks_fresh()
+    drift = idx.stats()["blocks_pq_drift"]
+    assert drift == pytest.approx(32 / 80), "deletes must count toward pq drift"
+    assert drift > BLOCKS_PQ_REFIT_DRIFT
+
+    import random
+
+    random.seed(37)
+    rows = [(f"c-{i}", [random.gauss(0, 1) for _ in range(8)]) for i in range(8)]
+    idx.insert_batch(
+        spark.createDataFrame(rows, "k string, vec array<float>"),
+        vec_col="vec", key_col="k", maintain_blocks=True,
+    )
+    bb = idx.meta["beam_blocks"]
+    assert bb.get("n_refits") == 1, "churn past the budget must refit the layout"
+    assert bb["built_n"] == 56  # 80 - 32 + 8: codebook fit on the live corpus
+    assert bb.get("n_deleted", 0) == 0 and bb.get("n_appended", 0) == 0
+    assert idx.stats()["blocks_pq_drift"] == 0.0
+    # refit layout still searches: a live vector finds itself exactly
+    probe = idx.vectors.limit(1).collect()[0]
+    got = idx.search([float(x) for x in probe["vec"]], topk=3, mode="beam")
+    assert int(got.collect()[0]["id"]) == int(probe["id"])
+
+
 def test_refresh_entrypoints_reaches_ingested_island(spark, idx_path, batch):
     """Opt-in navigability aid for the documented nearest-k-pruning caveat:
     a far-away maintained batch islands (its nodes interlink, inbound

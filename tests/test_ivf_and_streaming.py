@@ -288,6 +288,58 @@ def test_ivf_drift_autorefit_keeps_recall(spark, tmp_path):
     assert idx.stats()["ivf_drift"] == pytest.approx(40 / 280)
 
 
+def test_ivf_churn_deletes_count_toward_drift(spark, tmp_path):
+    """Churn stress (round 11): deletes must MOVE the drift meter.  A
+    maintained delete of 40% of the corpus leaves the frozen centroids
+    describing rows that no longer exist; counting only appends would read
+    that as 0 drift.  With tombstones in the numerator (_layout_drift_n),
+    stats() crosses the budget loudly right after the delete, and the next
+    maintained insert — just 10% of the corpus — fires the auto-refit."""
+    import random
+
+    import lmdiskann_jl_spark as pkg
+    from lmdiskann_jl_spark.index import IVF_AUTOREFIT_DRIFT
+
+    random.seed(29)
+    base = [(f"b-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(200)]
+    idx = pkg.create_index(spark, str(tmp_path / "churn"), dim=4, maxdegree=4)
+    idx.insert_batch(
+        spark.createDataFrame(base, "k string, vec array<float>"),
+        vec_col="vec", key_col="k",
+    )
+    idx.build_ivf(n_cells=4)
+    assert idx.meta["ivf"]["built_n"] == 200
+
+    # delete 40% maintained: tombstones, not a refit — but the meter moves
+    dead_ids = [int(r["id"]) for r in idx.vectors.select("id").collect()][:80]
+    idx.delete_batch(ids=dead_ids, maintain_ivf=True)
+    drift = idx.stats()["ivf_drift"]
+    assert drift == pytest.approx(80 / 200), "deletes must count toward drift"
+    assert drift > IVF_AUTOREFIT_DRIFT, "40% churn must cross the budget loudly"
+    assert idx._ivf_fresh()
+    # deleted ids never surface from a tombstoned probe
+    q = [0.0, 0.0, 0.0, 0.0]
+    assert not ({r["id"] for r in idx.search(q, topk=10, mode="ivf", nprobe=4).collect()}
+                & set(dead_ids))
+
+    # a 10%-sized maintained insert now fires the refit (20 + 80 > 0.25*200)
+    rows = [(f"n-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(20)]
+    idx.insert_batch(
+        spark.createDataFrame(rows, "k string, vec array<float>"),
+        vec_col="vec", key_col="k", maintain_ivf=True,
+    )
+    ivf = idx.meta["ivf"]
+    assert ivf.get("n_refits", 0) == 1, "churn past the budget must refit"
+    assert ivf["built_n"] == 140  # 200 - 80 + 20: fit on the live corpus
+    assert not ivf.get("tombstones"), "refit reads live rows — tombstones die"
+    assert idx.stats()["ivf_drift"] == 0.0
+    # refit layout: correct membership and healthy recall
+    got = {r["id"] for r in idx.search(q, topk=10, mode="ivf", nprobe=2).collect()}
+    exact = {r["id"] for r in idx.search(q, topk=10, mode="exact").collect()}
+    assert not (got & set(dead_ids))
+    assert len(got & exact) / 10 >= 0.70
+
+
 def test_ivf_search_batch_matches_single_probes(emb, spark):
     """The batched probe must return the same per-query top-k as running the
     single-query probe per qid, in one job, with the scan pruned to the
