@@ -202,6 +202,7 @@ class LMDiskANNIndex:
         maxdegree: int = DEFAULT_MAX_DEGREE,
         metric: str = "euclidean",
         eltype: str = "float32",
+        alpha: float | None = None,
     ) -> "LMDiskANNIndex":
         """create_index (src/LMDiskANN.jl:239-264): fix dim/maxdegree/eltype/
         metric, write empty snapshots of all three tables.
@@ -211,14 +212,28 @@ class LMDiskANNIndex:
         float16 is emulated: float32 storage holding exact half-precision
         roundings (Spark has no half type; numeric semantics match the
         reference's within-half-precision tolerance, :631-634).
+
+        ``alpha`` (opt-in, default None = reference parity): every graph
+        prune this index performs — bulk build and incremental maintain —
+        runs alpha-DIVERSIFIED (RobustPrune, the DiskANN-paper device;
+        graph.alpha_prune_and_collect) instead of the reference's plain
+        nearest-k (src/LMDiskANN.jl:491-505).  Near-cluster neighbors
+        dominate each other and collapse, keeping long cross-cluster edges
+        alive — the structural fix for the islanding caveat documented at
+        insert_batch (``refresh_entrypoints`` only lets beam ENTER an
+        island; alpha keeps it connected).  Typical value 1.2; fixed at
+        create time so every prune applies the same geometry.
         """
         if eltype not in SUPPORTED_ELTYPES:
             raise ValueError(f"eltype must be one of {SUPPORTED_ELTYPES}, got {eltype!r}")
+        if alpha is not None and alpha < 1.0:
+            raise ValueError(f"alpha must be >= 1.0, got {alpha}")
         meta = {
             "dim": dim,
             "maxdegree": maxdegree,
             "metric": metric,
             "eltype": eltype,
+            **({"alpha": float(alpha)} if alpha is not None else {}),
             "num_points": 0,
             "next_id": 0,
             "entrypoint": -1,
@@ -503,7 +518,11 @@ class LMDiskANNIndex:
         a seed inside it even though cross-cluster edges are still thin.
         Off by default: it changes stored seeds batch over batch, and most
         ingest is in-distribution where existing seeds already cover the
-        corpus.
+        corpus.  The STRUCTURAL fix is ``create_index(..., alpha=1.2)``:
+        every prune then runs alpha-diversified (RobustPrune,
+        graph.alpha_prune_and_collect), near-cluster neighbors collapse
+        into few slots, and the back-link to a far batch survives pruning —
+        the island stays connected with the ORIGINAL seeds.
 
         ``maintain_blocks``: when a FRESH block layout exists, incremental
         inserts also append the touched block rows (the adjacency MERGE
@@ -583,6 +602,7 @@ class LMDiskANNIndex:
                 new_vectors_tbl, maxdegree=self.meta["maxdegree"],
                 metric=self.meta["metric"],
                 use_lsh=bulk_lsh, dim=int(self.meta["dim"]),
+                alpha=self.meta.get("alpha"),
             )
             meta = self._write_bucketed("vectors", new_vectors_tbl, self.meta, empty=False)
             meta = self._write_bucketed("adjacency", new_adj, meta, empty=False)
@@ -608,6 +628,7 @@ class LMDiskANNIndex:
                 maxdegree=self.meta["maxdegree"], metric=self.meta["metric"],
                 changed_only=True,
                 use_lsh=use_lsh, dim=int(self.meta["dim"]),
+                alpha=self.meta.get("alpha"),
             )
             blocks_live = maintain_blocks and self._blocks_fresh()
             if blocks_live:

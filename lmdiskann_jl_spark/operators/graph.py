@@ -34,6 +34,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from lmdiskann_jl_spark.functions.vector import resolve_metric
 from lmdiskann_jl_spark.operators.knn_join import brute_force_knn_join, lsh_knn_join
 
 
@@ -58,6 +59,91 @@ def _prune_and_collect(edges: DataFrame, maxdegree: int) -> DataFrame:
             ).alias("neighbors")
         )
         .select(F.col("id_l").alias("id"), "neighbors")
+    )
+
+
+# candidate-pool width for alpha-diversified pruning: the greedy needs
+# MORE than maxdegree candidates to have anything diverse to choose from
+# (with exactly maxdegree candidates it degenerates to nearest-k minus
+# dominated ties) — 2x is the DiskANN-paper convention (L >> R)
+ALPHA_CANDIDATE_FACTOR = 2
+
+
+def alpha_prune_and_collect(
+    edges: DataFrame,
+    vectors: DataFrame,
+    maxdegree: int,
+    alpha: float,
+    metric: str = "euclidean",
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """RobustPrune-style alpha-DIVERSIFIED prune (the DiskANN paper's
+    Algorithm 2, Subramanya et al., NeurIPS 2019 — public literature):
+    edges (id_l, id_r, dist) + the vectors table -> adjacency
+    (id, neighbors ARRAY<BIGINT>), at most ``maxdegree`` per node.
+
+    Greedy per node over distance-sorted candidates: keep the nearest
+    remaining candidate k, then DROP every candidate c it dominates
+    (``alpha * d(k, c) <= d(node, c)``).  Near-cluster candidates dominate
+    each other and collapse to a few slots, freeing degree budget for LONG
+    edges — the device that keeps a far-away ingest region reachable where
+    plain nearest-k pruning islands it (the reference's _prune_neighbors,
+    src/LMDiskANN.jl:491-505, is plain nearest-k; alpha is therefore an
+    OPT-IN knob — default index behavior stays reference parity).
+
+    Physical shape: one join to attach candidate vectors (broadcast-able:
+    the candidate pool is O(n * maxdegree * factor) ids against the vectors
+    table's bucketed scan), one groupBy(id) shuffle — the same shuffle
+    count as the nearest-k prune — then the greedy runs as a pure JVM
+    ``aggregate`` higher-order function over each node's <= maxdegree *
+    ALPHA_CANDIDATE_FACTOR collected candidates (no Python in the loop;
+    HOFs are interpreted, so the per-node cost is
+    O(pool * kept * dim) executor-side arithmetic — a build-time price the
+    knob's caller opted into).  ``alpha=1.0`` reduces to nearest-k with
+    dominated-duplicate removal; typical diversification is 1.2."""
+    if alpha < 1.0:
+        raise ValueError(f"alpha must be >= 1.0, got {alpha}")
+    dist_fn = resolve_metric(metric)
+    cand_vecs = vectors.select(
+        F.col(id_col).alias("id_r"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+    )
+    cands = (
+        edges.join(cand_vecs, "id_r")
+        .groupBy("id_l")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dist").cast("double").alias("dist"),
+                        F.col("id_r").cast("long").alias("id_r"),
+                        F.col("_cvec").alias("vec"),
+                    )
+                )
+            ).alias("_cands")  # array_sort on structs: dist asc, id_r tiebreak
+        )
+    )
+    empty = F.array().cast(
+        "array<struct<dist:double,id_r:bigint,vec:array<double>>>"
+    )
+    kept = F.aggregate(
+        F.col("_cands"),
+        empty,
+        lambda acc, c: F.when(F.size(acc) >= maxdegree, acc)
+        .when(
+            F.exists(
+                acc,
+                lambda k: dist_fn(k["vec"], c["vec"]) * F.lit(float(alpha))
+                <= c["dist"],
+            ),
+            acc,  # c is dominated by an already-kept neighbor: drop it
+        )
+        .otherwise(F.concat(acc, F.array(c))),
+    )
+    return cands.select(
+        F.col("id_l").alias("id"),
+        F.transform(kept, lambda s: s["id_r"]).alias("neighbors"),
     )
 
 
@@ -121,13 +207,28 @@ def build_adjacency(
     dim: int | None = None,
     lsh_tables: int = 4,
     candidate_factor: int = 1,
+    alpha: float | None = None,
 ) -> DataFrame:
     """Bulk-build the kNN graph: the batch replacement for n sequential
     ``ann_insert!`` calls (SURVEY.md section 2.2 op 9).
 
     Output: ``adjacency(id BIGINT, neighbors ARRAY<BIGINT>)`` with
     ``size(neighbors) <= maxdegree``, neighbors sorted nearest-first.
+
+    ``alpha`` (opt-in): alpha-diversified pruning over a
+    ``ALPHA_CANDIDATE_FACTOR``-wide candidate pool instead of plain
+    nearest-k — see alpha_prune_and_collect.  Default None = reference
+    parity (src/LMDiskANN.jl:491-505 is plain nearest-k).
     """
+    if alpha is not None:
+        pool = adjacency_edges(
+            vectors, maxdegree * ALPHA_CANDIDATE_FACTOR, metric, id_col,
+            vec_col, use_lsh=use_lsh, dim=dim, lsh_tables=lsh_tables,
+            candidate_factor=candidate_factor,
+        ).select(F.col("id").alias("id_l"), F.col("neighbor").alias("id_r"), "dist")
+        return alpha_prune_and_collect(
+            pool, vectors, maxdegree, alpha, metric, id_col, vec_col
+        )
     pruned = adjacency_edges(
         vectors, maxdegree, metric, id_col, vec_col,
         use_lsh=use_lsh, dim=dim, lsh_tables=lsh_tables,
@@ -207,6 +308,7 @@ def insert_batch_adjacency(
     use_lsh: bool = False,
     dim: int | None = None,
     lsh_tables: int = 4,
+    alpha: float | None = None,
 ) -> DataFrame:
     """Incremental batch insert (micro-batch ``ann_insert!``).
 
@@ -216,6 +318,13 @@ def insert_batch_adjacency(
     not a rebuild).  ``changed_only=True`` returns JUST the touched/new rows
     (the MERGE delta) for the caller to append as a merge-on-read segment —
     the O(batch) write path; default returns the full merged table.
+
+    ``alpha`` (opt-in): the touched-row re-prune runs alpha-diversified
+    (alpha_prune_and_collect) over the merged candidate pool (old neighbors
+    + new back-links) instead of nearest-k — the RobustPrune device that
+    keeps a back-link to a FAR batch alive where nearest-k would prune it
+    (the islanding caveat at index.insert_batch).  Default None =
+    reference parity.
     """
     all_vecs = vectors.select(id_col, vec_col).unionByName(new_vectors.select(id_col, vec_col))
     if use_lsh:
@@ -232,6 +341,30 @@ def insert_batch_adjacency(
             new_vectors, all_vecs, k=maxdegree, metric=metric,
             left_id=id_col, right_id=id_col, vec_col=vec_col, broadcast_right=False,
         )
+    if alpha is not None and not new_vectors.isEmpty():
+        # alpha candidates must include CROSS edges: a far batch's nearest
+        # neighbors in (existing ∪ new) are all batch-internal, so the pool
+        # would never even propose an old<->new edge for the diversified
+        # prune to keep.  The DiskANN paper draws insert candidates from
+        # the greedy search's VISITED set — which starts at the old-region
+        # entrypoint and therefore always contains old nodes; the batch
+        # analog is one extra new x EXISTING kNN join (same physical shape
+        # and k as the main one, skipped when the index is empty).
+        has_old = not vectors.select(id_col).isEmpty()
+        if has_old:
+            if use_lsh:
+                cross = lsh_knn_join(
+                    new_vectors, vectors, k=maxdegree, dim=dim, metric=metric,
+                    n_tables=lsh_tables, left_id=id_col, right_id=id_col,
+                    vec_col=vec_col,
+                )
+            else:
+                cross = brute_force_knn_join(
+                    new_vectors, vectors, k=maxdegree, metric=metric,
+                    left_id=id_col, right_id=id_col, vec_col=vec_col,
+                    broadcast_right=False,
+                )
+            knn = knn.unionByName(cross)
     lcol, rcol = f"{id_col}_l", f"{id_col}_r"
     new_edges = (
         knn.select(
@@ -260,7 +393,12 @@ def insert_batch_adjacency(
         .select("id_l", "id_r", dist_fn(F.col("_lv"), F.col("_rv")).alias("dist"))
     )
     merged = new_edges.unionByName(old_edges).dropDuplicates(["id_l", "id_r"])
-    repruned = _prune_and_collect(merged, maxdegree)
+    if alpha is not None:
+        repruned = alpha_prune_and_collect(
+            merged, all_vecs, maxdegree, alpha, metric, id_col, vec_col
+        )
+    else:
+        repruned = _prune_and_collect(merged, maxdegree)
     if changed_only:
         return repruned
     untouched = adjacency.join(touched_ids, "id", "left_anti")

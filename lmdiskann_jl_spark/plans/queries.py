@@ -3633,17 +3633,23 @@ def q_beam_pq_cosine_recall(spark, sf_dir):
 
 
 def q_ivf_maintained_recall(spark, sf_dir):
-    """recall@10 of mode='ivf' search on a MAINTAINED index: build the IVF
-    layout, then insert a 10% batch and delete two ids with
-    maintain_ivf=True — new rows assign to their nearest FROZEN centroid
-    (one broadcast join), deletes become probe-time tombstones, and
-    _ivf_fresh stays true so auto-search never silently loses the IVF
-    option (round 8's maintenance lifecycle, index.py insert_batch /
-    delete_batch).  Baseline = the exact top-10 over the index's CURRENT
-    corpus.  Bar >= 0.70 (test/runtests.jl:454), loud.  Runs on a bounded
-    quarter-corpus twin index so the gate's build cost stays a fraction of
-    the shared auto-index.  Rows-only gate (k-means + iterative
-    maintenance, not SQL-expressible)."""
+    """recall@10 of mode='ivf' search on a MAINTAINED index THROUGH the
+    drift auto-refit: build the IVF layout on 3/4 of the twin corpus, then
+    insert the remaining 1/4 with maintain_ivf=True — a 33% wave that
+    CROSSES IVF_AUTOREFIT_DRIFT (25%), so the gate exercises the refit
+    branch of insert_batch at sf scale, not just frozen-centroid
+    assignment (round 11; previously the wave stayed below the budget and
+    the refit path was pytest-only).  The gate asserts the refit actually
+    fired (n_refits >= 1) — a budget change that silently stops refitting
+    fails loudly here.  Two maintained deletes then land on the refit
+    layout as probe-time tombstones (and count toward the NEXT drift
+    budget, round 11's churn policy).  _ivf_fresh stays true throughout so
+    auto-search never silently loses the IVF option.  Baseline = the exact
+    top-10 over the index's CURRENT corpus.  Bar >= 0.70
+    (test/runtests.jl:454), loud.  Runs on a bounded quarter-corpus twin
+    index so the gate's build cost stays a fraction of the shared
+    auto-index.  Rows-only gate (k-means + iterative maintenance, not
+    SQL-expressible)."""
     key = _gate_key(spark, sf_dir, "ivfmaint")
     if key not in _GATE_CACHE:
         import tempfile
@@ -3652,9 +3658,11 @@ def q_ivf_maintained_recall(spark, sf_dir):
 
         emb = _t(spark, sf_dir, "embeddings")
         sub = emb.filter(F.col("vec_id") % 4 == 0)
-        base = sub.filter(F.col("vec_id") % 40 != 0)
-        extra = sub.filter(F.col("vec_id") % 40 == 0)
-        dead_vec_ids = [100, 300]  # % 4 == 0, % 40 != 0 -> in the base load
+        # 1/4 of the twin arrives maintained: 33% of the base corpus,
+        # past the 25% refit budget
+        base = sub.filter(F.col("vec_id") % 16 != 0)
+        extra = sub.filter(F.col("vec_id") % 16 == 0)
+        dead_vec_ids = [100, 300]  # % 4 == 0, % 16 != 0 -> in the base load
 
         path = tempfile.mkdtemp(prefix="lmdiskann_ivfmaint_")
         _register_temp_path(key, path)
@@ -3673,6 +3681,11 @@ def q_ivf_maintained_recall(spark, sf_dir):
         idx.insert_batch(
             as_batch(extra), vec_col="vec", key_col="k", maintain_ivf=True
         )
+        if int(idx.meta["ivf"].get("n_refits", 0)) < 1:
+            raise AssertionError(
+                "the 33% maintained wave must cross IVF_AUTOREFIT_DRIFT and "
+                "refit the cells — the gate exists to exercise that branch"
+            )
         idx.delete_batch(
             keys=[f"vec-{v:08d}" for v in dead_vec_ids], maintain_ivf=True
         )

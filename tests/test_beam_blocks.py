@@ -495,6 +495,47 @@ def test_refresh_entrypoints_reaches_ingested_island(spark, idx_path, batch):
     assert res[0]["dist"] < 1.0  # inside the island, not the old corpus
 
 
+def test_alpha_prune_keeps_ingested_island_connected(spark, idx_path, batch):
+    """The STRUCTURAL islanding fix (round 11): with
+    create_index(alpha=1.2), the maintained insert's re-prune runs
+    alpha-diversified — near-cluster neighbors dominate each other and
+    collapse, so a touched old node KEEPS its back-link to the far batch —
+    and beam search reaches the island from the ORIGINAL seeds, without
+    refresh_entrypoints.  Same fixture as
+    test_refresh_entrypoints_reaches_ingested_island, stronger claim: the
+    graph itself stays connected, not just enterable."""
+    import random
+
+    idx = pkg.create_index(spark, idx_path, dim=8, maxdegree=6, alpha=1.2)
+    idx.insert_batch(batch, vec_col="vec", key_col="k")  # ids 0..79 ~N(0,1)
+    idx.build_beam_blocks(n_entrypoints=6)
+    old_seeds = [int(e) for e in idx.meta["beam_blocks"]["entrypoints"]]
+
+    random.seed(47)
+    island = spark.createDataFrame(
+        [(f"isl-{i}", [6.0 + random.gauss(0, 0.2) for _ in range(8)])
+         for i in range(60)],  # ids 80..139
+        "k string, vec array<float>",
+    )
+    idx.insert_batch(island, vec_col="vec", key_col="k", maintain_blocks=True)
+    assert idx._blocks_fresh()
+    # seeds are untouched (no refresh): all pre-island ids
+    seeds = [int(e) for e in idx.meta["beam_blocks"]["entrypoints"]]
+    assert seeds == old_seeds and all(s < 80 for s in seeds)
+    res = idx.search([6.0] * 8, topk=3, mode="beam", ef=40,
+                     n_entrypoints=6).collect()
+    assert res[0]["key"].startswith("isl-"), (
+        f"alpha-pruned graph must route into the island from old seeds; "
+        f"got {[(r['key'], round(r['dist'], 2)) for r in res]}"
+    )
+    assert res[0]["dist"] < 1.0
+    # the prune invariant holds on the alpha path too
+    deg = idx.adjacency.select(F.size("neighbors").alias("d")).agg(
+        F.max("d").alias("m")
+    ).collect()[0]["m"]
+    assert deg <= 6
+
+
 def test_query_chunking_matches_single_sweep(spark, idx_path, batch, queries):
     """query_chunk bounds driver memory by splitting the batch into
     sequential sweeps — results must equal the single-sweep run exactly
