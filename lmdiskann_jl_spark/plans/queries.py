@@ -5382,15 +5382,33 @@ def _token_count_oracle() -> str:
 # Update after each round from the new CORRECTNESS file; the declaration
 # order below is the stable tiebreak.
 _LAST_DRIVER_VERIFIED: dict[str, int] = {
-    # --- r9 window (CORRECTNESS_r09.json): 47 green rows+schema+hash, 3
-    # rows-only recall gates (no_oracle by design, 0 reds). ---
-    # (a_beam_pq_cosine_recall, a_ivf_maintained_recall and
-    # a_filtered_beam_recall are UNSTAMPED despite r8/r9 green rows: round
-    # 10 rewired the machinery each one exercises — the cosine gate now
-    # includes a maintained block segment, the IVF gate runs through the
-    # restructured drift-policy branch of insert_batch, and the filtered
-    # gate runs the snapshot + in-fetch membership prefetch — so the
-    # driver must re-verify the new forms first.)
+    # --- r10 window (CORRECTNESS_r10.json): 44 green rows+schema+hash, 6
+    # rows-only recall gates (no_oracle by design, 0 reds — fourth
+    # consecutive fully-green window). ---
+    # (a_ivf_maintained_recall and a_filtered_beam_recall are UNSTAMPED
+    # despite r10 green rows: round 11 rewired the machinery each one
+    # exercises — the IVF gate's maintained wave now crosses the drift
+    # budget and gates the auto-refit branch (n_refits asserted), and the
+    # filtered gate's membership probe now unions the requested id list —
+    # so the driver must re-verify the new forms first.)
+    "a_beam_pq_cosine_recall": 10, "a_graph_build_lsh_recall": 10,
+    "a_pq_recall": 10, "a_ivfpq_recall": 10, "a_extract_features": 10,
+    "d_dedup_exact": 10, "d_dup_clusters": 10, "d_dup_clusters_star": 10,
+    "d_duplicate_spans": 10, "d_keep_best": 10, "d_minhash_lsh_pairs": 10,
+    "d_minhash_signatures": 10, "d_simhash": 10, "d_simhash_neardup": 10,
+    "d_span_profile": 10, "k_keymap_delete": 10, "k_keymap_list": 10,
+    "k_keymap_reverse_lookup": 10, "m_frame_plan": 10, "p_corpus_clean": 10,
+    "r_above_avg_orders": 10, "r_above_avg_probe": 10,
+    "r_asof_attribution": 10, "r_events_hourly": 10, "r_grouping_sets": 10,
+    "r_range_join_windows": 10, "r_revenue_rollup": 10,
+    "r_session_windows": 10, "r_sketch_accuracy": 10, "r_table_stats": 10,
+    "r_top_orders_per_segment": 10, "r_tpch_q11": 10, "r_tpch_q16": 10,
+    "r_tpch_q17": 10, "r_tpch_q19": 10, "r_tpch_q2": 10, "r_tpch_q20": 10,
+    "r_tpch_q21": 10, "r_tpch_q22": 10, "r_user_sessions": 10,
+    "s_stream_clean": 10, "t_bm25_search": 10, "t_snippets": 10,
+    "t_tfidf_top_terms": 10, "t_unigram_logprob": 10, "v_hybrid_search": 10,
+    "v_label_centroids": 10, "v_rrf_fusion": 10,
+    # --- r9 window (CORRECTNESS_r09.json) ---
     "a_lsh_auto_recall": 9, "d_span_removal": 9, "k_keymap_count": 9,
     "k_keymap_lookup": 9, "m_media_decode": 9, "p_dataset_split": 9,
     "p_decontaminate": 9, "p_pack_sequences": 9, "p_quality_filter": 9,
@@ -5411,13 +5429,11 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "a_beam_pq_recall": 8, "a_beam_recall": 8, "a_embedding_neardup_lsh": 8,
     "a_incremental_insert_recall": 8,
     "a_ivf_recall": 8, "a_lsh_knn": 8, "a_lsh_knn_auto": 8, "a_lsh_recall": 8,
-    "a_mmr_rerank": 8, "a_semantic_dedup": 8, "d_dedup_exact": 8,
-    "d_dup_clusters": 8, "d_dup_clusters_star": 8, "d_duplicate_spans": 8,
-    "d_embedding_neardup": 8, "d_keep_best": 8, "d_minhash_lsh_pairs": 8,
-    "d_minhash_signatures": 8, "d_ngram_jaccard_capped": 8,
-    "d_ngram_jaccard_pairs": 8, "d_simhash": 8, "d_simhash_neardup": 8,
-    "d_span_profile": 8, "k_keymap_delete": 8, "k_keymap_list": 8,
-    "k_keymap_reverse_lookup": 8, "m_decode_samples": 8, "m_payload_stats": 8,
+    "a_mmr_rerank": 8, "a_semantic_dedup": 8,
+    "d_embedding_neardup": 8,
+    "d_ngram_jaccard_capped": 8,
+    "d_ngram_jaccard_pairs": 8,
+    "m_decode_samples": 8, "m_payload_stats": 8,
     "p_group_sample_k": 8, "p_leakage_safe_split": 8, "p_stratified_sample": 8,
     "r_asof_forward": 8, "r_events_props": 8, "t_chunk_documents": 8,
     "t_fingerprint": 8, "t_lang_id": 8, "t_langid_accuracy": 8,
@@ -5425,18 +5441,9 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "t_repetition": 8, "t_token_count": 8, "t_top_terms": 8,
     "t_vocab_build": 8, "v_auto_search": 8, "v_filtered_topk": 8,
     "v_normalize": 8, "v_quantize": 8, "v_reduce_dim": 8,
-    # --- r7 window (CORRECTNESS_r07.json) ---
-    "a_extract_features": 7, "a_graph_build_lsh_recall": 7,
-    "a_ivfpq_recall": 7, "a_pq_recall": 7, "m_frame_plan": 7,
-    "p_corpus_clean": 7, "r_above_avg_orders": 7, "r_above_avg_probe": 7,
-    "r_asof_attribution": 7, "r_events_hourly": 7, "r_grouping_sets": 7,
-    "r_range_join_windows": 7, "r_revenue_rollup": 7, "r_session_windows": 7,
-    "r_sketch_accuracy": 7, "r_table_stats": 7, "r_top_orders_per_segment": 7,
-    "r_tpch_q11": 7, "r_tpch_q16": 7, "r_tpch_q17": 7, "r_tpch_q19": 7,
-    "r_tpch_q2": 7, "r_tpch_q20": 7, "r_tpch_q21": 7, "r_tpch_q22": 7,
-    "r_user_sessions": 7, "s_stream_clean": 7, "t_bm25_search": 7,
-    "t_snippets": 7, "t_tfidf_top_terms": 7, "t_unigram_logprob": 7,
-    "v_hybrid_search": 7, "v_label_centroids": 7, "v_rrf_fusion": 7,
+    # (the former r7 window was fully re-verified in r10 and restamped
+    # above; t_vocab_build keeps its r8 stamp AND was rewired in r11 —
+    # either way it sorts into the r11 window for re-verification.)
 }
 
 
