@@ -383,8 +383,6 @@ def insert_batch_adjacency(
     touched_ids = new_edges.select(F.col("id_l").alias("id")).distinct()
     touched = adjacency.join(touched_ids, "id", "left_semi")
     vec_by_id = all_vecs.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
-    from lmdiskann_jl_spark.functions.vector import resolve_metric
-
     dist_fn = resolve_metric(metric)
     old_edges = (
         touched.select(F.col("id").alias("id_l"), F.explode("neighbors").alias("id_r"))

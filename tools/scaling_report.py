@@ -547,6 +547,39 @@ def main() -> int:
             "  now collapses the violating table inline (latest-wins rewrite,\n"
             "  derived layouts restamped so maintained ingest can't stale its\n"
             "  own layouts); stats() exposes table_segments/table_autocompactions.\n"
+            "- Round-11 delete-aware drift: maintained deletes (IVF\n"
+            "  tombstones, dead PQ block rows) now count toward the same\n"
+            "  25% refit budgets (_layout_drift_n numerator = n_appended +\n"
+            "  n_deleted) — a churn workload (40% delete + 10% insert)\n"
+            "  previously read as 10% drift while the frozen artifacts\n"
+            "  described a corpus 50% gone; now it crosses the budget in\n"
+            "  stats() at the delete and refits on the next maintained\n"
+            "  insert (churn stress tests both layouts).  No hot-path\n"
+            "  cost: the counters are meta-dict integers.\n"
+            "- Round-11 gate upgrade cost, attributed in advance:\n"
+            "  a_ivf_maintained_recall's maintained wave grew from ~11% to\n"
+            "  33% of the twin corpus so it CROSSES IVF_AUTOREFIT_DRIFT —\n"
+            "  the official recall row now gates the auto-refit branch\n"
+            "  (n_refits >= 1 asserted in the gate) at sf scale.  The\n"
+            "  extra wall is one bounded-sample k-means + assignment pass\n"
+            "  inside the gate's one-time session-memoized build; bench\n"
+            "  r11 additionally PRE-WARMS all gate artifacts before the\n"
+            "  timed loop, so gate rows measure warm search and the\n"
+            "  build-cost delta lands in gates_warmup_sec, not the\n"
+            "  per-query map.\n"
+            "- Round-11 alpha-diversified pruning (opt-in,\n"
+            "  create_index(alpha=...)): RobustPrune as a pure JVM\n"
+            "  higher-order aggregate — one extra new-x-existing kNN join\n"
+            "  per maintained batch (same physical shape as the main one)\n"
+            "  plus O(pool x kept x dim) interpreted HOF arithmetic per\n"
+            "  node at prune time.  A deliberate build-time price for\n"
+            "  graph connectivity under out-of-distribution ingest;\n"
+            "  default None = reference-parity nearest-k, zero cost.\n"
+            "- Round-11 bench self-validation: if the warm probe's\n"
+            "  median_warm_ratio exceeds 1.15 the whole pass re-measures\n"
+            "  once (cheap — everything is warm) and a run that still\n"
+            "  fails the band records \"valid\": false instead of standing\n"
+            "  as the round's number (the BENCH_r10 contamination class).\n"
         )
     print(f"wrote {out}")
     return 0
