@@ -101,80 +101,117 @@ def main() -> None:
         except Exception:
             return None
 
-    times: dict[str, float] = {}
-    shuffle_mb: dict[str, float] = {}
-    rep_ratios: list[float] = []  # worst/best across the two reps per query
+    # Pre-warm the session-memoized gate artifacts (index builds, k-means
+    # fits, exact baselines — _GATE_CACHE in plans.queries) BEFORE the timed
+    # loop: gate rows then measure SEARCH, not one-time artifact builds
+    # (isolated evidence, round 10: a_lsh_auto_recall cold 12.4 s vs warm
+    # 2.2 s — best-of-2 only absorbs that on a quiet box).  The build cost
+    # stays visible as gates_warmup_sec.
+    t0 = time.time()
     for name in bench_queries:
-        best, worst, n, mark = None, None, 0, None
-        for run in range(2):  # best-of-2: damps co-tenant noise on shared hosts
-            if run == 1:
-                # shuffle volume is measured over the SECOND run only: the
-                # reported time is effectively the warm run's, and queries
-                # with memoized artifacts (the recall-gate caches) shuffle
-                # less when warm — halving a two-run total would report a
-                # volume matching neither run.
-                # The status store is fed asynchronously (AppStatusListener
-                # can lag the action's return), so a run-1 stage may register
-                # AFTER this snapshot and get mis-counted into run 2 — poll
-                # until the completed-stage set is stable across two samples
-                # before taking the high-water mark.
-                before = completed_stages()
-                if before is not None:
-                    for _ in range(20):
-                        time.sleep(0.05)
-                        again = completed_stages()
-                        if again is None or {i for i, _ in again} == {
-                            i for i, _ in before
-                        }:
-                            before = again if again is not None else before
-                            break
-                        before = again
-                mark = (
-                    max((i for i, _ in before), default=-1)
-                    if before is not None
-                    else None
-                )
-            t0 = time.time()
-            df = qs[name](spark, sf_dir)
-            n = df.count()  # force full execution
-            elapsed = time.time() - t0
-            best = elapsed if best is None else min(best, elapsed)
-            worst = elapsed if worst is None else max(worst, elapsed)
-        # the post-run snapshot races the async status store the same way
-        # the pre-run one does — poll to stability so a run-2 stage that
-        # registers late is counted here, not silently dropped
-        after = completed_stages()
-        if after is not None:
+        if name.startswith("a_"):
+            qs[name](spark, sf_dir).count()
+    gates_warmup = round(time.time() - t0, 3)
+    print(f"# gate artifact warmup: {gates_warmup}s", file=sys.stderr)
+
+    def stable_stages():
+        """completed_stages(), polled to stability: the status store is fed
+        asynchronously (AppStatusListener can lag the action's return), so a
+        just-finished stage may register after a single snapshot."""
+        snap = completed_stages()
+        if snap is not None:
             for _ in range(20):
                 time.sleep(0.05)
                 again = completed_stages()
-                if again is None or {i for i, _ in again} == {i for i, _ in after}:
-                    after = again if again is not None else after
+                if again is None or {i for i, _ in again} == {i for i, _ in snap}:
+                    snap = again if again is not None else snap
                     break
-                after = again
-        if after is not None and mark is not None:
-            shuffle_mb[name] = round(sum(b for i, b in after if i > mark) / 1e6, 3)
-        times[name] = round(best, 3)
-        if best and best > 0.2:
-            # sub-0.2s entries are scheduler-latency-dominated: their rep
-            # ratio measures jitter of fixed overheads, not ambient load
-            rep_ratios.append(worst / best)
-        print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+                snap = again
+        return snap
 
-    # warm-vs-warm noise probe: the rep ratios above compare a COLD first
-    # run (gate-cache builds, plan compilation) against a warm one, which
-    # overstates ambient noise.  One extra pass over the headline subset —
-    # everything is warm now — measures co-tenant jitter proper: the band
-    # a round-over-round delta must clear before it means anything.
-    warm_ratios: list[float] = []
-    for name in headline:
-        if name not in times or times[name] <= 0.2:
-            continue
-        t0 = time.time()
-        qs[name](spark, sf_dir).count()
-        dt = time.time() - t0
-        lo, hi = sorted((dt, times[name]))
-        warm_ratios.append(hi / max(lo, 1e-9))
+    def timed_pass():
+        """One full measurement pass: best-of-2 per query, shuffle volume
+        from the second (warm) rep.  Returns (times, shuffle_mb, rep_ratios)."""
+        times: dict[str, float] = {}
+        shuffle_mb: dict[str, float] = {}
+        rep_ratios: list[float] = []  # worst/best across the two reps per query
+        for name in bench_queries:
+            best, worst, n, mark = None, None, 0, None
+            for run in range(2):  # best-of-2: damps co-tenant noise on shared hosts
+                if run == 1:
+                    # shuffle volume is measured over the SECOND run only: the
+                    # reported time is effectively the warm run's, and queries
+                    # with memoized artifacts (the recall-gate caches) shuffle
+                    # less when warm — halving a two-run total would report a
+                    # volume matching neither run.
+                    before = stable_stages()
+                    mark = (
+                        max((i for i, _ in before), default=-1)
+                        if before is not None
+                        else None
+                    )
+                t0 = time.time()
+                df = qs[name](spark, sf_dir)
+                n = df.count()  # force full execution
+                elapsed = time.time() - t0
+                best = elapsed if best is None else min(best, elapsed)
+                worst = elapsed if worst is None else max(worst, elapsed)
+            # the post-run snapshot races the async status store the same way
+            # the pre-run one does — poll to stability so a run-2 stage that
+            # registers late is counted here, not silently dropped
+            after = stable_stages()
+            if after is not None and mark is not None:
+                shuffle_mb[name] = round(
+                    sum(b for i, b in after if i > mark) / 1e6, 3
+                )
+            times[name] = round(best, 3)
+            if best and best > 0.2:
+                # sub-0.2s entries are scheduler-latency-dominated: their rep
+                # ratio measures jitter of fixed overheads, not ambient load
+                rep_ratios.append(worst / best)
+            print(f"# {name}: {times[name]}s ({n} rows)", file=sys.stderr)
+        return times, shuffle_mb, rep_ratios
+
+    def warm_probe(times):
+        """Warm-vs-warm noise probe: re-run the headline subset (everything
+        is warm now) against its recorded best — pure co-tenant jitter, the
+        band a round-over-round delta must clear before it means anything."""
+        ratios: list[float] = []
+        for name in headline:
+            if name not in times or times[name] <= 0.2:
+                continue
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            dt = time.time() - t0
+            lo, hi = sorted((dt, times[name]))
+            ratios.append(hi / max(lo, 1e-9))
+        return ratios
+
+    def med(vals):
+        return round(sorted(vals)[len(vals) // 2], 3) if vals else None
+
+    # Self-validation (round 11): a loaded box produces a per-query map
+    # that is unusable for round-over-round comparison (BENCH_r10 recorded
+    # +46% while its own probe read 1.248).  If the warm probe exceeds the
+    # band, the whole pass is re-measured once — everything is warm, so the
+    # retry is cheap — and the better-attested pass is recorded.  A run that
+    # STILL fails the band is marked "valid": false rather than standing as
+    # the round's number.
+    WARM_RATIO_BAND = 1.15
+    attempts = 0
+    times, shuffle_mb, rep_ratios = timed_pass()
+    warm_ratios = warm_probe(times)
+    while (med(warm_ratios) or 1.0) > WARM_RATIO_BAND and attempts < 1:
+        attempts += 1
+        print(
+            f"# warm probe {med(warm_ratios)} > {WARM_RATIO_BAND}: box is "
+            "loaded — re-measuring the full pass", file=sys.stderr,
+        )
+        t2, s2, r2 = timed_pass()
+        w2 = warm_probe(t2)
+        if (med(w2) or 1.0) <= (med(warm_ratios) or 1.0):
+            times, shuffle_mb, rep_ratios, warm_ratios = t2, s2, r2, w2
+    valid = (med(warm_ratios) or 1.0) <= WARM_RATIO_BAND
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     summary = {
@@ -190,12 +227,19 @@ def main() -> None:
         # a_* entries are index-build + recall QUALITY GATES (KMeans
         # fits, multi-query eval loops), not per-query latencies —
         # split out so query time is comparable round over round
+        # gate rows are WARM searches (artifacts pre-built before the timed
+        # loop); the one-time build cost is gates_warmup_sec
         "gates_total": round(
             sum(t for q, t in times.items() if q.startswith("a_")), 3
         ),
+        "gates_warmup_sec": gates_warmup,
         "queries_total": round(
             sum(t for q, t in times.items() if not q.startswith("a_")), 3
         ),
+        # false = the warm probe exceeded the band even after one full
+        # re-measure: the box was loaded for the whole invocation and this
+        # artifact must not be used for round-over-round comparison
+        "valid": valid,
         # measured ambient-noise band for THIS invocation.  The usable
         # band is median_warm_ratio: headline queries re-run fully warm vs
         # their recorded best — pure co-tenant jitter.  median_cold_warm
@@ -207,13 +251,11 @@ def main() -> None:
         # this box (SCALING.md "ambient-variance"); A/B isolated worktrees
         # before attributing anything within ~1.5x of the band.
         "noise": {
-            "median_warm_ratio": round(
-                sorted(warm_ratios)[len(warm_ratios) // 2], 3
-            ) if warm_ratios else None,
-            "median_cold_warm_ratio": round(
-                sorted(rep_ratios)[len(rep_ratios) // 2], 3
-            ) if rep_ratios else None,
+            "median_warm_ratio": med(warm_ratios),
+            "median_cold_warm_ratio": med(rep_ratios),
             "ambient_band_frac": 0.10,
+            "warm_ratio_band": WARM_RATIO_BAND,
+            "remeasured": attempts,
         },
     }
     detail_path = os.path.join(
