@@ -228,6 +228,10 @@ class LMDiskANNIndex:
             raise ValueError(f"eltype must be one of {SUPPORTED_ELTYPES}, got {eltype!r}")
         if alpha is not None and alpha < 1.0:
             raise ValueError(f"alpha must be >= 1.0, got {alpha}")
+        if alpha is not None and isinstance(metric, str) and metric.lower() == "dot":
+            # fail at create time, not at the first prune: dot's negative
+            # "distances" invert the dominance rule (graph.alpha_prune_and_collect)
+            raise ValueError("alpha pruning is undefined for metric='dot'")
         meta = {
             "dim": dim,
             "maxdegree": maxdegree,
@@ -654,9 +658,10 @@ class LMDiskANNIndex:
                 bb = dict(self.meta["beam_blocks"])
                 blocks_built_n = _layout_built_n(bb, self.meta["num_points"])
                 blocks_n_app = int(bb.get("n_appended", 0)) + n_new
-                # trigger on appends + deletes since fit (see _layout_drift_n:
-                # churn drifts the corpus even when net growth is small)
-                blocks_drift_n = blocks_n_app + int(bb.get("n_deleted", 0))
+                # trigger on appends + deletes since fit — the SAME
+                # definition stats() reports (churn drifts the corpus even
+                # when net growth is small)
+                blocks_drift_n = _layout_drift_n({**bb, "n_appended": blocks_n_app})
                 if bb.get("compress") == "pq" and (
                     blocks_drift_n > BLOCKS_PQ_REFIT_DRIFT * max(1, blocks_built_n)
                 ):
@@ -714,8 +719,9 @@ class LMDiskANNIndex:
             ivf = dict(self.meta["ivf"])
             built_n = _layout_built_n(ivf, self.meta["num_points"])
             n_appended = int(ivf.get("n_appended", 0)) + n_new
-            # appends + tombstoned deletes both count (see _layout_drift_n)
-            ivf_drift_n = n_appended + int(ivf.get("n_deleted", 0))
+            # appends + tombstoned deletes both count — the SAME definition
+            # stats() reports (_layout_drift_n)
+            ivf_drift_n = _layout_drift_n({**ivf, "n_appended": n_appended})
             if ivf_drift_n > IVF_AUTOREFIT_DRIFT * max(1, built_n):
                 # drift policy: frozen-centroid assignment has accumulated
                 # past the budget — refit the cells from the CURRENT corpus

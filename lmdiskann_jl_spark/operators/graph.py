@@ -101,9 +101,29 @@ def alpha_prune_and_collect(
     HOFs are interpreted, so the per-node cost is
     O(pool * kept * dim) executor-side arithmetic — a build-time price the
     knob's caller opted into).  ``alpha=1.0`` reduces to nearest-k with
-    dominated-duplicate removal; typical diversification is 1.2."""
+    dominated-duplicate removal; typical diversification is 1.2.
+
+    Metric semantics: the dominance test ``alpha * d(kept, c) <= d(node,
+    c)`` scales DISTANCES, so alpha must act in the metric's own units —
+    ``sqeuclidean`` compares squared distances and uses ``alpha**2``
+    internally (so alpha means the same geometric diversification as for
+    euclidean); ``dot`` is rejected (its "distances" are negative inner
+    products — scaling by alpha>1 would INVERT the rule and prune more
+    aggressively); user-callable metrics must be nonnegative for the rule
+    to mean what the docstring says (not checkable cheaply — documented
+    contract)."""
     if alpha < 1.0:
         raise ValueError(f"alpha must be >= 1.0, got {alpha}")
+    if isinstance(metric, str) and metric.lower() == "dot":
+        raise ValueError(
+            "alpha pruning is undefined for metric='dot': negative "
+            "inner-product 'distances' invert the dominance rule"
+        )
+    eff_alpha = (
+        alpha * alpha
+        if isinstance(metric, str) and metric.lower() == "sqeuclidean"
+        else alpha
+    )
     dist_fn = resolve_metric(metric)
     cand_vecs = vectors.select(
         F.col(id_col).alias("id_r"),
@@ -134,7 +154,7 @@ def alpha_prune_and_collect(
         .when(
             F.exists(
                 acc,
-                lambda k: dist_fn(k["vec"], c["vec"]) * F.lit(float(alpha))
+                lambda k: dist_fn(k["vec"], c["vec"]) * F.lit(float(eff_alpha))
                 <= c["dist"],
             ),
             acc,  # c is dominated by an already-kept neighbor: drop it
@@ -341,7 +361,7 @@ def insert_batch_adjacency(
             new_vectors, all_vecs, k=maxdegree, metric=metric,
             left_id=id_col, right_id=id_col, vec_col=vec_col, broadcast_right=False,
         )
-    if alpha is not None and not new_vectors.isEmpty():
+    if alpha is not None:
         # alpha candidates must include CROSS edges: a far batch's nearest
         # neighbors in (existing ∪ new) are all batch-internal, so the pool
         # would never even propose an old<->new edge for the diversified
@@ -349,22 +369,22 @@ def insert_batch_adjacency(
         # the greedy search's VISITED set — which starts at the old-region
         # entrypoint and therefore always contains old nodes; the batch
         # analog is one extra new x EXISTING kNN join (same physical shape
-        # and k as the main one, skipped when the index is empty).
-        has_old = not vectors.select(id_col).isEmpty()
-        if has_old:
-            if use_lsh:
-                cross = lsh_knn_join(
-                    new_vectors, vectors, k=maxdegree, dim=dim, metric=metric,
-                    n_tables=lsh_tables, left_id=id_col, right_id=id_col,
-                    vec_col=vec_col,
-                )
-            else:
-                cross = brute_force_knn_join(
-                    new_vectors, vectors, k=maxdegree, metric=metric,
-                    left_id=id_col, right_id=id_col, vec_col=vec_col,
-                    broadcast_right=False,
-                )
-            knn = knn.unionByName(cross)
+        # and k as the main one).  No emptiness probes: an empty side just
+        # yields an empty join branch — two extra driver-side jobs per
+        # maintained batch would cost more than they save.
+        if use_lsh:
+            cross = lsh_knn_join(
+                new_vectors, vectors, k=maxdegree, dim=dim, metric=metric,
+                n_tables=lsh_tables, left_id=id_col, right_id=id_col,
+                vec_col=vec_col,
+            )
+        else:
+            cross = brute_force_knn_join(
+                new_vectors, vectors, k=maxdegree, metric=metric,
+                left_id=id_col, right_id=id_col, vec_col=vec_col,
+                broadcast_right=False,
+            )
+        knn = knn.unionByName(cross)
     lcol, rcol = f"{id_col}_l", f"{id_col}_r"
     new_edges = (
         knn.select(

@@ -757,9 +757,13 @@ def q_vocab_build(spark, sf_dir):
         tf, [F.col("n").desc(), F.col("term").asc()], rank_col="token_id",
         cache_registry=nodes,
     )
-    out = ranked.select("term", "n", "token_id").localCheckpoint(eager=True)
-    for node in nodes:
-        node.unpersist()
+    try:
+        out = ranked.select("term", "n", "token_id").localCheckpoint(eager=True)
+    finally:
+        # release even when the checkpoint job dies mid-run — a failed
+        # invocation must not leak the persisted full-corpus rank node
+        for node in nodes:
+            node.unpersist()
     return out
 
 

@@ -331,3 +331,42 @@ def test_alpha_build_adjacency_degree_bound(emb):
     assert len(by_id) == 60
     assert all(1 <= len(n) <= 6 for n in by_id.values())
     assert all(i not in n for i, n in by_id.items())
+
+
+def test_alpha_prune_metric_semantics(spark):
+    """alpha acts in true-distance units regardless of the metric's scale:
+    sqeuclidean compares squared distances, so the rule internally uses
+    alpha**2 and must keep/drop exactly what euclidean keeps/drops; 'dot'
+    (negative distances — alpha>1 would invert the rule) is rejected, at
+    the operator and at create_index."""
+    from lmdiskann_jl_spark.operators.graph import alpha_prune_and_collect
+    import math
+
+    pts = {0: [0.0, 0.0], 1: [1.0, 0.0], 2: [1.05, 0.0], 3: [1.1, 0.0],
+           4: [1.15, 0.0], 5: [10.0, 0.0]}
+    vectors = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], "id long, vec array<double>"
+    )
+
+    def edges(metric_pow):
+        return spark.createDataFrame(
+            [(0, j, math.dist(pts[0], pts[j]) ** metric_pow)
+             for j in (1, 2, 3, 4, 5)],
+            "id_l long, id_r long, dist double",
+        )
+
+    eu = {r["id"]: list(r["neighbors"]) for r in alpha_prune_and_collect(
+        edges(1), vectors, maxdegree=2, alpha=1.2, metric="euclidean"
+    ).collect()}
+    sq = {r["id"]: list(r["neighbors"]) for r in alpha_prune_and_collect(
+        edges(2), vectors, maxdegree=2, alpha=1.2, metric="sqeuclidean"
+    ).collect()}
+    assert eu[0] == sq[0], "same geometry, same kept set"
+    with pytest.raises(ValueError, match="dot"):
+        alpha_prune_and_collect(edges(1), vectors, maxdegree=2, alpha=1.2,
+                                metric="dot")
+    import lmdiskann_jl_spark as pkg
+
+    with pytest.raises(ValueError, match="dot"):
+        pkg.create_index(spark, "/tmp/never-created-alpha-dot", dim=2,
+                         metric="dot", alpha=1.2)
