@@ -3681,7 +3681,16 @@ def q_ivf_maintained_recall(spark, sf_dir):
             )
 
         idx.insert_batch(as_batch(base), vec_col="vec", key_col="k")
-        idx.build_ivf(n_cells=8)
+        # cell count scales with the twin corpus (>= ~64 rows/cell): at
+        # micro SFs a fixed 8 cells makes 15-point cells whose k-means
+        # placement is partition-layout luck — recall@10 with nprobe=4
+        # then flickers around the bar across session configs (observed
+        # 0.68 under local[32] vs 0.70+ under local[8] at sf0.001).  The
+        # driver's gating scale (sf0.01+) keeps 8 cells exactly as before;
+        # SCALING's sf0.001 timing point probes 2 honest cells instead of
+        # gambling on 8 lucky ones.
+        n_cells = max(2, min(8, idx.meta["num_points"] // 64))
+        idx.build_ivf(n_cells=n_cells)
         idx.insert_batch(
             as_batch(extra), vec_col="vec", key_col="k", maintain_ivf=True
         )
