@@ -3637,19 +3637,25 @@ def q_beam_pq_cosine_recall(spark, sf_dir):
 
 
 def q_ivf_maintained_recall(spark, sf_dir):
-    """recall@10 of mode='ivf' search on a MAINTAINED index THROUGH the
-    drift auto-refit: build the IVF layout on 3/4 of the twin corpus, then
-    insert the remaining 1/4 with maintain_ivf=True — a 33% wave that
-    CROSSES IVF_AUTOREFIT_DRIFT (25%), so the gate exercises the refit
-    branch of insert_batch at sf scale, not just frozen-centroid
-    assignment (round 11; previously the wave stayed below the budget and
-    the refit path was pytest-only).  The gate asserts the refit actually
-    fired (n_refits >= 1) — a budget change that silently stops refitting
-    fails loudly here.  Two maintained deletes then land on the refit
-    layout as probe-time tombstones (and count toward the NEXT drift
-    budget, round 11's churn policy).  _ivf_fresh stays true throughout so
-    auto-search never silently loses the IVF option.  Baseline = the exact
-    top-10 over the index's CURRENT corpus.  Bar >= 0.70
+    """recall@10 of mode='ivf' search on a MAINTAINED index through BOTH
+    maintenance regimes: build the IVF layout on 3/4 of the twin corpus,
+    then push two maintained waves (round 11) —
+
+    - wave 1 (~17% of the build corpus): BELOW the drift budget, so new
+      rows assign to their nearest FROZEN centroid (one broadcast join);
+      the gate measures recall@10 over the intermediate corpus right here
+      and RAISES below the 0.70 bar, so frozen-centroid assignment stays
+      loudly gated at sf scale even though the refit follows;
+    - wave 2 (cumulative ~33%): CROSSES IVF_AUTOREFIT_DRIFT (25%), so the
+      gate exercises the auto-refit branch of insert_batch; it asserts the
+      refit actually fired (n_refits >= 1) — a budget change that silently
+      stops refitting fails loudly here.
+
+    Two maintained deletes then land on the refit layout as probe-time
+    tombstones (and count toward the NEXT drift budget, round 11's churn
+    policy).  _ivf_fresh stays true throughout so auto-search never
+    silently loses the IVF option.  Returned row = recall vs the exact
+    top-10 over the index's FINAL corpus.  Bar >= 0.70
     (test/runtests.jl:454), loud.  Runs on a bounded quarter-corpus twin
     index so the gate's build cost stays a fraction of the shared
     auto-index.  Rows-only gate (k-means + iterative maintenance, not
@@ -3662,11 +3668,13 @@ def q_ivf_maintained_recall(spark, sf_dir):
 
         emb = _t(spark, sf_dir, "embeddings")
         sub = emb.filter(F.col("vec_id") % 4 == 0)
-        # 1/4 of the twin arrives maintained: 33% of the base corpus,
-        # past the 25% refit budget
-        base = sub.filter(F.col("vec_id") % 16 != 0)
-        extra = sub.filter(F.col("vec_id") % 16 == 0)
-        dead_vec_ids = [100, 300]  # % 4 == 0, % 16 != 0 -> in the base load
+        # two maintained 1/8-of-sub waves over a 3/4-of-sub base: wave 1
+        # alone is ~17% of the base (frozen assignment), wave 1 + wave 2
+        # is ~33% (crosses the 25% refit budget on wave 2)
+        base = sub.filter(~F.pmod(F.col("vec_id"), F.lit(32)).isin(0, 16))
+        wave1 = sub.filter(F.col("vec_id") % 32 == 16)
+        wave2 = sub.filter(F.col("vec_id") % 32 == 0)
+        dead_vec_ids = [100, 300]  # %32 in {4,12}: both in the base load
 
         path = tempfile.mkdtemp(prefix="lmdiskann_ivfmaint_")
         _register_temp_path(key, path)
@@ -3691,12 +3699,44 @@ def q_ivf_maintained_recall(spark, sf_dir):
         # gambling on 8 lucky ones.
         n_cells = max(2, min(8, idx.meta["num_points"] // 64))
         idx.build_ivf(n_cells=n_cells)
+        qdf_gate = _recall_queries(_gate_emb(spark, sf_dir))
+
+        def ivf_recall_vs(corpus_df):
+            approx = idx.search_batch(qdf_gate, topk=10, mode="ivf").select(
+                "qid",
+                F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("id"),
+            )
+            ex = batch_topk(qdf_gate, corpus_df, k=10, metric="euclidean").select(
+                "qid", "id"
+            )
+            return recall_at_k(approx, ex, k=10)
+
+        # wave 1: frozen-centroid assignment (below budget) — gate it NOW,
+        # before the refit replaces the frozen layout
         idx.insert_batch(
-            as_batch(extra), vec_col="vec", key_col="k", maintain_ivf=True
+            as_batch(wave1), vec_col="vec", key_col="k", maintain_ivf=True
+        )
+        if int(idx.meta["ivf"].get("n_refits", 0)) != 0:
+            raise AssertionError(
+                "wave 1 (~17% of built_n) must stay below IVF_AUTOREFIT_DRIFT "
+                "— it exists to gate FROZEN-centroid assignment"
+            )
+        frozen_corpus = base.unionByName(wave1).select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+        )
+        frozen_recall = ivf_recall_vs(frozen_corpus)
+        if frozen_recall < RECALL_BAR:
+            raise AssertionError(
+                f"frozen-assignment recall {frozen_recall:.3f} < bar "
+                f"{RECALL_BAR} after the below-budget maintained wave"
+            )
+        # wave 2: crosses the budget — the auto-refit branch at sf scale
+        idx.insert_batch(
+            as_batch(wave2), vec_col="vec", key_col="k", maintain_ivf=True
         )
         if int(idx.meta["ivf"].get("n_refits", 0)) < 1:
             raise AssertionError(
-                "the 33% maintained wave must cross IVF_AUTOREFIT_DRIFT and "
+                "wave 2 (cumulative ~33%) must cross IVF_AUTOREFIT_DRIFT and "
                 "refit the cells — the gate exists to exercise that branch"
             )
         idx.delete_batch(
