@@ -94,6 +94,68 @@ def stream_insert(
     return writer.start()
 
 
+def stream_delete(
+    index: LMDiskANNIndex,
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    key_col: str | None = None,
+    id_col: str | None = None,
+    trigger_seconds: int | None = None,
+    maintain_blocks: bool = False,
+    maintain_ivf: bool = False,
+):
+    """Attach a streaming source of DELETIONS to the index — the streaming
+    analog of calling ``ann_delete!`` per arriving key
+    (src/LMDiskANN.jl:605-646), and ``stream_insert``'s churn twin: the
+    retention-expiry / right-to-erasure shape a training-data pipeline
+    feeds as a stream of doomed keys, not a batch job.
+
+    Exactly one of ``key_col`` / ``id_col`` names the column carrying the
+    keys (strings) or ids (longs) to delete; every micro-batch runs the
+    index's batch delete with it.  Unknown keys/ids are dropped silently
+    (delete_batch's contract), so replayed or already-deleted rows are
+    idempotent across micro-batches — safe under at-least-once delivery.
+
+    ``maintain_blocks`` / ``maintain_ivf`` keep fresh derived layouts
+    current tick over tick (survivor block repair + seed re-pick /
+    probe-time tombstones), and maintained deletes COUNT TOWARD the
+    frozen-artifact drift budgets (round 11, index._layout_drift_n): a
+    churn stream pushes ``stats()['ivf_drift']`` / ``blocks_pq_drift``
+    toward the 25% refit budget even when the corpus is not growing, and
+    the next maintained INSERT past the budget refits.  The latency-spike
+    contract documented at ``stream_insert`` applies to the maintenance
+    events deletes can trigger (block-segment autocompaction).  Returns
+    the StreamingQuery handle.
+    """
+    if not stream_df.isStreaming:
+        raise ValueError("stream_delete needs a streaming DataFrame (use spark.readStream)")
+    if (key_col is None) == (id_col is None):
+        raise ValueError("pass exactly one of key_col / id_col")
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if key_col is not None:
+            index.delete_batch(
+                keys=batch_df.select(F.col(key_col).alias("key")),
+                maintain_blocks=maintain_blocks, maintain_ivf=maintain_ivf,
+            )
+        else:
+            index.delete_batch(
+                ids=batch_df.select(F.col(id_col).alias("id")),
+                maintain_blocks=maintain_blocks, maintain_ivf=maintain_ivf,
+            )
+
+    writer = stream_df.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 EVENT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -842,3 +842,57 @@ def test_ivf_compact_edge_cases(spark, tmp_path):
     assert "ivf" not in idx2.meta  # layout covers nothing -> dropped
     with pytest.raises(ValueError, match="no IVF layout"):
         idx2.search([0.0, 0.0, 0.0, 0.0], topk=1, mode="ivf")
+
+
+def test_stream_delete_maintains_layouts_and_counts_drift(spark, tmp_path, finish_stream):
+    """stream_delete: a stream of doomed keys runs the maintained batch
+    delete per micro-batch — deleted keys stop surfacing from ivf and beam
+    searches mid-churn, both layouts stay FRESH, replayed keys are
+    idempotent, and the tombstones move the round-11 drift meter."""
+    import random
+
+    import lmdiskann_jl_spark as pkg
+    from lmdiskann_jl_spark.streaming.ingest import stream_delete
+
+    random.seed(41)
+    base = spark.createDataFrame(
+        [(f"seed-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(60)],
+        "k string, vec array<float>",
+    )
+    idx = pkg.create_index(spark, str(tmp_path / "idx"), dim=4, maxdegree=4)
+    idx.insert_batch(base, vec_col="vec", key_col="k")
+    idx.build_ivf(n_cells=4)
+    idx.build_beam_blocks(n_entrypoints=4)
+
+    src = tmp_path / "dsrc"
+    src.mkdir()
+    doomed = [f"seed-{i}" for i in range(10)]
+    # two files -> two micro-batches; seed-3 appears in both (replay must
+    # be idempotent: the second delete of it is a no-op)
+    spark.createDataFrame([(k,) for k in doomed[:5]], "k string").coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame([(k,) for k in doomed[4:]] + [("seed-3",)], "k string").coalesce(1).write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    q = stream_delete(
+        idx, stream, str(tmp_path / "ckpt"), key_col="k",
+        maintain_ivf=True, maintain_blocks=True,
+    )
+    finish_stream(q)
+
+    assert idx._ivf_fresh() and idx._blocks_fresh()
+    assert idx.meta["num_points"] == 50
+    # 10 distinct rows died; the replayed key must not double-count drift
+    assert idx.meta["ivf"].get("n_deleted", 0) == 10
+    assert idx.stats()["ivf_drift"] == pytest.approx(10 / 60)
+    survivors = {r["key"] for r in idx.key_map.collect()}
+    assert not (set(doomed) & survivors)
+    probe = base.filter(F.col("k") == "seed-1").collect()[0]["vec"]
+    for mode in ("ivf", "beam", "exact"):
+        got = {r["key"] for r in idx.search([float(x) for x in probe], topk=5, mode=mode).collect()}
+        assert not (got & set(doomed)), f"mode={mode} surfaced a deleted key"
+
+    with pytest.raises(ValueError, match="exactly one"):
+        stream_delete(idx, stream, str(tmp_path / "ckpt2"))
