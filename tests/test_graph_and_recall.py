@@ -370,3 +370,27 @@ def test_alpha_prune_metric_semantics(spark):
     with pytest.raises(ValueError, match="dot"):
         pkg.create_index(spark, "/tmp/never-created-alpha-dot", dim=2,
                          metric="dot", alpha=1.2)
+
+
+def test_alpha_insert_with_lsh_candidates(spark, emb):
+    """alpha + use_lsh compose on the incremental path: the cross
+    (new x existing) candidate join takes the LSH-bucketed form too, the
+    merged pool alpha-prunes, and the invariants hold (degree bound, new
+    nodes linked, no self-loops)."""
+    from lmdiskann_jl_spark.operators.graph import (
+        build_adjacency,
+        insert_batch_adjacency,
+    )
+
+    old = emb.filter(F.col("id") < 50)
+    new = emb.filter((F.col("id") >= 50) & (F.col("id") < 60))
+    adj = build_adjacency(old, maxdegree=6, metric="euclidean", alpha=1.2)
+    merged = insert_batch_adjacency(
+        old, adj, new, maxdegree=6, metric="euclidean",
+        use_lsh=True, dim=64, alpha=1.2,
+    )
+    by_id = {r["id"]: list(r["neighbors"]) for r in merged.collect()}
+    assert set(by_id) == {int(r["id"]) for r in old.unionByName(new).collect()}
+    assert all(len(n) <= 6 for n in by_id.values())
+    assert all(i not in n for i, n in by_id.items())
+    assert all(by_id[i] for i in range(50, 60)), "every new node links somewhere"
