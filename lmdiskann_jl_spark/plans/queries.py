@@ -3001,6 +3001,92 @@ def q_stream_rollup(spark, sf_dir):
     return _GATE_CACHE[key]
 
 
+# streaming-churn gate shape: the insert wave is every 4th vector, the
+# delete wave every vec_id % 5 == 2 (disjoint from RECALL_QIDS so the probe
+# points themselves survive — top-1 is the query at dist 0 on both sides)
+CHURN_DOOMED_MOD, CHURN_DOOMED_REM = 5, 2
+CHURN_K = 10
+
+
+def q_stream_churn(spark, sf_dir):
+    """The full STREAMING CHURN lifecycle under the official oracle gate —
+    round 11's stream_delete (streaming/ingest.py) composed end-to-end with
+    stream_insert against a live index: bulk-load 3/4 of the embeddings,
+    stream-INSERT the remaining quarter (two micro-batches:
+    maxFilesPerTrigger=1 over a two-file source, so the availableNow run
+    exercises real batch slicing, not one degenerate batch), then
+    stream-DELETE every vec_id % 5 == 2 key (two micro-batches again — the
+    retention-expiry / right-to-erasure shape).  The index's final state is
+    read back with an exact top-10 search over the RECALL_QIDS probe set
+    and must hash-equal the batch oracle: a DuckDB window-ranked exact scan
+    over (all embeddings) minus the doomed slice.
+
+    This is the strongest gate the streaming ingest surface has: unlike the
+    rows-only recall gates it is BIT-EXACT (exact search is deterministic,
+    and vec_ids come from keys, so internal id assignment order across
+    micro-batches cannot leak into the result).  Idempotent-replay and
+    drift-accounting behavior of the same operators are pytest-gated
+    (tests/test_ivf_and_streaming.py).  Sink-side the search result lands
+    in parquet and is memoized per (session, sf_dir) with eviction cleanup,
+    the same contract as the other four streaming gates."""
+    key = _gate_key(spark, sf_dir, "stream_churn")
+    if key not in _GATE_CACHE:
+        import tempfile
+
+        from lmdiskann_jl_spark.index import LMDiskANNIndex
+        from lmdiskann_jl_spark.streaming.ingest import stream_delete, stream_insert
+
+        emb = _t(spark, sf_dir, "embeddings")
+        root = tempfile.mkdtemp(prefix="lmdiskann_schurn_")
+        _register_temp_path(key, root)
+
+        def as_batch(df):
+            return df.select(
+                F.col("embedding").alias("vec"),
+                F.format_string("vec-%08d", F.col("vec_id")).alias("k"),
+            )
+
+        idx = LMDiskANNIndex.create(
+            spark, f"{root}/idx", dim=64, maxdegree=ADJ_DEGREE, metric="euclidean"
+        )
+        idx.insert_batch(
+            as_batch(emb.filter(F.col("vec_id") % 4 != 0)), vec_col="vec", key_col="k"
+        )
+        # insert wave: two files -> two availableNow micro-batches
+        ins = as_batch(emb.filter(F.col("vec_id") % 4 == 0))
+        ins.repartition(2).write.parquet(f"{root}/ins_in")
+        ins_stream = (
+            spark.readStream.schema(ins.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/ins_in")
+        )
+        stream_insert(
+            idx, ins_stream, f"{root}/ckpt_ins", vec_col="vec", key_col="k"
+        ).awaitTermination()
+        # delete wave: doomed keys as a stream, two micro-batches
+        doomed = emb.filter(
+            F.col("vec_id") % CHURN_DOOMED_MOD == CHURN_DOOMED_REM
+        ).select(F.format_string("vec-%08d", F.col("vec_id")).alias("k"))
+        doomed.repartition(2).write.parquet(f"{root}/del_in")
+        del_stream = (
+            spark.readStream.schema(doomed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{root}/del_in")
+        )
+        stream_delete(idx, del_stream, f"{root}/ckpt_del", key_col="k").awaitTermination()
+        out = idx.search_batch(
+            _recall_queries(_gate_emb(spark, sf_dir)), topk=CHURN_K, mode="exact"
+        ).select(
+            "qid",
+            F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("vec_id"),
+            F.round("dist", 4).alias("dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        out.write.parquet(f"{root}/out")
+        _GATE_CACHE[key] = spark.read.parquet(f"{root}/out")
+    return _GATE_CACHE[key]
+
+
 def q_user_sessions(spark, sf_dir):
     """Sessionization (operators/sessionize, 30-min gap) — the batch twin of
     the stateful streaming operator.  Declared as the plain one-window form
@@ -3803,6 +3889,10 @@ def _oracle_map() -> dict[str, str | None]:
     pair_cos = O.cosine_sim(
         "list_transform(a.embedding, x -> CAST(x AS DOUBLE))",
         "list_transform(b.embedding, x -> CAST(x AS DOUBLE))",
+    )
+    churn_eu = O.euclidean(
+        "list_transform(s.embedding, x -> CAST(x AS DOUBLE))",
+        "list_transform(q.embedding, x -> CAST(x AS DOUBLE))",
     )
 
     key_map = "SELECT 'vec-' || CAST(vec_id AS VARCHAR) AS key, vec_id AS id FROM embeddings"
@@ -5233,6 +5323,22 @@ def _oracle_map() -> dict[str, str | None]:
                    CAST(floor(epoch(ts)) AS BIGINT) AS sec
             FROM events
         """,
+        # streamed churn (insert wave + delete wave) must leave the index
+        # holding exactly (all embeddings) minus the doomed slice — gated by
+        # the exact top-k over the probe set (bit-exact, not a recall bar)
+        "s_stream_churn": f"""
+            SELECT qid, vec_id, dist, rank FROM (
+              SELECT q.vec_id AS qid, s.vec_id,
+                     round({churn_eu}, 4) AS dist,
+                     CAST(row_number() OVER (
+                       PARTITION BY q.vec_id ORDER BY {churn_eu}, s.vec_id
+                     ) AS BIGINT) AS rank
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id % {CHURN_DOOMED_MOD} <> {CHURN_DOOMED_REM}) s,
+                   (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id IN ({', '.join(str(i) for i in RECALL_QIDS)})) q
+            ) WHERE rank <= {CHURN_K}
+        """,
         "r_user_sessions": """
             WITH ev AS (
               SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id FROM events
@@ -5607,6 +5713,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_dedup": q_stream_dedup,
         "s_stream_rollup": q_stream_rollup,
         "s_stream_clean": q_stream_clean,
+        "s_stream_churn": q_stream_churn,
         "t_bm25_search": q_bm25_search,
         "v_rrf_fusion": q_rrf_fusion,
         "a_mmr_rerank": q_mmr_rerank,

@@ -896,3 +896,36 @@ def test_stream_delete_maintains_layouts_and_counts_drift(spark, tmp_path, finis
 
     with pytest.raises(ValueError, match="exactly one"):
         stream_delete(idx, stream, str(tmp_path / "ckpt2"))
+
+
+def test_stream_churn_gate_equals_batch_survivor_topk(spark):
+    """The s_stream_churn gate (stream_insert wave + stream_delete wave +
+    exact search) must equal the batch twin computed directly over the
+    survivor set — the same equivalence the driver's DuckDB oracle pins,
+    kept in pytest so it survives correctness-window rotation."""
+    from lmdiskann_jl_spark.operators.topk import batch_topk
+    from lmdiskann_jl_spark.plans import queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {tuple(r) for r in Q.q_stream_churn(spark, sf_dir).collect()}
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    survivors = emb.filter(
+        F.col("vec_id") % Q.CHURN_DOOMED_MOD != Q.CHURN_DOOMED_REM
+    ).select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    qdf = emb.filter(F.col("vec_id").isin(Q.RECALL_QIDS)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    want = {
+        tuple(r)
+        for r in batch_topk(qdf, survivors, k=Q.CHURN_K, metric="euclidean")
+        .select(
+            "qid",
+            F.col("id").alias("vec_id"),
+            F.round("dist", 4).alias("dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .collect()
+    }
+    assert len(got) == len(Q.RECALL_QIDS) * Q.CHURN_K
+    assert got == want
