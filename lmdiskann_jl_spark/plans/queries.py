@@ -3087,6 +3087,59 @@ def q_stream_churn(spark, sf_dir):
     return _GATE_CACHE[key]
 
 
+def q_stream_neardup(spark, sf_dir):
+    """Streaming NEAR-dup dedup-on-ingest under the official oracle gate:
+    the documents table replayed as an id-ordered two-file stream
+    (maxFilesPerTrigger=1 => two micro-batches; mtimes pinned so the file
+    source's oldest-first ordering is deterministic) through
+    streaming/dedup.neardup_stream — every arriving doc flagged against the
+    ACCUMULATED MinHash-LSH band store plus its own batch.  The flagged
+    output must hash-equal the batch rule "is_dup iff the doc has an LSH
+    pair partner with a smaller doc_id" — the same banding CTE the
+    d_minhash_lsh_pairs oracle uses, so the streaming state path and the
+    batch operator are pinned to one recipe.  The decision is slicing-
+    robust for id-ordered sources: a batch boundary only moves the
+    earlier-partner test between the state join and the batch-internal
+    join, which implement the same rule."""
+    key = _gate_key(spark, sf_dir, "stream_neardup")
+    if key not in _GATE_CACHE:
+        import glob
+        import os
+        import shutil
+        import tempfile
+        import time
+
+        from lmdiskann_jl_spark.streaming.dedup import neardup_stream
+
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        root = tempfile.mkdtemp(prefix="lmdiskann_sneardup_")
+        _register_temp_path(key, root)
+        mid = docs.agg((F.min("doc_id") + F.max("doc_id")) / 2).first()[0]
+        src = f"{root}/in"
+        os.makedirs(src)
+        t0 = time.time()
+        for tag, half, mtime in (
+            ("aa", docs.filter(F.col("doc_id") <= mid), t0 - 3600),
+            ("zz", docs.filter(F.col("doc_id") > mid), t0 + 3600),
+        ):
+            tmp = f"{root}/half_{tag}"
+            half.coalesce(1).write.parquet(tmp)
+            for i, f in enumerate(sorted(glob.glob(f"{tmp}/part-*.parquet"))):
+                dst = f"{src}/{tag}-{i}.parquet"
+                shutil.copy(f, dst)
+                os.utime(dst, (mtime, mtime))
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        neardup_stream(
+            stream, f"{root}/state", f"{root}/out", f"{root}/ckpt"
+        ).awaitTermination()
+        _GATE_CACHE[key] = spark.read.parquet(f"{root}/out")
+    return _GATE_CACHE[key]
+
+
 def q_user_sessions(spark, sf_dir):
     """Sessionization (operators/sessionize, 30-min gap) — the batch twin of
     the stateful streaming operator.  Declared as the plain one-window form
@@ -5323,6 +5376,24 @@ def _oracle_map() -> dict[str, str | None]:
                    CAST(floor(epoch(ts)) AS BIGINT) AS sec
             FROM events
         """,
+        # streaming LSH dedup-on-ingest: is_dup iff an LSH pair partner with
+        # a smaller doc_id exists — the id-ordered-arrival form of
+        # first-seen-wins, over the SAME banding as d_minhash_lsh_pairs
+        "s_stream_neardup": f"""
+            {minhash_core},
+            bands AS (
+              SELECT doc_id, CAST(perm // {D.DEFAULT_BAND_ROWS} AS INT) AS band,
+                     md5(string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY perm)) AS band_key
+              FROM sig GROUP BY 1, 2
+            ),
+            later AS (
+              SELECT DISTINCT b.doc_id
+              FROM bands a JOIN bands b USING (band, band_key)
+              WHERE a.doc_id < b.doc_id
+            )
+            SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM later)) AS is_dup
+            FROM documents d
+        """,
         # streamed churn (insert wave + delete wave) must leave the index
         # holding exactly (all embeddings) minus the doomed slice — gated by
         # the exact top-k over the probe set (bit-exact, not a recall bar)
@@ -5714,6 +5785,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_rollup": q_stream_rollup,
         "s_stream_clean": q_stream_clean,
         "s_stream_churn": q_stream_churn,
+        "s_stream_neardup": q_stream_neardup,
         "t_bm25_search": q_bm25_search,
         "v_rrf_fusion": q_rrf_fusion,
         "a_mmr_rerank": q_mmr_rerank,

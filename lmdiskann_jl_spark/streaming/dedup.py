@@ -76,3 +76,143 @@ def dedup_stream(
         .agg(F.min_by(F.struct(*events.columns), ordk).alias("_r"))
         .select("_r.*")
     )
+
+
+def _minhash_bands(
+    docs: DataFrame,
+    n_perm: int,
+    band_rows: int,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """(doc_id, band, band_key) LSH banding rows for a batch of documents —
+    the same recipe as operators/dedup.minhash_lsh_pairs (wide signatures,
+    band key = md5 of the band's minhash values in perm order) built from
+    the public minhash_signatures_wide, so streaming state and the batch
+    operator hash identical documents to identical buckets."""
+    from lmdiskann_jl_spark.operators.dedup import minhash_signatures_wide
+
+    wide = minhash_signatures_wide(
+        docs, n_perm=n_perm, id_col=id_col, text_col=text_col
+    )
+    n_bands = n_perm // band_rows
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col(f"mh_{b * band_rows + r}").cast("string")
+                            for r in range(band_rows)
+                        ],
+                    )
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select("doc_id", F.explode(band_structs).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key")
+    )
+
+
+def neardup_stream(
+    docs: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_perm: int | None = None,
+    band_rows: int | None = None,
+    trigger_seconds: int | None = None,
+):
+    """Streaming NEAR-duplicate dedup-on-ingest: every arriving document is
+    flagged against ALL documents ever seen, via a persistent MinHash-LSH
+    band store — the production shape for deduplicating a continuously
+    arriving crawl against the full ingested corpus (watermark-bounded
+    ``dedup_stream`` is the exact-key twin; this is the fuzzy twin, and its
+    state cannot be watermark-bounded because a near-duplicate of a
+    year-old document is still a duplicate).
+
+    Per micro-batch (foreachBatch):
+      1. band the batch (``_minhash_bands`` — one groupBy shuffle);
+      2. flag docs colliding with the accumulated band store (bucketed
+         equi-join on (band, band_key) + left-semi — never all-pairs) OR
+         with a batch-internal doc carrying a smaller ``id_col``;
+      3. append (doc_id, is_dup) to ``out_dir`` and the batch's bands
+         (ALL of them, duplicates included) to ``state_dir``.
+
+    Semantics: first-seen-wins — a doc is a duplicate iff it LSH-collides
+    with any EARLIER-ARRIVED doc (arrival order is the dedup priority; for
+    an id-ordered stream this equals "has a pair partner with a smaller
+    id", which is the batch-SQL-expressible contract the oracle gate pins).
+    Duplicates still enter the band store: later arrivals colliding with
+    only-duplicate predecessors are duplicates too (the "any earlier doc"
+    rule), which keeps the decision order-insensitive WITHIN a batch and
+    makes state appends idempotent — a foreachBatch retry re-appending the
+    same bands cannot change any future existence test, and ``out_dir``
+    re-appends are exact full-row duplicates (at-least-once sink contract,
+    same as every foreachBatch writer here).
+
+    Scale: state is O(n_docs x n_bands) fixed-width rows; at 100 TB it
+    lives bucketed by ``band_key`` so step 2's join is co-located on both
+    sides (the parquet-append layout here is the fixture-scale stand-in —
+    one sorted-bucket table swap per compaction window in production).
+    Returns the StreamingQuery handle."""
+    from lmdiskann_jl_spark.operators.dedup import DEFAULT_BAND_ROWS, DEFAULT_N_PERM
+
+    if not docs.isStreaming:
+        raise ValueError("neardup_stream needs a streaming DataFrame (use spark.readStream)")
+    np_, br_ = n_perm or DEFAULT_N_PERM, band_rows or DEFAULT_BAND_ROWS
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        import os
+
+        spark = batch_df.sparkSession
+        bands = _minhash_bands(batch_df, np_, br_, id_col, text_col).persist()
+        bands.count()  # eager: three consumers below must reuse, not recompute
+        dup_vs_state = None
+        if os.path.isdir(state_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(state_dir)
+        ):
+            state = spark.read.parquet(state_dir)
+            dup_vs_state = (
+                bands.join(state, ["band", "band_key"], "left_semi")
+                .select("doc_id")
+                .distinct()
+            )
+        other = bands.select(
+            F.col("doc_id").alias("_other"), "band", "band_key"
+        )
+        dup_in_batch = (
+            bands.join(other, ["band", "band_key"])
+            .filter(F.col("_other") < F.col("doc_id"))
+            .select("doc_id")
+            .distinct()
+        )
+        dups = (
+            dup_in_batch if dup_vs_state is None
+            else dup_vs_state.unionByName(dup_in_batch).distinct()
+        )
+        flagged = (
+            batch_df.select(F.col(id_col).alias("doc_id"))
+            .join(dups.withColumn("_d", F.lit(True)), "doc_id", "left")
+            .select("doc_id", F.coalesce("_d", F.lit(False)).alias("is_dup"))
+        )
+        flagged.write.mode("append").parquet(out_dir)
+        bands.write.mode("append").parquet(state_dir)
+        bands.unpersist()
+
+    writer = docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

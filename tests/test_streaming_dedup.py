@@ -5,6 +5,8 @@ contract)."""
 
 import os
 
+from pyspark.sql import functions as F
+
 from lmdiskann_jl_spark.streaming.dedup import dedup_stream
 
 
@@ -71,3 +73,62 @@ def test_stream_dedup_state_is_watermark_evicted(spark, tmp_path, stream_schema,
     drain()
     assert [r["event_id"] for r in rows].count(100) == 2
     assert [r["event_id"] for r in rows].count(900) == 1
+
+
+def test_neardup_stream_first_seen_wins_across_batches(spark, tmp_path, finish_stream):
+    """neardup_stream: a doc is flagged iff it LSH-collides with ANY
+    earlier-arrived doc — including one that was itself a duplicate (dups
+    enter the band store too), and including collisions that cross the
+    micro-batch boundary via the persistent state table."""
+    import shutil
+    import time
+
+    from lmdiskann_jl_spark.streaming.dedup import neardup_stream
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (0, base),                                  # original
+        (1, base + " extra"),                       # near-dup of 0 (same batch)
+        (2, "completely different text about spark shuffle partitions and joins"),
+        # batch 2: near-dup of 1 (a dup itself) and a fresh doc
+        (3, base + " extra"),                       # exact text of 1 -> collides
+        (4, "yet another unrelated document mentioning watermark state eviction"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = tmp_path / "in"
+    src.mkdir()
+    t0 = time.time()
+    for tag, pred, mtime in (
+        ("aa", F.col("doc_id") <= 2, t0 - 3600),
+        ("zz", F.col("doc_id") > 2, t0 + 3600),
+    ):
+        tmp = str(tmp_path / f"half_{tag}")
+        docs.filter(pred).coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = str(src / f"{tag}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (mtime, mtime))
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = neardup_stream(
+        stream, str(tmp_path / "state"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    finish_stream(q)
+
+    got = {
+        r["doc_id"]: r["is_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # the oracle rule: is_dup iff an LSH pair partner with smaller doc_id
+    from lmdiskann_jl_spark.operators.dedup import minhash_lsh_pairs
+
+    later = {r["doc_b"] for r in minhash_lsh_pairs(docs).collect()}
+    want = {i: (i in later) for i, _ in rows}
+    assert got == want
+    # the semantics this test exists to pin: 1 is a dup of 0; 3 (later
+    # batch) is a dup via a partner that was itself a duplicate
+    assert got[0] is False and got[1] is True and got[3] is True
+    assert got[2] is False and got[4] is False
