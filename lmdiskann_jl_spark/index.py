@@ -30,7 +30,9 @@ Differences from the reference, by design (SURVEY.md section 7 "hard parts"):
 
 from __future__ import annotations
 
+import json
 import os
+import time
 from collections.abc import Sequence
 
 import numpy as np
@@ -181,6 +183,57 @@ ADJACENCY_SCHEMA = T.StructType(
 )
 
 
+# index-level transaction log (Delta DESCRIBE HISTORY / time-travel analog):
+# every save() appends the full post-commit meta to _commits/c<n>.json, so
+# any retained snapshot can be reopened read-only (load(commit=N)) or made
+# current again (restore(N)).  The records are tiny (meta JSON) — table DATA
+# is never copied; time-travel reach is bounded by vacuum retention.
+COMMITS_DIR = "_commits"
+
+
+def _commit_path(path: str, commit: int) -> str:
+    return os.path.join(path, COMMITS_DIR, f"c{int(commit):012d}.json")
+
+
+def _append_commit(path: str, meta: dict, op: str) -> None:
+    """Write the commit record BEFORE the meta pointer swaps (save): a crash
+    between the two leaves an orphan record, which is harmless — it
+    references table snapshots that were already durable — while the
+    opposite order would leave a current state with no history row."""
+    os.makedirs(os.path.join(path, COMMITS_DIR), exist_ok=True)
+    rec = {"commit": int(meta["commit"]), "op": op, "ts": time.time(), "meta": meta}
+    tmp = _commit_path(path, meta["commit"]) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(rec, f, indent=2, sort_keys=True)
+    os.replace(tmp, _commit_path(path, meta["commit"]))
+
+
+def _read_commit(path: str, commit: int) -> dict:
+    p = _commit_path(path, commit)
+    if not os.path.exists(p):
+        raise FileNotFoundError(
+            f"no commit {commit} at {path} — never written, or pruned by "
+            f"vacuum (time-travel reach is bounded by vacuum retention)"
+        )
+    with open(p) as f:
+        return json.load(f)
+
+
+def _snapshot_dirs(path: str, meta: dict) -> list[str]:
+    """Every on-disk directory a meta snapshot depends on: the catalog
+    version dirs of each table (per THAT meta's segment list) plus the
+    out-of-catalog IVF cell dir."""
+    dirs = []
+    segs = meta.get("segments", {})
+    for name, cur in meta.get("versions", {}).items():
+        for v in segs.get(name) or [cur]:
+            dirs.append(os.path.join(path, name, f"v={v}"))
+    ivf = meta.get("ivf")
+    if ivf and ivf.get("dir"):
+        dirs.append(ivf["dir"])
+    return dirs
+
+
 class LMDiskANNIndex:
     """Distributed ANN index over Parquet tables (the ``LMDiskANNIndex``
     struct of src/LMDiskANN.jl:40-59, minus all mmap machinery)."""
@@ -190,6 +243,8 @@ class LMDiskANNIndex:
         self.path = path
         self.catalog = TableCatalog(spark, path)
         self.meta = read_meta(path)
+        # set by load(commit=N): historical snapshots are read-only
+        self._as_of: int | None = None
 
     # ---------------- lifecycle (ops 1-8) ----------------
 
@@ -247,24 +302,130 @@ class LMDiskANNIndex:
         meta = catalog.write("vectors", spark.createDataFrame([], _vectors_schema(eltype)), meta)
         meta = catalog.write("adjacency", spark.createDataFrame([], ADJACENCY_SCHEMA), meta)
         meta = catalog.write("key_map", spark.createDataFrame([], kvmap.KEY_MAP_SCHEMA), meta)
+        meta["commit"] = 0
+        _append_commit(path, meta, "create")
         write_meta(path, meta)
         return cls(spark, path)
 
     @classmethod
-    def load(cls, spark: SparkSession, path: str, metric: str | None = None) -> "LMDiskANNIndex":
+    def load(
+        cls,
+        spark: SparkSession,
+        path: str,
+        metric: str | None = None,
+        commit: int | None = None,
+    ) -> "LMDiskANNIndex":
         """load_index (src/LMDiskANN.jl:271-306): validate files, re-derive
-        dtype from meta (without the reference's eval() quirk)."""
+        dtype from meta (without the reference's eval() quirk).
+
+        ``commit`` (beyond the reference — Delta time-travel analog): open
+        the index AS OF that commit of the transaction log.  All reads
+        (search/get/kv) run against the historical snapshot — the
+        reproducibility handle a training pipeline needs ("the corpus
+        exactly as the last run saw it").  The handle is READ-ONLY:
+        mutations raise (use ``restore`` on a current handle to make an old
+        commit current again).  Raises FileNotFoundError if vacuum has
+        dropped a snapshot the commit references.
+
+        Exactness contract: base tables and the block layout are fully
+        versioned (catalog snapshots + stamped MOR segments), so exact and
+        beam reads at a historical commit are bit-exact.  The IVF cell
+        store is the one structure maintained by IN-PLACE appends (cell
+        rows and the tombstone sidecar), so a historical probe through it
+        could see rows from the future — the time-traveled handle therefore
+        DROPS the IVF layout (mode='ivf' raises, auto-mode skips it);
+        ``restore`` + ``build_ivf`` rebuilds it for the restored corpus."""
         if not os.path.exists(os.path.join(path, "_index_meta.json")):
             raise FileNotFoundError(f"no index at {path}")
         idx = cls(spark, path)
+        if commit is not None:
+            rec = _read_commit(path, commit)
+            idx.meta = rec["meta"]
+            idx.meta.pop("ivf", None)
+            idx._as_of = int(commit)
+            missing = [d for d in _snapshot_dirs(path, idx.meta) if not os.path.isdir(d)]
+            if missing:
+                raise FileNotFoundError(
+                    f"commit {commit} references vacuumed snapshots: {missing}"
+                )
         if metric is not None:
             idx.meta["metric"] = metric
         return idx
 
-    def save(self) -> None:
+    def _assert_writable(self) -> None:
+        if self._as_of is not None:
+            raise ValueError(
+                f"index opened as of commit {self._as_of} is read-only — "
+                "load the current index (or restore this commit) to mutate"
+            )
+
+    def save(self, op: str = "save") -> None:
         """save_index (src/LMDiskANN.jl:351-360): data snapshots are already
-        durable per write; this flushes the meta pointer."""
+        durable per write; this flushes the meta pointer — and (beyond the
+        reference) appends one immutable record to the ``_commits/``
+        transaction log first, so the state being made current is always
+        reopenable via ``load(commit=N)`` / ``restore(N)`` until vacuum
+        drops the table snapshots it references."""
+        self._assert_writable()
+        self.meta = dict(self.meta)
+        self.meta["commit"] = int(self.meta.get("commit", 0)) + 1
+        _append_commit(self.path, self.meta, op)
         write_meta(self.path, self.meta)
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY analog: one row per retained commit, newest
+        first — (commit, op, ts, num_points, readable).  ``readable`` is
+        whether every table snapshot the commit references still exists
+        (vacuum prunes unreadable records, but a record can transiently
+        outlive a snapshot deleted by hand)."""
+        d = os.path.join(self.path, COMMITS_DIR)
+        rows = []
+        if os.path.isdir(d):
+            for fname in sorted(os.listdir(d), reverse=True):
+                if not (fname.startswith("c") and fname.endswith(".json")):
+                    continue
+                with open(os.path.join(d, fname)) as f:
+                    rec = json.load(f)
+                # readable mirrors load(commit=)'s requirement: the IVF dir
+                # is excluded because time-traveled handles drop the layout
+                m = dict(rec["meta"])
+                m.pop("ivf", None)
+                rows.append(
+                    {
+                        "commit": int(rec["commit"]),
+                        "op": rec.get("op", "?"),
+                        "ts": rec.get("ts"),
+                        "num_points": rec["meta"].get("num_points"),
+                        "readable": all(
+                            os.path.isdir(p)
+                            for p in _snapshot_dirs(self.path, m)
+                        ),
+                    }
+                )
+        return rows
+
+    def restore(self, commit: int) -> "LMDiskANNIndex":
+        """RESTORE analog: make an earlier commit the CURRENT state by
+        committing its meta as a NEW entry — history is append-only, so a
+        restore never rewinds the log (and is itself restorable-away).
+        The IVF layout is dropped like ``load(commit=)`` drops it (its cell
+        store is append-in-place, so the old meta's view of it may contain
+        rows from the rolled-back future) — run ``build_ivf`` after
+        restoring if IVF probes are needed."""
+        self._assert_writable()
+        rec = _read_commit(self.path, commit)
+        meta = dict(rec["meta"])
+        meta.pop("ivf", None)  # before the dir check: a vacuumed IVF dir
+        # must not block restoring a commit whose IVF we drop anyway
+        missing = [d for d in _snapshot_dirs(self.path, meta) if not os.path.isdir(d)]
+        if missing:
+            raise FileNotFoundError(
+                f"commit {commit} references vacuumed snapshots: {missing}"
+            )
+        meta["commit"] = int(self.meta.get("commit", 0))
+        self.meta = meta
+        self.save(op=f"restore:{commit}")
+        return self
 
     def stats(self) -> dict:
         """Index diagnostics in one pass per table: point count, graph degree
@@ -352,6 +513,7 @@ class LMDiskANNIndex:
         dropped) and IVF probe-time tombstones fold into a rewritten cell
         table — and BOTH layouts stay FRESH across the rewrite (compaction
         moves bytes, never data)."""
+        self._assert_writable()
         meta = self.meta
         ivf_was_fresh = self._ivf_fresh()
         for name in ("vectors", "adjacency", "key_map"):
@@ -420,7 +582,7 @@ class LMDiskANNIndex:
             ivf["built_from"] = meta["versions"]["vectors"]
             meta["ivf"] = ivf
         self.meta = meta
-        self.save()
+        self.save(op="compact")
         return self
 
     # ---------------- table accessors ----------------
@@ -537,6 +699,7 @@ class LMDiskANNIndex:
         during ``ann_insert!`` (:567-573).  Without it the layout goes
         stale and beam falls back to the two-fetch path until rebuilt.
         """
+        self._assert_writable()
         eltype = self.meta["eltype"]
         el = "double" if eltype == "float64" else "float"
         base = self._next_id()
@@ -801,7 +964,7 @@ class LMDiskANNIndex:
             bbn["n_refits"] = int(refit_blocks.get("n_refits", 0)) + 1
             self.meta["beam_blocks"] = bbn
             meta = self.meta
-        self.save()
+        self.save(op="insert_batch")
         return self
 
     def _next_id(self) -> int:
@@ -847,6 +1010,7 @@ class LMDiskANNIndex:
         and the next maintained insert auto-refits.  The reference has no
         analog — it never refits anything.
         """
+        self._assert_writable()
         dead: DataFrame | None = None
         if ids is not None:
             dead = (
@@ -964,7 +1128,7 @@ class LMDiskANNIndex:
             meta["entrypoint"] = int(live[0]["id"]) if live else -1
         dead.unpersist()
         self.meta = meta
-        self.save()
+        self.save(op="delete_batch")
         return self
 
     # ---------------- query (ops 11-18) ----------------
@@ -973,6 +1137,7 @@ class LMDiskANNIndex:
         """Fit and persist the IVF layout: a tiny ``ivf_centroids`` table and
         a cell-partitioned copy of the vectors (partition pruning makes
         ``search(mode='ivf')`` scan only the probed cells)."""
+        self._assert_writable()
         from lmdiskann_jl_spark.operators.ivf import build_ivf as _build
 
         centroids, assigned = _build(
@@ -996,7 +1161,7 @@ class LMDiskANNIndex:
             "built_n": int(self.meta["num_points"]),
         }
         self.meta = meta
-        self.save()
+        self.save(op="build_ivf")
         return self
 
     def _ivf_fresh(self) -> bool:
@@ -1041,6 +1206,7 @@ class LMDiskANNIndex:
         Mutations invalidate the layout (version-stamped like IVF); beam
         search then falls back to the two-fetch path until rebuilt.
         """
+        self._assert_writable()
         from lmdiskann_jl_spark.operators.beam import _adc_table, _pick_entrypoints
 
         if compress not in (None, "pq"):
@@ -1104,7 +1270,7 @@ class LMDiskANNIndex:
             "built_n": int(self.meta["num_points"]),
         }
         self.meta = meta
-        self.save()
+        self.save(op="build_beam_blocks")
         return self
 
     def _block_rows(
@@ -1587,7 +1753,11 @@ class LMDiskANNIndex:
         ``beam_blocks`` catalog table) AND superseded IVF cell dirs:
         rebuilding the IVF layout writes a new versioned dir outside the
         catalog and swaps the pointer, so without this the old copies
-        (each O(corpus)) accumulate forever."""
+        (each O(corpus)) accumulate forever.  Commit records whose
+        snapshots this pass (or a manual delete) made unreadable are
+        pruned from ``_commits/`` — time-travel reach is exactly vacuum
+        retention, and ``history()`` never advertises a dead commit."""
+        self._assert_writable()
         import shutil
 
         self.catalog.vacuum(self.meta, keep=keep)
@@ -1603,11 +1773,34 @@ class LMDiskANNIndex:
                     shutil.rmtree(full, ignore_errors=True)
                     # the IVF tombstone sidecar lives NEXT TO its dir
                     shutil.rmtree(full + "_tombstones", ignore_errors=True)
+        cdir = os.path.join(self.path, COMMITS_DIR)
+        if os.path.isdir(cdir):
+            cur = int(self.meta.get("commit", 0))
+            for fname in os.listdir(cdir):
+                if not (fname.startswith("c") and fname.endswith(".json")):
+                    continue
+                fpath = os.path.join(cdir, fname)
+                with open(fpath) as f:
+                    rec = json.load(f)
+                if int(rec["commit"]) == cur:
+                    continue  # the current commit is always retained
+                # same requirement load(commit=) enforces: IVF excluded
+                m = dict(rec["meta"])
+                m.pop("ivf", None)
+                if any(
+                    not os.path.isdir(p) for p in _snapshot_dirs(self.path, m)
+                ):
+                    os.remove(fpath)
 
 
 def create_index(spark: SparkSession, path: str, dim: int, **kw) -> LMDiskANNIndex:
     return LMDiskANNIndex.create(spark, path, dim, **kw)
 
 
-def load_index(spark: SparkSession, path: str, metric: str | None = None) -> LMDiskANNIndex:
-    return LMDiskANNIndex.load(spark, path, metric=metric)
+def load_index(
+    spark: SparkSession,
+    path: str,
+    metric: str | None = None,
+    commit: int | None = None,
+) -> LMDiskANNIndex:
+    return LMDiskANNIndex.load(spark, path, metric=metric, commit=commit)

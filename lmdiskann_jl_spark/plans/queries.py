@@ -3049,6 +3049,9 @@ def q_stream_churn(spark, sf_dir):
         idx = LMDiskANNIndex.create(
             spark, f"{root}/idx", dim=64, maxdegree=ADJ_DEGREE, metric="euclidean"
         )
+        # the index path is shared with v_time_travel_search, which reopens
+        # this lifecycle's transaction log at commit 1 (the bulk load below)
+        _GATE_CACHE[_gate_key(spark, sf_dir, "stream_churn_path")] = f"{root}/idx"
         idx.insert_batch(
             as_batch(emb.filter(F.col("vec_id") % 4 != 0)), vec_col="vec", key_col="k"
         )
@@ -3084,6 +3087,46 @@ def q_stream_churn(spark, sf_dir):
         )
         out.write.parquet(f"{root}/out")
         _GATE_CACHE[key] = spark.read.parquet(f"{root}/out")
+    return _GATE_CACHE[key]
+
+
+def q_time_travel_search(spark, sf_dir):
+    """Index TIME TRAVEL under the official oracle gate (beyond the
+    reference — the Delta time-travel analog over the index's _commits/
+    transaction log, round 11): reopen the churn gate's index AS OF commit
+    1 — the bulk load of the 3/4 base slice — and run the exact top-10
+    search there.  Four later commits exist in that index's history (two
+    streamed insert micro-batches, two streamed delete micro-batches), so
+    the result must hash-equal a DuckDB exact scan over the BASE slice
+    alone: any leakage of post-commit rows (or loss of pre-delete rows)
+    breaks the hash.  This is the reproducibility contract a training
+    pipeline needs — "search the corpus exactly as run N saw it".  The
+    historical handle is read-only and drops the (append-in-place) IVF
+    layout; exact/beam reads are bit-exact by construction (catalog
+    version snapshots + stamped MOR segments)."""
+    key = _gate_key(spark, sf_dir, "time_travel")
+    if key not in _GATE_CACHE:
+        from lmdiskann_jl_spark.index import load_index
+
+        q_stream_churn(spark, sf_dir)  # builds + memoizes the shared index
+        path = _GATE_CACHE[_gate_key(spark, sf_dir, "stream_churn_path")]
+        old = load_index(spark, path, commit=1)
+        if len(old.history()) < 5:
+            raise AssertionError(
+                "the churn lifecycle must leave >= 5 commits (create, bulk "
+                "load, 2 streamed inserts, >= 1 streamed delete) — the gate "
+                "exists to prove historical reads ignore the later ones"
+            )
+        out = old.search_batch(
+            _recall_queries(_gate_emb(spark, sf_dir)), topk=CHURN_K, mode="exact"
+        ).select(
+            "qid",
+            F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("vec_id"),
+            F.round("dist", 4).alias("dist"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+        out.write.parquet(f"{path}_ttout")
+        _GATE_CACHE[key] = spark.read.parquet(f"{path}_ttout")
     return _GATE_CACHE[key]
 
 
@@ -5394,6 +5437,21 @@ def _oracle_map() -> dict[str, str | None]:
             SELECT d.doc_id, (d.doc_id IN (SELECT doc_id FROM later)) AS is_dup
             FROM documents d
         """,
+        # time travel: exact search at commit 1 (the bulk load) sees the
+        # base slice only — none of the 4 later commits' inserts/deletes
+        "v_time_travel_search": f"""
+            SELECT qid, vec_id, dist, rank FROM (
+              SELECT q.vec_id AS qid, s.vec_id,
+                     round({churn_eu}, 4) AS dist,
+                     CAST(row_number() OVER (
+                       PARTITION BY q.vec_id ORDER BY {churn_eu}, s.vec_id
+                     ) AS BIGINT) AS rank
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id % 4 <> 0) s,
+                   (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id IN ({', '.join(str(i) for i in RECALL_QIDS)})) q
+            ) WHERE rank <= {CHURN_K}
+        """,
         # streamed churn (insert wave + delete wave) must leave the index
         # holding exactly (all embeddings) minus the doomed slice — gated by
         # the exact top-k over the probe set (bit-exact, not a recall bar)
@@ -5786,6 +5844,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_clean": q_stream_clean,
         "s_stream_churn": q_stream_churn,
         "s_stream_neardup": q_stream_neardup,
+        "v_time_travel_search": q_time_travel_search,
         "t_bm25_search": q_bm25_search,
         "v_rrf_fusion": q_rrf_fusion,
         "a_mmr_rerank": q_mmr_rerank,

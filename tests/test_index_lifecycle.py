@@ -462,3 +462,69 @@ def test_filtered_search_prefilters_exactly(spark, idx_path, small_batch):
 
     with pytest.raises(ValueError, match="over-fetch"):
         idx.search(q, topk=3, mode="beam", where="key != 'key-0'")
+
+
+def test_commit_log_time_travel_restore_and_vacuum(spark, tmp_path):
+    """The index-level transaction log (round 11): every save() appends a
+    commit record; load(commit=N) reopens that snapshot read-only and
+    bit-exact; restore(N) re-commits it without rewinding history; vacuum
+    prunes exactly the commits whose table snapshots it dropped."""
+    import random
+
+    from lmdiskann_jl_spark.index import load_index
+
+    random.seed(17)
+    rows = [(f"k-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "k string, vec array<float>")
+    path = str(tmp_path / "idx")
+    idx = pkg.create_index(spark, path, dim=4, maxdegree=4)          # commit 0
+    idx.insert_batch(df.filter(F.col("k") < "k-3"), vec_col="vec", key_col="k")   # commit 1
+    idx.insert_batch(df.filter(F.col("k") >= "k-3"), vec_col="vec", key_col="k")  # commit 2
+    idx.delete_batch(keys=["k-0", "k-10"])                            # commit 3
+
+    hist = idx.history()
+    assert [(h["commit"], h["op"]) for h in hist] == [
+        (3, "delete_batch"), (2, "insert_batch"), (1, "insert_batch"), (0, "create"),
+    ]
+    assert all(h["readable"] for h in hist)
+
+    # as-of read: commit 1's corpus, exactly — later inserts invisible,
+    # later deletes not yet applied (k-0 still present)
+    old = load_index(spark, path, commit=1)
+    old_keys = set(old.list_all_keys())
+    want_keys = {f"k-{i}" for i in range(40) if f"k-{i}" < "k-3"}
+    assert old_keys == want_keys and "k-0" in old_keys
+    q = [float(x) for x in rows[0][1]]
+    got = {r["key"] for r in old.search(q, topk=5).collect()}
+    assert got <= want_keys
+
+    # read-only: every mutation raises before touching disk
+    for mut in (
+        lambda: old.insert_batch(df.limit(1), vec_col="vec", key_col="k"),
+        lambda: old.delete_batch(keys=["k-1"]),
+        lambda: old.build_ivf(n_cells=2),
+        lambda: old.build_beam_blocks(n_entrypoints=2),
+        lambda: old.compact(),
+        lambda: old.vacuum(),
+        lambda: old.save(),
+    ):
+        with pytest.raises(ValueError, match="read-only"):
+            mut()
+
+    # restore: commit 1 becomes current as a NEW commit (history appends)
+    idx.restore(1)
+    assert set(idx.list_all_keys()) == want_keys
+    assert idx.history()[0]["op"] == "restore:1"
+    assert idx.meta["commit"] == 4
+    # a restored index mutates normally
+    idx.insert_batch(df.filter(F.col("k") == "k-9"), vec_col="vec", key_col="k")
+    assert "k-9" in set(idx.list_all_keys())
+
+    # vacuum prunes commits whose snapshots it dropped; current one stays
+    idx.compact()
+    idx.vacuum(keep=1)
+    left = {h["commit"] for h in idx.history()}
+    assert idx.meta["commit"] in left
+    assert 2 not in left  # the pre-restore state's snapshots are gone
+    with pytest.raises(FileNotFoundError, match="commit 2"):
+        load_index(spark, path, commit=2)
