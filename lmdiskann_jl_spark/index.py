@@ -353,10 +353,27 @@ class LMDiskANNIndex:
         return idx
 
     def _assert_writable(self) -> None:
+        """Read-only guard + optimistic concurrency check.  The OCC check
+        runs at MUTATION ENTRY (not just at save): version-dir numbering is
+        deterministic (v=N+1), so a stale handle that starts writing would
+        clobber a newer commit's data files before any pointer swap — the
+        check must fire before the first table write.  save() re-checks,
+        narrowing the window to the mutation's own duration; two mutations
+        overlapping in real time remain the caller's responsibility
+        (single-writer contract — a real cluster swaps TableCatalog for
+        Delta, whose log arbitrates writers; see sources/tables.py)."""
         if self._as_of is not None:
             raise ValueError(
                 f"index opened as of commit {self._as_of} is read-only — "
                 "load the current index (or restore this commit) to mutate"
+            )
+        disk = int(read_meta(self.path).get("commit", 0))
+        parent = int(self.meta.get("commit", 0))
+        if disk != parent:
+            raise ValueError(
+                f"concurrent modification: on-disk commit is {disk} but this "
+                f"handle's parent commit is {parent} — reload the index and "
+                "re-apply the mutation"
             )
 
     def save(self, op: str = "save") -> None:
@@ -365,8 +382,16 @@ class LMDiskANNIndex:
         reference) appends one immutable record to the ``_commits/``
         transaction log first, so the state being made current is always
         reopenable via ``load(commit=N)`` / ``restore(N)`` until vacuum
-        drops the table snapshots it references."""
-        self._assert_writable()
+        drops the table snapshots it references.
+
+        Optimistic concurrency (Delta-style): the commit this handle last
+        saw must still be current on disk, else another writer committed in
+        between and a blind pointer swap would silently orphan its commit —
+        raises instead; reload and re-apply.  (A check-then-swap race
+        window remains — plain files have no compare-and-swap — but every
+        realistic lost-update sequence, where the writers' Spark jobs
+        overlap for seconds-to-minutes, is caught.)"""
+        self._assert_writable()  # includes the OCC parent-commit check
         self.meta = dict(self.meta)
         self.meta["commit"] = int(self.meta.get("commit", 0)) + 1
         _append_commit(self.path, self.meta, op)

@@ -528,3 +528,23 @@ def test_commit_log_time_travel_restore_and_vacuum(spark, tmp_path):
     assert 2 not in left  # the pre-restore state's snapshots are gone
     with pytest.raises(FileNotFoundError, match="commit 2"):
         load_index(spark, path, commit=2)
+
+
+def test_save_rejects_concurrent_writer(spark, tmp_path):
+    """Optimistic concurrency: two handles on one index — the second
+    writer's save must raise instead of silently orphaning the first
+    writer's commit (its pointer swap would discard commit 2's meta)."""
+    df = spark.createDataFrame(
+        [(f"k-{i}", [float(i), 0.0]) for i in range(6)], "k string, vec array<float>"
+    )
+    path = str(tmp_path / "idx")
+    h1 = pkg.create_index(spark, path, dim=2, maxdegree=2)
+    h2 = pkg.load_index(spark, path)
+    h1.insert_batch(df.filter(F.col("k") < "k-3"), vec_col="vec", key_col="k")
+    with pytest.raises(ValueError, match="concurrent modification"):
+        h2.insert_batch(df.filter(F.col("k") >= "k-3"), vec_col="vec", key_col="k")
+    # h1's commit survived; a fresh handle sees it and can continue
+    h3 = pkg.load_index(spark, path)
+    assert set(h3.list_all_keys()) == {"k-0", "k-1", "k-2"}
+    h3.insert_batch(df.filter(F.col("k") >= "k-3"), vec_col="vec", key_col="k")
+    assert len(h3.list_all_keys()) == 6
