@@ -234,6 +234,18 @@ def _snapshot_dirs(path: str, meta: dict) -> list[str]:
     return dirs
 
 
+def _missing_snapshot_dirs(path: str, meta: dict) -> list[str]:
+    """The dirs a commit needs for a historical read but which no longer
+    exist on disk.  The IVF layout is excluded — time-traveled/restored
+    handles DROP it (its cell store is append-in-place; see
+    LMDiskANNIndex.load) — so every consumer of commit readability
+    (load(commit=), restore, history's ``readable``, vacuum's record
+    pruning) shares this one rule and cannot drift apart."""
+    m = dict(meta)
+    m.pop("ivf", None)
+    return [d for d in _snapshot_dirs(path, m) if not os.path.isdir(d)]
+
+
 class LMDiskANNIndex:
     """Distributed ANN index over Parquet tables (the ``LMDiskANNIndex``
     struct of src/LMDiskANN.jl:40-59, minus all mmap machinery)."""
@@ -287,6 +299,17 @@ class LMDiskANNIndex:
             # fail at create time, not at the first prune: dot's negative
             # "distances" invert the dominance rule (graph.alpha_prune_and_collect)
             raise ValueError("alpha pruning is undefined for metric='dot'")
+        if os.path.exists(os.path.join(path, "_index_meta.json")) or os.path.isdir(
+            os.path.join(path, COMMITS_DIR)
+        ):
+            # creating over a live index would interleave two lineages in one
+            # commit log: the old records would survive, advertise readable
+            # history, and time-travel reads through them would silently see
+            # the new lineage's overwrites
+            raise FileExistsError(
+                f"an index (or its commit log) already exists at {path} — "
+                "open it with load_index(), or create at a fresh directory"
+            )
         meta = {
             "dim": dim,
             "maxdegree": maxdegree,
@@ -343,7 +366,7 @@ class LMDiskANNIndex:
             idx.meta = rec["meta"]
             idx.meta.pop("ivf", None)
             idx._as_of = int(commit)
-            missing = [d for d in _snapshot_dirs(path, idx.meta) if not os.path.isdir(d)]
+            missing = _missing_snapshot_dirs(path, rec["meta"])
             if missing:
                 raise FileNotFoundError(
                     f"commit {commit} references vacuumed snapshots: {missing}"
@@ -411,19 +434,14 @@ class LMDiskANNIndex:
                     continue
                 with open(os.path.join(d, fname)) as f:
                     rec = json.load(f)
-                # readable mirrors load(commit=)'s requirement: the IVF dir
-                # is excluded because time-traveled handles drop the layout
-                m = dict(rec["meta"])
-                m.pop("ivf", None)
                 rows.append(
                     {
                         "commit": int(rec["commit"]),
                         "op": rec.get("op", "?"),
                         "ts": rec.get("ts"),
                         "num_points": rec["meta"].get("num_points"),
-                        "readable": all(
-                            os.path.isdir(p)
-                            for p in _snapshot_dirs(self.path, m)
+                        "readable": not _missing_snapshot_dirs(
+                            self.path, rec["meta"]
                         ),
                     }
                 )
@@ -440,9 +458,8 @@ class LMDiskANNIndex:
         self._assert_writable()
         rec = _read_commit(self.path, commit)
         meta = dict(rec["meta"])
-        meta.pop("ivf", None)  # before the dir check: a vacuumed IVF dir
-        # must not block restoring a commit whose IVF we drop anyway
-        missing = [d for d in _snapshot_dirs(self.path, meta) if not os.path.isdir(d)]
+        meta.pop("ivf", None)  # restored handles drop the layout (see load)
+        missing = _missing_snapshot_dirs(self.path, rec["meta"])
         if missing:
             raise FileNotFoundError(
                 f"commit {commit} references vacuumed snapshots: {missing}"
@@ -1809,12 +1826,7 @@ class LMDiskANNIndex:
                     rec = json.load(f)
                 if int(rec["commit"]) == cur:
                     continue  # the current commit is always retained
-                # same requirement load(commit=) enforces: IVF excluded
-                m = dict(rec["meta"])
-                m.pop("ivf", None)
-                if any(
-                    not os.path.isdir(p) for p in _snapshot_dirs(self.path, m)
-                ):
+                if _missing_snapshot_dirs(self.path, rec["meta"]):
                     os.remove(fpath)
 
 

@@ -3049,9 +3049,6 @@ def q_stream_churn(spark, sf_dir):
         idx = LMDiskANNIndex.create(
             spark, f"{root}/idx", dim=64, maxdegree=ADJ_DEGREE, metric="euclidean"
         )
-        # the index path is shared with v_time_travel_search, which reopens
-        # this lifecycle's transaction log at commit 1 (the bulk load below)
-        _GATE_CACHE[_gate_key(spark, sf_dir, "stream_churn_path")] = f"{root}/idx"
         idx.insert_batch(
             as_batch(emb.filter(F.col("vec_id") % 4 != 0)), vec_col="vec", key_col="k"
         )
@@ -3086,8 +3083,13 @@ def q_stream_churn(spark, sf_dir):
             F.col("rank").cast("long").alias("rank"),
         )
         out.write.parquet(f"{root}/out")
-        _GATE_CACHE[key] = spark.read.parquet(f"{root}/out")
-    return _GATE_CACHE[key]
+        # the entry carries the index PATH alongside the result so
+        # v_time_travel_search can reopen this lifecycle's transaction log;
+        # a (DataFrame, str) tuple keeps the entry owned by this session in
+        # _evict_stopped's eyes (a bare-string sibling key would have no
+        # session and be evicted by ANY other live session's gate call)
+        _GATE_CACHE[key] = (spark.read.parquet(f"{root}/out"), f"{root}/idx")
+    return _GATE_CACHE[key][0]
 
 
 def q_time_travel_search(spark, sf_dir):
@@ -3109,7 +3111,7 @@ def q_time_travel_search(spark, sf_dir):
         from lmdiskann_jl_spark.index import load_index
 
         q_stream_churn(spark, sf_dir)  # builds + memoizes the shared index
-        path = _GATE_CACHE[_gate_key(spark, sf_dir, "stream_churn_path")]
+        path = _GATE_CACHE[_gate_key(spark, sf_dir, "stream_churn")][1]
         old = load_index(spark, path, commit=1)
         if len(old.history()) < 5:
             raise AssertionError(

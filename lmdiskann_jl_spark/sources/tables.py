@@ -68,6 +68,25 @@ class TableCatalog:
     def _table_dir(self, name: str, version: int) -> str:
         return os.path.join(self.root, name, f"v={version}")
 
+    def _next_version(self, name: str, meta: dict[str, Any]) -> int:
+        """Collision-proof version allocation: one past the MAX of the
+        meta's counter and every ``v=`` dir already on disk.  The meta
+        counter alone is not enough once history exists — ``restore``
+        re-commits an OLD meta whose counters point at early versions, and
+        a naive ``versions[name]+1`` would then overwrite newer commits'
+        snapshot dirs (mode('overwrite') writes), silently corrupting every
+        time-travel read through them.  One driver-side listdir per write."""
+        cur = int(meta["versions"].get(name, -1))
+        table_root = os.path.join(self.root, name)
+        if os.path.isdir(table_root):
+            for entry in os.listdir(table_root):
+                if entry.startswith("v="):
+                    try:
+                        cur = max(cur, int(entry.split("=", 1)[1]))
+                    except ValueError:
+                        continue
+        return cur + 1
+
     def _segments(self, name: str, meta: dict[str, Any]) -> list[int]:
         """Version numbers whose dirs make up the current snapshot.  A table
         written only via ``write`` has one; ``append`` adds more (the
@@ -129,7 +148,7 @@ class TableCatalog:
         an empty frame (a partitioned write of 0 rows leaves no schema to
         read back).
         """
-        next_version = meta["versions"].get(name, -1) + 1
+        next_version = self._next_version(name, meta)
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
@@ -160,7 +179,7 @@ class TableCatalog:
         id invariant guarantees that for ``vectors``), or for update-shaped
         rows with ``stamp_segment=True``: the segment version is stamped on
         every row so readers resolve latest-wins per key (merge-on-read)."""
-        next_version = meta["versions"].get(name, -1) + 1
+        next_version = self._next_version(name, meta)
         if stamp_segment:
             from pyspark.sql import functions as F
 

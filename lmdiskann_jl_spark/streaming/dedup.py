@@ -151,11 +151,22 @@ def neardup_stream(
     id", which is the batch-SQL-expressible contract the oracle gate pins).
     Duplicates still enter the band store: later arrivals colliding with
     only-duplicate predecessors are duplicates too (the "any earlier doc"
-    rule), which keeps the decision order-insensitive WITHIN a batch and
-    makes state appends idempotent — a foreachBatch retry re-appending the
-    same bands cannot change any future existence test, and ``out_dir``
-    re-appends are exact full-row duplicates (at-least-once sink contract,
+    rule), which keeps the decision order-insensitive WITHIN a batch.
+
+    Replay safety: state rows carry the writing micro-batch's ``_epoch``,
+    and the state join reads only STRICTLY EARLIER epochs — so when a
+    crash between the two appends makes availableNow replay a batch, the
+    replay does not collide with its own first-attempt bands (which would
+    flag every doc) and recomputes the identical decisions; ``out_dir``
+    re-appends are then exact full-row duplicates and state re-appends
+    cannot change any future existence test (at-least-once sink contract,
     same as every foreachBatch writer here).
+
+    Lineage contract (standard Structured Streaming practice): ``state_dir``
+    is bound to ``checkpoint_dir`` — epoch ids are monotone only within one
+    checkpoint lineage, so carrying the state to a query with a FRESH
+    checkpoint (epochs restart at 0) would hide all existing state from the
+    first batches.  Keep them together, or drop both.
 
     Scale: state is O(n_docs x n_bands) fixed-width rows; at 100 TB it
     lives bucketed by ``band_key`` so step 2's join is co-located on both
@@ -180,7 +191,11 @@ def neardup_stream(
         if os.path.isdir(state_dir) and any(
             f.endswith(".parquet") for f in os.listdir(state_dir)
         ):
-            state = spark.read.parquet(state_dir)
+            # strictly-earlier epochs only: a replayed batch must not
+            # collide with its own first attempt's bands (see docstring)
+            state = spark.read.parquet(state_dir).filter(
+                F.col("_epoch") < F.lit(int(epoch_id))
+            )
             dup_vs_state = (
                 bands.join(state, ["band", "band_key"], "left_semi")
                 .select("doc_id")
@@ -205,7 +220,9 @@ def neardup_stream(
             .select("doc_id", F.coalesce("_d", F.lit(False)).alias("is_dup"))
         )
         flagged.write.mode("append").parquet(out_dir)
-        bands.write.mode("append").parquet(state_dir)
+        bands.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
+            "append"
+        ).parquet(state_dir)
         bands.unpersist()
 
     writer = docs.writeStream.foreachBatch(_process).option(

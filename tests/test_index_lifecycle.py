@@ -519,6 +519,15 @@ def test_commit_log_time_travel_restore_and_vacuum(spark, tmp_path):
     # a restored index mutates normally
     idx.insert_batch(df.filter(F.col("k") == "k-9"), vec_col="vec", key_col="k")
     assert "k-9" in set(idx.list_all_keys())
+    # the post-restore insert must NOT clobber newer commits' snapshot
+    # dirs: the restored meta's version counters point at EARLY versions,
+    # so naive v=N+1 allocation would overwrite commit 2's data — version
+    # allocation is collision-proof (max of counter and on-disk dirs)
+    old2 = pkg.load_index(spark, path, commit=2)
+    assert set(old2.list_all_keys()) == {f"k-{i}" for i in range(40)}
+    # creating over a live index would interleave two commit lineages
+    with pytest.raises(FileExistsError, match="already exists"):
+        pkg.create_index(spark, path, dim=4, maxdegree=4)
 
     # vacuum prunes commits whose snapshots it dropped; current one stays
     idx.compact()

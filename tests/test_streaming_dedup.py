@@ -132,3 +132,37 @@ def test_neardup_stream_first_seen_wins_across_batches(spark, tmp_path, finish_s
     # batch) is a dup via a partner that was itself a duplicate
     assert got[0] is False and got[1] is True and got[3] is True
     assert got[2] is False and got[4] is False
+
+
+def test_neardup_stream_replay_does_not_self_collide(spark, tmp_path, finish_stream):
+    """Crash-replay safety: if a micro-batch appended its bands to state
+    but died before the checkpoint committed, the availableNow replay (same
+    epoch id) must not collide with its own first attempt's bands — the
+    state join reads strictly earlier epochs only."""
+    from lmdiskann_jl_spark.streaming.dedup import _minhash_bands, neardup_stream
+
+    rows = [
+        (0, "one unique document about catalyst plans and pushdown"),
+        (1, "another unique document about broadcast joins and skew salting"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    state = str(tmp_path / "state")
+    # pre-seed the state with EXACTLY what a crashed first attempt of
+    # epoch 0 would have appended
+    _minhash_bands(docs, 16, 4, "doc_id", "text").withColumn(
+        "_epoch", F.lit(0)
+    ).write.parquet(state)
+
+    docs.coalesce(1).write.parquet(str(tmp_path / "in"))
+    q = neardup_stream(
+        spark.readStream.schema(docs.schema).parquet(str(tmp_path / "in")),
+        state, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    finish_stream(q)
+    got = {
+        r["doc_id"]: r["is_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # both docs are unique: self-collision with the epoch-0 seed would
+    # have flagged them
+    assert got == {0: False, 1: False}
