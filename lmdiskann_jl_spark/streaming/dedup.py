@@ -78,6 +78,12 @@ def dedup_stream(
     )
 
 
+# band-store read-amplification bound: the micro-batch that would create
+# segment 17 compacts the store inline (mirrors TABLES_AUTOCOMPACT_SEGMENTS
+# on the index's base tables — same rationale, same latency-spike contract)
+NEARDUP_STATE_SEGMENTS = 16
+
+
 def _minhash_bands(
     docs: DataFrame,
     n_perm: int,
@@ -168,12 +174,19 @@ def neardup_stream(
     checkpoint (epochs restart at 0) would hide all existing state from the
     first batches.  Keep them together, or drop both.
 
-    Scale: state is O(n_docs x n_bands) fixed-width rows; at 100 TB it
-    lives bucketed by ``band_key`` so step 2's join is co-located on both
-    sides (the parquet-append layout here is the fixture-scale stand-in —
-    one sorted-bucket table swap per compaction window in production).
-    Returns the StreamingQuery handle."""
+    Scale: state is O(n_docs x n_bands) fixed-width rows and lives in a
+    ``TableCatalog`` under ``state_dir`` (the index tables' storage layer):
+    each micro-batch APPENDS one O(batch) segment, and once the segment
+    list exceeds ``NEARDUP_STATE_SEGMENTS`` the batch compacts the store
+    inline (one latest-wins-free rewrite, same read-amplification bound
+    the index gives its base tables) — state-join read cost stays bounded
+    for the stream's whole lifetime, not O(micro-batches).  A crash
+    between the segment write and the pointer swap leaves an orphan dir
+    (harmless: unreferenced, and version allocation skips past it).  At
+    100 TB the store is additionally bucketed by ``band_key`` so the join
+    is co-located on both sides.  Returns the StreamingQuery handle."""
     from lmdiskann_jl_spark.operators.dedup import DEFAULT_BAND_ROWS, DEFAULT_N_PERM
+    from lmdiskann_jl_spark.sources.tables import TableCatalog, read_meta, write_meta
 
     if not docs.isStreaming:
         raise ValueError("neardup_stream needs a streaming DataFrame (use spark.readStream)")
@@ -182,18 +195,19 @@ def neardup_stream(
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        import os
-
         spark = batch_df.sparkSession
+        cat = TableCatalog(spark, state_dir)
+        try:
+            meta = read_meta(state_dir)
+        except FileNotFoundError:
+            meta = {"versions": {}}
         bands = _minhash_bands(batch_df, np_, br_, id_col, text_col).persist()
         bands.count()  # eager: three consumers below must reuse, not recompute
         dup_vs_state = None
-        if os.path.isdir(state_dir) and any(
-            f.endswith(".parquet") for f in os.listdir(state_dir)
-        ):
+        if "bands" in meta.get("versions", {}):
             # strictly-earlier epochs only: a replayed batch must not
             # collide with its own first attempt's bands (see docstring)
-            state = spark.read.parquet(state_dir).filter(
+            state = cat.read("bands", meta).filter(
                 F.col("_epoch") < F.lit(int(epoch_id))
             )
             dup_vs_state = (
@@ -220,9 +234,18 @@ def neardup_stream(
             .select("doc_id", F.coalesce("_d", F.lit(False)).alias("is_dup"))
         )
         flagged.write.mode("append").parquet(out_dir)
-        bands.withColumn("_epoch", F.lit(int(epoch_id))).write.mode(
-            "append"
-        ).parquet(state_dir)
+        stamped = bands.withColumn("_epoch", F.lit(int(epoch_id)))
+        # first-ever batch bootstraps the table (append requires an existing
+        # snapshot — the index gets that from create()'s empty writes)
+        if "bands" in meta.get("versions", {}):
+            meta = cat.append("bands", stamped, meta)
+        else:
+            meta = cat.write("bands", stamped, meta)
+        if len(cat._segments("bands", meta)) > NEARDUP_STATE_SEGMENTS:
+            # inline read-amplification bound (the unlucky-batch latency
+            # spike contract stream_insert documents for the index tables)
+            meta = cat.compact("bands", meta)
+        write_meta(state_dir, meta)
         bands.unpersist()
 
     writer = docs.writeStream.foreachBatch(_process).option(

@@ -147,11 +147,17 @@ def test_neardup_stream_replay_does_not_self_collide(spark, tmp_path, finish_str
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     state = str(tmp_path / "state")
-    # pre-seed the state with EXACTLY what a crashed first attempt of
-    # epoch 0 would have appended
-    _minhash_bands(docs, 16, 4, "doc_id", "text").withColumn(
-        "_epoch", F.lit(0)
-    ).write.parquet(state)
+    # pre-seed the state catalog with EXACTLY what a crashed first attempt
+    # of epoch 0 would have appended (segment + pointer both landed)
+    from lmdiskann_jl_spark.sources.tables import TableCatalog, write_meta
+
+    cat = TableCatalog(spark, state)
+    meta = cat.write(
+        "bands",
+        _minhash_bands(docs, 16, 4, "doc_id", "text").withColumn("_epoch", F.lit(0)),
+        {"versions": {}},
+    )
+    write_meta(state, meta)
 
     docs.coalesce(1).write.parquet(str(tmp_path / "in"))
     q = neardup_stream(
@@ -166,3 +172,55 @@ def test_neardup_stream_replay_does_not_self_collide(spark, tmp_path, finish_str
     # both docs are unique: self-collision with the epoch-0 seed would
     # have flagged them
     assert got == {0: False, 1: False}
+
+
+def test_neardup_stream_state_autocompacts(spark, tmp_path, finish_stream):
+    """The band store's segment list is bounded: a long stream of
+    micro-batches must leave <= NEARDUP_STATE_SEGMENTS + 1 segments (the
+    compaction collapses the list back to one), with decisions unchanged."""
+    from lmdiskann_jl_spark.sources.tables import TableCatalog, read_meta
+    from lmdiskann_jl_spark.streaming.dedup import (
+        NEARDUP_STATE_SEGMENTS,
+        neardup_stream,
+    )
+
+    n = NEARDUP_STATE_SEGMENTS + 3  # enough batches to cross the bound
+    # token sets are fully disjoint across docs, so no LSH collisions
+    rows = [
+        (i, " ".join(f"tok{i}word{j}" for j in range(8))) for i in range(n)
+    ]
+    # one doc per file -> one doc per micro-batch
+    src = tmp_path / "in"
+    src.mkdir()
+    import shutil
+    import time
+
+    t0 = time.time()
+    for i, text in rows:
+        tmp = str(tmp_path / f"half_{i}")
+        spark.createDataFrame([(i, text)], "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = str(src / f"f{i:03d}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    state = str(tmp_path / "state")
+    q = neardup_stream(
+        stream, state, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    finish_stream(q, timeout=300)
+
+    meta = read_meta(state)
+    cat = TableCatalog(spark, state)
+    segs = cat._segments("bands", meta)
+    assert len(segs) <= NEARDUP_STATE_SEGMENTS + 1
+    # compaction must not lose rows: every doc's bands are still in state
+    assert cat.read("bands", meta).select("doc_id").distinct().count() == n
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == n and got.filter("is_dup").count() == 0
