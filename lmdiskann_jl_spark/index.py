@@ -492,6 +492,10 @@ class LMDiskANNIndex:
             )
         return {
             "num_points": int(self.meta["num_points"]),
+            # transaction-log position (round 11): the commit this handle
+            # reads; as_of is set on time-traveled handles
+            "commit": int(self.meta.get("commit", 0)),
+            "as_of": self._as_of,
             "next_id": int(self.meta.get("next_id", 0)),
             "entrypoint": int(self.meta["entrypoint"]),
             "metric": self.meta["metric"],

@@ -251,6 +251,13 @@ def build_adjacency(
     ``ALPHA_CANDIDATE_FACTOR``-wide candidate pool instead of plain
     nearest-k — see alpha_prune_and_collect.  Default None = reference
     parity (src/LMDiskANN.jl:491-505 is plain nearest-k).
+
+    EVERY vector id gets a row, isolated nodes with an empty neighbor
+    array: the prune's groupBy would otherwise drop edge-less ids
+    entirely, and a corpus whose graph is all-isolated (n=1 — the
+    reference's most basic create-then-insert-one flow) would write an
+    EMPTY bucket-partitioned adjacency snapshot, which parquet cannot
+    read back (no files, no schema).
     """
     if alpha is not None:
         pool = adjacency_edges(
@@ -258,23 +265,29 @@ def build_adjacency(
             vec_col, use_lsh=use_lsh, dim=dim, lsh_tables=lsh_tables,
             candidate_factor=candidate_factor,
         ).select(F.col("id").alias("id_l"), F.col("neighbor").alias("id_r"), "dist")
-        return alpha_prune_and_collect(
+        pruned = alpha_prune_and_collect(
             pool, vectors, maxdegree, alpha, metric, id_col, vec_col
         )
-    pruned = adjacency_edges(
-        vectors, maxdegree, metric, id_col, vec_col,
-        use_lsh=use_lsh, dim=dim, lsh_tables=lsh_tables,
-        candidate_factor=candidate_factor,
-    )
-    return (
-        pruned.groupBy("id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dist", F.col("neighbor").alias("id_r")))),
-                lambda s: s["id_r"],
-            ).alias("neighbors")
+    else:
+        edges = adjacency_edges(
+            vectors, maxdegree, metric, id_col, vec_col,
+            use_lsh=use_lsh, dim=dim, lsh_tables=lsh_tables,
+            candidate_factor=candidate_factor,
         )
-        .select("id", "neighbors")
+        pruned = (
+            edges.groupBy("id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dist", F.col("neighbor").alias("id_r")))),
+                    lambda s: s["id_r"],
+                ).alias("neighbors")
+            )
+            .select("id", "neighbors")
+        )
+    ids = vectors.select(F.col(id_col).cast("long").alias("id"))
+    return ids.join(pruned, "id", "left").select(
+        "id",
+        F.coalesce("neighbors", F.array().cast("array<bigint>")).alias("neighbors"),
     )
 
 

@@ -557,3 +557,21 @@ def test_save_rejects_concurrent_writer(spark, tmp_path):
     assert set(h3.list_all_keys()) == {"k-0", "k-1", "k-2"}
     h3.insert_batch(df.filter(F.col("k") >= "k-3"), vec_col="vec", key_col="k")
     assert len(h3.list_all_keys()) == 6
+
+
+def test_single_vector_index_is_fully_usable(spark, tmp_path):
+    """The reference's most basic flow — create, insert ONE vector, search
+    (src/LMDiskANN.jl README) — must leave every table readable: an
+    all-isolated graph previously wrote an EMPTY bucket-partitioned
+    adjacency snapshot that parquet could not read back, breaking stats()
+    and beam search on a 1-point index."""
+    idx = pkg.create_index(spark, str(tmp_path / "one"), dim=2, maxdegree=4)
+    df = spark.createDataFrame([("solo", [1.0, 2.0])], "k string, vec array<float>")
+    idx.insert_batch(df, vec_col="vec", key_col="k")
+    s = idx.stats()
+    assert s["num_points"] == 1 and s["graph_nodes"] == 1
+    assert s["max_degree"] == 0  # isolated node: present, empty neighbors
+    got = idx.search([1.0, 2.0], topk=1)
+    assert [r["key"] for r in got.collect()] == ["solo"]
+    got_beam = idx.search([1.0, 2.0], topk=1, mode="beam")
+    assert [r["key"] for r in got_beam.collect()] == ["solo"]
