@@ -5680,7 +5680,9 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # exercises — the IVF gate's maintained wave now crosses the drift
     # budget and gates the auto-refit branch (n_refits asserted), and the
     # filtered gate's membership probe now unions the requested id list —
-    # so the driver must re-verify the new forms first.)
+    # so the driver must re-verify the new forms first.  The three round-11
+    # newcomers — s_stream_churn, s_stream_neardup, v_time_travel_search —
+    # are unstamped by birth and lead the window with them.)
     "a_beam_pq_cosine_recall": 10, "a_graph_build_lsh_recall": 10,
     "a_pq_recall": 10, "a_ivfpq_recall": 10, "a_extract_features": 10,
     "d_dedup_exact": 10, "d_dup_clusters": 10, "d_dup_clusters_star": 10,
