@@ -575,3 +575,51 @@ def test_single_vector_index_is_fully_usable(spark, tmp_path):
     assert [r["key"] for r in got.collect()] == ["solo"]
     got_beam = idx.search([1.0, 2.0], topk=1, mode="beam")
     assert [r["key"] for r in got_beam.collect()] == ["solo"]
+
+
+@pytest.mark.slow
+def test_every_commit_reads_back_its_exact_prefix_state(spark, tmp_path):
+    """Transaction-log invariant sweep: across an interleaved sequence of
+    inserts, deletes, and a restore, EVERY retained commit must read back
+    exactly the key set that existed when it was written — the invariant
+    class that catches version-dir clobbering (the restore bug) wherever
+    it hides."""
+    import random
+
+    random.seed(23)
+
+    def vecs(keys):
+        return spark.createDataFrame(
+            [(k, [random.gauss(0, 1) for _ in range(3)]) for k in keys],
+            "k string, vec array<float>",
+        )
+
+    path = str(tmp_path / "idx")
+    idx = pkg.create_index(spark, path, dim=3, maxdegree=3)
+    expected: dict[int, set] = {0: set()}
+    live: set = set()
+
+    def record():
+        expected[idx.meta["commit"]] = set(live)
+
+    idx.insert_batch(vecs([f"a{i}" for i in range(8)]), vec_col="vec", key_col="k")
+    live |= {f"a{i}" for i in range(8)}; record()                       # commit 1
+    idx.delete_batch(keys=["a0", "a3"])
+    live -= {"a0", "a3"}; record()                                      # commit 2
+    idx.insert_batch(vecs([f"b{i}" for i in range(5)]), vec_col="vec", key_col="k")
+    live |= {f"b{i}" for i in range(5)}; record()                       # commit 3
+    idx.restore(1)
+    live = set(expected[1]); record()                                   # commit 4
+    idx.insert_batch(vecs(["c0", "c1"]), vec_col="vec", key_col="k")
+    live |= {"c0", "c1"}; record()                                      # commit 5
+    idx.delete_batch(keys=["a1", "c0"])
+    live -= {"a1", "c0"}; record()                                      # commit 6
+
+    hist = {h["commit"]: h for h in idx.history()}
+    assert set(hist) == set(expected)
+    for commit, want in expected.items():
+        assert hist[commit]["readable"], f"commit {commit} unreadable"
+        h = pkg.load_index(spark, path, commit=commit)
+        got = set(h.list_all_keys())
+        assert got == want, f"commit {commit}: {got ^ want}"
+        assert h.meta["num_points"] == len(want)
