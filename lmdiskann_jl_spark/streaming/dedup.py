@@ -245,7 +245,13 @@ def neardup_stream(
             # inline read-amplification bound (the unlucky-batch latency
             # spike contract stream_insert documents for the index tables)
             meta = cat.compact("bands", meta)
-        write_meta(state_dir, meta)
+            write_meta(state_dir, meta)
+            # compaction bounds READ cost; vacuum bounds DISK — superseded
+            # segment dirs would otherwise accumulate forever.  Safe here:
+            # _process is the store's only reader and batches serialize.
+            cat.vacuum(meta, keep=1)
+        else:
+            write_meta(state_dir, meta)
         bands.unpersist()
 
     writer = docs.writeStream.foreachBatch(_process).option(

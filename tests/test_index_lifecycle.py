@@ -623,3 +623,31 @@ def test_every_commit_reads_back_its_exact_prefix_state(spark, tmp_path):
         got = set(h.list_all_keys())
         assert got == want, f"commit {commit}: {got ^ want}"
         assert h.meta["num_points"] == len(want)
+
+
+def test_time_traveled_handle_supports_filtered_and_kv_reads(spark, tmp_path):
+    """The whole READ surface works on an as-of handle: filtered exact
+    search (key predicate over the historical key_map), kv lookups, and
+    embedding fetches all resolve against the historical snapshot."""
+    df = spark.createDataFrame(
+        [(f"k-{i}", [float(i), float(i % 3)]) for i in range(12)],
+        "k string, vec array<float>",
+    )
+    path = str(tmp_path / "idx")
+    idx = pkg.create_index(spark, path, dim=2, maxdegree=3)
+    idx.insert_batch(df.filter(F.col("k") < "k-6"), vec_col="vec", key_col="k")  # commit 1
+    idx.insert_batch(df.filter(F.col("k") >= "k-6"), vec_col="vec", key_col="k")  # commit 2
+    idx.delete_batch(keys=["k-2"])                                               # commit 3
+
+    # NB: string comparison — commit 1 holds {k-0..k-5, k-10, k-11}
+    first = {f"k-{i}" for i in range(12) if f"k-{i}" < "k-6"}
+    old = pkg.load_index(spark, path, commit=1)
+    # filtered search sees only commit 1's keys (k-2 still alive there)
+    got = {r["key"] for r in old.search([2.0, 2.0], topk=3, where="key != 'k-1'").collect()}
+    assert "k-1" not in got
+    assert got <= first
+    assert "k-2" in {r["key"] for r in old.search([2.0, 2.0], topk=8).collect()}
+    # kv + embedding surface against the historical snapshot
+    assert set(old.list_all_keys()) == first
+    assert old.get_id_from_key("k-9") is None  # later commit's key invisible
+    assert old.get_embedding_from_key("k-3") == pytest.approx([3.0, 0.0])

@@ -224,3 +224,9 @@ def test_neardup_stream_state_autocompacts(spark, tmp_path, finish_stream):
     assert cat.read("bands", meta).select("doc_id").distinct().count() == n
     got = spark.read.parquet(str(tmp_path / "out"))
     assert got.count() == n and got.filter("is_dup").count() == 0
+    # disk is bounded too: the compaction batch vacuums superseded segment
+    # dirs, so on-disk version count tracks the live segment list
+    on_disk = [
+        d for d in os.listdir(os.path.join(state, "bands")) if d.startswith("v=")
+    ]
+    assert len(on_disk) <= len(segs) + 1  # +1: post-compaction appends
