@@ -326,8 +326,13 @@ class LMDiskANNIndex:
         meta = catalog.write("adjacency", spark.createDataFrame([], ADJACENCY_SCHEMA), meta)
         meta = catalog.write("key_map", spark.createDataFrame([], kvmap.KEY_MAP_SCHEMA), meta)
         meta["commit"] = 0
-        _append_commit(path, meta, "create")
+        # meta FIRST on the create path (the reverse of save()'s order):
+        # a crash in between leaves a loadable index missing only its c0
+        # history record, while record-first would leave a _commits/ dir
+        # with no meta — a wedged state both create() (FileExistsError)
+        # and load() (no index) refuse
         write_meta(path, meta)
+        _append_commit(path, meta, "create")
         return cls(spark, path)
 
     @classmethod
@@ -377,14 +382,16 @@ class LMDiskANNIndex:
 
     def _assert_writable(self) -> None:
         """Read-only guard + optimistic concurrency check.  The OCC check
-        runs at MUTATION ENTRY (not just at save): version-dir numbering is
-        deterministic (v=N+1), so a stale handle that starts writing would
-        clobber a newer commit's data files before any pointer swap — the
-        check must fire before the first table write.  save() re-checks,
-        narrowing the window to the mutation's own duration; two mutations
-        overlapping in real time remain the caller's responsibility
-        (single-writer contract — a real cluster swaps TableCatalog for
-        Delta, whose log arbitrates writers; see sources/tables.py)."""
+        runs at MUTATION ENTRY (not just at save) so a stale handle fails
+        BEFORE doing any work: version allocation is collision-proof
+        (tables._next_version scans on-disk dirs), so the hazard is no
+        longer data clobbering but a full mutation's worth of wasted jobs
+        and orphan segment dirs before save() rejects the pointer swap.
+        save() re-checks, narrowing the window to the mutation's own
+        duration; two mutations overlapping in real time remain the
+        caller's responsibility (single-writer contract — a real cluster
+        swaps TableCatalog for Delta, whose log arbitrates writers; see
+        sources/tables.py)."""
         if self._as_of is not None:
             raise ValueError(
                 f"index opened as of commit {self._as_of} is read-only — "
@@ -554,7 +561,7 @@ class LMDiskANNIndex:
         """OPTIMIZE-style maintenance: coalesce each table's accumulated
         small files (incremental inserts write shuffle-partition-many files
         per snapshot) into right-sized ones, as new versions — run off the
-        hot path; ``catalog.vacuum`` reclaims old snapshots.  Derived
+        hot path; ``vacuum()`` (commit-aware) reclaims old snapshots.  Derived
         layouts are compacted too: block MOR segments collapse (dead rows
         dropped) and IVF probe-time tombstones fold into a rewritten cell
         table — and BOTH layouts stay FRESH across the rewrite (compaction
@@ -1795,18 +1802,56 @@ class LMDiskANNIndex:
         return kvmap.list_all_keys(self.key_map)
 
     def vacuum(self, keep: int = 1) -> None:
-        """Drop old table snapshots (catalog vacuum — includes the
-        ``beam_blocks`` catalog table) AND superseded IVF cell dirs:
-        rebuilding the IVF layout writes a new versioned dir outside the
-        catalog and swaps the pointer, so without this the old copies
-        (each O(corpus)) accumulate forever.  Commit records whose
-        snapshots this pass (or a manual delete) made unreadable are
-        pruned from ``_commits/`` — time-travel reach is exactly vacuum
-        retention, and ``history()`` never advertises a dead commit."""
+        """Drop table snapshots no retained commit needs, superseded IVF
+        cell dirs, and commit records whose snapshots are gone.
+
+        COMMIT-AWARE semantics (round 11, session 2): protect every dir
+        referenced by the CURRENT state or by the newest ``keep`` readable
+        prior commits; everything else dies — including rolled-back
+        future-lineage dirs a restore abandoned.  A version-NUMBER window
+        (the catalog's vacuum) is wrong here once restore exists:
+        collision-proof allocation makes a just-restored commit's dirs
+        NUMERICALLY old (they'd die inside the keep window) while the
+        rolled-back lineage's dirs are numerically new (they'd survive
+        unreferenced forever).  Time-travel reach is therefore exactly
+        "the last ``keep`` commits", by construction."""
         self._assert_writable()
         import shutil
 
-        self.catalog.vacuum(self.meta, keep=keep)
+        protected = {
+            os.path.normpath(d) for d in _snapshot_dirs(self.path, self.meta)
+        }
+        cur = int(self.meta.get("commit", 0))
+        cdir = os.path.join(self.path, COMMITS_DIR)
+        recs: list[tuple[str, dict]] = []
+        if os.path.isdir(cdir):
+            for fname in sorted(os.listdir(cdir), reverse=True):  # newest first
+                if fname.startswith("c") and fname.endswith(".json"):
+                    with open(os.path.join(cdir, fname)) as f:
+                        recs.append((fname, json.load(f)))
+        kept = 0
+        for _fname, rec in recs:
+            if int(rec["commit"]) == cur:
+                continue
+            if kept >= keep:
+                break
+            m = dict(rec["meta"])
+            m.pop("ivf", None)  # as-of handles drop the IVF layout (load)
+            dirs = [os.path.normpath(d) for d in _snapshot_dirs(self.path, m)]
+            if all(os.path.isdir(d) for d in dirs):
+                protected.update(dirs)
+                kept += 1
+        # sweep every on-disk table root (current tables AND tables an old
+        # lineage had but the current meta no longer lists)
+        for name in os.listdir(self.path):
+            table_root = os.path.join(self.path, name)
+            if name in (COMMITS_DIR, "ivf_cells") or not os.path.isdir(table_root):
+                continue
+            for entry in os.listdir(table_root):
+                if entry.startswith("v="):
+                    full = os.path.normpath(os.path.join(table_root, entry))
+                    if full not in protected:
+                        shutil.rmtree(full, ignore_errors=True)
         ivf = self.meta.get("ivf")
         live = {os.path.normpath(ivf["dir"])} if ivf and ivf.get("dir") else set()
         root = os.path.join(self.path, "ivf_cells")
@@ -1819,19 +1864,11 @@ class LMDiskANNIndex:
                     shutil.rmtree(full, ignore_errors=True)
                     # the IVF tombstone sidecar lives NEXT TO its dir
                     shutil.rmtree(full + "_tombstones", ignore_errors=True)
-        cdir = os.path.join(self.path, COMMITS_DIR)
-        if os.path.isdir(cdir):
-            cur = int(self.meta.get("commit", 0))
-            for fname in os.listdir(cdir):
-                if not (fname.startswith("c") and fname.endswith(".json")):
-                    continue
-                fpath = os.path.join(cdir, fname)
-                with open(fpath) as f:
-                    rec = json.load(f)
-                if int(rec["commit"]) == cur:
-                    continue  # the current commit is always retained
-                if _missing_snapshot_dirs(self.path, rec["meta"]):
-                    os.remove(fpath)
+        for fname, rec in recs:
+            if int(rec["commit"]) == cur:
+                continue
+            if _missing_snapshot_dirs(self.path, rec["meta"]):
+                os.remove(os.path.join(cdir, fname))
 
 
 def create_index(spark: SparkSession, path: str, dim: int, **kw) -> LMDiskANNIndex:

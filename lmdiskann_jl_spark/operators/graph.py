@@ -284,7 +284,9 @@ def build_adjacency(
             )
             .select("id", "neighbors")
         )
-    ids = vectors.select(F.col(id_col).cast("long").alias("id"))
+    # distinct: this is a public operator, and a duplicated input id must
+    # not yield duplicated adjacency rows (skinny-column aggregate)
+    ids = vectors.select(F.col(id_col).cast("long").alias("id")).distinct()
     return ids.join(pruned, "id", "left").select(
         "id",
         F.coalesce("neighbors", F.array().cast("array<bigint>")).alias("neighbors"),

@@ -3127,7 +3127,9 @@ def q_time_travel_search(spark, sf_dir):
             F.round("dist", 4).alias("dist"),
             F.col("rank").cast("long").alias("rank"),
         )
-        out.write.parquet(f"{path}_ttout")
+        # overwrite: a same-session retry after a post-write failure must
+        # recompute, not crash on the leftover dir
+        out.write.mode("overwrite").parquet(f"{path}_ttout")
         _GATE_CACHE[key] = spark.read.parquet(f"{path}_ttout")
     return _GATE_CACHE[key]
 

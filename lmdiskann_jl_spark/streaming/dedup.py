@@ -172,7 +172,10 @@ def neardup_stream(
     is bound to ``checkpoint_dir`` — epoch ids are monotone only within one
     checkpoint lineage, so carrying the state to a query with a FRESH
     checkpoint (epochs restart at 0) would hide all existing state from the
-    first batches.  Keep them together, or drop both.
+    first batches.  ENFORCED, not just documented: the store's meta records
+    the newest epoch written (``max_epoch``), and a micro-batch whose epoch
+    is strictly older raises immediately (a genuine replay arrives with
+    epoch == max_epoch and passes).  Keep them together, or drop both.
 
     Scale: state is O(n_docs x n_bands) fixed-width rows and lives in a
     ``TableCatalog`` under ``state_dir`` (the index tables' storage layer):
@@ -201,6 +204,18 @@ def neardup_stream(
             meta = read_meta(state_dir)
         except FileNotFoundError:
             meta = {"versions": {}}
+        if int(epoch_id) < int(meta.get("max_epoch", -1)):
+            # a genuine replay has epoch_id == max_epoch; anything SMALLER
+            # means a fresh checkpoint was pointed at old state — the
+            # strictly-earlier filter would then silently hide ALL existing
+            # state from the early batches (missed duplicates), so fail loud
+            raise ValueError(
+                f"neardup_stream lineage violation: micro-batch epoch "
+                f"{int(epoch_id)} is older than the state store's newest "
+                f"epoch {int(meta['max_epoch'])} — state_dir belongs to a "
+                "different checkpoint lineage; keep state_dir and "
+                "checkpoint_dir together, or drop both"
+            )
         bands = _minhash_bands(batch_df, np_, br_, id_col, text_col).persist()
         bands.count()  # eager: three consumers below must reuse, not recompute
         dup_vs_state = None
@@ -241,6 +256,7 @@ def neardup_stream(
             meta = cat.append("bands", stamped, meta)
         else:
             meta = cat.write("bands", stamped, meta)
+        meta["max_epoch"] = int(epoch_id)  # the lineage high-water mark
         if len(cat._segments("bands", meta)) > NEARDUP_STATE_SEGMENTS:
             # inline read-amplification bound (the unlucky-batch latency
             # spike contract stream_insert documents for the index tables)

@@ -295,7 +295,10 @@ def test_compact_vacuum_search_equality_at_bench_scale(spark, idx_path):
 
     dirs_before = all_version_dirs()
     idx.compact()
-    idx.vacuum(keep=1)
+    # keep=0: reach = the current commit only, so the pre-compact segment
+    # dirs are reclaimable (keep=1 would deliberately retain them — one
+    # commit of time-travel reach, the commit-aware vacuum semantics)
+    idx.vacuum(keep=0)
     dirs_after = all_version_dirs()
     # compaction wrote new versions; vacuum reclaimed the superseded ones
     assert dirs_after - dirs_before, "compact() produced no new snapshot"

@@ -157,6 +157,7 @@ def test_neardup_stream_replay_does_not_self_collide(spark, tmp_path, finish_str
         _minhash_bands(docs, 16, 4, "doc_id", "text").withColumn("_epoch", F.lit(0)),
         {"versions": {}},
     )
+    meta["max_epoch"] = 0  # what the crashed attempt would have recorded
     write_meta(state, meta)
 
     docs.coalesce(1).write.parquet(str(tmp_path / "in"))
@@ -230,3 +231,37 @@ def test_neardup_stream_state_autocompacts(spark, tmp_path, finish_stream):
         d for d in os.listdir(os.path.join(state, "bands")) if d.startswith("v=")
     ]
     assert len(on_disk) <= len(segs) + 1  # +1: post-compaction appends
+
+
+def test_neardup_stream_rejects_foreign_checkpoint_lineage(spark, tmp_path, finish_stream):
+    """Pointing a FRESH checkpoint at old state restarts epochs at 0, and
+    the strictly-earlier state filter would silently hide all existing
+    bands — the store's max_epoch high-water mark makes that a loud error
+    instead."""
+    import pytest
+
+    from lmdiskann_jl_spark.sources.tables import TableCatalog, write_meta
+    from lmdiskann_jl_spark.streaming.dedup import _minhash_bands, neardup_stream
+
+    docs = spark.createDataFrame(
+        [(0, "a document that was ingested long ago by the original query")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state")
+    cat = TableCatalog(spark, state)
+    meta = cat.write(
+        "bands",
+        _minhash_bands(docs, 16, 4, "doc_id", "text").withColumn("_epoch", F.lit(39)),
+        {"versions": {}},
+    )
+    meta["max_epoch"] = 39  # the original lineage got to epoch 39
+    write_meta(state, meta)
+
+    docs.coalesce(1).write.parquet(str(tmp_path / "in"))
+    q = neardup_stream(
+        spark.readStream.schema(docs.schema).parquet(str(tmp_path / "in")),
+        state, str(tmp_path / "out"), str(tmp_path / "fresh_ckpt"),
+    )
+    with pytest.raises(Exception, match="lineage violation"):
+        q.processAllAvailable()
+    q.stop()
