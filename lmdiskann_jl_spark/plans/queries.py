@@ -5674,19 +5674,33 @@ def _token_count_oracle() -> str:
 # Update after each round from the new CORRECTNESS file; the declaration
 # order below is the stable tiebreak.
 _LAST_DRIVER_VERIFIED: dict[str, int] = {
-    # --- r10 window (CORRECTNESS_r10.json): 44 green rows+schema+hash, 6
-    # rows-only recall gates (no_oracle by design, 0 reds — fourth
-    # consecutive fully-green window). ---
-    # (a_ivf_maintained_recall and a_filtered_beam_recall are UNSTAMPED
-    # despite r10 green rows: round 11 rewired the machinery each one
-    # exercises — the IVF gate's maintained wave now crosses the drift
-    # budget and gates the auto-refit branch (n_refits asserted), and the
-    # filtered gate's membership probe now unions the requested id list —
-    # so the driver must re-verify the new forms first.  The three round-11
-    # newcomers — s_stream_churn, s_stream_neardup, v_time_travel_search —
-    # are unstamped by birth and lead the window with them.)
-    "a_beam_pq_cosine_recall": 10, "a_graph_build_lsh_recall": 10,
-    "a_pq_recall": 10, "a_ivfpq_recall": 10, "a_extract_features": 10,
+    # --- r11 window (CORRECTNESS_r11.json): 40 green rows+schema+hash, 10
+    # rows-only recall gates (no_oracle by design, 0 reds — fifth
+    # consecutive fully-green window).  Gates whose machinery round 12
+    # rewires are un-stamped at the end of the round, per protocol. ---
+    "a_beam_pq_recall": 11, "a_beam_recall": 11,
+    "a_embedding_neardup_lsh": 11, "a_filtered_beam_recall": 11,
+    "a_incremental_insert_recall": 11, "a_ivf_maintained_recall": 11,
+    "a_ivf_recall": 11, "a_lsh_knn": 11, "a_lsh_knn_auto": 11,
+    "a_lsh_recall": 11, "a_mmr_rerank": 11, "a_semantic_dedup": 11,
+    "d_embedding_neardup": 11, "d_ngram_jaccard_capped": 11,
+    "d_ngram_jaccard_pairs": 11, "m_decode_samples": 11,
+    "m_payload_stats": 11, "p_group_sample_k": 11,
+    "p_leakage_safe_split": 11, "p_stratified_sample": 11,
+    "r_asof_forward": 11, "r_events_props": 11, "s_stream_churn": 11,
+    "s_stream_neardup": 11, "t_chunk_documents": 11, "t_fingerprint": 11,
+    "t_lang_id": 11, "t_langid_accuracy": 11, "t_phrase_proximity": 11,
+    "t_pii_redact": 11, "t_quality_score": 11, "t_repetition": 11,
+    "t_token_count": 11, "t_top_terms": 11, "t_vocab_build": 11,
+    "v_adjacency_build": 11, "v_auto_search": 11, "v_batch_topk": 11,
+    "v_degree_histogram": 11, "v_delete_repair": 11,
+    "v_exact_topk_cosine": 11, "v_exact_topk_euclidean": 11,
+    "v_filtered_topk": 11, "v_hard_negatives": 11, "v_knn_join": 11,
+    "v_normalize": 11, "v_quantize": 11, "v_range_search": 11,
+    "v_reduce_dim": 11, "v_time_travel_search": 11,
+    # --- r10 window (CORRECTNESS_r10.json) ---
+    "a_beam_pq_cosine_recall": 10, "a_extract_features": 10,
+    "a_graph_build_lsh_recall": 10, "a_ivfpq_recall": 10, "a_pq_recall": 10,
     "d_dedup_exact": 10, "d_dup_clusters": 10, "d_dup_clusters_star": 10,
     "d_duplicate_spans": 10, "d_keep_best": 10, "d_minhash_lsh_pairs": 10,
     "d_minhash_signatures": 10, "d_simhash": 10, "d_simhash_neardup": 10,
@@ -5714,30 +5728,8 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "r_tpch_q18": 9, "r_tpch_q3": 9, "r_tpch_q4": 9, "r_tpch_q5": 9,
     "r_tpch_q6": 9, "r_tpch_q7": 9, "r_tpch_q8": 9, "r_tpch_q9": 9,
     "s_stream_dedup": 9, "s_stream_rollup": 9, "s_stream_sessions": 9,
-    "v_adjacency_build": 9, "v_batch_topk": 9, "v_degree_histogram": 9,
-    "v_delete_repair": 9, "v_exact_topk_cosine": 9,
-    "v_exact_topk_euclidean": 9, "v_get_embedding": 9,
-    "v_get_embedding_by_key": 9, "v_hard_negatives": 9, "v_knn_classify": 9,
-    "v_knn_join": 9, "v_partial_topk": 9, "v_range_search": 9,
-    # --- r8 window (CORRECTNESS_r08.json) ---
-    "a_beam_pq_recall": 8, "a_beam_recall": 8, "a_embedding_neardup_lsh": 8,
-    "a_incremental_insert_recall": 8,
-    "a_ivf_recall": 8, "a_lsh_knn": 8, "a_lsh_knn_auto": 8, "a_lsh_recall": 8,
-    "a_mmr_rerank": 8, "a_semantic_dedup": 8,
-    "d_embedding_neardup": 8,
-    "d_ngram_jaccard_capped": 8,
-    "d_ngram_jaccard_pairs": 8,
-    "m_decode_samples": 8, "m_payload_stats": 8,
-    "p_group_sample_k": 8, "p_leakage_safe_split": 8, "p_stratified_sample": 8,
-    "r_asof_forward": 8, "r_events_props": 8, "t_chunk_documents": 8,
-    "t_fingerprint": 8, "t_lang_id": 8, "t_langid_accuracy": 8,
-    "t_phrase_proximity": 8, "t_pii_redact": 8, "t_quality_score": 8,
-    "t_repetition": 8, "t_token_count": 8, "t_top_terms": 8,
-    "t_vocab_build": 8, "v_auto_search": 8, "v_filtered_topk": 8,
-    "v_normalize": 8, "v_quantize": 8, "v_reduce_dim": 8,
-    # (the former r7 window was fully re-verified in r10 and restamped
-    # above; t_vocab_build keeps its r8 stamp AND was rewired in r11 —
-    # either way it sorts into the r11 window for re-verification.)
+    "v_get_embedding": 9, "v_get_embedding_by_key": 9, "v_knn_classify": 9,
+    "v_partial_topk": 9,
 }
 
 
