@@ -1655,6 +1655,7 @@ class LMDiskANNIndex:
         n_entrypoints: int = 1,
         max_hops: int = 12,
         where: str | None = None,
+        tiebreak: str = "id",
     ) -> DataFrame:
         """Batched search: (qid, qvec) -> per-query top-k with keys.
 
@@ -1673,7 +1674,21 @@ class LMDiskANNIndex:
         pre-filters (per-query top-k exact within the filtered set); beam
         mode on a fresh block layout runs filter-during-search (one allowed
         set shared by the whole batch); other approximate modes raise.
+
+        ``tiebreak``: 'id' (default) breaks distance ties on the INTERNAL
+        id — fast, but internal ids depend on insert order, so a rebuilt or
+        differently-churned index can rank equidistant duplicates
+        differently.  'key' breaks ties on the user KEY instead (lexical
+        string order): the reproducible choice for pipelines that compare
+        results across index lifecycles.  Exact mode applies it to the full
+        ranking (including the top-k boundary); approximate modes apply it
+        within their candidate sets.  Not supported with ``where`` (the
+        filtered paths keep the id tiebreak).
         """
+        if tiebreak not in ("id", "key"):
+            raise ValueError(f"tiebreak must be 'id' or 'key', got {tiebreak!r}")
+        if tiebreak == "key" and where is not None:
+            raise ValueError("tiebreak='key' is not supported with a filter")
         if where is not None:
             return self._search_batch_filtered(
                 queries, topk, mode, max(topk, ef), n_entrypoints, max_hops, where
@@ -1693,8 +1708,11 @@ class LMDiskANNIndex:
                 tombs = self.spark.read.parquet(self.meta["ivf"]["dir"] + "_tombstones")
                 assigned = assigned.join(F.broadcast(tombs), "id", "left_anti")
             centroids = self.catalog.read("ivf_centroids", self.meta)
+            if tiebreak == "key":
+                assigned = assigned.join(F.broadcast(self.key_map), "id")
             res = ivf_search_batch(
-                assigned, centroids, queries, k=topk, metric=self.meta["metric"]
+                assigned, centroids, queries, k=topk, metric=self.meta["metric"],
+                tiebreak_col="key" if tiebreak == "key" else None,
             )
         elif mode == "beam":
             from pyspark.sql import Window
@@ -1727,10 +1745,30 @@ class LMDiskANNIndex:
                     vectors_fetch=self._fetcher("vectors"),
                     adjacency_fetch=self._fetcher("adjacency"),
                 )
-            w = Window.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("id").asc())
-            res = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
+            if tiebreak == "key":
+                cand = cand.join(F.broadcast(self.key_map), "id")
+                w = Window.partitionBy("qid").orderBy(
+                    F.col("dist").asc(), F.col("key").asc()
+                )
+                res = (
+                    cand.withColumn("rank", F.row_number().over(w))
+                    .filter(F.col("rank") <= topk)
+                    .drop("key")
+                )
+            else:
+                w = Window.partitionBy("qid").orderBy(
+                    F.col("dist").asc(), F.col("id").asc()
+                )
+                res = cand.withColumn("rank", F.row_number().over(w)).filter(
+                    F.col("rank") <= topk
+                )
         else:
-            res = batch_topk(queries, self.vectors, k=topk, metric=self.meta["metric"])
+            # vectors carries key by schema contract, so the key tiebreak is
+            # a free column selection, not an extra join
+            res = batch_topk(
+                queries, self.vectors, k=topk, metric=self.meta["metric"],
+                tiebreak_col="key" if tiebreak == "key" else None,
+            )
         return res.join(F.broadcast(self.key_map), "id", "left").select(
             "qid", "key", "id", "dist", "rank"
         )

@@ -144,6 +144,7 @@ def ivf_search_batch(
     vec_col: str = "vec",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Batched IVF probe: per-query top-k for a whole queries DataFrame in
     ONE job — the batch amortization the single-query probe lacks.
@@ -153,6 +154,10 @@ def ivf_search_batch(
     filtered to the UNION of all probed cells (partition-pruned) and each
     row is scored only against the queries that probed its cell (equi-join
     on cell, never queries x corpus).  Returns (qid, id, dist, rank <= k).
+
+    ``tiebreak_col`` (must exist in ``assigned``): break distance ties on
+    this column instead of ``id_col`` — same contract as
+    ``topk.batch_topk``; the column is dropped from the output.
     """
     dist_fn = resolve_metric(metric)
     cw = Window.partitionBy(qid_col).orderBy(F.col("_cd").asc(), F.col("cell").asc())
@@ -167,11 +172,16 @@ def ivf_search_batch(
     # partition-prunes statically (a derived semi-join would rely on DPP)
     cell_list = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
     cand = assigned.filter(F.col("cell").isin(cell_list))
+    tb = tiebreak_col or id_col
     scored = cand.join(F.broadcast(probes), "cell").select(
-        qid_col, id_col, dist_fn(F.col(vec_col), F.col(qvec_col)).alias("dist")
+        qid_col,
+        id_col,
+        *([tb] if tb != id_col else []),
+        dist_fn(F.col(vec_col), F.col(qvec_col)).alias("dist"),
     )
-    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
-    return (
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(tb).asc())
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+    return out.drop(tb) if tb != id_col else out

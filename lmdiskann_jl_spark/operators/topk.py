@@ -67,29 +67,40 @@ def batch_topk(
     qvec_col: str = "qvec",
     vec_col: str = "vec",
     id_col: str = "id",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Top-k per query for a batch of queries.
 
     ``queries`` is expected to be small relative to ``vectors`` (it is
     broadcast); output is ``(qid, id, dist, rank)`` with rank 1..k per qid.
+
+    ``tiebreak_col`` (must exist in ``vectors``): break distance ties on
+    this column instead of ``id_col`` — e.g. a user key, whose order is
+    stable across index rebuilds while internal id assignment order is not.
+    The tiebreak decides the ranking (including which row survives the
+    top-k boundary) but is dropped from the output.
     """
     dist_fn = resolve_metric(metric)
     from lmdiskann_jl_spark.operators.knn_join import _spread
 
+    tb = tiebreak_col or id_col
+    cols = [id_col, vec_col] if tb == id_col else [id_col, tb, vec_col]
     scored = (
-        _spread(vectors.select(id_col, vec_col))
+        _spread(vectors.select(*cols))
         .crossJoin(F.broadcast(queries.select(qid_col, qvec_col)))
         .select(
             qid_col,
             id_col,
+            *([tb] if tb != id_col else []),
             dist_fn(F.col(vec_col), F.col(qvec_col)).alias("dist"),
         )
     )
-    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
-    return (
+    w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(tb).asc())
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+    return out.drop(tb) if tb != id_col else out
 
 
 def knn_classify(

@@ -3023,8 +3023,9 @@ def q_stream_churn(spark, sf_dir):
 
     This is the strongest gate the streaming ingest surface has: unlike the
     rows-only recall gates it is BIT-EXACT (exact search is deterministic,
-    and vec_ids come from keys, so internal id assignment order across
-    micro-batches cannot leak into the result).  Idempotent-replay and
+    vec_ids come from keys, and ties rank by KEY — ``tiebreak='key'`` — so
+    internal id assignment order across micro-batches cannot leak into the
+    result even for equidistant duplicate embeddings).  Idempotent-replay and
     drift-accounting behavior of the same operators are pytest-gated
     (tests/test_ivf_and_streaming.py).  Sink-side the search result lands
     in parquet and is memoized per (session, sf_dir) with eviction cleanup,
@@ -3074,8 +3075,13 @@ def q_stream_churn(spark, sf_dir):
             .parquet(f"{root}/del_in")
         )
         stream_delete(idx, del_stream, f"{root}/ckpt_del", key_col="k").awaitTermination()
+        # tiebreak='key': the oracle window ranks ties by vec_id, and keys
+        # ("vec-%08d") sort identically — internal ids do NOT (the streamed
+        # insert wave assigns them later than the bulk wave), so an id
+        # tiebreak could rank equidistant duplicates differently
         out = idx.search_batch(
-            _recall_queries(_gate_emb(spark, sf_dir)), topk=CHURN_K, mode="exact"
+            _recall_queries(_gate_emb(spark, sf_dir)), topk=CHURN_K,
+            mode="exact", tiebreak="key",
         ).select(
             "qid",
             F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("vec_id"),
@@ -3119,8 +3125,11 @@ def q_time_travel_search(spark, sf_dir):
                 "load, 2 streamed inserts, >= 1 streamed delete) — the gate "
                 "exists to prove historical reads ignore the later ones"
             )
+        # tiebreak='key' for the same reason as the churn gate: match the
+        # oracle's (dist, vec_id) tie order independent of internal ids
         out = old.search_batch(
-            _recall_queries(_gate_emb(spark, sf_dir)), topk=CHURN_K, mode="exact"
+            _recall_queries(_gate_emb(spark, sf_dir)), topk=CHURN_K,
+            mode="exact", tiebreak="key",
         ).select(
             "qid",
             F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("vec_id"),
@@ -5677,7 +5686,10 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # --- r11 window (CORRECTNESS_r11.json): 40 green rows+schema+hash, 10
     # rows-only recall gates (no_oracle by design, 0 reds — fifth
     # consecutive fully-green window).  Gates whose machinery round 12
-    # rewires are un-stamped at the end of the round, per protocol. ---
+    # rewires are un-stamped, per protocol: round 12 rewired the churn
+    # and time-travel gates (tiebreak='key') and the near-dup band
+    # store's lineage guard, so s_stream_churn / s_stream_neardup /
+    # v_time_travel_search lead the window unstamped. ---
     "a_beam_pq_recall": 11, "a_beam_recall": 11,
     "a_embedding_neardup_lsh": 11, "a_filtered_beam_recall": 11,
     "a_incremental_insert_recall": 11, "a_ivf_maintained_recall": 11,
@@ -5687,8 +5699,8 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "d_ngram_jaccard_pairs": 11, "m_decode_samples": 11,
     "m_payload_stats": 11, "p_group_sample_k": 11,
     "p_leakage_safe_split": 11, "p_stratified_sample": 11,
-    "r_asof_forward": 11, "r_events_props": 11, "s_stream_churn": 11,
-    "s_stream_neardup": 11, "t_chunk_documents": 11, "t_fingerprint": 11,
+    "r_asof_forward": 11, "r_events_props": 11, 
+    "t_chunk_documents": 11, "t_fingerprint": 11,
     "t_lang_id": 11, "t_langid_accuracy": 11, "t_phrase_proximity": 11,
     "t_pii_redact": 11, "t_quality_score": 11, "t_repetition": 11,
     "t_token_count": 11, "t_top_terms": 11, "t_vocab_build": 11,
@@ -5697,7 +5709,7 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "v_exact_topk_cosine": 11, "v_exact_topk_euclidean": 11,
     "v_filtered_topk": 11, "v_hard_negatives": 11, "v_knn_join": 11,
     "v_normalize": 11, "v_quantize": 11, "v_range_search": 11,
-    "v_reduce_dim": 11, "v_time_travel_search": 11,
+    "v_reduce_dim": 11, 
     # --- r10 window (CORRECTNESS_r10.json) ---
     "a_beam_pq_cosine_recall": 10, "a_extract_features": 10,
     "a_graph_build_lsh_recall": 10, "a_ivfpq_recall": 10, "a_pq_recall": 10,

@@ -172,10 +172,15 @@ def neardup_stream(
     is bound to ``checkpoint_dir`` — epoch ids are monotone only within one
     checkpoint lineage, so carrying the state to a query with a FRESH
     checkpoint (epochs restart at 0) would hide all existing state from the
-    first batches.  ENFORCED, not just documented: the store's meta records
-    the newest epoch written (``max_epoch``), and a micro-batch whose epoch
-    is strictly older raises immediately (a genuine replay arrives with
-    epoch == max_epoch and passes).  Keep them together, or drop both.
+    first batches.  ENFORCED two ways, not just documented: (a) an explicit
+    lineage TOKEN — the first micro-batch of a lineage writes a random run
+    id both into a marker file under ``checkpoint_dir`` and into the store's
+    meta, and every later batch requires them to match, so a fresh
+    checkpoint pointed at old state fails even at epoch 0 == max_epoch 0
+    (the hole an epoch high-water mark alone cannot see); (b) the
+    ``max_epoch`` high-water mark — a micro-batch whose epoch is strictly
+    older raises (a genuine replay arrives with epoch == max_epoch and a
+    matching token, and passes).  Keep them together, or drop both.
 
     Scale: state is O(n_docs x n_bands) fixed-width rows and lives in a
     ``TableCatalog`` under ``state_dir`` (the index tables' storage layer):
@@ -195,6 +200,27 @@ def neardup_stream(
         raise ValueError("neardup_stream needs a streaming DataFrame (use spark.readStream)")
     np_, br_ = n_perm or DEFAULT_N_PERM, band_rows or DEFAULT_BAND_ROWS
 
+    def _lineage_token(checkpoint: str) -> str:
+        """The checkpoint lineage's run id — minted once by the lineage's
+        first micro-batch and persisted as a marker file INSIDE the
+        checkpoint dir, so replays (same checkpoint) read the same token and
+        a fresh checkpoint (new dir, no marker) mints a fresh one."""
+        import json as _json
+        import os
+        import uuid
+
+        marker = os.path.join(checkpoint, "_neardup_lineage.json")
+        if os.path.exists(marker):
+            with open(marker) as fh:
+                return str(_json.load(fh)["token"])
+        os.makedirs(checkpoint, exist_ok=True)
+        token = uuid.uuid4().hex
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({"token": token}, fh)
+        os.replace(tmp, marker)
+        return token
+
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -204,11 +230,22 @@ def neardup_stream(
             meta = read_meta(state_dir)
         except FileNotFoundError:
             meta = {"versions": {}}
+        token = _lineage_token(checkpoint_dir)
+        if meta.get("versions") and meta.get("lineage_token") != token:
+            # the epoch high-water mark alone cannot catch a FRESH checkpoint
+            # whose first epoch (0) equals an old store's max_epoch (0) —
+            # the strictly-earlier state filter would then silently hide all
+            # epoch-0 bands (missed duplicates), so the token makes it loud
+            raise ValueError(
+                "neardup_stream lineage violation: checkpoint_dir's lineage "
+                f"token {token!r} does not match the state store's "
+                f"{meta.get('lineage_token')!r} — state_dir belongs to a "
+                "different checkpoint lineage; keep state_dir and "
+                "checkpoint_dir together, or drop both"
+            )
         if int(epoch_id) < int(meta.get("max_epoch", -1)):
             # a genuine replay has epoch_id == max_epoch; anything SMALLER
-            # means a fresh checkpoint was pointed at old state — the
-            # strictly-earlier filter would then silently hide ALL existing
-            # state from the early batches (missed duplicates), so fail loud
+            # within one lineage means the checkpoint itself went backwards
             raise ValueError(
                 f"neardup_stream lineage violation: micro-batch epoch "
                 f"{int(epoch_id)} is older than the state store's newest "
@@ -217,58 +254,66 @@ def neardup_stream(
                 "checkpoint_dir together, or drop both"
             )
         bands = _minhash_bands(batch_df, np_, br_, id_col, text_col).persist()
-        bands.count()  # eager: three consumers below must reuse, not recompute
-        dup_vs_state = None
-        if "bands" in meta.get("versions", {}):
-            # strictly-earlier epochs only: a replayed batch must not
-            # collide with its own first attempt's bands (see docstring)
-            state = cat.read("bands", meta).filter(
-                F.col("_epoch") < F.lit(int(epoch_id))
+        try:
+            bands.count()  # eager: three consumers below reuse, not recompute
+            dup_vs_state = None
+            if "bands" in meta.get("versions", {}):
+                # strictly-earlier epochs only: a replayed batch must not
+                # collide with its own first attempt's bands (see docstring)
+                state = cat.read("bands", meta).filter(
+                    F.col("_epoch") < F.lit(int(epoch_id))
+                )
+                dup_vs_state = (
+                    bands.join(state, ["band", "band_key"], "left_semi")
+                    .select("doc_id")
+                    .distinct()
+                )
+            other = bands.select(
+                F.col("doc_id").alias("_other"), "band", "band_key"
             )
-            dup_vs_state = (
-                bands.join(state, ["band", "band_key"], "left_semi")
+            dup_in_batch = (
+                bands.join(other, ["band", "band_key"])
+                .filter(F.col("_other") < F.col("doc_id"))
                 .select("doc_id")
                 .distinct()
             )
-        other = bands.select(
-            F.col("doc_id").alias("_other"), "band", "band_key"
-        )
-        dup_in_batch = (
-            bands.join(other, ["band", "band_key"])
-            .filter(F.col("_other") < F.col("doc_id"))
-            .select("doc_id")
-            .distinct()
-        )
-        dups = (
-            dup_in_batch if dup_vs_state is None
-            else dup_vs_state.unionByName(dup_in_batch).distinct()
-        )
-        flagged = (
-            batch_df.select(F.col(id_col).alias("doc_id"))
-            .join(dups.withColumn("_d", F.lit(True)), "doc_id", "left")
-            .select("doc_id", F.coalesce("_d", F.lit(False)).alias("is_dup"))
-        )
-        flagged.write.mode("append").parquet(out_dir)
-        stamped = bands.withColumn("_epoch", F.lit(int(epoch_id)))
-        # first-ever batch bootstraps the table (append requires an existing
-        # snapshot — the index gets that from create()'s empty writes)
-        if "bands" in meta.get("versions", {}):
-            meta = cat.append("bands", stamped, meta)
-        else:
-            meta = cat.write("bands", stamped, meta)
-        meta["max_epoch"] = int(epoch_id)  # the lineage high-water mark
-        if len(cat._segments("bands", meta)) > NEARDUP_STATE_SEGMENTS:
-            # inline read-amplification bound (the unlucky-batch latency
-            # spike contract stream_insert documents for the index tables)
-            meta = cat.compact("bands", meta)
-            write_meta(state_dir, meta)
-            # compaction bounds READ cost; vacuum bounds DISK — superseded
-            # segment dirs would otherwise accumulate forever.  Safe here:
-            # _process is the store's only reader and batches serialize.
-            cat.vacuum(meta, keep=1)
-        else:
-            write_meta(state_dir, meta)
-        bands.unpersist()
+            dups = (
+                dup_in_batch if dup_vs_state is None
+                else dup_vs_state.unionByName(dup_in_batch).distinct()
+            )
+            flagged = (
+                batch_df.select(F.col(id_col).alias("doc_id"))
+                .join(dups.withColumn("_d", F.lit(True)), "doc_id", "left")
+                .select("doc_id", F.coalesce("_d", F.lit(False)).alias("is_dup"))
+            )
+            flagged.write.mode("append").parquet(out_dir)
+            stamped = bands.withColumn("_epoch", F.lit(int(epoch_id)))
+            # first-ever batch bootstraps the table (append requires an
+            # existing snapshot — the index gets that from create()'s empty
+            # writes)
+            if "bands" in meta.get("versions", {}):
+                meta = cat.append("bands", stamped, meta)
+            else:
+                meta = cat.write("bands", stamped, meta)
+            meta["max_epoch"] = int(epoch_id)  # the lineage high-water mark
+            meta["lineage_token"] = token
+            if len(cat._segments("bands", meta)) > NEARDUP_STATE_SEGMENTS:
+                # inline read-amplification bound (the unlucky-batch latency
+                # spike contract stream_insert documents for the index tables)
+                meta = cat.compact("bands", meta)
+                write_meta(state_dir, meta)
+                # compaction bounds READ cost; vacuum bounds DISK — superseded
+                # segment dirs would otherwise accumulate forever.  Safe here:
+                # _process is the store's only reader and batches serialize.
+                cat.vacuum(meta, keep=1)
+            else:
+                write_meta(state_dir, meta)
+        finally:
+            # unpersist on every exit: a mid-batch failure (sink write error,
+            # compaction failure) would otherwise leak the cached dataset and
+            # Structured Streaming's retries would persist fresh copies,
+            # accumulating executor storage over a long-running stream
+            bands.unpersist()
 
     writer = docs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -654,3 +654,54 @@ def test_time_traveled_handle_supports_filtered_and_kv_reads(spark, tmp_path):
     assert set(old.list_all_keys()) == first
     assert old.get_id_from_key("k-9") is None  # later commit's key invisible
     assert old.get_embedding_from_key("k-3") == pytest.approx([3.0, 0.0])
+
+
+def test_search_batch_key_tiebreak_is_insert_order_independent(spark, tmp_path):
+    """tiebreak='key' ranks equidistant duplicates by user KEY, so two
+    indexes holding the same logical corpus but built in different insert
+    orders return identical rankings — the reproducibility contract the
+    bit-exact streaming gates lean on.  The default id tiebreak does NOT
+    have this property (internal ids follow assignment order), which is
+    exactly why the option exists."""
+    dup = [1.0, 0.0, 0.0]
+    uniq = [0.0, 1.0, 0.0]
+    rows = [("key-a", dup), ("key-b", dup), ("key-c", uniq)]
+
+    def build(path, order):
+        idx = pkg.create_index(spark, path, dim=3, maxdegree=4)
+        for i in order:
+            idx.insert_batch(
+                spark.createDataFrame([rows[i]], "k string, vec array<float>"),
+                vec_col="vec", key_col="k",
+            )
+        return idx
+
+    fwd = build(str(tmp_path / "fwd"), [0, 1, 2])
+    rev = build(str(tmp_path / "rev"), [1, 0, 2])
+    queries = spark.createDataFrame([(0, dup)], "qid long, qvec array<float>")
+
+    def ranked(idx, mode="exact", **kw):
+        return [
+            (r["rank"], r["key"])
+            for r in idx.search_batch(queries, topk=3, mode=mode, **kw)
+            .orderBy("rank").collect()
+        ]
+
+    want = [(1, "key-a"), (2, "key-b"), (3, "key-c")]
+    assert ranked(fwd, tiebreak="key") == want
+    assert ranked(rev, tiebreak="key") == want
+    # the beam path applies the same tiebreak within its candidate set (a
+    # 3-node graph's frontier reaches everything, so the result is exact)
+    assert ranked(rev, mode="beam", tiebreak="key") == want
+    # the id tiebreak flips the duplicates in the reversed index — the
+    # hazard tiebreak='key' removes (if this stops failing, internal id
+    # assignment changed and the gate rationale should be revisited)
+    assert ranked(rev, tiebreak="id") == [(1, "key-b"), (2, "key-a"), (3, "key-c")]
+
+    # the tiebreak decides the top-k BOUNDARY too, not just ordering within
+    # the returned page
+    top1 = rev.search_batch(queries, topk=1, mode="exact", tiebreak="key").collect()
+    assert [(r["rank"], r["key"]) for r in top1] == [(1, "key-a")]
+
+    with pytest.raises(ValueError, match="tiebreak"):
+        fwd.search_batch(queries, topk=1, tiebreak="nope")

@@ -158,6 +158,14 @@ def test_neardup_stream_replay_does_not_self_collide(spark, tmp_path, finish_str
         {"versions": {}},
     )
     meta["max_epoch"] = 0  # what the crashed attempt would have recorded
+    # the crashed attempt minted the lineage token BEFORE its state append,
+    # so both the checkpoint marker and the store meta carry it already
+    import json
+
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    (ckpt / "_neardup_lineage.json").write_text(json.dumps({"token": "run-a"}))
+    meta["lineage_token"] = "run-a"
     write_meta(state, meta)
 
     docs.coalesce(1).write.parquet(str(tmp_path / "in"))
@@ -255,6 +263,45 @@ def test_neardup_stream_rejects_foreign_checkpoint_lineage(spark, tmp_path, fini
         {"versions": {}},
     )
     meta["max_epoch"] = 39  # the original lineage got to epoch 39
+    write_meta(state, meta)
+
+    docs.coalesce(1).write.parquet(str(tmp_path / "in"))
+    q = neardup_stream(
+        spark.readStream.schema(docs.schema).parquet(str(tmp_path / "in")),
+        state, str(tmp_path / "out"), str(tmp_path / "fresh_ckpt"),
+    )
+    with pytest.raises(Exception, match="lineage violation"):
+        q.processAllAvailable()
+    q.stop()
+
+
+def test_neardup_stream_rejects_fresh_checkpoint_at_epoch_zero(
+    spark, tmp_path, finish_stream
+):
+    """The epoch-0 hole: a fresh checkpoint's first batch arrives with
+    epoch 0, and a store whose newest epoch is ALSO 0 passes the high-water
+    mark check (0 == 0 looks like a genuine replay) — the strictly-earlier
+    state filter would then silently hide every epoch-0 band.  The lineage
+    TOKEN closes it: the store remembers which checkpoint lineage wrote it,
+    and a fresh checkpoint (new random token) mismatches loudly."""
+    import pytest
+
+    from lmdiskann_jl_spark.sources.tables import TableCatalog, write_meta
+    from lmdiskann_jl_spark.streaming.dedup import _minhash_bands, neardup_stream
+
+    docs = spark.createDataFrame(
+        [(0, "the one document the original lineage ingested at its epoch zero")],
+        "doc_id long, text string",
+    )
+    state = str(tmp_path / "state")
+    cat = TableCatalog(spark, state)
+    meta = cat.write(
+        "bands",
+        _minhash_bands(docs, 16, 4, "doc_id", "text").withColumn("_epoch", F.lit(0)),
+        {"versions": {}},
+    )
+    meta["max_epoch"] = 0  # original lineage stopped after its first batch
+    meta["lineage_token"] = "the-original-run"
     write_meta(state, meta)
 
     docs.coalesce(1).write.parquet(str(tmp_path / "in"))
