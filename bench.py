@@ -113,7 +113,9 @@ def main() -> None:
         # availableNow replays) — warming them keeps the timed reps
         # homogeneous (both reps read the materialized result); the
         # time-travel gate rides the churn gate's memoized index lifecycle
-        if name.startswith(("a_", "s_")) or name == "v_time_travel_search":
+        if name.startswith(("a_", "s_")) or name in (
+            "v_time_travel_search", "v_time_travel_ivf",
+        ):
             qs[name](spark, sf_dir).count()
     gates_warmup = round(time.time() - t0, 3)
     print(f"# gate artifact warmup: {gates_warmup}s", file=sys.stderr)

@@ -145,6 +145,41 @@ def _layout_drift_n(layout: dict) -> int:
     return int(layout.get("n_appended", 0)) + int(layout.get("n_deleted", 0))
 
 
+def _drop_ivf_tombstones(meta: dict) -> dict:
+    """Unlist the ``ivf_tombstones`` table from a meta snapshot (rebuild /
+    refit / compaction folded them away).  Dirs on disk are untouched —
+    historical commits still reference them; vacuum reclaims by commit
+    reachability."""
+    meta = dict(meta)
+    meta["versions"] = {
+        k: v for k, v in meta.get("versions", {}).items() if k != "ivf_tombstones"
+    }
+    if "segments" in meta:
+        meta["segments"] = {
+            k: v for k, v in meta["segments"].items() if k != "ivf_tombstones"
+        }
+    return meta
+
+
+def _drop_ivf_tables(meta: dict) -> dict:
+    """Unlist BOTH IVF catalog tables plus the layout entry — the layout no
+    longer exists in this lineage (stale after an unmaintained mutation, or
+    every row tombstoned).  Same on-disk non-destruction contract as
+    ``_drop_ivf_tombstones``."""
+    meta = _drop_ivf_tombstones(meta)
+    meta["versions"] = {
+        k: v for k, v in meta["versions"].items()
+        if k not in ("ivf_cells", "ivf_centroids")
+    }
+    if "segments" in meta:
+        meta["segments"] = {
+            k: v for k, v in meta["segments"].items()
+            if k not in ("ivf_cells", "ivf_centroids")
+        }
+    meta.pop("ivf", None)
+    return meta
+
+
 def _vectors_schema(eltype: str) -> T.StructType:
     # float16: Spark/Parquet have no half type — stored as float32 whose
     # values are exact IEEE-half roundings (see _float16_quantize)
@@ -221,29 +256,24 @@ def _read_commit(path: str, commit: int) -> dict:
 
 def _snapshot_dirs(path: str, meta: dict) -> list[str]:
     """Every on-disk directory a meta snapshot depends on: the catalog
-    version dirs of each table (per THAT meta's segment list) plus the
-    out-of-catalog IVF cell dir."""
+    version dirs of each table, per THAT meta's segment list.  Since round
+    12 this includes the IVF layout — ``ivf_cells`` / ``ivf_tombstones``
+    are ordinary catalog tables, so a commit pins an exact IVF state the
+    same way it pins the base tables (no more out-of-catalog dirs)."""
     dirs = []
     segs = meta.get("segments", {})
     for name, cur in meta.get("versions", {}).items():
         for v in segs.get(name) or [cur]:
             dirs.append(os.path.join(path, name, f"v={v}"))
-    ivf = meta.get("ivf")
-    if ivf and ivf.get("dir"):
-        dirs.append(ivf["dir"])
     return dirs
 
 
 def _missing_snapshot_dirs(path: str, meta: dict) -> list[str]:
     """The dirs a commit needs for a historical read but which no longer
-    exist on disk.  The IVF layout is excluded — time-traveled/restored
-    handles DROP it (its cell store is append-in-place; see
-    LMDiskANNIndex.load) — so every consumer of commit readability
-    (load(commit=), restore, history's ``readable``, vacuum's record
-    pruning) shares this one rule and cannot drift apart."""
-    m = dict(meta)
-    m.pop("ivf", None)
-    return [d for d in _snapshot_dirs(path, m) if not os.path.isdir(d)]
+    exist on disk.  Every consumer of commit readability (load(commit=),
+    restore, history's ``readable``, vacuum's record pruning) shares this
+    one rule and cannot drift apart."""
+    return [d for d in _snapshot_dirs(path, meta) if not os.path.isdir(d)]
 
 
 class LMDiskANNIndex:
@@ -355,21 +385,27 @@ class LMDiskANNIndex:
         commit current again).  Raises FileNotFoundError if vacuum has
         dropped a snapshot the commit references.
 
-        Exactness contract: base tables and the block layout are fully
-        versioned (catalog snapshots + stamped MOR segments), so exact and
-        beam reads at a historical commit are bit-exact.  The IVF cell
-        store is the one structure maintained by IN-PLACE appends (cell
-        rows and the tombstone sidecar), so a historical probe through it
-        could see rows from the future — the time-traveled handle therefore
-        DROPS the IVF layout (mode='ivf' raises, auto-mode skips it);
-        ``restore`` + ``build_ivf`` rebuilds it for the restored corpus."""
+        Read-while-vacuum contract: snapshot existence is validated at OPEN
+        only — a ``vacuum()`` that drops this commit while a query is
+        running fails that query with the parquet reader's raw
+        FileNotFound, not this curated error.  Run vacuum with
+        ``min_age_seconds`` covering the longest historical query (the
+        Delta retention-duration analog) to make that race impossible.
+
+        Exactness contract: ALL physical layouts are fully versioned —
+        base tables and block layout as catalog snapshots + stamped MOR
+        segments, and (round 12) the IVF cell store as catalog tables too
+        (``ivf_cells`` append segments + an ``ivf_tombstones`` table), so
+        exact, beam, AND ivf reads at a historical commit are bit-exact:
+        the commit's segment list pins exactly the cell rows and
+        tombstones that existed then, and appends from the future live in
+        segments the historical meta never references."""
         if not os.path.exists(os.path.join(path, "_index_meta.json")):
             raise FileNotFoundError(f"no index at {path}")
         idx = cls(spark, path)
         if commit is not None:
             rec = _read_commit(path, commit)
             idx.meta = rec["meta"]
-            idx.meta.pop("ivf", None)
             idx._as_of = int(commit)
             missing = _missing_snapshot_dirs(path, rec["meta"])
             if missing:
@@ -458,14 +494,11 @@ class LMDiskANNIndex:
         """RESTORE analog: make an earlier commit the CURRENT state by
         committing its meta as a NEW entry — history is append-only, so a
         restore never rewinds the log (and is itself restorable-away).
-        The IVF layout is dropped like ``load(commit=)`` drops it (its cell
-        store is append-in-place, so the old meta's view of it may contain
-        rows from the rolled-back future) — run ``build_ivf`` after
-        restoring if IVF probes are needed."""
+        The IVF layout comes back with the commit (catalog segments pin its
+        exact state, same as the base tables) — no rebuild needed."""
         self._assert_writable()
         rec = _read_commit(self.path, commit)
         meta = dict(rec["meta"])
-        meta.pop("ivf", None)  # restored handles drop the layout (see load)
         missing = _missing_snapshot_dirs(self.path, rec["meta"])
         if missing:
             raise FileNotFoundError(
@@ -594,14 +627,14 @@ class LMDiskANNIndex:
         ivf = meta.get("ivf")
         if ivf and ivf.get("tombstones"):
             # fold probe-time tombstones into the cell table: one
-            # live-filtered rewrite to a new versioned dir + pointer swap,
-            # so the anti-join cost (and the dead rows) stop riding every
-            # probe.  Centroid drift (n_appended) deliberately SURVIVES —
-            # compaction rewrites bytes, the frozen centroids don't refit.
-            import re as _re
-
-            assigned = self.spark.read.parquet(ivf["dir"])
-            tombs = self.spark.read.parquet(ivf["dir"] + "_tombstones")
+            # live-filtered rewrite to a new catalog version + pointer
+            # swap, so the anti-join cost (and the dead rows) stop riding
+            # every probe.  Centroid drift (n_appended) deliberately
+            # SURVIVES — compaction rewrites bytes, the centroids don't
+            # refit.  Historical commits keep probing the pre-fold
+            # segments + tombstones (bit-exact either way).
+            assigned = self.catalog.read("ivf_cells", meta)
+            tombs = self.catalog.read("ivf_tombstones", meta)
             live_rows = (
                 assigned.join(F.broadcast(tombs), "id", "left_anti").persist()
             )
@@ -611,22 +644,28 @@ class LMDiskANNIndex:
                 # read (same landmine insert_batch/delete_batch guard) —
                 # the layout covers nothing, so drop it instead
                 live_rows.unpersist()
-                meta.pop("ivf", None)
+                meta = _drop_ivf_tables(meta)
                 ivf = None
             else:
-                n_c = int(ivf.get("n_compactions", 0)) + 1
-                # strip only a TRAILING compaction suffix: a bare
-                # split('.c') would truncate at any '.c' in the index
-                # path (e.g. ~/.cache/...) and write outside the root
-                base = _re.sub(r"\.c\d+$", "", ivf["dir"])
-                new_dir = f"{base}.c{n_c}"
-                live_rows.write.mode("overwrite").partitionBy("cell").parquet(new_dir)
+                meta = self.catalog.write(
+                    "ivf_cells", live_rows, meta, partition_by=["cell"]
+                )
                 live_rows.unpersist()
+                meta = _drop_ivf_tombstones(meta)
                 ivf = dict(ivf)
-                ivf["dir"] = new_dir
                 ivf.pop("tombstones", None)
-                ivf["n_compactions"] = n_c
+                ivf["n_compactions"] = int(ivf.get("n_compactions", 0)) + 1
                 meta["ivf"] = ivf
+        elif ivf and len(self.catalog._segments("ivf_cells", meta)) > 1:
+            # no tombstones but appended segments: collapse them (and their
+            # small files) back to one cell-partitioned snapshot
+            meta = self.catalog.write(
+                "ivf_cells", self.catalog.read("ivf_cells", meta), meta,
+                partition_by=["cell"],
+            )
+            ivf = dict(ivf)
+            ivf["n_compactions"] = int(ivf.get("n_compactions", 0)) + 1
+            meta["ivf"] = ivf
         if ivf and ivf_was_fresh:
             # same contract as blocks above: compaction rewrites bytes, not
             # data — a fresh IVF layout must stay fresh under the new
@@ -955,17 +994,16 @@ class LMDiskANNIndex:
                     metric=self.meta["metric"], seed=int(ivf.get("seed", 42)),
                 )
                 meta = self.catalog.write("ivf_centroids", centroids, meta)
-                new_dir = os.path.join(
-                    self.path, "ivf_cells",
-                    f"v={meta['versions']['ivf_centroids']}",
+                meta = self.catalog.write(
+                    "ivf_cells", assigned.select("id", "vec", "cell"), meta,
+                    partition_by=["cell"],
                 )
-                assigned.select("id", "vec", "cell").write.mode(
-                    "overwrite"
-                ).partitionBy("cell").parquet(new_dir)
+                # probe-time tombstones die with the refit: it reads only
+                # live vectors
+                meta = _drop_ivf_tombstones(meta)
                 meta["ivf"] = {
                     "n_cells": int(ivf["n_cells"]),
                     "seed": int(ivf.get("seed", 42)),
-                    "dir": new_dir,
                     "built_from": meta["versions"]["vectors"],
                     "built_n": int(self.meta["num_points"]) + n_new,
                     "n_refits": int(ivf.get("n_refits", 0)) + 1,
@@ -973,21 +1011,28 @@ class LMDiskANNIndex:
             else:
                 # within budget: assign the new rows to their nearest
                 # EXISTING centroid (broadcast centroids — no KMeans refit,
-                # no rescan of old rows) and append them to the cell layout.
-                # The append is not transactional with the meta commit —
-                # production swaps it for a MERGE (sources/tables.py
-                # pattern).
+                # no rescan of old rows) and append them as a NEW catalog
+                # segment (O(batch), transactional with the meta commit —
+                # the segment joins the snapshot only when save() swaps the
+                # pointer, so a crash mid-append leaves an orphan dir, not
+                # a half-visible layout)
                 from lmdiskann_jl_spark.operators.ivf import assign_cells
 
                 centroids = self.catalog.read("ivf_centroids", self.meta)
-                assign_cells(prepared, centroids, self.meta["metric"]).write.mode(
-                    "append"
-                ).partitionBy("cell").parquet(self.meta["ivf"]["dir"])
+                meta = self.catalog.append(
+                    "ivf_cells",
+                    assign_cells(prepared, centroids, self.meta["metric"])
+                    .select("id", "vec", "cell"),
+                    meta,
+                    partition_by=["cell"],
+                )
                 ivf["built_from"] = meta["versions"]["vectors"]
                 ivf["n_appended"] = n_appended
                 meta["ivf"] = ivf
         else:
-            meta.pop("ivf", None)  # cell layout no longer covers the new rows
+            # cell layout no longer covers the new rows: unlist it (dirs
+            # stay for historical commits; vacuum reclaims by reachability)
+            meta = _drop_ivf_tables(meta)
         # base-table segment bound LAST, after every layout stamp above is
         # final (the restamp inside must see the freshness this batch set)
         meta = self._maybe_autocompact_tables(meta)
@@ -1159,7 +1204,14 @@ class LMDiskANNIndex:
             # incremental IVF maintenance: tombstone the dead ids (probe-time
             # anti-join filters them) instead of dropping the whole layout —
             # the cell copy is immutable, so deletes are metadata-sized.
-            dead.write.mode("append").parquet(self.meta["ivf"]["dir"] + "_tombstones")
+            # Tombstones are a catalog table: the append is a new segment
+            # that becomes visible only at the meta commit, and historical
+            # commits pin exactly the tombstones that existed then.
+            dead_ids = dead.select("id")
+            if "ivf_tombstones" in meta.get("versions", {}):
+                meta = self.catalog.append("ivf_tombstones", dead_ids, meta)
+            else:
+                meta = self.catalog.write("ivf_tombstones", dead_ids, meta)
             ivf = dict(self.meta["ivf"])
             ivf["built_from"] = meta["versions"]["vectors"]
             ivf["tombstones"] = True
@@ -1173,7 +1225,8 @@ class LMDiskANNIndex:
             ivf["n_deleted"] = int(ivf.get("n_deleted", 0)) + n_dead
             meta["ivf"] = ivf
         else:
-            meta.pop("ivf", None)  # stale probes would surface deleted ids
+            # stale probes would surface deleted ids: unlist the layout
+            meta = _drop_ivf_tables(meta)
         meta["num_points"] = max(0, int(meta["num_points"]) - n_dead)
         ep = int(meta["entrypoint"])
         if ep >= 0 and dead.filter(F.col("id") == ep).count() > 0:  # repair, :630-638
@@ -1189,7 +1242,13 @@ class LMDiskANNIndex:
     def build_ivf(self, n_cells: int = 16, seed: int = 42) -> "LMDiskANNIndex":
         """Fit and persist the IVF layout: a tiny ``ivf_centroids`` table and
         a cell-partitioned copy of the vectors (partition pruning makes
-        ``search(mode='ivf')`` scan only the probed cells)."""
+        ``search(mode='ivf')`` scan only the probed cells).
+
+        Both live in the ``TableCatalog`` (round 12): ``ivf_cells`` is a
+        versioned snapshot like any base table, so commits pin an exact IVF
+        state and time travel / restore cover mode='ivf' — previously the
+        cell store was an out-of-catalog dir maintained by in-place
+        appends, the one exception to the versioned-snapshot contract."""
         self._assert_writable()
         from lmdiskann_jl_spark.operators.ivf import build_ivf as _build
 
@@ -1197,15 +1256,17 @@ class LMDiskANNIndex:
             self.vectors, n_cells=n_cells, metric=self.meta["metric"], seed=seed
         )
         meta = self.catalog.write("ivf_centroids", centroids, self.meta)
-        ivf_dir = os.path.join(self.path, "ivf_cells", f"v={meta['versions']['ivf_centroids']}")
-        assigned.select("id", "vec", "cell").write.mode("overwrite").partitionBy("cell").parquet(ivf_dir)
+        meta = self.catalog.write(
+            "ivf_cells", assigned.select("id", "vec", "cell"), meta,
+            partition_by=["cell"],
+        )
+        meta = _drop_ivf_tombstones(meta)  # a rebuild starts with none
         # version-stamp the layout with the vectors snapshot it was built
         # from: any later mutation bumps that version, so a stale IVF can be
         # detected (and is also dropped eagerly by insert/delete)
         meta["ivf"] = {
             "n_cells": n_cells,
             "seed": seed,
-            "dir": ivf_dir,
             "built_from": meta["versions"]["vectors"],
             # corpus size at fit time: the drift denominator.  n_appended /
             # built_n is the fraction of rows assigned to frozen centroids;
@@ -1216,6 +1277,17 @@ class LMDiskANNIndex:
         self.meta = meta
         self.save(op="build_ivf")
         return self
+
+    def _ivf_assigned(self) -> DataFrame:
+        """The IVF cell table's live rows — union of the catalog's
+        ``ivf_cells`` segments minus probe-time tombstones.  Hive ``cell``
+        partitioning survives the union, so probe-time cell filters still
+        prune; tombstones are a broadcast anti-join (metadata-sized)."""
+        assigned = self.catalog.read("ivf_cells", self.meta)
+        if self.meta["ivf"].get("tombstones"):
+            tombs = self.catalog.read("ivf_tombstones", self.meta)
+            assigned = assigned.join(F.broadcast(tombs), "id", "left_anti")
+        return assigned
 
     def _ivf_fresh(self) -> bool:
         """True iff an IVF layout exists AND matches the current vectors
@@ -1402,6 +1474,21 @@ class LMDiskANNIndex:
             n for n in ("vectors", "adjacency", "key_map")
             if len(meta.get("segments", {}).get(n) or []) >= TABLES_AUTOCOMPACT_SEGMENTS
         ]
+        # the IVF cell table accrues one segment per maintained insert
+        # (streaming: per micro-batch) — same bound, cell-partitioned
+        # rewrite (catalog.compact only knows the _b layout)
+        if (
+            meta.get("ivf")
+            and len(meta.get("segments", {}).get("ivf_cells") or [])
+            >= TABLES_AUTOCOMPACT_SEGMENTS
+        ):
+            meta = self.catalog.write(
+                "ivf_cells", self.catalog.read("ivf_cells", meta), meta,
+                partition_by=["cell"],
+            )
+            meta["table_autocompactions"] = (
+                int(meta.get("table_autocompactions", 0)) + 1
+            )
         if not over:
             return meta
         ivf = meta.get("ivf")
@@ -1629,13 +1716,9 @@ class LMDiskANNIndex:
                     "IVF layout is stale (vectors mutated since build_ivf) — "
                     "rebuild with build_ivf() or search with mode='exact'/'beam'"
                 )
-            assigned = self.spark.read.parquet(self.meta["ivf"]["dir"])
-            if self.meta["ivf"].get("tombstones"):
-                tombs = self.spark.read.parquet(self.meta["ivf"]["dir"] + "_tombstones")
-                assigned = assigned.join(F.broadcast(tombs), "id", "left_anti")
             centroids = self.catalog.read("ivf_centroids", self.meta)
             result = ivf_search(
-                assigned, centroids, query, k=topk, nprobe=nprobe,
+                self._ivf_assigned(), centroids, query, k=topk, nprobe=nprobe,
                 metric=self.meta["metric"],
             ).select("id", "dist")
         else:
@@ -1656,6 +1739,7 @@ class LMDiskANNIndex:
         max_hops: int = 12,
         where: str | None = None,
         tiebreak: str = "id",
+        nprobe: int = 4,
     ) -> DataFrame:
         """Batched search: (qid, qvec) -> per-query top-k with keys.
 
@@ -1703,15 +1787,13 @@ class LMDiskANNIndex:
                     "IVF layout is stale (vectors mutated since build_ivf) — "
                     "rebuild with build_ivf() or search with mode='exact'/'beam'"
                 )
-            assigned = self.spark.read.parquet(self.meta["ivf"]["dir"])
-            if self.meta["ivf"].get("tombstones"):
-                tombs = self.spark.read.parquet(self.meta["ivf"]["dir"] + "_tombstones")
-                assigned = assigned.join(F.broadcast(tombs), "id", "left_anti")
+            assigned = self._ivf_assigned()
             centroids = self.catalog.read("ivf_centroids", self.meta)
             if tiebreak == "key":
                 assigned = assigned.join(F.broadcast(self.key_map), "id")
             res = ivf_search_batch(
-                assigned, centroids, queries, k=topk, metric=self.meta["metric"],
+                assigned, centroids, queries, k=topk, nprobe=nprobe,
+                metric=self.meta["metric"],
                 tiebreak_col="key" if tiebreak == "key" else None,
             )
         elif mode == "beam":
@@ -1839,9 +1921,10 @@ class LMDiskANNIndex:
     def list_all_keys(self) -> list[str]:
         return kvmap.list_all_keys(self.key_map)
 
-    def vacuum(self, keep: int = 1) -> None:
-        """Drop table snapshots no retained commit needs, superseded IVF
-        cell dirs, and commit records whose snapshots are gone.
+    def vacuum(self, keep: int = 1, min_age_seconds: float = 0.0) -> None:
+        """Drop table snapshots no retained commit needs (IVF cell and
+        tombstone tables included — they are ordinary catalog tables) and
+        commit records whose snapshots are gone.
 
         COMMIT-AWARE semantics (round 11, session 2): protect every dir
         referenced by the CURRENT state or by the newest ``keep`` readable
@@ -1851,8 +1934,19 @@ class LMDiskANNIndex:
         collision-proof allocation makes a just-restored commit's dirs
         NUMERICALLY old (they'd die inside the keep window) while the
         rolled-back lineage's dirs are numerically new (they'd survive
-        unreferenced forever).  Time-travel reach is therefore exactly
-        "the last ``keep`` commits", by construction."""
+        unreferenced forever).  Time-travel reach is therefore "the last
+        ``keep`` commits" plus everything inside the retention horizon.
+
+        ``min_age_seconds`` is that horizon (Delta's retention-duration
+        analog, round 12): commits whose record is YOUNGER than this are
+        never dropped, regardless of ``keep`` — the guard that protects a
+        LIVE as-of reader.  ``load(commit=)`` validates snapshots only at
+        open; a vacuum racing a long historical query would otherwise
+        delete parquet files mid-job (raw FileNotFound from the reader,
+        not the curated error).  Production contract: set it to comfortably
+        exceed the longest-running historical query (Delta defaults to 7
+        days for the same reason); the default 0.0 keeps maintenance-style
+        immediate reclamation for callers that know no reader is live."""
         self._assert_writable()
         import shutil
 
@@ -1867,41 +1961,40 @@ class LMDiskANNIndex:
                 if fname.startswith("c") and fname.endswith(".json"):
                     with open(os.path.join(cdir, fname)) as f:
                         recs.append((fname, json.load(f)))
+        horizon = time.time() - float(min_age_seconds)
         kept = 0
         for _fname, rec in recs:
             if int(rec["commit"]) == cur:
                 continue
-            if kept >= keep:
+            # records are newest-first, so age protection is a prefix:
+            # once a record falls outside the horizon AND the keep window
+            # is full, everything older is out too
+            age_protected = (
+                min_age_seconds > 0 and float(rec.get("ts") or 0.0) >= horizon
+            )
+            if kept >= keep and not age_protected:
                 break
-            m = dict(rec["meta"])
-            m.pop("ivf", None)  # as-of handles drop the IVF layout (load)
-            dirs = [os.path.normpath(d) for d in _snapshot_dirs(self.path, m)]
+            dirs = [
+                os.path.normpath(d)
+                for d in _snapshot_dirs(self.path, rec["meta"])
+            ]
             if all(os.path.isdir(d) for d in dirs):
                 protected.update(dirs)
-                kept += 1
+                if not age_protected:
+                    kept += 1
         # sweep every on-disk table root (current tables AND tables an old
-        # lineage had but the current meta no longer lists)
+        # lineage had but the current meta no longer lists) — the IVF cell
+        # and tombstone tables are ordinary catalog tables since round 12,
+        # so the one generic sweep covers them too
         for name in os.listdir(self.path):
             table_root = os.path.join(self.path, name)
-            if name in (COMMITS_DIR, "ivf_cells") or not os.path.isdir(table_root):
+            if name == COMMITS_DIR or not os.path.isdir(table_root):
                 continue
             for entry in os.listdir(table_root):
                 if entry.startswith("v="):
                     full = os.path.normpath(os.path.join(table_root, entry))
                     if full not in protected:
                         shutil.rmtree(full, ignore_errors=True)
-        ivf = self.meta.get("ivf")
-        live = {os.path.normpath(ivf["dir"])} if ivf and ivf.get("dir") else set()
-        root = os.path.join(self.path, "ivf_cells")
-        if os.path.isdir(root):
-            for d in os.listdir(root):
-                if d.endswith("_tombstones"):
-                    continue  # sidecar: lives and dies with its base dir below
-                full = os.path.normpath(os.path.join(root, d))
-                if d.startswith("v=") and full not in live:
-                    shutil.rmtree(full, ignore_errors=True)
-                    # the IVF tombstone sidecar lives NEXT TO its dir
-                    shutil.rmtree(full + "_tombstones", ignore_errors=True)
         for fname, rec in recs:
             if int(rec["commit"]) == cur:
                 continue

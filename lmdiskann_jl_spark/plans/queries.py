@@ -3143,6 +3143,95 @@ def q_time_travel_search(spark, sf_dir):
     return _GATE_CACHE[key]
 
 
+def q_time_travel_ivf(spark, sf_dir):
+    """Time travel over the IVF physical path (round 12: the cell store
+    lives in the TableCatalog — ``ivf_cells`` append segments + an
+    ``ivf_tombstones`` table — so a commit pins an exact IVF state and
+    ``load(commit=)`` keeps the layout instead of dropping it, closing the
+    one carve-out the round-11 as-of contract had to document).
+
+    Lifecycle: bulk-load 3/4 of the embeddings, ``build_ivf`` (the pinned
+    commit), then churn the FUTURE — a maintained insert of the remaining
+    quarter (crosses IVF_AUTOREFIT_DRIFT, so the refit branch runs and the
+    old cell snapshot survives only through the commit log) and a
+    maintained delete of every vec_id % 5 == 2 key (tombstone segment).
+
+    The gate probes BOTH eras with mode='ivf' and nprobe == n_cells: an
+    exhaustive probe is an exact scan of whatever corpus the cell store
+    holds, so the hash against the DuckDB exact oracle verifies MEMBERSHIP
+    bit-exactly — the as-of probe must see exactly the bulk slice (no
+    leakage from the future's appends, no loss to the future's deletes),
+    and the current probe exactly (all minus doomed).  Probe-quality at
+    realistic nprobe stays the rows-only recall gates' job
+    (a_ivf_recall / a_ivf_maintained_recall); membership is this gate's.
+    tiebreak='key' matches the oracle's (dist, vec_id) tie order."""
+    key = _gate_key(spark, sf_dir, "time_travel_ivf")
+    if key not in _GATE_CACHE:
+        import tempfile
+
+        from lmdiskann_jl_spark.index import LMDiskANNIndex, load_index
+
+        emb = _t(spark, sf_dir, "embeddings")
+        root = tempfile.mkdtemp(prefix="lmdiskann_ttivf_")
+        _register_temp_path(key, root)
+
+        def as_batch(df):
+            return df.select(
+                F.col("embedding").alias("vec"),
+                F.format_string("vec-%08d", F.col("vec_id")).alias("k"),
+            )
+
+        idx = LMDiskANNIndex.create(
+            spark, f"{root}/idx", dim=64, maxdegree=ADJ_DEGREE, metric="euclidean"
+        )
+        idx.insert_batch(
+            as_batch(emb.filter(F.col("vec_id") % 4 != 0)), vec_col="vec", key_col="k"
+        )
+        # cell count scales with the corpus (same rationale as the
+        # maintained gate); nprobe == n_cells keeps the probe exhaustive
+        n_cells = max(2, min(8, idx.meta["num_points"] // 64))
+        idx.build_ivf(n_cells=n_cells)
+        ivf_commit = int(idx.meta["commit"])
+        idx.insert_batch(
+            as_batch(emb.filter(F.col("vec_id") % 4 == 0)),
+            vec_col="vec", key_col="k", maintain_ivf=True,
+        )
+        if int(idx.meta["ivf"].get("n_refits", 0)) < 1:
+            raise AssertionError(
+                "the quarter-corpus maintained wave (~33% of built_n) must "
+                "cross IVF_AUTOREFIT_DRIFT — the gate exists to prove the "
+                "pinned commit survives a refit"
+            )
+        doomed = emb.filter(
+            F.col("vec_id") % CHURN_DOOMED_MOD == CHURN_DOOMED_REM
+        ).select(F.format_string("vec-%08d", F.col("vec_id")).alias("key"))
+        idx.delete_batch(keys=doomed, maintain_ivf=True)
+        if not (idx._ivf_fresh() and idx.meta["ivf"].get("tombstones")):
+            raise AssertionError(
+                "the maintained delete must leave a FRESH layout with a "
+                "tombstone segment — the current-era probe gates exactly that"
+            )
+
+        qdf = _recall_queries(_gate_emb(spark, sf_dir))
+
+        def probe(handle, era):
+            return handle.search_batch(
+                qdf, topk=CHURN_K, mode="ivf", nprobe=n_cells, tiebreak="key"
+            ).select(
+                F.lit(era).alias("era"),
+                "qid",
+                F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("vec_id"),
+                F.round("dist", 4).alias("dist"),
+                F.col("rank").cast("long").alias("rank"),
+            )
+
+        old = load_index(spark, f"{root}/idx", commit=ivf_commit)
+        out = probe(old, "asof").unionByName(probe(idx, "current"))
+        out.write.mode("overwrite").parquet(f"{root}/out")
+        _GATE_CACHE[key] = spark.read.parquet(f"{root}/out")
+    return _GATE_CACHE[key]
+
+
 def q_stream_neardup(spark, sf_dir):
     """Streaming NEAR-dup dedup-on-ingest under the official oracle gate:
     the documents table replayed as an id-ordered two-file stream
@@ -5465,6 +5554,33 @@ def _oracle_map() -> dict[str, str | None]:
                     WHERE vec_id IN ({', '.join(str(i) for i in RECALL_QIDS)})) q
             ) WHERE rank <= {CHURN_K}
         """,
+        # time travel x IVF (round 12): exhaustive probe (nprobe == n_cells)
+        # of the pinned commit's cell store == exact scan of the bulk slice;
+        # the current handle's probe == exact scan of (all minus doomed) —
+        # membership is bit-exact per era, ties rank by vec_id (= key order)
+        "v_time_travel_ivf": f"""
+            SELECT era, qid, vec_id, dist, rank FROM (
+              SELECT 'asof' AS era, q.vec_id AS qid, s.vec_id,
+                     round({churn_eu}, 4) AS dist,
+                     CAST(row_number() OVER (
+                       PARTITION BY q.vec_id ORDER BY {churn_eu}, s.vec_id
+                     ) AS BIGINT) AS rank
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id % 4 <> 0) s,
+                   (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id IN ({', '.join(str(i) for i in RECALL_QIDS)})) q
+              UNION ALL
+              SELECT 'current' AS era, q.vec_id AS qid, s.vec_id,
+                     round({churn_eu}, 4) AS dist,
+                     CAST(row_number() OVER (
+                       PARTITION BY q.vec_id ORDER BY {churn_eu}, s.vec_id
+                     ) AS BIGINT) AS rank
+              FROM (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id % {CHURN_DOOMED_MOD} <> {CHURN_DOOMED_REM}) s,
+                   (SELECT vec_id, embedding FROM embeddings
+                    WHERE vec_id IN ({', '.join(str(i) for i in RECALL_QIDS)})) q
+            ) WHERE rank <= {CHURN_K}
+        """,
         # streamed churn (insert wave + delete wave) must leave the index
         # holding exactly (all embeddings) minus the doomed slice — gated by
         # the exact top-k over the probe set (bit-exact, not a recall bar)
@@ -5855,6 +5971,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_churn": q_stream_churn,
         "s_stream_neardup": q_stream_neardup,
         "v_time_travel_search": q_time_travel_search,
+        "v_time_travel_ivf": q_time_travel_ivf,
         "t_bm25_search": q_bm25_search,
         "v_rrf_fusion": q_rrf_fusion,
         "a_mmr_rerank": q_mmr_rerank,

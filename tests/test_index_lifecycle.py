@@ -705,3 +705,101 @@ def test_search_batch_key_tiebreak_is_insert_order_independent(spark, tmp_path):
 
     with pytest.raises(ValueError, match="tiebreak"):
         fwd.search_batch(queries, topk=1, tiebreak="nope")
+
+
+def test_time_travel_covers_ivf_layout(spark, tmp_path):
+    """Round 12: the IVF cell store lives in the TableCatalog (append
+    segments + a tombstone table), so a commit pins an exact IVF state and
+    load(commit=)/restore keep the layout — previously the one structure
+    time travel had to drop.  The historical probe must see EXACTLY the
+    commit's corpus: maintained appends from the future are invisible,
+    rows the future deleted are still there."""
+    import random
+
+    from lmdiskann_jl_spark.index import load_index
+
+    random.seed(31)
+    rows = [(f"k-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(60)]
+    df = spark.createDataFrame(rows, "k string, vec array<float>")
+    path = str(tmp_path / "idx")
+    idx = pkg.create_index(spark, path, dim=4, maxdegree=4)           # commit 0
+    idx.insert_batch(df.filter(F.col("k") < "k-4"), vec_col="vec", key_col="k")  # commit 1
+    idx.build_ivf(n_cells=4)                                          # commit 2
+    ivf_commit = idx.meta["commit"]
+    # future: maintained insert (cell segment append) + maintained delete
+    # (tombstone segment) — both stay fresh, both are post-commit-2 state
+    idx.insert_batch(
+        df.filter(F.col("k") >= "k-4"), vec_col="vec", key_col="k",
+        maintain_ivf=True,
+    )                                                                 # commit 3
+    idx.delete_batch(keys=["k-0", "k-11"], maintain_ivf=True)         # commit 4
+    assert idx._ivf_fresh()
+
+    old = load_index(spark, path, commit=ivf_commit)
+    assert old._ivf_fresh(), "the commit's IVF layout must come back fresh"
+    want_keys = {f"k-{i}" for i in range(60) if f"k-{i}" < "k-4"}
+    # probe every cell => the historical IVF scan is exhaustive, so it must
+    # EQUAL the historical exact scan (same corpus, same ranking)
+    q = [float(x) for x in rows[0][1]]
+    ivf_got = [
+        (r["key"], round(r["dist"], 6))
+        for r in old.search(q, topk=8, mode="ivf", nprobe=4).collect()
+    ]
+    exact_got = [
+        (r["key"], round(r["dist"], 6))
+        for r in old.search(q, topk=8, mode="exact").collect()
+    ]
+    assert ivf_got == exact_got
+    got_keys = {k for k, _ in ivf_got}
+    assert got_keys <= want_keys and "k-0" in {k for k, _ in ivf_got[:1]}
+    # the future's appends must not leak into the historical probe
+    assert not any(k >= "k-4" for k in got_keys)
+
+    # the CURRENT handle's probe reflects the full churn: appends visible,
+    # tombstoned rows gone
+    cur_ids = {
+        r["key"] for r in idx.search(q, topk=60, mode="ivf", nprobe=4).collect()
+    }
+    assert "k-0" not in cur_ids and "k-11" not in cur_ids
+    assert any(k >= "k-4" for k in cur_ids)
+
+    # restore brings the IVF layout back with the commit — no rebuild
+    idx.restore(ivf_commit)
+    assert idx._ivf_fresh()
+    back = {r["key"] for r in idx.search(q, topk=8, mode="ivf", nprobe=4).collect()}
+    assert back == {k for k, _ in ivf_got}
+
+
+def test_vacuum_retention_horizon_protects_live_asof_reader(spark, tmp_path):
+    """vacuum(min_age_seconds=...) is the Delta retention-duration analog
+    (round 12): commits younger than the horizon survive regardless of
+    ``keep``, so an as-of handle opened before the vacuum keeps reading.
+    Past the horizon the commit dies and the next open raises the curated
+    error."""
+    import random
+
+    from lmdiskann_jl_spark.index import load_index
+
+    random.seed(37)
+    rows = [(f"k-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "k string, vec array<float>")
+    path = str(tmp_path / "idx")
+    idx = pkg.create_index(spark, path, dim=4, maxdegree=4)           # commit 0
+    idx.insert_batch(df.filter(F.col("k") < "k-2"), vec_col="vec", key_col="k")  # commit 1
+    idx.insert_batch(df.filter(F.col("k") >= "k-2"), vec_col="vec", key_col="k") # commit 2
+    idx.compact()                                                     # commit 3
+
+    # a reader is live on commit 1; vacuum with a horizon covering it
+    # (every commit is seconds old) — keep=0 alone would drop it
+    old = load_index(spark, path, commit=1)
+    idx.vacuum(keep=0, min_age_seconds=3600)
+    q = [float(x) for x in rows[0][1]]
+    got = {r["key"] for r in old.search(q, topk=3).collect()}
+    assert got, "the age-protected snapshot must keep serving the live reader"
+    assert {h["commit"] for h in idx.history()} >= {1, 2, 3}
+
+    # past the horizon (everything older than 0 seconds is fair game) the
+    # same vacuum reclaims, and the NEXT open fails with the curated error
+    idx.vacuum(keep=0, min_age_seconds=0)
+    with pytest.raises(FileNotFoundError, match="vacuumed snapshots|no commit"):
+        load_index(spark, path, commit=1)

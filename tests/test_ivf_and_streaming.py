@@ -714,10 +714,10 @@ def test_stream_insert_maintains_blocks(spark, tmp_path, finish_stream):
 @pytest.mark.slow
 def test_compact_folds_ivf_tombstones_and_keeps_fresh(spark, tmp_path):
     """compact() on an index with maintained-IVF tombstones: the cell table
-    rewrites live-only into a new versioned dir (pointer swap), the
-    tombstone flag clears, probes stay correct, and freshness survives the
-    compaction — previously compacting the base tables silently staled a
-    fresh IVF layout."""
+    rewrites live-only into a new catalog version (pointer swap), the
+    tombstone flag clears and the tombstone table unlists, probes stay
+    correct, and freshness survives the compaction — previously compacting
+    the base tables silently staled a fresh IVF layout."""
     import os
     import random
 
@@ -731,25 +731,35 @@ def test_compact_folds_ivf_tombstones_and_keeps_fresh(spark, tmp_path):
     idx.build_ivf(n_cells=4)
     idx.delete_batch(keys=["k-3", "k-9"], maintain_ivf=True)
     assert idx.meta["ivf"].get("tombstones") is True
-    old_dir = idx.meta["ivf"]["dir"]
+    assert "ivf_tombstones" in idx.meta["versions"]
+    old_v = idx.meta["versions"]["ivf_cells"]
+    old_dir = str(tmp_path / "ivfc" / "ivf_cells" / f"v={old_v}")
 
     idx.compact()
     assert idx._ivf_fresh(), "compaction must not stale a fresh IVF layout"
     ivf = idx.meta["ivf"]
     assert "tombstones" not in ivf and ivf["n_compactions"] == 1
-    assert ivf["dir"] != old_dir
+    assert idx.meta["versions"]["ivf_cells"] != old_v
+    assert "ivf_tombstones" not in idx.meta["versions"]
     # dead rows are physically gone from the new cell table
-    cells = spark.read.parquet(ivf["dir"])
+    cells = idx._ivf_assigned()
     dead_ids = {idx.get_id_from_key(k) for k in ("k-3", "k-9")}
     assert dead_ids == {None}  # keys resolved to nothing post-delete
     assert cells.count() == 98
     res = idx.search(rows[3][1], topk=3, mode="ivf").collect()
     assert "k-3" not in {r["key"] for r in res} and len(res) == 3
-    # vacuum prunes the superseded dir + its tombstone sidecar
-    idx.vacuum()
+    # vacuum prunes the superseded cell version and the tombstone table
+    # once no retained commit references them
+    idx.vacuum(keep=0)
     assert not os.path.isdir(old_dir)
-    assert not os.path.isdir(old_dir + "_tombstones")
-    assert os.path.isdir(ivf["dir"])
+    tomb_root = str(tmp_path / "ivfc" / "ivf_tombstones")
+    assert not os.path.isdir(tomb_root) or not any(
+        e.startswith("v=") for e in os.listdir(tomb_root)
+    )
+    new_dir = str(
+        tmp_path / "ivfc" / "ivf_cells" / f"v={idx.meta['versions']['ivf_cells']}"
+    )
+    assert os.path.isdir(new_dir)
 
 
 def test_stream_insert_maintains_ivf(spark, tmp_path, finish_stream):
