@@ -3285,6 +3285,82 @@ def q_stream_neardup(spark, sf_dir):
     return _GATE_CACHE[key]
 
 
+def q_stream_embedding_neardup(spark, sf_dir):
+    """Streaming EMBEDDING near-dup dedup-on-ingest under the official
+    oracle gate (round 12 — the third dedup-on-ingest twin, after exact-key
+    and MinHash-text): the embeddings table PLUS planted identical twins
+    (the a_semantic_dedup construction: one twin per SEMANTIC_PLANT_STEP-th
+    vector at vec_id + SEMANTIC_PLANT_OFFSET) replayed as an id-ordered
+    two-file stream — micro-batch 1 is the original corpus, micro-batch 2
+    the twin wave, so every twin must be flagged via the accumulated
+    BUCKET+VECTOR state store, not batch-local work.
+
+    HASH-EXACT despite LSH approximation, by construction: the threshold
+    (SEMANTIC_GATE_COS = 0.90) sits far above the corpus's natural max
+    pairwise cosine (0.513 at sf0.01), so the only >=threshold pairs are
+    the planted identical twins — and identical vectors get identical
+    sign-projection buckets (same floats through the same matmul), so LSH
+    can NEVER miss them; sub-threshold bucket collisions die in the exact
+    cosine verify on BOTH engines.  The expected output is therefore
+    SQL-expressible ("is_dup iff an earlier vector has cos >= threshold"),
+    and a missed natural pair would red the gate.  Threshold-level recall
+    on natural near-dups stays with a_embedding_neardup_lsh (rows-only)
+    and the pytest lane."""
+    key = _gate_key(spark, sf_dir, "stream_emb_neardup")
+    if key not in _GATE_CACHE:
+        import glob
+        import os
+        import shutil
+        import tempfile
+        import time
+
+        from lmdiskann_jl_spark.streaming.dedup import embedding_neardup_stream
+
+        emb = _t(spark, sf_dir, "embeddings")
+        mk = _gate_key(spark, sf_dir, "max_vec_id")
+        if mk not in _GATE_CACHE:
+            _GATE_CACHE[mk] = emb.agg(F.max("vec_id").alias("m")).collect()[0]["m"]
+        if _GATE_CACHE[mk] is not None and int(_GATE_CACHE[mk]) >= SEMANTIC_PLANT_OFFSET:
+            raise AssertionError(
+                "stream-embedding-neardup gate precondition violated: "
+                f"max vec_id {_GATE_CACHE[mk]} >= SEMANTIC_PLANT_OFFSET "
+                f"{SEMANTIC_PLANT_OFFSET} — raise the offset (and its "
+                "oracle literal) for this corpus"
+            )
+        base = emb.select("vec_id", "embedding")
+        twins = emb.filter(
+            F.col("vec_id") % SEMANTIC_PLANT_STEP == SEMANTIC_PLANT_MOD
+        ).select(
+            (F.col("vec_id") + SEMANTIC_PLANT_OFFSET).alias("vec_id"), "embedding"
+        )
+        root = tempfile.mkdtemp(prefix="lmdiskann_sembdup_")
+        _register_temp_path(key, root)
+        src = f"{root}/in"
+        os.makedirs(src)
+        t0 = time.time()
+        for tag, half, mtime in (
+            ("aa", base, t0 - 3600),        # the corpus arrives first...
+            ("zz", twins, t0 + 3600),       # ...then the duplicate wave
+        ):
+            tmp = f"{root}/half_{tag}"
+            half.coalesce(1).write.parquet(tmp)
+            for i, f in enumerate(sorted(glob.glob(f"{tmp}/part-*.parquet"))):
+                dst = f"{src}/{tag}-{i}.parquet"
+                shutil.copy(f, dst)
+                os.utime(dst, (mtime, mtime))
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        embedding_neardup_stream(
+            stream, f"{root}/state", f"{root}/out", f"{root}/ckpt",
+            threshold=SEMANTIC_GATE_COS,
+        ).awaitTermination()
+        _GATE_CACHE[key] = spark.read.parquet(f"{root}/out")
+    return _GATE_CACHE[key]
+
+
 def q_user_sessions(spark, sf_dir):
     """Sessionization (operators/sessionize, 30-min gap) — the batch twin of
     the stateful streaming operator.  Declared as the plain one-window form
@@ -5581,6 +5657,29 @@ def _oracle_map() -> dict[str, str | None]:
                     WHERE vec_id IN ({', '.join(str(i) for i in RECALL_QIDS)})) q
             ) WHERE rank <= {CHURN_K}
         """,
+        # streaming embedding near-dup: the planted-twin construction makes
+        # the LSH+verify output SQL-expressible — the only >= threshold
+        # pairs are identical twins (natural max cosine 0.513 << 0.90) and
+        # identical vectors can never miss an LSH bucket collision
+        "s_stream_embedding_neardup": f"""
+            WITH u AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + {SEMANTIC_PLANT_OFFSET} AS vec_id, embedding
+              FROM embeddings
+              WHERE vec_id % {SEMANTIC_PLANT_STEP} = {SEMANTIC_PLANT_MOD}
+            ),
+            later AS (
+              SELECT DISTINCT b.vec_id
+              FROM u a JOIN u b ON a.vec_id < b.vec_id
+              WHERE {O.cosine_sim(
+                  "list_transform(a.embedding, x -> CAST(x AS DOUBLE))",
+                  "list_transform(b.embedding, x -> CAST(x AS DOUBLE))",
+              )} >= {SEMANTIC_GATE_COS}
+            )
+            SELECT u.vec_id, (u.vec_id IN (SELECT vec_id FROM later)) AS is_dup
+            FROM u
+        """,
         # streamed churn (insert wave + delete wave) must leave the index
         # holding exactly (all embeddings) minus the doomed slice — gated by
         # the exact top-k over the probe set (bit-exact, not a recall bar)
@@ -5970,6 +6069,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s_stream_clean": q_stream_clean,
         "s_stream_churn": q_stream_churn,
         "s_stream_neardup": q_stream_neardup,
+        "s_stream_embedding_neardup": q_stream_embedding_neardup,
         "v_time_travel_search": q_time_travel_search,
         "v_time_travel_ivf": q_time_travel_ivf,
         "t_bm25_search": q_bm25_search,

@@ -84,6 +84,56 @@ def dedup_stream(
 NEARDUP_STATE_SEGMENTS = 16
 
 
+def _lineage_token(checkpoint: str) -> str:
+    """The checkpoint lineage's run id — minted once by the lineage's first
+    micro-batch and persisted as a marker file INSIDE the checkpoint dir, so
+    replays (same checkpoint) read the same token and a fresh checkpoint
+    (new dir, no marker) mints a fresh one."""
+    import json as _json
+    import os
+    import uuid
+
+    marker = os.path.join(checkpoint, "_neardup_lineage.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            return str(_json.load(fh)["token"])
+    os.makedirs(checkpoint, exist_ok=True)
+    token = uuid.uuid4().hex
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        _json.dump({"token": token}, fh)
+    os.replace(tmp, marker)
+    return token
+
+
+def _check_lineage(meta: dict, token: str, epoch_id: int, what: str) -> None:
+    """ENFORCE the state-dir <-> checkpoint-dir binding, two ways.
+
+    (a) Lineage token: a fresh checkpoint pointed at an old store fails
+    even at epoch 0 == max_epoch 0 — the hole an epoch high-water mark
+    alone cannot see (the strictly-earlier state filter would silently
+    hide every epoch-0 row from the new lineage's first batch).
+    (b) The ``max_epoch`` high-water mark: a micro-batch whose epoch is
+    strictly older raises (a genuine replay arrives with epoch ==
+    max_epoch and a matching token, and passes)."""
+    if meta.get("versions") and meta.get("lineage_token") != token:
+        raise ValueError(
+            f"{what} lineage violation: checkpoint_dir's lineage token "
+            f"{token!r} does not match the state store's "
+            f"{meta.get('lineage_token')!r} — state_dir belongs to a "
+            "different checkpoint lineage; keep state_dir and "
+            "checkpoint_dir together, or drop both"
+        )
+    if int(epoch_id) < int(meta.get("max_epoch", -1)):
+        raise ValueError(
+            f"{what} lineage violation: micro-batch epoch "
+            f"{int(epoch_id)} is older than the state store's newest "
+            f"epoch {int(meta['max_epoch'])} — state_dir belongs to a "
+            "different checkpoint lineage; keep state_dir and "
+            "checkpoint_dir together, or drop both"
+        )
+
+
 def _minhash_bands(
     docs: DataFrame,
     n_perm: int,
@@ -200,27 +250,6 @@ def neardup_stream(
         raise ValueError("neardup_stream needs a streaming DataFrame (use spark.readStream)")
     np_, br_ = n_perm or DEFAULT_N_PERM, band_rows or DEFAULT_BAND_ROWS
 
-    def _lineage_token(checkpoint: str) -> str:
-        """The checkpoint lineage's run id — minted once by the lineage's
-        first micro-batch and persisted as a marker file INSIDE the
-        checkpoint dir, so replays (same checkpoint) read the same token and
-        a fresh checkpoint (new dir, no marker) mints a fresh one."""
-        import json as _json
-        import os
-        import uuid
-
-        marker = os.path.join(checkpoint, "_neardup_lineage.json")
-        if os.path.exists(marker):
-            with open(marker) as fh:
-                return str(_json.load(fh)["token"])
-        os.makedirs(checkpoint, exist_ok=True)
-        token = uuid.uuid4().hex
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            _json.dump({"token": token}, fh)
-        os.replace(tmp, marker)
-        return token
-
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -231,28 +260,7 @@ def neardup_stream(
         except FileNotFoundError:
             meta = {"versions": {}}
         token = _lineage_token(checkpoint_dir)
-        if meta.get("versions") and meta.get("lineage_token") != token:
-            # the epoch high-water mark alone cannot catch a FRESH checkpoint
-            # whose first epoch (0) equals an old store's max_epoch (0) —
-            # the strictly-earlier state filter would then silently hide all
-            # epoch-0 bands (missed duplicates), so the token makes it loud
-            raise ValueError(
-                "neardup_stream lineage violation: checkpoint_dir's lineage "
-                f"token {token!r} does not match the state store's "
-                f"{meta.get('lineage_token')!r} — state_dir belongs to a "
-                "different checkpoint lineage; keep state_dir and "
-                "checkpoint_dir together, or drop both"
-            )
-        if int(epoch_id) < int(meta.get("max_epoch", -1)):
-            # a genuine replay has epoch_id == max_epoch; anything SMALLER
-            # within one lineage means the checkpoint itself went backwards
-            raise ValueError(
-                f"neardup_stream lineage violation: micro-batch epoch "
-                f"{int(epoch_id)} is older than the state store's newest "
-                f"epoch {int(meta['max_epoch'])} — state_dir belongs to a "
-                "different checkpoint lineage; keep state_dir and "
-                "checkpoint_dir together, or drop both"
-            )
+        _check_lineage(meta, token, epoch_id, "neardup_stream")
         bands = _minhash_bands(batch_df, np_, br_, id_col, text_col).persist()
         try:
             bands.count()  # eager: three consumers below reuse, not recompute
@@ -316,6 +324,189 @@ def neardup_stream(
             bands.unpersist()
 
     writer = docs.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def embedding_neardup_stream(
+    vecs: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_planes: int | None = None,
+    n_tables: int | None = None,
+    seed: int = 42,
+    trigger_seconds: int | None = None,
+):
+    """Streaming EMBEDDING near-dup dedup-on-ingest: every arriving vector
+    is flagged against ALL vectors ever seen — the third member of the
+    dedup-on-ingest family (exact-key ``dedup_stream``, MinHash-LSH text
+    ``neardup_stream``, and this: sign-random-projection LSH over an
+    embedding column), the shape an embedding-heavy training pipeline runs
+    ("dedupe arriving embeddings against the ingested corpus").
+
+    Per micro-batch (foreachBatch):
+      1. bucket the batch — ``knn_join.add_lsh_buckets`` with plane
+         constants fixed by (dim, n_planes, n_tables, seed), the SAME
+         recipe as the batch operator ``dedup.lsh_neardup_pairs`` (and
+         its parameter picker ``lsh_neardup_params``), so streaming state
+         and the batch twin bucket identical vectors identically;
+      2. candidates = batch ids colliding with the accumulated bucket
+         store on (lsh_table, bucket) — ids only through the exchange —
+         OR with a smaller-id batch sibling; every candidate pair then
+         pays exactly ONE exact-cosine verification against the state's
+         vector table (unlike the text store, state must keep vectors:
+         band keys prove nothing, cosine is the contract);
+      3. append (vec_id, is_dup) to ``out_dir``; append the batch's
+         buckets AND vectors (duplicates included — the any-earlier-doc
+         rule) to the state catalog, epoch-stamped.
+
+    Semantics: first-seen-wins, identical to ``neardup_stream`` — a vector
+    is a duplicate iff it LSH-collides AND exact-verifies (cos_sim >=
+    ``threshold``) against any EARLIER-ARRIVED vector; for an id-ordered
+    stream that equals "has a verified partner with a smaller id".
+
+    Replay safety, lineage enforcement (token + max_epoch), inline
+    compaction (``NEARDUP_STATE_SEGMENTS``) and vacuum: the same contracts
+    as the text band store, shared via ``_lineage_token``/
+    ``_check_lineage``; the state join reads strictly-earlier epochs only.
+
+    Scale: state is O(n_vecs x n_tables) fixed-width bucket rows plus
+    O(n_vecs) vector rows in a ``TableCatalog``; the candidate join is a
+    bucketed equi-join (never all-pairs) and vectors never ride the
+    (table, bucket) exchange — they re-attach by id equi-joins only for
+    the candidate pairs.  At 100 TB the bucket table is additionally
+    bucketed by (lsh_table, bucket) so the state join co-locates.
+    Returns the StreamingQuery handle."""
+    from lmdiskann_jl_spark.functions.vector import cosine_similarity
+    from lmdiskann_jl_spark.operators.dedup import lsh_neardup_params
+    from lmdiskann_jl_spark.operators.knn_join import (
+        add_lsh_buckets,
+        random_hyperplanes,
+    )
+    from lmdiskann_jl_spark.sources.tables import TableCatalog, read_meta, write_meta
+
+    if not vecs.isStreaming:
+        raise ValueError(
+            "embedding_neardup_stream needs a streaming DataFrame "
+            "(use spark.readStream)"
+        )
+    if n_planes is None or n_tables is None:
+        k, tables, _ = lsh_neardup_params(threshold)
+        n_planes = n_planes or k
+        n_tables = n_tables or tables
+    planes_by_dim: dict[int, list] = {}  # dim discovered from the first batch
+
+    def _process(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        cat = TableCatalog(spark, state_dir)
+        try:
+            meta = read_meta(state_dir)
+        except FileNotFoundError:
+            meta = {"versions": {}}
+        token = _lineage_token(checkpoint_dir)
+        _check_lineage(meta, token, epoch_id, "embedding_neardup_stream")
+        sel = batch_df.select(
+            F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
+        )
+        dim = len(sel.select("vec").first()["vec"])
+        if dim not in planes_by_dim:
+            planes_by_dim[dim] = random_hyperplanes(dim, n_planes, n_tables, seed)
+        buckets = (
+            add_lsh_buckets(sel, planes_by_dim[dim], vec_col="vec")
+            .select("vec_id", "lsh_table", "bucket")
+            .persist()
+        )
+        try:
+            buckets.count()  # eager: state join + self-join + append reuse it
+            batch_vecs = sel  # (vec_id, vec) — the verify side for batch ids
+            pair_frames = []
+            if "buckets" in meta.get("versions", {}):
+                # strictly-earlier epochs only: a replayed batch must not
+                # collide with its own first attempt's state rows
+                st_b = cat.read("buckets", meta).filter(
+                    F.col("_epoch") < F.lit(int(epoch_id))
+                )
+                st_v = cat.read("vecs", meta).filter(
+                    F.col("_epoch") < F.lit(int(epoch_id))
+                )
+                pair_frames.append(
+                    buckets.join(
+                        st_b.select(
+                            F.col("vec_id").alias("_other"), "lsh_table", "bucket"
+                        ),
+                        ["lsh_table", "bucket"],
+                    )
+                    .select("vec_id", "_other")
+                    .distinct()
+                    .join(
+                        st_v.select(F.col("vec_id").alias("_other"),
+                                    F.col("vec").alias("_ov")),
+                        "_other",
+                    )
+                )
+            sib = buckets.select(
+                F.col("vec_id").alias("_other"), "lsh_table", "bucket"
+            )
+            pair_frames.append(
+                buckets.join(sib, ["lsh_table", "bucket"])
+                .filter(F.col("_other") < F.col("vec_id"))
+                .select("vec_id", "_other")
+                .distinct()
+                .join(
+                    batch_vecs.select(F.col("vec_id").alias("_other"),
+                                      F.col("vec").alias("_ov")),
+                    "_other",
+                )
+            )
+            cands = pair_frames[0]
+            for extra in pair_frames[1:]:
+                cands = cands.unionByName(extra)
+            dups = (
+                cands.join(batch_vecs, "vec_id")
+                .filter(cosine_similarity(F.col("vec"), F.col("_ov")) >= threshold)
+                .select("vec_id")
+                .distinct()
+            )
+            flagged = (
+                batch_vecs.select("vec_id")
+                .join(dups.withColumn("_d", F.lit(True)), "vec_id", "left")
+                .select("vec_id", F.coalesce("_d", F.lit(False)).alias("is_dup"))
+            )
+            flagged.write.mode("append").parquet(out_dir)
+            bstamped = buckets.withColumn("_epoch", F.lit(int(epoch_id)))
+            vstamped = batch_vecs.withColumn("_epoch", F.lit(int(epoch_id)))
+            if "buckets" in meta.get("versions", {}):
+                meta = cat.append("buckets", bstamped, meta)
+                meta = cat.append("vecs", vstamped, meta)
+            else:
+                meta = cat.write("buckets", bstamped, meta)
+                meta = cat.write("vecs", vstamped, meta)
+            meta["max_epoch"] = int(epoch_id)
+            meta["lineage_token"] = token
+            if len(cat._segments("buckets", meta)) > NEARDUP_STATE_SEGMENTS:
+                # same inline read-amplification + disk bounds as the text
+                # band store; _process is the store's only reader
+                meta = cat.compact("buckets", meta)
+                meta = cat.compact("vecs", meta)
+                write_meta(state_dir, meta)
+                cat.vacuum(meta, keep=1)
+            else:
+                write_meta(state_dir, meta)
+        finally:
+            buckets.unpersist()
+
+    writer = vecs.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir
     )
     if trigger_seconds:

@@ -312,3 +312,97 @@ def test_neardup_stream_rejects_fresh_checkpoint_at_epoch_zero(
     with pytest.raises(Exception, match="lineage violation"):
         q.processAllAvailable()
     q.stop()
+
+
+def test_embedding_neardup_stream_first_seen_wins_across_batches(
+    spark, tmp_path, finish_stream
+):
+    """embedding_neardup_stream: a vector is flagged iff it LSH-collides
+    AND exact-verifies (cosine >= threshold) against any EARLIER vector —
+    across micro-batches via the bucket+vector state store, within a batch
+    via the smaller-id sibling rule; near-but-below-threshold vectors that
+    share a bucket die in the verify."""
+    import os
+    import shutil
+    import time
+
+    from lmdiskann_jl_spark.streaming.dedup import embedding_neardup_stream
+
+    e0 = [1.0, 0.0, 0.0, 0.0]
+    e1 = [0.0, 1.0, 0.0, 0.0]
+    rows_b1 = [(0, e0), (1, e1), (2, e0)]        # 2 dups 0 in-batch
+    rows_b2 = [(3, e0), (4, [0.0, 0.0, 1.0, 0.0]), (5, e1)]  # 3,5 dup vs state
+    src = tmp_path / "in"
+    src.mkdir()
+    t0 = time.time()
+    for i, rows in enumerate((rows_b1, rows_b2)):
+        tmp = str(tmp_path / f"half_{i}")
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+            1
+        ).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = str(src / f"f{i}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = embedding_neardup_stream(
+        stream, str(tmp_path / "state"), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), threshold=0.99,
+    )
+    finish_stream(q, timeout=300)
+    got = {
+        r["vec_id"]: r["is_dup"]
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    assert got == {0: False, 1: False, 2: True, 3: True, 4: False, 5: True}
+
+    # the state store carries both tables with the lineage contract
+    from lmdiskann_jl_spark.sources.tables import TableCatalog, read_meta
+
+    meta = read_meta(str(tmp_path / "state"))
+    assert "lineage_token" in meta and meta["max_epoch"] >= 1
+    cat = TableCatalog(spark, str(tmp_path / "state"))
+    assert cat.read("vecs", meta).count() == 6
+    assert cat.read("buckets", meta).select("vec_id").distinct().count() == 6
+
+
+def test_embedding_neardup_stream_rejects_foreign_lineage(
+    spark, tmp_path, finish_stream
+):
+    """The embedding store shares the text store's enforced lineage
+    contract (token + max_epoch) via the common helpers."""
+    import json
+
+    import pytest
+
+    from lmdiskann_jl_spark.sources.tables import TableCatalog, write_meta
+    from lmdiskann_jl_spark.streaming.dedup import embedding_neardup_stream
+
+    docs = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    state = str(tmp_path / "state")
+    cat = TableCatalog(spark, state)
+    meta = cat.write(
+        "buckets",
+        spark.createDataFrame(
+            [(0, 0, 1, 0)], "vec_id long, lsh_table int, bucket long, _epoch long"
+        ),
+        {"versions": {}},
+    )
+    meta["max_epoch"] = 0
+    meta["lineage_token"] = "someone-else"
+    write_meta(state, meta)
+
+    docs.coalesce(1).write.parquet(str(tmp_path / "in"))
+    q = embedding_neardup_stream(
+        spark.readStream.schema(docs.schema).parquet(str(tmp_path / "in")),
+        state, str(tmp_path / "out"), str(tmp_path / "fresh_ckpt"),
+    )
+    with pytest.raises(Exception, match="lineage violation"):
+        q.processAllAvailable()
+    q.stop()
