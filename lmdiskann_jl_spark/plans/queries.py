@@ -3567,11 +3567,13 @@ def q_lsh_knn(spark, sf_dir):
 def q_lsh_knn_auto(spark, sf_dir):
     """LSH kNN join at the AUTO operating point — occupancy-holding planes
     (p = round(log2(n / 8k)), one plane per 2x of n, so per-bucket work
-    never goes quadratic) plus rho-scaled tables (T = 16 * (n/500)^0.3,
-    the sublinear table growth LSH theory prescribes for holding recall;
-    see knn_join.auto_lsh_config).  This is the configuration a 100-TB run
+    never goes quadratic) plus rho-scaled tables (T = 16 * (n/500)^0.515,
+    rho derived from the measured per-plane true-pair collision rate so
+    the recall floor HOLDS as planes grow — round 12's sf1 measurement
+    showed the old 0.3 exponent decaying below the bar; see
+    knn_join.auto_lsh_config).  This is the configuration a 100-TB run
     uses; it diverges from the fixed LSH_GATE_PLANES/TABLES point at BOTH
-    bench SFs (n=500 -> p=4/T=16; n=2000 -> p=6/T=24 vs the gate's fixed
+    bench SFs (n=500 -> p=4/T=16; n=2000 -> p=6/T=33 vs the gate's fixed
     5/16), so the benched shuffle measures the scale rule, not the gate.
     Quality at this exact operating point is gated by a_lsh_auto_recall.
     Oracle: none (approximate) — sanity: every query id emits <= k rows."""
@@ -5904,11 +5906,13 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # rewires are un-stamped, per protocol: round 12 rewired the churn
     # and time-travel gates (tiebreak='key') and the near-dup band
     # store's lineage guard, so s_stream_churn / s_stream_neardup /
-    # v_time_travel_search lead the window unstamped. ---
+    # v_time_travel_search lead the window unstamped, joined by the
+    # AUTO-LSH pair (a_lsh_knn_auto, a_lsh_auto_recall) whose operating
+    # point r12 recalibrated (rho 0.3 -> 0.515). ---
     "a_beam_pq_recall": 11, "a_beam_recall": 11,
     "a_embedding_neardup_lsh": 11, "a_filtered_beam_recall": 11,
     "a_incremental_insert_recall": 11, "a_ivf_maintained_recall": 11,
-    "a_ivf_recall": 11, "a_lsh_knn": 11, "a_lsh_knn_auto": 11,
+    "a_ivf_recall": 11, "a_lsh_knn": 11, 
     "a_lsh_recall": 11, "a_mmr_rerank": 11, "a_semantic_dedup": 11,
     "d_embedding_neardup": 11, "d_ngram_jaccard_capped": 11,
     "d_ngram_jaccard_pairs": 11, "m_decode_samples": 11,
@@ -5944,7 +5948,7 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "t_tfidf_top_terms": 10, "t_unigram_logprob": 10, "v_hybrid_search": 10,
     "v_label_centroids": 10, "v_rrf_fusion": 10,
     # --- r9 window (CORRECTNESS_r09.json) ---
-    "a_lsh_auto_recall": 9, "d_span_removal": 9, "k_keymap_count": 9,
+    "d_span_removal": 9, "k_keymap_count": 9,
     "k_keymap_lookup": 9, "m_media_decode": 9, "p_dataset_split": 9,
     "p_decontaminate": 9, "p_pack_sequences": 9, "p_quality_filter": 9,
     "p_source_weighted_sample": 9, "p_token_budget_mix": 9,

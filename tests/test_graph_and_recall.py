@@ -63,7 +63,10 @@ def test_auto_lsh_config_scale_rule():
     k = 4
     prev_p, prev_t = auto_lsh_config(500, k)
     assert (prev_p, prev_t) == (4, 16)  # calibration anchor (recall 0.90)
-    assert auto_lsh_config(2000, k) == (6, 24)  # sf0.1 point (recall 0.77)
+    # sf0.1 point under the derived rho = log2(1/C_TRUE) ~ 0.515 (round 12:
+    # the old 0.3 let recall decay below the bar at n=20000 — see
+    # knn_join.py's calibration comment and SCALING.md's sf1 section)
+    assert auto_lsh_config(2000, k) == (6, 33)
     for n in [8_000, 64_000, 1_000_000, 100_000_000]:
         p, t = auto_lsh_config(n, k)
         assert p >= prev_p and t >= prev_t, "auto point must not coarsen"

@@ -585,6 +585,17 @@ def main() -> int:
             "  once (cheap — everything is warm) and a run that still\n"
             "  fails the band records \"valid\": false instead of standing\n"
             "  as the round's number (the BENCH_r10 contamination class).\n"
+            "- Round-12 AUTO-LSH recalibration, attributed in advance:\n"
+            "  the sf1 measurement (tools/scaling_sf1.py, see the sf1\n"
+            "  section) showed recall at the AUTO operating point decaying\n"
+            "  BELOW the 0.70 bar at n=20000 (0.628) under rho=0.3 —\n"
+            "  LSH_RHO is now derived from the measured per-plane true-pair\n"
+            "  collision rate (log2(1/0.70) ~ 0.515), so the sf0.1 AUTO\n"
+            "  point grew from 24 to 33 tables.  a_lsh_knn_auto and\n"
+            "  a_lsh_auto_recall walls rise ~T-proportionally (more\n"
+            "  bucketing rows + candidate pairs) — a deliberate\n"
+            "  recall-floor price, not a plan regression; the fixed-point\n"
+            "  gates (a_lsh_knn, a_lsh_recall) are unchanged.\n"
         )
     print(f"wrote {out}")
     return 0
