@@ -939,3 +939,48 @@ def test_stream_churn_gate_equals_batch_survivor_topk(spark):
     }
     assert len(got) == len(Q.RECALL_QIDS) * Q.CHURN_K
     assert got == want
+
+
+@pytest.mark.slow
+def test_maintained_ivf_cell_segments_are_bounded(spark, tmp_path):
+    """Round 12: maintained inserts append one ivf_cells catalog segment
+    per batch (streaming: per micro-batch), so without a bound a long
+    ingest would make every probe union an unbounded dir list.  The inline
+    autocompact rule (TABLES_AUTOCOMPACT_SEGMENTS) must collapse the cell
+    table, keep the layout fresh, and change no probe decision."""
+    import random
+
+    import lmdiskann_jl_spark as pkg
+    from lmdiskann_jl_spark.index import TABLES_AUTOCOMPACT_SEGMENTS
+
+    random.seed(41)
+    # large built_n so ~20 single-row maintained waves never cross the
+    # 25% drift budget (a refit would collapse segments for free and the
+    # test would prove nothing)
+    base = [(f"b-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(400)]
+    idx = pkg.create_index(spark, str(tmp_path / "segbound"), dim=4, maxdegree=4)
+    idx.insert_batch(
+        spark.createDataFrame(base, "k string, vec array<float>"),
+        vec_col="vec", key_col="k",
+    )
+    idx.build_ivf(n_cells=4)
+
+    n_waves = TABLES_AUTOCOMPACT_SEGMENTS + 3
+    for i in range(n_waves):
+        row = [(f"n-{i}", [random.gauss(0, 1) for _ in range(4)])]
+        idx.insert_batch(
+            spark.createDataFrame(row, "k string, vec array<float>"),
+            vec_col="vec", key_col="k", maintain_ivf=True,
+        )
+    ivf = idx.meta["ivf"]
+    assert ivf.get("n_refits", 0) == 0, "waves must stay below the drift budget"
+    assert idx._ivf_fresh()
+    segs = idx.catalog._segments("ivf_cells", idx.meta)
+    assert len(segs) <= TABLES_AUTOCOMPACT_SEGMENTS, (
+        f"{len(segs)} live ivf_cells segments — the inline bound did not fire"
+    )
+    # no row lost to the collapse: every base + appended id still probes
+    assert idx._ivf_assigned().count() == 400 + n_waves
+    probe = base[7][1]
+    res = idx.search(probe, topk=1, mode="ivf", nprobe=4).collect()
+    assert res[0]["key"] == "b-7" and res[0]["dist"] == pytest.approx(0.0, abs=1e-6)
