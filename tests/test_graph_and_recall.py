@@ -397,3 +397,71 @@ def test_alpha_insert_with_lsh_candidates(spark, emb):
     assert all(len(n) <= 6 for n in by_id.values())
     assert all(i not in n for i, n in by_id.items())
     assert all(by_id[i] for i in range(50, 60)), "every new node links somewhere"
+
+
+def test_multiprobe_lsh_recovers_recall_at_quarter_tables(emb):
+    """Multiprobe (round 12): probing the 3 lowest-|margin| bit flips per
+    table must recover, at a QUARTER of the table budget, at least the
+    recall the full budget gets from single-bucket probing — the stored
+    corpus side is 4x smaller, candidates stay in the same budget.  Also
+    pins probes=1 as the classic behavior (strictly fewer candidates than
+    any multiprobe run)."""
+    k = 10
+    exact = brute_force_knn_join(emb, emb, k=k, metric="euclidean").select(
+        F.col("id_l").alias("qid"), F.col("id_r").alias("id")
+    ).cache()
+
+    def recall(tables, probes):
+        approx = lsh_knn_join(
+            emb, emb, k=k, dim=64, metric="euclidean",
+            n_planes=4, n_tables=tables, probes=probes,
+        ).select(F.col("id_l").alias("qid"), F.col("id_r").alias("id"))
+        return recall_at_k(approx, exact, k=k)
+
+    full_single = recall(16, 1)
+    quarter_single = recall(4, 1)
+    quarter_multi = recall(4, 4)
+    # fewer tables lose recall under single-bucket probing...
+    assert quarter_single < full_single
+    # ...and multiprobe buys it back (within noise of the full budget)
+    assert quarter_multi >= full_single - 0.05
+    assert quarter_multi > quarter_single
+    assert quarter_multi >= 0.70  # the reference bar at the gate's shape
+
+
+def test_multiprobe_probes_one_is_classic_bucketing(spark):
+    """probes=1 must be bit-for-bit the classic single-bucket explode —
+    same (id, lsh_table, bucket) rows — so every existing caller is
+    unaffected by the multiprobe extension."""
+    import random
+
+    from lmdiskann_jl_spark.operators.knn_join import (
+        add_lsh_buckets,
+        random_hyperplanes,
+    )
+
+    random.seed(7)
+    rows = [(i, [random.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, vec array<float>")
+    planes = random_hyperplanes(8, 4, 3, seed=11)
+    base = {
+        (r["id"], r["lsh_table"], r["bucket"])
+        for r in add_lsh_buckets(df, planes).collect()
+    }
+    one = {
+        (r["id"], r["lsh_table"], r["bucket"])
+        for r in add_lsh_buckets(df, planes, probes=1).collect()
+    }
+    assert one == base and len(base) == 40 * 3
+    # probes=2 is a strict superset: every base bucket still probed, plus
+    # exactly one flipped bucket per (row, table)
+    two = {
+        (r["id"], r["lsh_table"], r["bucket"])
+        for r in add_lsh_buckets(df, planes, probes=2).collect()
+    }
+    assert base <= two and len(two) == 40 * 3 * 2
+    # native (non-Arrow) path cannot rank margins — loud, not silent
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Arrow"):
+        add_lsh_buckets(df, planes, use_arrow=False, probes=2)

@@ -39,7 +39,15 @@ SF01 = "/root/testdata/sf0.1"
 SF1_DIR = "/tmp/lmdiskann_scaling_sf1"
 SF1_ROWS_MULT = 10
 SEED = 4242
-QUERIES = ["a_lsh_knn", "a_lsh_knn_auto", "a_lsh_auto_recall"]
+QUERIES = [
+    "a_lsh_knn",
+    "a_lsh_knn_auto",
+    "a_lsh_auto_recall",
+    # round 12: multiprobe at a quarter of the AUTO table budget — its gate
+    # raises below 0.70, so a completed row certifies multiprobe recall at
+    # sf1 too (the candidate the next round may move AUTO onto)
+    "a_lsh_multiprobe_recall",
+]
 
 
 def _ensure_sf1() -> str:
