@@ -26,6 +26,12 @@ def test_example_main_runs(spark, name, monkeypatch):
     # some) — pin the smoke scale; get_spark() inside main() resolves to
     # the session fixture via getOrCreate, so no second JVM spins up
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    # several demos end with spark.stop() — correct standalone, fatal to
+    # the suite's shared session (every later test would hit "stopped
+    # SparkContext"); suppress stop for the smoke run
+    from pyspark.sql import SparkSession
+
+    monkeypatch.setattr(SparkSession, "stop", lambda self: None)
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     monkeypatch.syspath_prepend(os.path.join(root, "examples"))
     mod = importlib.import_module(name)
