@@ -279,7 +279,7 @@ def test_single_query_search_routes_through_blocks(spark, idx_path, batch):
 
 @pytest.mark.slow
 def test_vacuum_prunes_superseded_layout_dirs(spark, idx_path, batch):
-    """Rebuilding blocks (a catalog table) / IVF (a versioned dir) leaves
+    """Rebuilding blocks / IVF (both catalog tables since round 12) leaves
     superseded O(corpus) copies; vacuum must remove them while keeping the
     live ones."""
     import os
@@ -288,8 +288,18 @@ def test_vacuum_prunes_superseded_layout_dirs(spark, idx_path, batch):
     idx.insert_batch(batch, vec_col="vec", key_col="k")
     idx.build_beam_blocks(n_entrypoints=4)
     idx.build_ivf(n_cells=4)
-    first_blocks = os.path.join(idx_path, "beam_blocks", f"v={idx.meta['versions']['beam_blocks']}")
-    first_ivf = idx.meta["ivf"]["dir"]
+
+    def layout_dirs():
+        return (
+            os.path.join(
+                idx_path, "beam_blocks", f"v={idx.meta['versions']['beam_blocks']}"
+            ),
+            os.path.join(
+                idx_path, "ivf_cells", f"v={idx.meta['versions']['ivf_cells']}"
+            ),
+        )
+
+    first_blocks, first_ivf = layout_dirs()
     # mutate -> stale -> rebuild writes NEW versions
     extra = spark.createDataFrame(
         [("key-x", [0.01 * j for j in range(8)])], "k string, vec array<float>"
@@ -297,17 +307,20 @@ def test_vacuum_prunes_superseded_layout_dirs(spark, idx_path, batch):
     idx.insert_batch(extra, vec_col="vec", key_col="k")
     idx.build_beam_blocks(n_entrypoints=4)
     idx.build_ivf(n_cells=4)
-    second_blocks = os.path.join(idx_path, "beam_blocks", f"v={idx.meta['versions']['beam_blocks']}")
-    second_ivf = idx.meta["ivf"]["dir"]
+    second_blocks, second_ivf = layout_dirs()
     assert first_blocks != second_blocks and first_ivf != second_ivf
     assert all(os.path.isdir(d) for d in (first_blocks, second_blocks, first_ivf, second_ivf))
-    idx.vacuum()
+    # keep=0: nothing but the current commit is retained, so the
+    # superseded layout snapshots (referenced only by pre-rebuild commits)
+    # must die while the live ones survive
+    idx.vacuum(keep=0)
     assert not os.path.isdir(first_blocks), "superseded blocks snapshot must be pruned"
-    assert not os.path.isdir(first_ivf), "superseded IVF dir must be pruned"
+    assert not os.path.isdir(first_ivf), "superseded IVF snapshot must be pruned"
     assert os.path.isdir(second_blocks) and os.path.isdir(second_ivf)
-    # the live layout still searches
+    # the live layouts still search
     q = [float(x) for x in batch.collect()[1]["vec"]]
     assert idx.search(q, topk=1, mode="beam", ef=40, n_entrypoints=4).collect()[0]["key"] == "key-1"
+    assert idx.search(q, topk=1, mode="ivf", nprobe=4).collect()[0]["key"] == "key-1"
 
 
 def test_maintained_insert_keeps_blocks_fresh(spark, idx_path, batch):

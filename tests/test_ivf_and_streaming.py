@@ -806,11 +806,13 @@ def test_stream_insert_maintains_ivf(spark, tmp_path, finish_stream):
 
 @pytest.mark.slow
 def test_ivf_compact_edge_cases(spark, tmp_path):
-    """Two compaction edges: (a) an index PATH containing '.c' must not
-    confuse the compaction-suffix strip (the fold writes inside the index
-    root and vacuum can reclaim it); (b) tombstoning EVERY cell row then
-    compacting drops the layout instead of writing a schema-less 0-row
-    partitioned dir that would break later reads."""
+    """Two compaction edges: (a) repeated tombstone-fold cycles write new
+    ivf_cells catalog versions inside the index root (round 12 moved the
+    cell store into the TableCatalog — the old out-of-catalog '.cN'
+    suffix dirs, and their path-mangling hazard, no longer exist) with the
+    tombstone table unlisted after each fold; (b) tombstoning EVERY cell
+    row then compacting drops the layout instead of writing a schema-less
+    0-row partitioned dir that would break later reads."""
     import os
     import random
 
@@ -818,24 +820,30 @@ def test_ivf_compact_edge_cases(spark, tmp_path):
 
     random.seed(29)
 
-    # (a) '.c' inside the path
+    # (a) two fold cycles ('.c' in the path stays harmless — everything is
+    # root-relative catalog versions now)
     root = tmp_path / "proj.cache" / "idx"
     rows = [(f"k-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(40)]
     idx = pkg.create_index(spark, str(root), dim=4, maxdegree=4)
     idx.insert_batch(spark.createDataFrame(rows, "k string, vec array<float>"),
                      vec_col="vec", key_col="k")
     idx.build_ivf(n_cells=2)
+    v0 = idx.meta["versions"]["ivf_cells"]
     idx.delete_batch(keys=["k-1"], maintain_ivf=True)
     idx.compact()
     assert idx._ivf_fresh() and idx.meta["ivf"]["n_compactions"] == 1
-    new_dir = os.path.normpath(idx.meta["ivf"]["dir"])
-    assert new_dir.startswith(os.path.normpath(str(root))), new_dir
-    assert spark.read.parquet(new_dir).count() == 39
-    # a second compact cycle strips the prior .cN suffix, never stacks it
+    v1 = idx.meta["versions"]["ivf_cells"]
+    assert v1 != v0
+    new_dir = os.path.normpath(str(root / "ivf_cells" / f"v={v1}"))
+    assert os.path.isdir(new_dir)
+    assert idx._ivf_assigned().count() == 39
+    assert "ivf_tombstones" not in idx.meta["versions"]
+    # a second fold cycle: another new version, counter increments
     idx.delete_batch(keys=["k-2"], maintain_ivf=True)
     idx.compact()
-    assert idx.meta["ivf"]["dir"].endswith(".c2")
-    assert ".c1.c2" not in idx.meta["ivf"]["dir"]
+    assert idx.meta["ivf"]["n_compactions"] == 2
+    assert idx.meta["versions"]["ivf_cells"] not in (v0, v1)
+    assert idx._ivf_assigned().count() == 38
 
     # (b) EVERY cell row tombstoned (maintained delete of all keys keeps
     # the IVF layout with full tombstone coverage) -> compact() must DROP
