@@ -265,6 +265,13 @@ def _snapshot_dirs(path: str, meta: dict) -> list[str]:
     for name, cur in meta.get("versions", {}).items():
         for v in segs.get(name) or [cur]:
             dirs.append(os.path.join(path, name, f"v={v}"))
+    ivf = meta.get("ivf")
+    if ivf and ivf.get("dir"):
+        # LEGACY (pre-round-12) layout: the cell store lived in an
+        # out-of-catalog dir recorded here.  Keep protecting it so vacuum
+        # on an upgraded index never destroys a live legacy store; probes
+        # through it raise the curated rebuild error (_ivf_assigned).
+        dirs.append(ivf["dir"])
     return dirs
 
 
@@ -633,11 +640,7 @@ class LMDiskANNIndex:
             # SURVIVES — compaction rewrites bytes, the centroids don't
             # refit.  Historical commits keep probing the pre-fold
             # segments + tombstones (bit-exact either way).
-            assigned = self.catalog.read("ivf_cells", meta)
-            tombs = self.catalog.read("ivf_tombstones", meta)
-            live_rows = (
-                assigned.join(F.broadcast(tombs), "id", "left_anti").persist()
-            )
+            live_rows = self._ivf_assigned(meta).persist()
             if live_rows.count() == 0:
                 # every cell row was tombstoned: a 0-row partitioned write
                 # would leave a schema-less dir that breaks every later
@@ -657,12 +660,8 @@ class LMDiskANNIndex:
                 ivf["n_compactions"] = int(ivf.get("n_compactions", 0)) + 1
                 meta["ivf"] = ivf
         elif ivf and len(self.catalog._segments("ivf_cells", meta)) > 1:
-            # no tombstones but appended segments: collapse them (and their
-            # small files) back to one cell-partitioned snapshot
-            meta = self.catalog.write(
-                "ivf_cells", self.catalog.read("ivf_cells", meta), meta,
-                partition_by=["cell"],
-            )
+            # no tombstones but appended segments: collapse them
+            meta = self._collapse_ivf_cells(meta)
             ivf = dict(ivf)
             ivf["n_compactions"] = int(ivf.get("n_compactions", 0)) + 1
             meta["ivf"] = ivf
@@ -1210,6 +1209,22 @@ class LMDiskANNIndex:
             dead_ids = dead.select("id")
             if "ivf_tombstones" in meta.get("versions", {}):
                 meta = self.catalog.append("ivf_tombstones", dead_ids, meta)
+                # one segment per maintained delete (streaming: per
+                # micro-batch) — bound it like every other table, or each
+                # probe's anti-join unions an unbounded dir list.  Ids are
+                # insert-only, so the union IS the merge.
+                if (
+                    len(meta["segments"].get("ivf_tombstones") or [])
+                    >= TABLES_AUTOCOMPACT_SEGMENTS
+                ):
+                    meta = self.catalog.write(
+                        "ivf_tombstones",
+                        self.catalog.read("ivf_tombstones", meta),
+                        meta,
+                    )
+                    meta["table_autocompactions"] = (
+                        int(meta.get("table_autocompactions", 0)) + 1
+                    )
             else:
                 meta = self.catalog.write("ivf_tombstones", dead_ids, meta)
             ivf = dict(self.meta["ivf"])
@@ -1278,16 +1293,36 @@ class LMDiskANNIndex:
         self.save(op="build_ivf")
         return self
 
-    def _ivf_assigned(self) -> DataFrame:
+    def _ivf_assigned(self, meta: dict | None = None) -> DataFrame:
         """The IVF cell table's live rows — union of the catalog's
         ``ivf_cells`` segments minus probe-time tombstones.  Hive ``cell``
         partitioning survives the union, so probe-time cell filters still
         prune; tombstones are a broadcast anti-join (metadata-sized)."""
-        assigned = self.catalog.read("ivf_cells", self.meta)
-        if self.meta["ivf"].get("tombstones"):
-            tombs = self.catalog.read("ivf_tombstones", self.meta)
+        meta = self.meta if meta is None else meta
+        if "ivf_cells" not in meta.get("versions", {}):
+            # pre-round-12 layout: cells lived in an out-of-catalog dir
+            # (meta['ivf']['dir']) maintained by in-place appends — not
+            # readable through the versioned-snapshot contract
+            raise ValueError(
+                "legacy IVF layout (pre-catalog cell store) — rebuild it "
+                "with build_ivf(), or search with mode='exact'/'beam'"
+            )
+        assigned = self.catalog.read("ivf_cells", meta)
+        if meta["ivf"].get("tombstones"):
+            tombs = self.catalog.read("ivf_tombstones", meta)
             assigned = assigned.join(F.broadcast(tombs), "id", "left_anti")
         return assigned
+
+    def _collapse_ivf_cells(self, meta: dict) -> dict:
+        """Collapse the ``ivf_cells`` segment list (and its small files)
+        back to one cell-partitioned snapshot — rows are insert-only, so
+        the union IS the merge.  Shared by compact() and the inline
+        autocompact bound so the two cannot diverge."""
+        meta = self.catalog.write(
+            "ivf_cells", self.catalog.read("ivf_cells", meta), meta,
+            partition_by=["cell"],
+        )
+        return meta
 
     def _ivf_fresh(self) -> bool:
         """True iff an IVF layout exists AND matches the current vectors
@@ -1482,10 +1517,7 @@ class LMDiskANNIndex:
             and len(meta.get("segments", {}).get("ivf_cells") or [])
             >= TABLES_AUTOCOMPACT_SEGMENTS
         ):
-            meta = self.catalog.write(
-                "ivf_cells", self.catalog.read("ivf_cells", meta), meta,
-                partition_by=["cell"],
-            )
+            meta = self._collapse_ivf_cells(meta)
             meta["table_autocompactions"] = (
                 int(meta.get("table_autocompactions", 0)) + 1
             )

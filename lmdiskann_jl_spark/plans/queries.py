@@ -5942,10 +5942,13 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # store's lineage guard, so s_stream_churn / s_stream_neardup /
     # v_time_travel_search lead the window unstamped, joined by the
     # AUTO-LSH pair (a_lsh_knn_auto, a_lsh_auto_recall) whose operating
-    # point r12 recalibrated (rho 0.3 -> 0.515). ---
+    # point r12 recalibrated (rho 0.3 -> 0.515), and
+    # a_ivf_maintained_recall, whose maintained-IVF machinery r12 moved
+    # into the catalog (cell segments + tombstone table + inline
+    # bounds). ---
     "a_beam_pq_recall": 11, "a_beam_recall": 11,
     "a_embedding_neardup_lsh": 11, "a_filtered_beam_recall": 11,
-    "a_incremental_insert_recall": 11, "a_ivf_maintained_recall": 11,
+    "a_incremental_insert_recall": 11, 
     "a_ivf_recall": 11, "a_lsh_knn": 11, 
     "a_lsh_recall": 11, "a_mmr_rerank": 11, "a_semantic_dedup": 11,
     "d_embedding_neardup": 11, "d_ngram_jaccard_capped": 11,

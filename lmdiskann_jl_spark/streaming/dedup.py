@@ -116,7 +116,15 @@ def _check_lineage(meta: dict, token: str, epoch_id: int, what: str) -> None:
     (b) The ``max_epoch`` high-water mark: a micro-batch whose epoch is
     strictly older raises (a genuine replay arrives with epoch ==
     max_epoch and a matching token, and passes)."""
-    if meta.get("versions") and meta.get("lineage_token") != token:
+    if (
+        meta.get("versions")
+        and meta.get("lineage_token") is not None
+        and meta.get("lineage_token") != token
+    ):
+        # a TOKEN-LESS store (written before the token existed) is adopted
+        # by the first lineage that touches it — the commit below stamps
+        # the token, so the store cannot be adopted twice; until adoption
+        # it keeps the max_epoch-only protection it was written under
         raise ValueError(
             f"{what} lineage violation: checkpoint_dir's lineage token "
             f"{token!r} does not match the state store's "
@@ -419,11 +427,14 @@ def embedding_neardup_stream(
         sel = batch_df.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
         )
-        dim = len(sel.select("vec").first()["vec"])
-        if dim not in planes_by_dim:
+        if not planes_by_dim:
+            # dim is fixed for the stream's lifetime: pay the discovery job
+            # once, not once per trigger
+            dim = len(sel.select("vec").first()["vec"])
             planes_by_dim[dim] = random_hyperplanes(dim, n_planes, n_tables, seed)
+        planes = next(iter(planes_by_dim.values()))
         buckets = (
-            add_lsh_buckets(sel, planes_by_dim[dim], vec_col="vec")
+            add_lsh_buckets(sel, planes, vec_col="vec")
             .select("vec_id", "lsh_table", "bucket")
             .persist()
         )

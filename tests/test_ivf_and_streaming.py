@@ -992,3 +992,92 @@ def test_maintained_ivf_cell_segments_are_bounded(spark, tmp_path):
     probe = base[7][1]
     res = idx.search(probe, topk=1, mode="ivf", nprobe=4).collect()
     assert res[0]["key"] == "b-7" and res[0]["dist"] == pytest.approx(0.0, abs=1e-6)
+
+
+def test_maintained_ivf_tombstone_segments_are_bounded(spark, tmp_path, monkeypatch):
+    """Round 12: each maintained delete appends one ivf_tombstones catalog
+    segment; past the lowered bound the violating delete collapses the
+    table inline (ids are insert-only — the union IS the merge), so the
+    probe anti-join never unions an unbounded dir list.  Decisions are
+    unchanged: every tombstoned key stays invisible."""
+    import random
+
+    import lmdiskann_jl_spark as pkg
+    import lmdiskann_jl_spark.index as idx_mod
+
+    monkeypatch.setattr(idx_mod, "TABLES_AUTOCOMPACT_SEGMENTS", 3)
+    random.seed(43)
+    rows = [(f"k-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(120)]
+    idx = pkg.create_index(spark, str(tmp_path / "tbound"), dim=4, maxdegree=4)
+    idx.insert_batch(
+        spark.createDataFrame(rows, "k string, vec array<float>"),
+        vec_col="vec", key_col="k",
+    )
+    idx.build_ivf(n_cells=4)
+    doomed = [f"k-{i}" for i in range(5)]
+    for k in doomed:
+        idx.delete_batch(keys=[k], maintain_ivf=True)
+    assert idx._ivf_fresh() and idx.meta["ivf"].get("tombstones")
+    segs = idx.catalog._segments("ivf_tombstones", idx.meta)
+    assert len(segs) <= 3, f"{len(segs)} tombstone segments — bound did not fire"
+    # no tombstone lost to the collapse
+    assert idx.catalog.read("ivf_tombstones", idx.meta).count() == 5
+    got = {
+        r["key"]
+        for r in idx.search(rows[1][1], topk=10, mode="ivf", nprobe=4).collect()
+    }
+    assert not (got & set(doomed))
+
+
+def test_legacy_ivf_dir_layout_guarded(spark, tmp_path):
+    """An index whose meta carries the pre-round-12 IVF shape (an
+    out-of-catalog meta['ivf']['dir'], no ivf_cells catalog entry) must
+    (a) raise the curated rebuild error on an IVF probe instead of a raw
+    KeyError, and (b) keep its legacy dir protected from vacuum — a live
+    legacy store must never be physically destroyed by an upgrade."""
+    import os
+    import random
+
+    import lmdiskann_jl_spark as pkg
+    from lmdiskann_jl_spark.sources.tables import write_meta
+
+    random.seed(47)
+    rows = [(f"k-{i}", [random.gauss(0, 1) for _ in range(4)]) for i in range(30)]
+    path = str(tmp_path / "legacy")
+    idx = pkg.create_index(spark, path, dim=4, maxdegree=4)
+    idx.insert_batch(
+        spark.createDataFrame(rows, "k string, vec array<float>"),
+        vec_col="vec", key_col="k",
+    )
+    # hand-build the legacy shape: centroids in the catalog (as pre-r12
+    # code kept them), the CELL store in an out-of-catalog dir
+    legacy_dir = os.path.join(path, "ivf_cells_legacy")
+    idx.vectors.selectExpr("id", "vec", "id % 2 AS cell").write.partitionBy(
+        "cell"
+    ).parquet(legacy_dir)
+    centroids = spark.createDataFrame(
+        [(0, [0.5, 0.0, 0.0, 0.0]), (1, [-0.5, 0.0, 0.0, 0.0])],
+        "cell int, centroid array<double>",
+    )
+    meta = idx.catalog.write("ivf_centroids", centroids, idx.meta)
+    meta["ivf"] = {
+        "n_cells": 2, "seed": 42, "dir": legacy_dir,
+        "built_from": meta["versions"]["vectors"], "built_n": 30,
+    }
+    write_meta(path, meta)
+    idx = pkg.load_index(spark, path)
+    assert idx._ivf_fresh()  # freshness stamp is layout-format-agnostic
+
+    with pytest.raises(ValueError, match="legacy IVF layout"):
+        idx.search([0.0] * 4, topk=3, mode="ivf")
+    # exact/beam still serve
+    assert idx.search(rows[0][1], topk=1, mode="exact").collect()[0]["key"] == "k-0"
+
+    # vacuum must protect the legacy dir (it is referenced by the current
+    # meta), and build_ivf upgrades the layout into the catalog
+    idx.vacuum(keep=0)
+    assert os.path.isdir(legacy_dir)
+    idx.build_ivf(n_cells=2)
+    assert "ivf_cells" in idx.meta["versions"] and "dir" not in idx.meta["ivf"]
+    got = idx.search(rows[0][1], topk=1, mode="ivf", nprobe=2).collect()
+    assert got[0]["key"] == "k-0"
