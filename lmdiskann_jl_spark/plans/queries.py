@@ -5934,70 +5934,70 @@ def _token_count_oracle() -> str:
 # Update after each round from the new CORRECTNESS file; the declaration
 # order below is the stable tiebreak.
 _LAST_DRIVER_VERIFIED: dict[str, int] = {
-    # --- r11 window (CORRECTNESS_r11.json): 40 green rows+schema+hash, 10
-    # rows-only recall gates (no_oracle by design, 0 reds — fifth
-    # consecutive fully-green window).  Gates whose machinery round 12
-    # rewires are un-stamped, per protocol: round 12 rewired the churn
-    # and time-travel gates (tiebreak='key') and the near-dup band
-    # store's lineage guard, so s_stream_churn / s_stream_neardup /
-    # v_time_travel_search lead the window unstamped, joined by the
-    # AUTO-LSH pair (a_lsh_knn_auto, a_lsh_auto_recall) whose operating
-    # point r12 recalibrated (rho 0.3 -> 0.515), and
-    # a_ivf_maintained_recall, whose maintained-IVF machinery r12 moved
-    # into the catalog (cell segments + tombstone table + inline
-    # bounds). ---
+    # --- r12 window (CORRECTNESS_r12.json): 46 green rows+schema+hash, 4
+    # rows-only recall gates (no_oracle by design, 0 reds — sixth
+    # consecutive fully-green window).  Gates whose machinery round 13
+    # rewires are un-stamped, per protocol: round 13 moves the AUTO-LSH
+    # operating point onto the quarter-budget multiprobe configuration
+    # (a_lsh_knn_auto / a_lsh_auto_recall / a_lsh_multiprobe_recall), wires
+    # multiprobe state economics into the streaming embedding near-dup band
+    # store (s_stream_embedding_neardup), and hardens the maintained-IVF
+    # legacy-layout guards (a_ivf_maintained_recall), so those five lead
+    # the window unstamped. ---
+    "d_span_removal": 12, "k_keymap_count": 12, "k_keymap_delete": 12,
+    "k_keymap_list": 12, "k_keymap_lookup": 12,
+    "k_keymap_reverse_lookup": 12, "m_media_decode": 12,
+    "p_dataset_split": 12, "p_decontaminate": 12, "p_pack_sequences": 12,
+    "p_quality_filter": 12, "p_source_weighted_sample": 12,
+    "p_token_budget_mix": 12, "r_customer_deciles": 12,
+    "r_customers_no_orders": 12, "r_events_moving_avg": 12,
+    "r_events_pivot": 12, "r_price_quantiles": 12, "r_set_ops": 12,
+    "r_source_mix": 12, "r_tpch_q1": 12, "r_tpch_q10": 12,
+    "r_tpch_q12": 12, "r_tpch_q13": 12, "r_tpch_q14": 12, "r_tpch_q15": 12,
+    "r_tpch_q18": 12, "r_tpch_q3": 12, "r_tpch_q4": 12, "r_tpch_q5": 12,
+    "r_tpch_q6": 12, "r_tpch_q7": 12, "r_tpch_q8": 12, "r_tpch_q9": 12,
+    "s_stream_churn": 12, "s_stream_dedup": 12, "s_stream_neardup": 12,
+    "s_stream_rollup": 12, "s_stream_sessions": 12, "v_get_embedding": 12,
+    "v_get_embedding_by_key": 12, "v_knn_classify": 12,
+    "v_partial_topk": 12, "v_time_travel_ivf": 12,
+    "v_time_travel_search": 12,
+    # --- r11 window (CORRECTNESS_r11.json) ---
     "a_beam_pq_recall": 11, "a_beam_recall": 11,
     "a_embedding_neardup_lsh": 11, "a_filtered_beam_recall": 11,
-    "a_incremental_insert_recall": 11, 
-    "a_ivf_recall": 11, "a_lsh_knn": 11, 
+    "a_incremental_insert_recall": 11, "a_ivf_recall": 11, "a_lsh_knn": 11,
     "a_lsh_recall": 11, "a_mmr_rerank": 11, "a_semantic_dedup": 11,
     "d_embedding_neardup": 11, "d_ngram_jaccard_capped": 11,
     "d_ngram_jaccard_pairs": 11, "m_decode_samples": 11,
     "m_payload_stats": 11, "p_group_sample_k": 11,
     "p_leakage_safe_split": 11, "p_stratified_sample": 11,
-    "r_asof_forward": 11, "r_events_props": 11, 
-    "t_chunk_documents": 11, "t_fingerprint": 11,
-    "t_lang_id": 11, "t_langid_accuracy": 11, "t_phrase_proximity": 11,
-    "t_pii_redact": 11, "t_quality_score": 11, "t_repetition": 11,
-    "t_token_count": 11, "t_top_terms": 11, "t_vocab_build": 11,
-    "v_adjacency_build": 11, "v_auto_search": 11, "v_batch_topk": 11,
-    "v_degree_histogram": 11, "v_delete_repair": 11,
+    "r_asof_forward": 11, "r_events_props": 11, "t_chunk_documents": 11,
+    "t_fingerprint": 11, "t_lang_id": 11, "t_langid_accuracy": 11,
+    "t_phrase_proximity": 11, "t_pii_redact": 11, "t_quality_score": 11,
+    "t_repetition": 11, "t_token_count": 11, "t_top_terms": 11,
+    "t_vocab_build": 11, "v_adjacency_build": 11, "v_auto_search": 11,
+    "v_batch_topk": 11, "v_degree_histogram": 11, "v_delete_repair": 11,
     "v_exact_topk_cosine": 11, "v_exact_topk_euclidean": 11,
     "v_filtered_topk": 11, "v_hard_negatives": 11, "v_knn_join": 11,
     "v_normalize": 11, "v_quantize": 11, "v_range_search": 11,
-    "v_reduce_dim": 11, 
+    "v_reduce_dim": 11,
     # --- r10 window (CORRECTNESS_r10.json) ---
     "a_beam_pq_cosine_recall": 10, "a_extract_features": 10,
-    "a_graph_build_lsh_recall": 10, "a_ivfpq_recall": 10, "a_pq_recall": 10,
-    "d_dedup_exact": 10, "d_dup_clusters": 10, "d_dup_clusters_star": 10,
-    "d_duplicate_spans": 10, "d_keep_best": 10, "d_minhash_lsh_pairs": 10,
-    "d_minhash_signatures": 10, "d_simhash": 10, "d_simhash_neardup": 10,
-    "d_span_profile": 10, "k_keymap_delete": 10, "k_keymap_list": 10,
-    "k_keymap_reverse_lookup": 10, "m_frame_plan": 10, "p_corpus_clean": 10,
-    "r_above_avg_orders": 10, "r_above_avg_probe": 10,
-    "r_asof_attribution": 10, "r_events_hourly": 10, "r_grouping_sets": 10,
+    "a_graph_build_lsh_recall": 10, "a_ivfpq_recall": 10,
+    "a_pq_recall": 10, "d_dedup_exact": 10, "d_dup_clusters": 10,
+    "d_dup_clusters_star": 10, "d_duplicate_spans": 10, "d_keep_best": 10,
+    "d_minhash_lsh_pairs": 10, "d_minhash_signatures": 10, "d_simhash": 10,
+    "d_simhash_neardup": 10, "d_span_profile": 10, "m_frame_plan": 10,
+    "p_corpus_clean": 10, "r_above_avg_orders": 10,
+    "r_above_avg_probe": 10, "r_asof_attribution": 10,
+    "r_events_hourly": 10, "r_grouping_sets": 10,
     "r_range_join_windows": 10, "r_revenue_rollup": 10,
     "r_session_windows": 10, "r_sketch_accuracy": 10, "r_table_stats": 10,
     "r_top_orders_per_segment": 10, "r_tpch_q11": 10, "r_tpch_q16": 10,
     "r_tpch_q17": 10, "r_tpch_q19": 10, "r_tpch_q2": 10, "r_tpch_q20": 10,
     "r_tpch_q21": 10, "r_tpch_q22": 10, "r_user_sessions": 10,
     "s_stream_clean": 10, "t_bm25_search": 10, "t_snippets": 10,
-    "t_tfidf_top_terms": 10, "t_unigram_logprob": 10, "v_hybrid_search": 10,
-    "v_label_centroids": 10, "v_rrf_fusion": 10,
-    # --- r9 window (CORRECTNESS_r09.json) ---
-    "d_span_removal": 9, "k_keymap_count": 9,
-    "k_keymap_lookup": 9, "m_media_decode": 9, "p_dataset_split": 9,
-    "p_decontaminate": 9, "p_pack_sequences": 9, "p_quality_filter": 9,
-    "p_source_weighted_sample": 9, "p_token_budget_mix": 9,
-    "r_customer_deciles": 9, "r_customers_no_orders": 9,
-    "r_events_moving_avg": 9, "r_events_pivot": 9, "r_price_quantiles": 9,
-    "r_set_ops": 9, "r_source_mix": 9, "r_tpch_q1": 9, "r_tpch_q10": 9,
-    "r_tpch_q12": 9, "r_tpch_q13": 9, "r_tpch_q14": 9, "r_tpch_q15": 9,
-    "r_tpch_q18": 9, "r_tpch_q3": 9, "r_tpch_q4": 9, "r_tpch_q5": 9,
-    "r_tpch_q6": 9, "r_tpch_q7": 9, "r_tpch_q8": 9, "r_tpch_q9": 9,
-    "s_stream_dedup": 9, "s_stream_rollup": 9, "s_stream_sessions": 9,
-    "v_get_embedding": 9, "v_get_embedding_by_key": 9, "v_knn_classify": 9,
-    "v_partial_topk": 9,
+    "t_tfidf_top_terms": 10, "t_unigram_logprob": 10,
+    "v_hybrid_search": 10, "v_label_centroids": 10, "v_rrf_fusion": 10,
 }
 
 
