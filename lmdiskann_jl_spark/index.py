@@ -87,6 +87,15 @@ BLOCKS_AUTOCOMPACT_SEGMENTS = 8
 # amortization window can be wider.
 TABLES_AUTOCOMPACT_SEGMENTS = 16
 
+# vacuum's default retention horizon (seconds): commits younger than this
+# are never dropped regardless of ``keep``, protecting live as-of readers
+# from the delete-mid-job race (Delta's retention-duration analog, which
+# defaults to 7 days).  One hour is deliberately conservative for a
+# maintenance default while still letting nightly jobs reclaim yesterday's
+# snapshots; pass min_age_seconds=0 for immediate reclamation when no
+# reader can be live.
+DEFAULT_VACUUM_RETENTION = 3600.0
+
 # maintained inserts assign new rows to FROZEN centroids, so IVF cell
 # geometry drifts as appends accumulate and probe recall decays
 # monotonically with no other signal.  Past this fraction of the corpus
@@ -254,7 +263,9 @@ def _read_commit(path: str, commit: int) -> dict:
         return json.load(f)
 
 
-def _snapshot_dirs(path: str, meta: dict) -> list[str]:
+def _snapshot_dirs(
+    path: str, meta: dict, include_legacy_ivf: bool = True
+) -> list[str]:
     """Every on-disk directory a meta snapshot depends on: the catalog
     version dirs of each table, per THAT meta's segment list.  Since round
     12 this includes the IVF layout — ``ivf_cells`` / ``ivf_tombstones``
@@ -266,12 +277,16 @@ def _snapshot_dirs(path: str, meta: dict) -> list[str]:
         for v in segs.get(name) or [cur]:
             dirs.append(os.path.join(path, name, f"v={v}"))
     ivf = meta.get("ivf")
-    if ivf and ivf.get("dir"):
+    if include_legacy_ivf and ivf and ivf.get("dir"):
         # LEGACY (pre-round-12) layout: the cell store lived in an
-        # out-of-catalog dir recorded here.  Keep protecting it so vacuum
-        # on an upgraded index never destroys a live legacy store; probes
-        # through it raise the curated rebuild error (_ivf_assigned).
+        # out-of-catalog dir recorded here, with its probe-time tombstones
+        # in a sidecar NEXT TO it.  Keep protecting both so vacuum on an
+        # upgraded index never destroys a live legacy store (or resurrects
+        # deleted ids for pre-round-12 readers by dropping only the
+        # sidecar); probes through it raise the curated rebuild error
+        # (_ivf_assigned) until migrate_ivf() runs.
         dirs.append(ivf["dir"])
+        dirs.append(ivf["dir"] + "_tombstones")
     return dirs
 
 
@@ -279,8 +294,20 @@ def _missing_snapshot_dirs(path: str, meta: dict) -> list[str]:
     """The dirs a commit needs for a historical read but which no longer
     exist on disk.  Every consumer of commit readability (load(commit=),
     restore, history's ``readable``, vacuum's record pruning) shares this
-    one rule and cannot drift apart."""
-    return [d for d in _snapshot_dirs(path, meta) if not os.path.isdir(d)]
+    one rule and cannot drift apart.
+
+    The LEGACY (pre-round-12) IVF dir is deliberately NOT required: the
+    pre-round-12 vacuum reclaimed superseded legacy cell dirs without
+    commit awareness, so demanding them would render history that used to
+    be readable (exact/beam — the legacy layout was never readable through
+    the versioned contract anyway) permanently unreadable after the
+    upgrade, and the next vacuum would then prune those commit records.
+    As-of loads drop the legacy layout when its dir is gone instead."""
+    return [
+        d
+        for d in _snapshot_dirs(path, meta, include_legacy_ivf=False)
+        if not os.path.isdir(d)
+    ]
 
 
 class LMDiskANNIndex:
@@ -419,6 +446,14 @@ class LMDiskANNIndex:
                 raise FileNotFoundError(
                     f"commit {commit} references vacuumed snapshots: {missing}"
                 )
+            ivf = idx.meta.get("ivf")
+            if ivf and ivf.get("dir") and not os.path.isdir(ivf["dir"]):
+                # legacy (pre-round-12) IVF dir already reclaimed by the
+                # old, non-commit-aware vacuum: the commit's base tables
+                # are intact (checked above — exact/beam reads are fine),
+                # so drop the phantom layout instead of presenting an IVF
+                # state that cannot be probed
+                idx.meta = _drop_ivf_tables(idx.meta)
         if metric is not None:
             idx.meta["metric"] = metric
         return idx
@@ -632,7 +667,13 @@ class LMDiskANNIndex:
                 ]
                 meta["beam_blocks"] = bb
         ivf = meta.get("ivf")
-        if ivf and ivf.get("tombstones"):
+        # LEGACY (pre-round-12) layouts live outside the catalog: folding
+        # their tombstones or collapsing their segments through the catalog
+        # would KeyError on the unlisted 'ivf_cells' table — a routine
+        # compact() must not fail on an upgraded index, so skip the layout
+        # untouched (migrate_ivf() is the upgrade path).
+        ivf_catalog = bool(ivf) and "ivf_cells" in meta.get("versions", {})
+        if ivf_catalog and ivf.get("tombstones"):
             # fold probe-time tombstones into the cell table: one
             # live-filtered rewrite to a new catalog version + pointer
             # swap, so the anti-join cost (and the dead rows) stop riding
@@ -659,7 +700,7 @@ class LMDiskANNIndex:
                 ivf.pop("tombstones", None)
                 ivf["n_compactions"] = int(ivf.get("n_compactions", 0)) + 1
                 meta["ivf"] = ivf
-        elif ivf and len(self.catalog._segments("ivf_cells", meta)) > 1:
+        elif ivf_catalog and len(self.catalog._segments("ivf_cells", meta)) > 1:
             # no tombstones but appended segments: collapse them
             meta = self._collapse_ivf_cells(meta)
             ivf = dict(ivf)
@@ -1304,14 +1345,69 @@ class LMDiskANNIndex:
             # (meta['ivf']['dir']) maintained by in-place appends — not
             # readable through the versioned-snapshot contract
             raise ValueError(
-                "legacy IVF layout (pre-catalog cell store) — rebuild it "
-                "with build_ivf(), or search with mode='exact'/'beam'"
+                "legacy IVF layout (pre-catalog cell store) — migrate it "
+                "with migrate_ivf(), rebuild with build_ivf(), or search "
+                "with mode='exact'/'beam'"
             )
         assigned = self.catalog.read("ivf_cells", meta)
         if meta["ivf"].get("tombstones"):
             tombs = self.catalog.read("ivf_tombstones", meta)
             assigned = assigned.join(F.broadcast(tombs), "id", "left_anti")
         return assigned
+
+    def migrate_ivf(self) -> "LMDiskANNIndex":
+        """One-time upgrade of a LEGACY (pre-round-12) IVF cell store into
+        the versioned catalog layout.  The legacy shape kept the cell rows
+        in an out-of-catalog dir (``meta['ivf']['dir']``, maintained by
+        in-place appends) with probe-time tombstones in a ``_tombstones``
+        sidecar next to it; neither is readable through the
+        versioned-snapshot contract, so every probe raises the curated
+        rebuild error and maintenance treats the layout as absent.
+
+        Migration is one live-filtered rewrite on machinery that already
+        exists: read the legacy dir, anti-join the sidecar's tombstoned
+        ids (the same fold compact() applies to catalog tombstones), and
+        write the survivors through ``catalog.write('ivf_cells', ...)``.
+        The ``dir`` key is dropped from the layout entry — the legacy dir
+        itself stays on disk for historical commits that reference it and
+        is reclaimed by vacuum once those commits age out.  Freshness is
+        preserved, not granted: ``built_from`` is carried over unchanged,
+        so a layout that was stale before migration stays stale (rebuild
+        to refresh) while a fresh one becomes probe-able immediately."""
+        self._assert_writable()
+        ivf = self.meta.get("ivf")
+        if not ivf or "ivf_cells" in self.meta.get("versions", {}):
+            return self  # already catalog-shaped (or no layout): no-op
+        legacy_dir = ivf.get("dir")
+        if not legacy_dir or not os.path.isdir(legacy_dir):
+            # dead reference — the old vacuum already reclaimed the store;
+            # nothing to migrate, so stop carrying the phantom layout
+            self.meta = _drop_ivf_tables(self.meta)
+            self.save(op="migrate_ivf")
+            return self
+        cells = self.spark.read.parquet(legacy_dir).select("id", "vec", "cell")
+        sidecar = legacy_dir + "_tombstones"
+        if os.path.isdir(sidecar):
+            tombs = self.spark.read.parquet(sidecar).select("id").distinct()
+            cells = cells.join(F.broadcast(tombs), "id", "left_anti")
+        cells = cells.persist()
+        if cells.count() == 0:
+            # every row was tombstoned: a 0-row partitioned write would
+            # leave a schema-less dir (same landmine as compact()'s fold) —
+            # the layout covers nothing, drop it instead
+            cells.unpersist()
+            self.meta = _drop_ivf_tables(self.meta)
+            self.save(op="migrate_ivf")
+            return self
+        meta = self.catalog.write(
+            "ivf_cells", cells, self.meta, partition_by=["cell"]
+        )
+        cells.unpersist()
+        new_ivf = {k: v for k, v in ivf.items() if k not in ("dir", "tombstones")}
+        meta["ivf"] = new_ivf
+        self.meta = meta
+        self.save(op="migrate_ivf")
+        return self
 
     def _collapse_ivf_cells(self, meta: dict) -> dict:
         """Collapse the ``ivf_cells`` segment list (and its small files)
@@ -1325,11 +1421,21 @@ class LMDiskANNIndex:
         return meta
 
     def _ivf_fresh(self) -> bool:
-        """True iff an IVF layout exists AND matches the current vectors
-        snapshot (mutations invalidate it — stale probes would return
-        deleted ids / miss new ones)."""
+        """True iff an IVF layout exists, lives in the catalog, AND matches
+        the current vectors snapshot (mutations invalidate it — stale
+        probes would return deleted ids / miss new ones).  A LEGACY
+        (pre-round-12, out-of-catalog) layout is never fresh: it cannot be
+        probed, appended to, or tombstoned through the versioned-snapshot
+        contract, so every maintenance path must treat it as absent (the
+        maintain_ivf branches then unlist rather than KeyError into the
+        catalog) and auto mode must never select it.  ``migrate_ivf()``
+        brings it into the catalog."""
         ivf = self.meta.get("ivf")
-        return bool(ivf) and ivf.get("built_from") == self.meta["versions"]["vectors"]
+        return (
+            bool(ivf)
+            and "ivf_cells" in self.meta.get("versions", {})
+            and ivf.get("built_from") == self.meta["versions"]["vectors"]
+        )
 
     def build_beam_blocks(
         self, n_entrypoints: int = 8, compress: str | None = None,
@@ -1743,6 +1849,11 @@ class LMDiskANNIndex:
 
             if "ivf" not in self.meta:
                 raise ValueError("no IVF layout built — call build_ivf() first")
+            if "ivf_cells" not in self.meta.get("versions", {}):
+                # legacy layout: _ivf_fresh() is always False for it, but
+                # "stale" would mislead — the store exists, it just is not
+                # readable through the versioned contract
+                self._ivf_assigned()  # raises the curated migrate error
             if not self._ivf_fresh():
                 raise ValueError(
                     "IVF layout is stale (vectors mutated since build_ivf) — "
@@ -1814,6 +1925,11 @@ class LMDiskANNIndex:
 
             if "ivf" not in self.meta:
                 raise ValueError("no IVF layout built — call build_ivf() first")
+            if "ivf_cells" not in self.meta.get("versions", {}):
+                # legacy layout: _ivf_fresh() is always False for it, but
+                # "stale" would mislead — the store exists, it just is not
+                # readable through the versioned contract
+                self._ivf_assigned()  # raises the curated migrate error
             if not self._ivf_fresh():
                 raise ValueError(
                     "IVF layout is stale (vectors mutated since build_ivf) — "
@@ -1953,7 +2069,9 @@ class LMDiskANNIndex:
     def list_all_keys(self) -> list[str]:
         return kvmap.list_all_keys(self.key_map)
 
-    def vacuum(self, keep: int = 1, min_age_seconds: float = 0.0) -> None:
+    def vacuum(
+        self, keep: int = 1, min_age_seconds: float = DEFAULT_VACUUM_RETENTION
+    ) -> None:
         """Drop table snapshots no retained commit needs (IVF cell and
         tombstone tables included — they are ordinary catalog tables) and
         commit records whose snapshots are gone.
@@ -1977,8 +2095,11 @@ class LMDiskANNIndex:
         delete parquet files mid-job (raw FileNotFound from the reader,
         not the curated error).  Production contract: set it to comfortably
         exceed the longest-running historical query (Delta defaults to 7
-        days for the same reason); the default 0.0 keeps maintenance-style
-        immediate reclamation for callers that know no reader is live."""
+        days for the same reason).  The DEFAULT is a conservative one-hour
+        horizon (round 13) — the safe behavior is the one you get without
+        reading this docstring; pass ``min_age_seconds=0`` explicitly for
+        maintenance-style immediate reclamation when you KNOW no as-of
+        reader is live (tests, single-writer batch jobs between runs)."""
         self._assert_writable()
         import shutil
 
@@ -2006,12 +2127,23 @@ class LMDiskANNIndex:
             )
             if kept >= keep and not age_protected:
                 break
-            dirs = [
+            # readability is judged on the VERSIONED snapshot dirs only
+            # (same rule as _missing_snapshot_dirs — a legacy IVF dir the
+            # pre-round-12 vacuum already reclaimed must not disqualify an
+            # otherwise-readable commit); protection then covers everything
+            # the commit references that still exists, legacy dirs and
+            # their tombstone sidecars included.
+            required = [
                 os.path.normpath(d)
-                for d in _snapshot_dirs(self.path, rec["meta"])
+                for d in _snapshot_dirs(
+                    self.path, rec["meta"], include_legacy_ivf=False
+                )
             ]
-            if all(os.path.isdir(d) for d in dirs):
-                protected.update(dirs)
+            if all(os.path.isdir(d) for d in required):
+                protected.update(
+                    os.path.normpath(d)
+                    for d in _snapshot_dirs(self.path, rec["meta"])
+                )
                 if not age_protected:
                     kept += 1
         # sweep every on-disk table root (current tables AND tables an old

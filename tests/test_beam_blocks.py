@@ -313,7 +313,7 @@ def test_vacuum_prunes_superseded_layout_dirs(spark, idx_path, batch):
     # keep=0: nothing but the current commit is retained, so the
     # superseded layout snapshots (referenced only by pre-rebuild commits)
     # must die while the live ones survive
-    idx.vacuum(keep=0)
+    idx.vacuum(keep=0, min_age_seconds=0)
     assert not os.path.isdir(first_blocks), "superseded blocks snapshot must be pruned"
     assert not os.path.isdir(first_ivf), "superseded IVF snapshot must be pruned"
     assert os.path.isdir(second_blocks) and os.path.isdir(second_ivf)

@@ -298,7 +298,7 @@ def test_compact_vacuum_search_equality_at_bench_scale(spark, idx_path):
     # keep=0: reach = the current commit only, so the pre-compact segment
     # dirs are reclaimable (keep=1 would deliberately retain them — one
     # commit of time-travel reach, the commit-aware vacuum semantics)
-    idx.vacuum(keep=0)
+    idx.vacuum(keep=0, min_age_seconds=0)
     dirs_after = all_version_dirs()
     # compaction wrote new versions; vacuum reclaimed the superseded ones
     assert dirs_after - dirs_before, "compact() produced no new snapshot"
@@ -534,7 +534,7 @@ def test_commit_log_time_travel_restore_and_vacuum(spark, tmp_path):
 
     # vacuum prunes commits whose snapshots it dropped; current one stays
     idx.compact()
-    idx.vacuum(keep=1)
+    idx.vacuum(keep=1, min_age_seconds=0)
     left = {h["commit"] for h in idx.history()}
     assert idx.meta["commit"] in left
     assert 2 not in left  # the pre-restore state's snapshots are gone
@@ -790,8 +790,14 @@ def test_vacuum_retention_horizon_protects_live_asof_reader(spark, tmp_path):
     idx.compact()                                                     # commit 3
 
     # a reader is live on commit 1; vacuum with a horizon covering it
-    # (every commit is seconds old) — keep=0 alone would drop it
+    # (every commit is seconds old) — keep=0 alone would drop it.  The
+    # DEFAULT horizon (round 13: one hour) must protect it without the
+    # caller passing anything — safe-by-default, the Delta convention.
     old = load_index(spark, path, commit=1)
+    idx.vacuum(keep=0)
+    assert {h["commit"] for h in idx.history()} >= {1, 2, 3}, (
+        "vacuum's DEFAULT retention must protect seconds-old commits"
+    )
     idx.vacuum(keep=0, min_age_seconds=3600)
     q = [float(x) for x in rows[0][1]]
     got = {r["key"] for r in old.search(q, topk=3).collect()}

@@ -750,7 +750,7 @@ def test_compact_folds_ivf_tombstones_and_keeps_fresh(spark, tmp_path):
     assert "k-3" not in {r["key"] for r in res} and len(res) == 3
     # vacuum prunes the superseded cell version and the tombstone table
     # once no retained commit references them
-    idx.vacuum(keep=0)
+    idx.vacuum(keep=0, min_age_seconds=0)
     assert not os.path.isdir(old_dir)
     tomb_root = str(tmp_path / "ivfc" / "ivf_tombstones")
     assert not os.path.isdir(tomb_root) or not any(
@@ -1066,7 +1066,10 @@ def test_legacy_ivf_dir_layout_guarded(spark, tmp_path):
     }
     write_meta(path, meta)
     idx = pkg.load_index(spark, path)
-    assert idx._ivf_fresh()  # freshness stamp is layout-format-agnostic
+    # round 13: a legacy layout is never fresh — it cannot be probed,
+    # appended to, or tombstoned through the versioned contract, so every
+    # maintenance path (and auto-mode selection) must treat it as absent
+    assert not idx._ivf_fresh()
 
     with pytest.raises(ValueError, match="legacy IVF layout"):
         idx.search([0.0] * 4, topk=3, mode="ivf")
@@ -1075,7 +1078,7 @@ def test_legacy_ivf_dir_layout_guarded(spark, tmp_path):
 
     # vacuum must protect the legacy dir (it is referenced by the current
     # meta), and build_ivf upgrades the layout into the catalog
-    idx.vacuum(keep=0)
+    idx.vacuum(keep=0, min_age_seconds=0)
     assert os.path.isdir(legacy_dir)
     idx.build_ivf(n_cells=2)
     assert "ivf_cells" in idx.meta["versions"] and "dir" not in idx.meta["ivf"]
