@@ -99,8 +99,16 @@ def add_lsh_buckets(
     table_col: str = "lsh_table",
     use_arrow: bool = True,
     probes: int = 1,
+    probe_col: str | None = None,
 ) -> DataFrame:
     """Explode each row into one row per LSH table with its sign-bit bucket id.
+
+    ``probe_col`` (optional): also emit the probe index — 0 for the base
+    bucket, 1..probes-1 for the margin-ordered flips — so a caller can
+    bucket ONCE with probes and then derive the single-bucket (base-only)
+    view by filtering ``probe_col == 0``: the query side of an asymmetric
+    multiprobe join keeps all rows while the stored/state side keeps only
+    base rows, without paying a second bucketing pass over the same data.
 
     Bucket id = sum over planes of 2^p * (dot(vec, plane_p) >= 0).
 
@@ -161,9 +169,12 @@ def add_lsh_buckets(
             "*", F.posexplode("_buckets").alias("_pos", bucket_col)
         ).drop("_buckets")
         # posexplode index -> table id (qp consecutive probes per table)
-        return exploded.withColumn(
+        out = exploded.withColumn(
             table_col, (F.col("_pos") / F.lit(qp)).cast("int")
-        ).drop("_pos")
+        )
+        if probe_col is not None:
+            out = out.withColumn(probe_col, (F.col("_pos") % qp).cast("int"))
+        return out.drop("_pos")
 
     per_table = []
     for t, table_planes in enumerate(planes):
@@ -172,9 +183,13 @@ def add_lsh_buckets(
             bit = (dot_product(F.col(vec_col), query_vector_lit(plane)) >= 0).cast("long")
             bucket = bucket + F.shiftleft(bit, p)
         per_table.append(F.struct(F.lit(t).alias(table_col), bucket.alias(bucket_col)))
-    return df.withColumn("_tb", F.explode(F.array(*per_table))).select(
+    out = df.withColumn("_tb", F.explode(F.array(*per_table))).select(
         "*", F.col(f"_tb.{table_col}").alias(table_col), F.col(f"_tb.{bucket_col}").alias(bucket_col)
     ).drop("_tb")
+    if probe_col is not None:
+        # probes==1 on this path (enforced above): every row is its base
+        out = out.withColumn(probe_col, F.lit(0).cast("int"))
+    return out
 
 
 # AUTO operating-point calibration (sign-LSH, isotropic worst case):
@@ -214,17 +229,45 @@ LSH_OCC_K = 8.0
 LSH_T_REF = 16
 LSH_N_REF = 500.0
 LSH_RHO = 0.515  # = log2(1 / C_TRUE), C_TRUE ~ 0.70 measured
+
+# The DEFAULT AUTO point is MULTIPROBE (round 13): store/bucket a QUARTER
+# of the rho-scaled table budget and have each query row probe 4 buckets
+# per table (its base bucket + single-bit flips of its 3 lowest-|margin|
+# planes — Lv et al., VLDB 2007).  The candidate-volume floor is unchanged
+# (T/4 tables x 4 probes = the same n^(1+rho) probe-bucket budget), but
+# the CORPUS side — the part that is stored, bucketed, shuffled, and (in
+# the streaming band store) compacted and vacuumed forever — carries 4x
+# less state.  Round 12 measured the trade before this round adopted it:
+# recall PARITY with the full-table point (0.951 = 0.951 at sf0.1,
+# a_lsh_multiprobe_recall) at ~2.4x less wall, held through the sf1
+# decade (SCALING.md's sf1 table).  The full-table point stays reachable
+# for A/B via probes=1 (auto_lsh_config(multiprobe=False)).
+LSH_MULTIPROBE_DIV = 4
+LSH_MULTIPROBE_PROBES = 4
 LSH_MAX_TABLES = 128
 
 
-def auto_lsh_config(n: int, k: int) -> tuple[int, int]:
-    """(n_planes, n_tables) at the AUTO operating point for corpus size n."""
+def auto_lsh_config(
+    n: int, k: int, multiprobe: bool = True
+) -> tuple[int, int, int]:
+    """(n_planes, n_tables, probes) at the AUTO operating point for corpus
+    size n.  ``multiprobe=True`` (the default since round 13) returns the
+    quarter-budget multiprobe point; ``multiprobe=False`` returns the
+    classic full-table point with probes=1 — kept reachable so the two
+    can be A/B'd at any scale (that A/B is exactly the round-12
+    measurement that justified the switch)."""
     n_planes = max(2, min(24, round(math.log2(max(2.0, n / (LSH_OCC_K * k))))))
     n_tables = max(
         LSH_T_REF,
         min(LSH_MAX_TABLES, round(LSH_T_REF * (n / LSH_N_REF) ** LSH_RHO)),
     )
-    return n_planes, n_tables
+    if multiprobe:
+        return (
+            n_planes,
+            max(2, math.ceil(n_tables / LSH_MULTIPROBE_DIV)),
+            LSH_MULTIPROBE_PROBES,
+        )
+    return n_planes, n_tables, 1
 
 
 def lsh_knn_join(
@@ -241,7 +284,7 @@ def lsh_knn_join(
     vec_col: str = "vec",
     exclude_self: bool = True,
     n_rows: int | None = None,
-    probes: int = 1,
+    probes: int | None = None,
 ) -> DataFrame:
     """Approximate kNN join via sign-random-projection LSH bucketing.
 
@@ -249,12 +292,25 @@ def lsh_knn_join(
     candidates; window top-k per left id.  Recall is tuned by
     (n_planes down / n_tables up); the default (both ``None``) is the
     occupancy-holding AUTO operating point resolved from corpus size (see
-    auto_lsh_config).  ``probes`` > 1 turns on multiprobe on the LEFT
-    (query) side only — each left row also joins the buckets reached by
-    flipping its lowest-|margin| sign bits (add_lsh_buckets), recovering
-    recall that would otherwise need more stored tables; the right/corpus
-    side always carries exactly one bucket per table, so state size and
-    the stored layout are unchanged.  Pinning n_tables while leaving planes auto keeps the
+    auto_lsh_config) — since round 13 that is the QUARTER-BUDGET MULTIPROBE
+    point (T/4 stored tables, probes=4), the configuration round 12
+    measured at recall parity with full tables and ~2.4x less wall through
+    sf1.  Multiprobe acts on the LEFT (query) side only — each left row
+    also joins the buckets reached by flipping its lowest-|margin| sign
+    bits (add_lsh_buckets), recovering recall that would otherwise need
+    more stored tables; the right/corpus side always carries exactly one
+    bucket per table, so state size and the stored layout are unchanged.
+
+    ``probes`` resolution: ``None`` (default) follows the operating point —
+    4 when tables are AUTO-resolved, 1 when the caller pinned ``n_tables``
+    (a pinned configuration keeps the classic single-bucket behavior
+    bit-for-bit, so the fixed recall gates and the graph-build path are
+    untouched by the AUTO default change).  Passing ``probes=1`` with AUTO
+    tables explicitly requests the classic FULL-TABLE point — the A/B
+    handle; any explicit ``probes`` > 1 with AUTO tables takes the
+    quarter-table budget with that probe count.
+
+    Pinning n_tables while leaving planes auto keeps the
     calibrated round() plane rule but carries NO general recall claim — the
     pinned table budget cannot compensate if rounding adds a plane, so gate
     recall for the specific configuration (as graph.py's build/insert gates
@@ -275,27 +331,39 @@ def lsh_knn_join(
         # metadata-only for parquet scans; full lineage for derived inputs
         # — see the behavior note above (n_rows skips it)
         n = n_rows if n_rows is not None else right.count()
-        auto_p, auto_t = auto_lsh_config(n, k)
+        auto_p, auto_t, auto_q = auto_lsh_config(
+            n, k, multiprobe=(probes is None or probes > 1)
+        )
         n_planes = auto_p if n_planes is None else n_planes
-        n_tables = auto_t if n_tables is None else n_tables
+        if n_tables is None:
+            n_tables = auto_t
+            if probes is None:
+                probes = auto_q
+    if probes is None:
+        probes = 1  # pinned tables: classic single-bucket, bit-for-bit
     dist_fn = resolve_metric(metric)
     planes = random_hyperplanes(dim, n_planes, n_tables, seed)
 
     lname = left_id + "_l" if left_id == right_id else left_id
     rname = right_id + "_r" if left_id == right_id else right_id
+    self_join = left is right and left_id == right_id
     lb = add_lsh_buckets(
         _spread(left.select(F.col(left_id).alias("_lid"), F.col(vec_col).alias("_lvec"))),
         planes, vec_col="_lvec", probes=probes,
+        probe_col="_probe" if (self_join and probes > 1) else None,
     ).persist()
-    if left is right and left_id == right_id and probes <= 1:
+    if self_join:
         # self-join (the dedup/build case): bucket once, derive the right
         # side.  Materialize eagerly — within one action the two join
         # branches would otherwise race and BOTH compute the bucketing
         # before the cache fills (the classic diamond-reuse pitfall).
-        # (With multiprobe the sides differ — probe rows belong on the
-        # query side only — so the self-join shortcut does not apply.)
+        # With multiprobe the sides are ASYMMETRIC — probe rows belong on
+        # the query side only (the stored/corpus side is single-bucket by
+        # contract) — so the right side is the probe_col==0 slice of the
+        # same cached bucketing, not a second matmul pass.
         lb.count()
-        rb = lb.select(
+        base = lb.filter(F.col("_probe") == 0) if probes > 1 else lb
+        rb = base.select(
             F.col("_lid").alias("_rid"), F.col("_lvec").alias("_rvec"), "lsh_table", "bucket"
         )
     else:

@@ -3305,7 +3305,16 @@ def q_stream_embedding_neardup(spark, sf_dir):
     SQL-expressible ("is_dup iff an earlier vector has cos >= threshold"),
     and a missed natural pair would red the gate.  Threshold-level recall
     on natural near-dups stays with a_embedding_neardup_lsh (rows-only)
-    and the pytest lane."""
+    and the pytest lane.
+
+    Round 13: the gate runs the MULTIPROBE state economics (probes=4 —
+    the band store keeps a quarter of the recipe's tables; arriving
+    vectors probe 4 buckets per table, only base buckets persist).  The
+    hash-exactness argument is untouched: identical twins agree on EVERY
+    sign bit, so they collide in the base bucket of any table regardless
+    of the table budget, and the exact verify still kills everything
+    else.  The 4x state-shrink contract itself is pytest-asserted
+    (tests/test_streaming_dedup.py)."""
     key = _gate_key(spark, sf_dir, "stream_emb_neardup")
     if key not in _GATE_CACHE:
         import glob
@@ -3355,7 +3364,7 @@ def q_stream_embedding_neardup(spark, sf_dir):
         )
         embedding_neardup_stream(
             stream, f"{root}/state", f"{root}/out", f"{root}/ckpt",
-            threshold=SEMANTIC_GATE_COS,
+            threshold=SEMANTIC_GATE_COS, probes=4,
         ).awaitTermination()
         _GATE_CACHE[key] = spark.read.parquet(f"{root}/out")
     return _GATE_CACHE[key]
@@ -3571,12 +3580,19 @@ def q_lsh_knn_auto(spark, sf_dir):
     rho derived from the measured per-plane true-pair collision rate so
     the recall floor HOLDS as planes grow — round 12's sf1 measurement
     showed the old 0.3 exponent decaying below the bar; see
-    knn_join.auto_lsh_config).  This is the configuration a 100-TB run
-    uses; it diverges from the fixed LSH_GATE_PLANES/TABLES point at BOTH
-    bench SFs (n=500 -> p=4/T=16; n=2000 -> p=6/T=33 vs the gate's fixed
-    5/16), so the benched shuffle measures the scale rule, not the gate.
-    Quality at this exact operating point is gated by a_lsh_auto_recall.
-    Oracle: none (approximate) — sanity: every query id emits <= k rows."""
+    knn_join.auto_lsh_config).  Since round 13 AUTO defaults to the
+    QUARTER-BUDGET MULTIPROBE form of that point: ceil(T/4) stored tables
+    with probes=4 single-bit-flip query probes — round 12 measured recall
+    parity with full tables at ~2.4x less wall through sf1, and the
+    corpus side (the part that is stored, bucketed, and shuffled) carries
+    4x less state.  The full-table point stays reachable for A/B via
+    ``probes=1``.  This is the configuration a 100-TB run uses; it
+    diverges from the fixed LSH_GATE_PLANES/TABLES point at BOTH bench SFs
+    (n=500 -> p=4/T=4x4probes; n=2000 -> p=6/T=9x4probes vs the gate's
+    fixed 5/16), so the benched shuffle measures the scale rule, not the
+    gate.  Quality at this exact operating point is gated by
+    a_lsh_auto_recall.  Oracle: none (approximate) — sanity: every query
+    id emits <= k rows."""
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_knn_join(
         emb, emb, k=KNN_K, dim=64, metric="euclidean",
@@ -3587,12 +3603,13 @@ def q_lsh_knn_auto(spark, sf_dir):
 
 def q_lsh_auto_recall(spark, sf_dir):
     """recall@k of the AUTO-operating-point LSH join (q_lsh_knn_auto's
-    exact configuration, resolved through the same auto_lsh_config rule)
-    vs the exact join, over the deterministic 1-in-10 query sample — the
-    reference's >= 0.70 bar (test/runtests.jl:454).  Declared so the
-    scale-safe configuration carries its own official quality row: a rule
-    change that silently trades recall for shuffle shows up here, not just
-    in the fixed-point gate."""
+    exact configuration, resolved through the same auto_lsh_config rule —
+    since round 13 the quarter-budget multiprobe point) vs the exact
+    join, over the deterministic 1-in-10 query sample — the reference's
+    >= 0.70 bar (test/runtests.jl:454).  Declared so the scale-safe
+    configuration carries its own official quality row: a rule change
+    that silently trades recall for shuffle shows up here, not just in
+    the fixed-point gate."""
     emb = _t(spark, sf_dir, "embeddings")
     sample = emb.filter(F.col("vec_id") % 10 == 0)
     exact = brute_force_knn_join(
@@ -3609,24 +3626,23 @@ def q_lsh_auto_recall(spark, sf_dir):
 
 
 def q_lsh_multiprobe_recall(spark, sf_dir):
-    """recall@k of the MULTIPROBE LSH join (round 12, opt-in
-    ``lsh_knn_join(probes=...)``): auto-resolved planes, a quarter of the
-    AUTO table budget, probes=4 — the matched-candidate-budget form, where
-    each query row also probes the buckets reached by flipping its three
-    lowest-|margin| sign bits (Lv et al., VLDB 2007).  Measured at sf0.1
-    it EQUALS the full-table AUTO point's recall (0.951 vs 0.951) with
-    3.7x less stored state and ~2.4x less wall — the candidate-volume
-    floor is unchanged (same n^(1+rho) pairs), but the corpus side stores
-    and buckets T/4 tables.  Declared so the multiprobe path carries its
-    own official quality row before any future round moves AUTO onto it.
-    Bar >= 0.70, loud.  Oracle: none (approximate)."""
-    import math
-
+    """recall@k of the MULTIPROBE LSH join PINNED to the quarter-budget
+    point: auto-resolved planes, a quarter of the full AUTO table budget,
+    probes=4 — each query row also probes the buckets reached by flipping
+    its three lowest-|margin| sign bits (Lv et al., VLDB 2007).  Round 12
+    measured this point at recall PARITY with the full-table AUTO point
+    (0.951 vs 0.951 at sf0.1) with 3.7x less stored state and ~2.4x less
+    wall, held through the sf1 decade — the measurement on which round 13
+    moved the AUTO default onto it.  Since that move this gate COINCIDES
+    with a_lsh_auto_recall, deliberately: the pin is explicit here, so if
+    a future round changes the AUTO rule again, this row keeps certifying
+    the quarter-budget multiprobe point itself rather than whatever AUTO
+    resolves to.  Bar >= 0.70, loud.  Oracle: none (approximate)."""
     from lmdiskann_jl_spark.operators.knn_join import auto_lsh_config
 
     emb = _t(spark, sf_dir, "embeddings")
     n = emb.count()
-    auto_p, auto_t = auto_lsh_config(n, KNN_K)
+    auto_p, auto_t, auto_q = auto_lsh_config(n, KNN_K, multiprobe=True)
     sample = emb.filter(F.col("vec_id") % 10 == 0)
     exact = brute_force_knn_join(
         sample, emb, k=KNN_K, metric="euclidean",
@@ -3634,7 +3650,7 @@ def q_lsh_multiprobe_recall(spark, sf_dir):
     ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
     approx = lsh_knn_join(
         sample, emb, k=KNN_K, dim=64, metric="euclidean",
-        n_planes=auto_p, n_tables=max(2, math.ceil(auto_t / 4)), probes=4,
+        n_planes=auto_p, n_tables=auto_t, probes=auto_q,
         n_rows=n,
         left_id="vec_id", right_id="vec_id", vec_col="embedding",
     ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))

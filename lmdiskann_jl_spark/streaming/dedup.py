@@ -353,6 +353,7 @@ def embedding_neardup_stream(
     n_tables: int | None = None,
     seed: int = 42,
     trigger_seconds: int | None = None,
+    probes: int = 1,
 ):
     """Streaming EMBEDDING near-dup dedup-on-ingest: every arriving vector
     is flagged against ALL vectors ever seen — the third member of the
@@ -393,6 +394,21 @@ def embedding_neardup_stream(
     (table, bucket) exchange — they re-attach by id equi-joins only for
     the candidate pairs.  At 100 TB the bucket table is additionally
     bucketed by (lsh_table, bucket) so the state join co-locates.
+
+    ``probes`` (round 13 — the multiprobe state economics the batch AUTO
+    point adopted): with ``probes`` > 1 and ``n_tables`` unset, the store
+    keeps ``ceil(recipe_tables / probes)`` tables and each ARRIVING
+    vector probes ``probes`` buckets per table (its base bucket + flips
+    of its lowest-|margin| sign bits).  Only base buckets are APPENDED to
+    state — the probe rows live on the query side of the state join and
+    die with the micro-batch — so on a long-running stream the state that
+    must be joined, compacted, and vacuumed FOREVER shrinks by ~``probes``x
+    at matched probe-bucket budget (recall parity measured through sf1,
+    SCALING.md).  The (n_planes, n_tables, probes, seed) tuple is part of
+    the store's identity: it must stay fixed for the stream's lifetime,
+    exactly like the plane seed — state bucketed under one table count
+    cannot be joined under another.
+
     Returns the StreamingQuery handle."""
     from lmdiskann_jl_spark.functions.vector import cosine_similarity
     from lmdiskann_jl_spark.operators.dedup import lsh_neardup_params
@@ -407,10 +423,15 @@ def embedding_neardup_stream(
             "embedding_neardup_stream needs a streaming DataFrame "
             "(use spark.readStream)"
         )
+    if probes < 1:
+        raise ValueError(f"probes must be >= 1, got {probes}")
     if n_planes is None or n_tables is None:
         k, tables, _ = lsh_neardup_params(threshold)
         n_planes = n_planes or k
-        n_tables = n_tables or tables
+        if n_tables is None:
+            # multiprobe economics: each query-side probe substitutes for a
+            # stored table, so the recipe's table budget divides by probes
+            n_tables = max(2, -(-tables // probes)) if probes > 1 else tables
     planes_by_dim: dict[int, list] = {}  # dim discovered from the first batch
 
     def _process(batch_df: DataFrame, epoch_id: int) -> None:
@@ -433,11 +454,23 @@ def embedding_neardup_stream(
             dim = len(sel.select("vec").first()["vec"])
             planes_by_dim[dim] = random_hyperplanes(dim, n_planes, n_tables, seed)
         planes = next(iter(planes_by_dim.values()))
+        mp = probes > 1
         buckets = (
-            add_lsh_buckets(sel, planes, vec_col="vec")
-            .select("vec_id", "lsh_table", "bucket")
+            add_lsh_buckets(
+                sel, planes, vec_col="vec", probes=probes,
+                probe_col="_probe" if mp else None,
+            )
+            .select(
+                "vec_id", "lsh_table", "bucket", *(["_probe"] if mp else [])
+            )
             .persist()
         )
+        # asymmetric multiprobe (round 13): ALL probe rows drive the
+        # query side; only BASE buckets (_probe == 0) are matched against
+        # and appended to state — one cached bucketing pass serves both
+        # sides, and the persistent store stays ~probes-x smaller
+        base = buckets.filter(F.col("_probe") == 0).drop("_probe") if mp else buckets
+        qside = buckets.drop("_probe") if mp else buckets
         try:
             buckets.count()  # eager: state join + self-join + append reuse it
             batch_vecs = sel  # (vec_id, vec) — the verify side for batch ids
@@ -452,7 +485,7 @@ def embedding_neardup_stream(
                     F.col("_epoch") < F.lit(int(epoch_id))
                 )
                 pair_frames.append(
-                    buckets.join(
+                    qside.join(
                         st_b.select(
                             F.col("vec_id").alias("_other"), "lsh_table", "bucket"
                         ),
@@ -466,11 +499,11 @@ def embedding_neardup_stream(
                         "_other",
                     )
                 )
-            sib = buckets.select(
+            sib = base.select(
                 F.col("vec_id").alias("_other"), "lsh_table", "bucket"
             )
             pair_frames.append(
-                buckets.join(sib, ["lsh_table", "bucket"])
+                qside.join(sib, ["lsh_table", "bucket"])
                 .filter(F.col("_other") < F.col("vec_id"))
                 .select("vec_id", "_other")
                 .distinct()
@@ -495,7 +528,7 @@ def embedding_neardup_stream(
                 .select("vec_id", F.coalesce("_d", F.lit(False)).alias("is_dup"))
             )
             flagged.write.mode("append").parquet(out_dir)
-            bstamped = buckets.withColumn("_epoch", F.lit(int(epoch_id)))
+            bstamped = base.withColumn("_epoch", F.lit(int(epoch_id)))
             vstamped = batch_vecs.withColumn("_epoch", F.lit(int(epoch_id)))
             if "buckets" in meta.get("versions", {}):
                 meta = cat.append("buckets", bstamped, meta)

@@ -57,22 +57,36 @@ def test_auto_lsh_config_scale_rule():
     """The AUTO operating point must (a) add one plane per 2x of n —
     expected bucket occupancy n/2^p stays within a fixed band, so
     per-bucket join work never goes quadratic — and (b) grow tables
-    sublinearly (n^rho) to hold recall, never shrinking either."""
+    sublinearly (n^rho) to hold recall, never shrinking either.  Since
+    round 13 the DEFAULT point is the quarter-budget multiprobe form:
+    ceil(T_full/4) stored tables, probes=4; multiprobe=False returns the
+    classic full-table point (the A/B handle) and must stay exactly the
+    pre-round-13 rule."""
+    import math
+
     from lmdiskann_jl_spark.operators.knn_join import auto_lsh_config
 
     k = 4
-    prev_p, prev_t = auto_lsh_config(500, k)
+    prev_p, prev_t, _ = auto_lsh_config(500, k, multiprobe=False)
     assert (prev_p, prev_t) == (4, 16)  # calibration anchor (recall 0.90)
     # sf0.1 point under the derived rho = log2(1/C_TRUE) ~ 0.515 (round 12:
     # the old 0.3 let recall decay below the bar at n=20000 — see
     # knn_join.py's calibration comment and SCALING.md's sf1 section)
-    assert auto_lsh_config(2000, k) == (6, 33)
+    assert auto_lsh_config(2000, k, multiprobe=False) == (6, 33, 1)
+    # the default multiprobe point: same planes, quarter tables, probes=4
+    assert auto_lsh_config(500, k) == (4, 4, 4)
+    assert auto_lsh_config(2000, k) == (6, 9, 4)
     for n in [8_000, 64_000, 1_000_000, 100_000_000]:
-        p, t = auto_lsh_config(n, k)
+        p, t, q = auto_lsh_config(n, k, multiprobe=False)
+        assert q == 1
         assert p >= prev_p and t >= prev_t, "auto point must not coarsen"
         # occupancy band: rounding keeps n/2^p within [0.5, 2] x (8k)
         occ = n / 2**p
         assert 0.5 * 8 * k <= occ <= 2 * 8 * k or p == 24
+        # the multiprobe point tracks the full one: same planes, a quarter
+        # of the tables (never below 2), 4 probes
+        mp, mt, mq = auto_lsh_config(n, k)
+        assert (mp, mt, mq) == (p, max(2, math.ceil(t / 4)), 4)
         prev_p, prev_t = p, t
 
 

@@ -370,6 +370,76 @@ def test_embedding_neardup_stream_first_seen_wins_across_batches(
     assert cat.read("buckets", meta).select("vec_id").distinct().count() == 6
 
 
+def test_embedding_neardup_stream_multiprobe_state_economics(
+    spark, tmp_path, finish_stream
+):
+    """probes=4 (round 13): identical dup flags on the identical-twin
+    construction — twins agree on every sign bit, so they collide in the
+    base bucket of any table — while the PERSISTENT bucket state stores
+    ceil(T/4) tables instead of T: exactly the rows the stream must join,
+    compact, and vacuum forever, shrunk ~4x.  Probe rows (the query-side
+    bit-flip expansions) must never be appended to state."""
+    import math
+    import os
+    import shutil
+    import time
+
+    from lmdiskann_jl_spark.operators.dedup import lsh_neardup_params
+    from lmdiskann_jl_spark.sources.tables import TableCatalog, read_meta
+    from lmdiskann_jl_spark.streaming.dedup import embedding_neardup_stream
+
+    e0 = [1.0, 0.0, 0.0, 0.0]
+    e1 = [0.0, 1.0, 0.0, 0.0]
+    rows_b1 = [(0, e0), (1, e1), (2, e0)]
+    rows_b2 = [(3, e0), (4, [0.0, 0.0, 1.0, 0.0]), (5, e1)]
+    src = tmp_path / "in"
+    src.mkdir()
+    t0 = time.time()
+    for i, rows in enumerate((rows_b1, rows_b2)):
+        tmp = str(tmp_path / f"half_{i}")
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+            1
+        ).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = str(src / f"f{i}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    got = {}
+    bucket_rows = {}
+    for probes in (1, 4):
+        d = str(tmp_path / f"p{probes}")
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = embedding_neardup_stream(
+            stream, f"{d}/state", f"{d}/out", f"{d}/ckpt",
+            threshold=0.99, probes=probes,
+        )
+        finish_stream(q, timeout=300)
+        got[probes] = {
+            r["vec_id"]: r["is_dup"]
+            for r in spark.read.parquet(f"{d}/out").collect()
+        }
+        meta = read_meta(f"{d}/state")
+        bucket_rows[probes] = TableCatalog(spark, f"{d}/state").read(
+            "buckets", meta
+        ).count()
+
+    assert got[1] == got[4] == {
+        0: False, 1: False, 2: True, 3: True, 4: False, 5: True
+    }
+    n_vecs = 6
+    full_t = lsh_neardup_params(0.99)[1]
+    assert bucket_rows[1] == n_vecs * full_t
+    assert bucket_rows[4] == n_vecs * max(2, math.ceil(full_t / 4))
+    assert bucket_rows[4] * 3 <= bucket_rows[1], (
+        "multiprobe state must be ~4x smaller than the full-table store"
+    )
+
+
 def test_embedding_neardup_stream_rejects_foreign_lineage(
     spark, tmp_path, finish_stream
 ):

@@ -45,8 +45,17 @@ QUERIES = [
     "a_lsh_auto_recall",
     # round 12: multiprobe at a quarter of the AUTO table budget — its gate
     # raises below 0.70, so a completed row certifies multiprobe recall at
-    # sf1 too (the candidate the next round may move AUTO onto)
+    # sf1 too (round 13 moved the AUTO default onto this point, so the
+    # auto and multiprobe rows now measure the same configuration)
     "a_lsh_multiprobe_recall",
+    # round 13: the beam/graph path and the IVF probe measured at the same
+    # decade instead of extrapolated past sf0.1.  Both gates RAISE below
+    # the 0.70 bar; their one-time index/k-means builds are session-cached
+    # (_GATE_CACHE keyed by sf_dir), so the second timed rep reads the
+    # memoized result — the row's value is the gate COMPLETING at sf1
+    # (recall held at 10x corpus) plus the first-rep build/probe wall.
+    "a_beam_recall",
+    "a_ivf_recall",
 ]
 
 
@@ -163,15 +172,26 @@ def main() -> int:
         print(line, file=sys.stderr)
 
     section = (
-        "\n## sf1 extension — the LSH kNN decade check (round 12)\n\n"
+        "\n## sf1 extension — the ANN decade check (rounds 12-13)\n\n"
         "The sweep above stops at sf0.1; the two worst last-step ratios\n"
         "(`a_lsh_knn_auto`, `a_lsh_knn`) are shuffle-volume-bound by the\n"
         "n^rho candidate-pair floor, and this section MEASURES the next\n"
         "decade instead of extrapolating it.  sf1 = 10x sf0.1 rows of the\n"
         "same verified-isotropic unit-norm process (synthesized, seeded —\n"
         "tools/scaling_sf1.py; /root/testdata is read-only).  The recall\n"
-        "gate row RAISES below 0.70, so its presence certifies the AUTO\n"
-        "operating point's recall at sf1, not just its wall.\n\n"
+        "gate rows RAISE below 0.70, so their presence certifies each\n"
+        "path's recall at sf1, not just its wall.  Round 13 adds the\n"
+        "beam/graph path (`a_beam_recall`: shared index build + one\n"
+        "shared-frontier block-layout traversal) and the IVF probe\n"
+        "(`a_ivf_recall`: k-means fit + one partition-pruned batch scan)\n"
+        "at the same decade — for those two the sf0.1/sf1 walls are\n"
+        "dominated by the one-time session-cached artifact build (index,\n"
+        "cells, exact baseline) of the FIRST rep, so read their ratios as\n"
+        "build-cost growth; the gate completing is the recall claim.\n"
+        "Round 13 also moved the AUTO LSH default onto the quarter-budget\n"
+        "multiprobe point, so `a_lsh_knn_auto`/`a_lsh_auto_recall` now\n"
+        "measure that configuration (T/4 stored tables, probes=4) and\n"
+        "`a_lsh_multiprobe_recall` pins the same point explicitly.\n\n"
         "| query | sf0.1 s | sf1 s | wall x10 | shuf MB .1 | shuf MB 1 |"
         " shuf x10 |\n"
         "|---|---|---|---|---|---|---|\n"
@@ -181,10 +201,15 @@ def main() -> int:
         "shuf x10 near that value means the operating point sits ON its\n"
         "theoretical floor, not above it; the fixed gate configuration's\n"
         "n^2/2^p growth (~100x/decade) is why it is a recall-gate shape,\n"
-        "never the production path.  Round-12 measured: AUTO shuffle\n"
-        "33.3x (floor 32.7x), fixed 129x — and the recall gate completed\n"
-        "at sf1, certifying the recalibrated rho holds the 0.70 floor at\n"
-        "the new decade (it measured 0.628 under the old rho=0.3).\n"
+        "never the production path.  Round-12 measured the FULL-TABLE\n"
+        "point: AUTO shuffle 33.3x (floor 32.7x), fixed 129x, recall gate\n"
+        "green (vs 0.628 under the old rho=0.3).  Round 13's AUTO rows\n"
+        "measure the quarter-budget multiprobe form of the same point —\n"
+        "identical probe-bucket budget (T/4 tables x 4 probes), so the\n"
+        "candidate floor and its per-decade exponent are unchanged; what\n"
+        "drops is the corpus-side bucketing/state volume (4x fewer stored\n"
+        "tables), and the gate completing at sf1 certifies recall held\n"
+        "through the move.\n"
     )
     out = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SCALING.md"
