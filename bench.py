@@ -106,7 +106,11 @@ def main() -> None:
     # loop: gate rows then measure SEARCH, not one-time artifact builds
     # (isolated evidence, round 10: a_lsh_auto_recall cold 12.4 s vs warm
     # 2.2 s — best-of-2 only absorbs that on a quiet box).  The build cost
-    # stays visible as gates_warmup_sec.
+    # stays visible as gates_warmup_sec.  Since round 13 the expensive
+    # builds also persist across processes (_gate_disk_root's
+    # fingerprint-keyed disk cache), so on an unchanged tree this loop
+    # mostly RELOADS — gates_disk_hits/_misses in the output record which
+    # case this run was.
     t0 = time.time()
     for name in bench_queries:
         # s_* streaming gates are memoized one-time runs too (index builds,
@@ -239,6 +243,15 @@ def main() -> None:
             sum(t for q, t in times.items() if q.startswith("a_")), 3
         ),
         "gates_warmup_sec": gates_warmup,
+        # round 13: expensive gate artifacts persist across processes in a
+        # fingerprint-keyed disk cache (plans/queries._gate_disk_root) —
+        # these counters record whether THIS run's warmup was cold (first
+        # run on a changed tree rebuilds everything) or warm (unchanged
+        # tree: builds reload).  A warm warmup is legitimate: every cached
+        # output is deterministic for the (source, data, session-layout)
+        # key, the same property the oracle hash gate asserts.
+        "gates_disk_hits": getattr(Q, "DISK_GATE_HITS", 0),
+        "gates_disk_misses": getattr(Q, "DISK_GATE_MISSES", 0),
         "queries_total": round(
             sum(t for q, t in times.items() if not q.startswith("a_")), 3
         ),
