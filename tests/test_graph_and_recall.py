@@ -413,6 +413,27 @@ def test_alpha_insert_with_lsh_candidates(spark, emb):
     assert all(by_id[i] for i in range(50, 60)), "every new node links somewhere"
 
 
+def test_multiprobe_self_join_matches_two_sided_bucketing(emb):
+    """The multiprobe SELF-join shortcut (round 13): the right/corpus side
+    is derived from the probe_col==0 slice of the one cached bucketing
+    pass instead of a second matmul over the same rows — the result must
+    be row-identical to the two-sided form (an aliased copy of the same
+    table forces the non-self path, whose right side buckets
+    independently at probes=1)."""
+    k = 5
+
+    def rows(right):
+        return sorted(
+            (r["id_l"], r["id_r"], round(r["dist"], 9), r["rank"])
+            for r in lsh_knn_join(
+                emb, right, k=k, dim=64, metric="euclidean",
+                n_planes=4, n_tables=4, probes=3,
+            ).collect()
+        )
+
+    assert rows(emb) == rows(emb.select("*"))
+
+
 def test_multiprobe_lsh_recovers_recall_at_quarter_tables(emb):
     """Multiprobe (round 12): probing the 3 lowest-|margin| bit flips per
     table must recover, at a QUARTER of the table budget, at least the
