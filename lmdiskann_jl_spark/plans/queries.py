@@ -244,7 +244,17 @@ def _register_temp_path(key: tuple, path: str) -> None:
 # ---------------------------------------------------------------------------
 
 _DISK_GATE_ENV = "LMDISKANN_GATE_DISK_CACHE"
-_DISK_GATE_DEFAULT_ROOT = "/tmp/lmdiskann_gate_disk_cache"
+# per-user root: a shared fixed /tmp path would let any local user plant a
+# _GATE_READY dir that feeds another user's benchmark/correctness results
+# (round-13 review); ownership is additionally verified at every lookup
+_DISK_GATE_DEFAULT_ROOT = f"/tmp/lmdiskann_gate_disk_cache-{os.getuid()}"
+# a fingerprint dir younger than this is presumed owned by a LIVE run of a
+# different tree (the isolated-worktree A/B protocol runs two trees within
+# minutes of each other) and is never swept; older ones are dead generations
+_DISK_GATE_SWEEP_AGE = 6 * 3600.0
+# a pid-suffixed build dir this stale is a crashed build's leak, not a
+# build in flight — gate builds complete in minutes
+_DISK_GATE_BUILD_STALE = 2 * 3600.0
 _TREE_FP_CACHE: list[str] = []
 DISK_GATE_HITS = 0
 DISK_GATE_MISSES = 0
@@ -257,6 +267,17 @@ def _disk_gate_enabled() -> bool:
 def _disk_gate_base() -> str:
     v = os.environ.get(_DISK_GATE_ENV, "")
     return v if v and _disk_gate_enabled() and v.lower() not in ("on", "1", "true") else _DISK_GATE_DEFAULT_ROOT
+
+
+def _disk_gate_base_usable(base: str) -> bool:
+    """The cache base must belong to this uid — a pre-created dir owned by
+    someone else is either an attack surface (planted artifacts) or a
+    permissions crash; either way, fall back to per-process temp builds."""
+    try:
+        os.makedirs(base, exist_ok=True)
+        return os.stat(base).st_uid == os.getuid()
+    except OSError:
+        return False
 
 
 def _tree_fingerprint() -> str:
@@ -288,10 +309,23 @@ def _tree_fingerprint() -> str:
     base = _disk_gate_base()
     if os.path.isdir(base):
         import shutil
+        import time as _time
 
+        horizon = _time.time() - _DISK_GATE_SWEEP_AGE
         for entry_name in os.listdir(base):
-            if entry_name != fp:
-                shutil.rmtree(os.path.join(base, entry_name), ignore_errors=True)
+            if entry_name == fp:
+                continue
+            p = os.path.join(base, entry_name)
+            try:
+                # AGE-GUARDED sweep (round-13 review): a young foreign
+                # fingerprint belongs to a concurrently running different
+                # tree (the worktree A/B protocol) — deleting it would pull
+                # parquet out from under that run's lazy reads.  Only dead
+                # generations are reclaimed.
+                if os.stat(p).st_mtime < horizon:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
     return fp
 
 
@@ -338,7 +372,7 @@ def _gate_disk_root(
     disabled, falls back to a per-process mkdtemp registered for session
     cleanup, exactly the pre-round-13 behavior."""
     global DISK_GATE_HITS, DISK_GATE_MISSES
-    if not _disk_gate_enabled():
+    if not _disk_gate_enabled() or not _disk_gate_base_usable(_disk_gate_base()):
         import tempfile
 
         root = tempfile.mkdtemp(prefix=f"lmdiskann_{name}_")
@@ -353,10 +387,22 @@ def _gate_disk_root(
         DISK_GATE_HITS += 1
         return final, True
     DISK_GATE_MISSES += 1
+    import glob as _glob
     import shutil
+    import time as _time
 
+    # reclaim crashed builds (round-13 review): a failed gate build leaves
+    # its pid-suffixed dir behind with no session cleanup — sweep stale
+    # siblings (age-guarded so a concurrent process's build in flight is
+    # never touched), and always clear this pid's own leftover
+    stale = _time.time() - _DISK_GATE_BUILD_STALE
+    for p in _glob.glob(f"{final}.build-*"):
+        try:
+            if p.endswith(f".build-{os.getpid()}") or os.stat(p).st_mtime < stale:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
     build = f"{final}.build-{os.getpid()}"
-    shutil.rmtree(build, ignore_errors=True)
     os.makedirs(build)
     return build, False
 
@@ -379,9 +425,12 @@ def _disk_df_memo(
 
 def _commit_gate_root(root: str) -> str:
     """Publish a completed gate build: write the marker, atomically rename
-    the pid-suffixed build dir to its final name.  Losing a rename race
-    (another process published first) keeps the winner's dir — contents
-    are deterministic for the key, so either copy is valid."""
+    the pid-suffixed build dir to its final name.  Losing a publish race
+    (another process's marker already at the final path) DISCARDS this
+    build and keeps the winner's dir — contents are deterministic for the
+    key, so either copy is valid, and replacing an already-published dir
+    would pull part-files out from under readers that have cached its
+    file listing (round-13 review)."""
     if ".build-" not in os.path.basename(root):
         return root  # disabled-layer temp dir: nothing to publish
     import shutil
@@ -389,10 +438,17 @@ def _commit_gate_root(root: str) -> str:
     with open(os.path.join(root, "_GATE_READY"), "w") as f:
         f.write("ok\n")
     final = root.rsplit(".build-", 1)[0]
-    shutil.rmtree(final, ignore_errors=True)
+    if os.path.exists(os.path.join(final, "_GATE_READY")):
+        shutil.rmtree(root, ignore_errors=True)
+        return final
+    if os.path.isdir(final):
+        # partial dir with NO marker: a crashed build's leftover — never
+        # served (lookups require the marker), safe to replace
+        shutil.rmtree(final, ignore_errors=True)
     try:
         os.rename(root, final)
     except OSError:
+        # lost the narrow rmtree->rename race to another publisher
         shutil.rmtree(root, ignore_errors=True)
     return final
 
@@ -6206,13 +6262,22 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # --- r12 window (CORRECTNESS_r12.json): 46 green rows+schema+hash, 4
     # rows-only recall gates (no_oracle by design, 0 reds — sixth
     # consecutive fully-green window).  Gates whose machinery round 13
-    # rewires are un-stamped, per protocol: round 13 moves the AUTO-LSH
-    # operating point onto the quarter-budget multiprobe configuration
-    # (a_lsh_knn_auto / a_lsh_auto_recall / a_lsh_multiprobe_recall), wires
-    # multiprobe state economics into the streaming embedding near-dup band
-    # store (s_stream_embedding_neardup), and hardens the maintained-IVF
-    # legacy-layout guards (a_ivf_maintained_recall), so those five lead
-    # the window unstamped. ---
+    # rewires are un-stamped, per protocol — EIGHTEEN this round, because
+    # the changes are wide: the AUTO-LSH operating point moved onto the
+    # quarter-budget multiprobe configuration (a_lsh_knn_auto /
+    # a_lsh_auto_recall / a_lsh_multiprobe_recall), multiprobe state
+    # economics landed in the streaming embedding near-dup band store
+    # (s_stream_embedding_neardup), the maintained-IVF legacy-layout
+    # guards were hardened (a_ivf_maintained_recall), and EVERY gate whose
+    # artifacts are now served through the cross-process disk cache
+    # (_gate_disk_root: the churn/time-travel lifecycles, the shared
+    # auto/cosine indexes, the k-means/PQ fits and exact baselines —
+    # s_stream_churn, s_stream_neardup, v_time_travel_search,
+    # v_time_travel_ivf, v_auto_search, a_beam_recall,
+    # a_filtered_beam_recall, a_beam_pq_recall, a_beam_pq_cosine_recall,
+    # a_ivf_recall, a_pq_recall, a_ivfpq_recall,
+    # a_incremental_insert_recall) re-verifies first, so a disk-layer bug
+    # would surface in the freshest window, not the stalest. ---
     "d_span_removal": 12, "k_keymap_count": 12, "k_keymap_delete": 12,
     "k_keymap_list": 12, "k_keymap_lookup": 12,
     "k_keymap_reverse_lookup": 12, "m_media_decode": 12,
@@ -6225,15 +6290,10 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "r_tpch_q12": 12, "r_tpch_q13": 12, "r_tpch_q14": 12, "r_tpch_q15": 12,
     "r_tpch_q18": 12, "r_tpch_q3": 12, "r_tpch_q4": 12, "r_tpch_q5": 12,
     "r_tpch_q6": 12, "r_tpch_q7": 12, "r_tpch_q8": 12, "r_tpch_q9": 12,
-    "s_stream_churn": 12, "s_stream_dedup": 12, "s_stream_neardup": 12,
-    "s_stream_rollup": 12, "s_stream_sessions": 12, "v_get_embedding": 12,
+    "s_stream_dedup": 12, "s_stream_rollup": 12, "s_stream_sessions": 12, "v_get_embedding": 12,
     "v_get_embedding_by_key": 12, "v_knn_classify": 12,
-    "v_partial_topk": 12, "v_time_travel_ivf": 12,
-    "v_time_travel_search": 12,
-    # --- r11 window (CORRECTNESS_r11.json) ---
-    "a_beam_pq_recall": 11, "a_beam_recall": 11,
-    "a_embedding_neardup_lsh": 11, "a_filtered_beam_recall": 11,
-    "a_incremental_insert_recall": 11, "a_ivf_recall": 11, "a_lsh_knn": 11,
+    "v_partial_topk": 12, # --- r11 window (CORRECTNESS_r11.json) ---
+    "a_embedding_neardup_lsh": 11, "a_lsh_knn": 11,
     "a_lsh_recall": 11, "a_mmr_rerank": 11, "a_semantic_dedup": 11,
     "d_embedding_neardup": 11, "d_ngram_jaccard_capped": 11,
     "d_ngram_jaccard_pairs": 11, "m_decode_samples": 11,
@@ -6243,16 +6303,14 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "t_fingerprint": 11, "t_lang_id": 11, "t_langid_accuracy": 11,
     "t_phrase_proximity": 11, "t_pii_redact": 11, "t_quality_score": 11,
     "t_repetition": 11, "t_token_count": 11, "t_top_terms": 11,
-    "t_vocab_build": 11, "v_adjacency_build": 11, "v_auto_search": 11,
-    "v_batch_topk": 11, "v_degree_histogram": 11, "v_delete_repair": 11,
+    "t_vocab_build": 11, "v_adjacency_build": 11, "v_batch_topk": 11, "v_degree_histogram": 11, "v_delete_repair": 11,
     "v_exact_topk_cosine": 11, "v_exact_topk_euclidean": 11,
     "v_filtered_topk": 11, "v_hard_negatives": 11, "v_knn_join": 11,
     "v_normalize": 11, "v_quantize": 11, "v_range_search": 11,
     "v_reduce_dim": 11,
     # --- r10 window (CORRECTNESS_r10.json) ---
-    "a_beam_pq_cosine_recall": 10, "a_extract_features": 10,
-    "a_graph_build_lsh_recall": 10, "a_ivfpq_recall": 10,
-    "a_pq_recall": 10, "d_dedup_exact": 10, "d_dup_clusters": 10,
+    "a_extract_features": 10,
+    "a_graph_build_lsh_recall": 10, "d_dedup_exact": 10, "d_dup_clusters": 10,
     "d_dup_clusters_star": 10, "d_duplicate_spans": 10, "d_keep_best": 10,
     "d_minhash_lsh_pairs": 10, "d_minhash_signatures": 10, "d_simhash": 10,
     "d_simhash_neardup": 10, "d_span_profile": 10, "m_frame_plan": 10,

@@ -502,10 +502,20 @@ def embedding_neardup_stream(
             sib = base.select(
                 F.col("vec_id").alias("_other"), "lsh_table", "bucket"
             )
+            # within-batch pairs are NORMALIZED to (larger, smaller) BEFORE
+            # the distinct: with multiprobe the collision directions are
+            # asymmetric (a's probe flips may reach b's base bucket while
+            # b's probes miss a's), and the pre-normalization filter
+            # `_other < vec_id` silently dropped the a-probes-b direction —
+            # the later-arrived (larger-id) vector must be flagged
+            # whichever side's probing found the pair (round 13 review)
             pair_frames.append(
                 qside.join(sib, ["lsh_table", "bucket"])
-                .filter(F.col("_other") < F.col("vec_id"))
-                .select("vec_id", "_other")
+                .filter(F.col("_other") != F.col("vec_id"))
+                .select(
+                    F.greatest("vec_id", "_other").alias("vec_id"),
+                    F.least("vec_id", "_other").alias("_other"),
+                )
                 .distinct()
                 .join(
                     batch_vecs.select(F.col("vec_id").alias("_other"),
