@@ -4021,6 +4021,43 @@ def q_auto_search(spark, sf_dir):
     )
 
 
+def beam_gate_params(n: int) -> tuple[int, int, int]:
+    """(ef, max_hops, n_entrypoints) for the beam-gate probe at corpus
+    size n — a MEASURED scale rule (round 13), anchored at the sf0.1
+    point (n=2000: ef=100, hops=6, eps=4, recall 0.98) and calibrated at
+    the sf1 decade the way round 12 calibrated LSH's rho:
+
+    The fixed point COLLAPSES at 10x — 0.540 at n=20000 (below the 0.70
+    bar, test/runtests.jl:454).  Cause: the graph is the reference-parity
+    top-maxdegree kNN prune (degree 8), and a pure kNN graph has no
+    long-range shortcuts, so its effective diameter grows faster than
+    log_degree(n) and greedy frontiers stall in local neighborhoods.
+    Measured levers at n=20000 (tools + SCALING.md sf1 section):
+    hops 6->10 alone recovers 0.740; DOUBLING entrypoints (4->8) is the
+    dominant lever, 0.760->0.920 at ef=200 — more spread seeds mean a
+    frontier is rarely trapped in one basin; wider still (eps=16,
+    hops=14) plateaus at 0.92-0.94, so the rule stops at the knee:
+
+        per decade of n beyond 2000:  ef x2, hops +4, entrypoints x2
+
+    Probe cost stays polylog: hops are +4/decade driver-loop rounds and
+    the ef/eps doublings grow per-hop candidate volume ~n^0.3 — against
+    the exact scan's n.  At driver scales (n <= 2000) the rule resolves
+    to exactly the historical point, so every <= sf0.1 gate result is
+    bit-unchanged.  Structural alternative for real deployments: build
+    with alpha-diversified pruning (graph.py alpha, RobustPrune), whose
+    long-range edges restore navigability instead of paying wider
+    probes; the gate keeps reference-parity pruning because that is the
+    surface being gated."""
+    import math
+
+    decades = max(0.0, math.log10(max(1, n) / 2000.0))
+    ef = int(round(100 * 2**decades))
+    hops = int(round(6 + 4 * decades))
+    eps = int(round(4 * 2**decades))
+    return ef, hops, eps
+
+
 def q_beam_recall(spark, sf_dir):
     """recall@10 of batched graph beam search — the declared gate for the
     reference's CORE search path (op 12 `_search_graph`,
@@ -4046,8 +4083,11 @@ def q_beam_recall(spark, sf_dir):
     exact = _gate_exact(spark, sf_dir).select(
         F.col("qid"), F.col("id")
     )
+    # scale-aware probe point (round 13): resolves to the historical
+    # (100, 6, 4) at every driver SF; see beam_gate_params
+    ef, hops, eps = beam_gate_params(int(idx.meta["num_points"]))
     approx = idx.search_batch(
-        qdf, topk=10, mode="beam", ef=100, n_entrypoints=4, max_hops=6
+        qdf, topk=10, mode="beam", ef=ef, n_entrypoints=eps, max_hops=hops
     ).select(
         "qid",
         F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("id"),
@@ -4326,8 +4366,9 @@ def q_beam_pq_cosine_recall(spark, sf_dir):
     emb = _gate_emb(spark, sf_dir)
     qdf = _recall_queries(emb)
     exact = _gate_exact_cosine(spark, sf_dir).select("qid", "id")
+    ef, hops, eps = beam_gate_params(int(idx.meta["num_points"]))
     approx = idx.search_batch(
-        qdf, topk=10, mode="beam", ef=100, n_entrypoints=4, max_hops=6
+        qdf, topk=10, mode="beam", ef=ef, n_entrypoints=eps, max_hops=hops
     ).select(
         "qid",
         F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("id"),

@@ -413,6 +413,26 @@ def test_alpha_insert_with_lsh_candidates(spark, emb):
     assert all(by_id[i] for i in range(50, 60)), "every new node links somewhere"
 
 
+def test_beam_gate_params_scale_rule():
+    """The beam-gate probe point must (a) resolve to the historical
+    (ef=100, hops=6, eps=4) at every driver SF — sub-sf0.1 gate results
+    stay bit-identical — and (b) scale ef x2 / hops +4 / entrypoints x2
+    per decade beyond n=2000: the sf1 measurement showed the fixed point
+    at 0.540 (below the 0.70 bar) while (200, 10, 8) measures 0.920 on
+    the same index (SCALING.md sf1 section, round 13)."""
+    from lmdiskann_jl_spark.plans.queries import beam_gate_params
+
+    for n in (1, 60, 500, 2000):
+        assert beam_gate_params(n) == (100, 6, 4)
+    assert beam_gate_params(20_000) == (200, 10, 8)
+    assert beam_gate_params(200_000) == (400, 14, 16)
+    prev = beam_gate_params(2000)
+    for n in (20_000, 200_000, 2_000_000):
+        cur = beam_gate_params(n)
+        assert all(c >= p for c, p in zip(cur, prev)), "must not coarsen"
+        prev = cur
+
+
 def test_multiprobe_self_join_matches_two_sided_bucketing(emb):
     """The multiprobe SELF-join shortcut (round 13): the right/corpus side
     is derived from the probe_col==0 slice of the one cached bucketing

@@ -188,6 +188,20 @@ def main() -> int:
         "dominated by the one-time session-cached artifact build (index,\n"
         "cells, exact baseline) of the FIRST rep, so read their ratios as\n"
         "build-cost growth; the gate completing is the recall claim.\n"
+        "THE BEAM MEASUREMENT FALSIFIED THE FIXED PROBE POINT, exactly as\n"
+        "round 12's LSH measurement falsified rho=0.3: (ef=100, hops=6,\n"
+        "eps=4) measured 0.540 at n=20000 — a pure top-maxdegree kNN\n"
+        "graph (reference parity, degree 8) has no long-range shortcuts,\n"
+        "so its effective diameter outgrows log_d(n) and frontiers stall.\n"
+        "Measured levers (tools, full sweep in the round-13 notes): hops\n"
+        "6->10 alone recovers 0.740; doubling entrypoints 4->8 dominates,\n"
+        "0.760->0.920 at ef=200; wider plateaus at 0.92-0.94.  The gate\n"
+        "now probes at beam_gate_params(n) — ef x2 / hops +4 /\n"
+        "entrypoints x2 per decade beyond n=2000, bit-identical at every\n"
+        "driver SF.  IVF at the gate's config (16 cells, nprobe=8)\n"
+        "measured 0.760 at sf1 — above the bar with no rule change (the\n"
+        "probe fraction is constant, so recall decays slowly; 64-cell /\n"
+        "nprobe-32 measures 0.860 for deployments wanting margin).\n"
         "Round 13 also moved the AUTO LSH default onto the quarter-budget\n"
         "multiprobe point, so `a_lsh_knn_auto`/`a_lsh_auto_recall` now\n"
         "measure that configuration (T/4 stored tables, probes=4) and\n"
