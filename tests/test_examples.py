@@ -1,4 +1,4 @@
-"""Smoke-gate the examples/ demos (round 12, VERDICT item 7): the five
+"""Smoke-gate the examples/ demos (round 12, VERDICT item 7): the six
 demos are the first thing a human runs and the lifecycle demo is a de-facto
 integration test (churn + time travel + dedup) — one slow-lane test per
 demo executes its main() end-to-end against sf0.001 so a drifted API or a
@@ -13,6 +13,7 @@ import pytest
 EXAMPLES = [
     "quickstart",
     "lifecycle_demo",
+    "maintenance_demo",
     "pipeline_demo",
     "retrieval_demo",
     "temporal_demo",
