@@ -4155,15 +4155,20 @@ def q_beam_pq_recall(spark, sf_dir):
         books: list[list[list[float]]] = [[] for _ in range(m)]
         for r in cb_rows:
             books[r["sub"]].append([float(x) for x in r["centroid"]])
-        seeds = _pick_entrypoints(emb, "id", 4)
-        _GATE_CACHE[key] = (blocks, np.asarray(books), seeds)
-    blocks, codebook, seeds = _GATE_CACHE[key]
+        # scale-aware probe point (round 13, shared beam rule): seeds are
+        # picked at the rule's entrypoint count for this corpus size
+        n_rows = emb.count()
+        ef0, hops0, eps0 = beam_gate_params(n_rows)
+        seeds = _pick_entrypoints(emb, "id", eps0)
+        _GATE_CACHE[key] = (blocks, np.asarray(books), seeds, n_rows)
+    blocks, codebook, seeds, n_rows = _GATE_CACHE[key]
     qdf = _recall_queries(emb)
     exact = _gate_exact(spark, sf_dir).select("qid", "id")
+    ef, hops, _eps = beam_gate_params(n_rows)
     approx = _per_query_topk(
         beam_search_batch_blocks(
             spark, default_fetcher(blocks), qdf,
-            ef=100, metric="euclidean", seeds=seeds, max_hops=6,
+            ef=ef, metric="euclidean", seeds=seeds, max_hops=hops,
             codebook=codebook,
         ),
         k=10,
@@ -4204,12 +4209,16 @@ def q_filtered_beam_recall(spark, sf_dir):
         exact.count()
         _GATE_CACHE[key] = (allowed_df, exact)
     allowed_df, exact = _GATE_CACHE[key]
-    seeds = [int(e) for e in idx.meta["beam_blocks"]["entrypoints"]][:4]
+    # scale-aware probe point (round 13, same rule as the raw beam gate —
+    # resolves to the historical ef=100/hops=6/4 seeds at driver SFs);
+    # seed count is capped by the layout's stored entrypoints (8)
+    ef, hops, eps = beam_gate_params(int(idx.meta["num_points"]))
+    seeds = [int(e) for e in idx.meta["beam_blocks"]["entrypoints"]][:eps]
     approx = (
         _per_query_topk(
             beam_search_batch_blocks(
                 spark, idx._blocks_fetcher(), qdf,
-                ef=100, metric="euclidean", seeds=seeds, max_hops=6,
+                ef=ef, metric="euclidean", seeds=seeds, max_hops=hops,
                 codebook=idx.meta["beam_blocks"].get("codebook"),
                 allowed=allowed_df,
             ),

@@ -56,6 +56,16 @@ QUERIES = [
     # (recall held at 10x corpus) plus the first-rep build/probe wall.
     "a_beam_recall",
     "a_ivf_recall",
+    # round 13 (second pass): the remaining beam-family paths at the same
+    # decade — filter-during-search and the PQ-compressed block format in
+    # both metrics.  First-rep walls are build-dominated (shared index /
+    # edge set / codebook, all session+disk cached); the row completing is
+    # the recall claim (measured 0.78 / 0.72 / 0.74 at first
+    # certification, vs raw beam's 0.92 — ADC compression pays ~0.2 of
+    # recall at the bar-holding probe budget, the paper's trade).
+    "a_filtered_beam_recall",
+    "a_beam_pq_recall",
+    "a_beam_pq_cosine_recall",
 ]
 
 
