@@ -187,11 +187,21 @@ def adjacency_edges(
     vec_col: str = "vec",
     use_lsh: bool = False,
     dim: int | None = None,
-    lsh_tables: int = 4,
+    lsh_tables: int | None = None,
     candidate_factor: int = 1,
 ) -> DataFrame:
     """Pruned symmetrized kNN edges (id, neighbor, rank) — the flat form of
-    the adjacency table (also the oracle-comparable form)."""
+    the adjacency table (also the oracle-comparable form).
+
+    ``lsh_tables=None`` (the default since round 13) resolves the LSH
+    candidate generator to the AUTO operating point — occupancy-holding
+    planes plus the quarter-budget multiprobe table rule, all scaled from
+    corpus size.  The sf1 decade measurement forced this: a pinned table
+    budget (the old default 4, the gate's old 8) measured build recall
+    0.312 at n=20000 — the same shape as every other fixed LSH point,
+    tables must grow ~n^rho to hold recall.  Pinning stays supported for
+    configuration-specific tests; a pinned config carries no general
+    recall claim and must gate its own configuration."""
     k = maxdegree * max(1, candidate_factor)
     if use_lsh:
         assert dim is not None, "dim required for LSH build"
@@ -237,7 +247,7 @@ def build_adjacency(
     vec_col: str = "vec",
     use_lsh: bool = False,
     dim: int | None = None,
-    lsh_tables: int = 4,
+    lsh_tables: int | None = None,
     candidate_factor: int = 1,
     alpha: float | None = None,
 ) -> DataFrame:
@@ -354,7 +364,7 @@ def insert_batch_adjacency(
     changed_only: bool = False,
     use_lsh: bool = False,
     dim: int | None = None,
-    lsh_tables: int = 4,
+    lsh_tables: int | None = None,
     alpha: float | None = None,
 ) -> DataFrame:
     """Incremental batch insert (micro-batch ``ann_insert!``).

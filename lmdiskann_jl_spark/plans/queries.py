@@ -3951,9 +3951,17 @@ def q_graph_build_lsh_recall(spark, sf_dir):
     """Quality gate for the 100-TB graph-build path: per-node neighbor recall
     of build_adjacency(use_lsh=True) — LSH-bucketed candidate generation,
     never all-pairs — against the brute-force build (the sf0.01 oracle twin).
-    Same config as the pytest gate (tests/test_graph_and_recall.py): 8 LSH
-    tables, candidate_factor 2.  Bar: reference's recall >= 0.70
-    (test/runtests.jl:454)."""
+
+    Round 13: measures the AUTO-resolved operating point (the engine's new
+    build default — occupancy-holding planes + quarter-budget multiprobe
+    tables scaled from corpus size) instead of a pinned 8 tables.  The sf1
+    decade forced the change: the pinned budget measured build recall
+    0.312 at n=20000 (the fixed-LSH-point failure shape — tables must grow
+    ~n^rho), while the production ingest path (index.insert_batch past
+    LSH_INSERT_THRESHOLD) inherits whatever default this gate certifies.
+    The pinned-config pytest (tests/test_graph_and_recall.py) remains as
+    the configuration-specific check.  Bar: reference's recall >= 0.70
+    (test/runtests.jl:454), candidate_factor 2 as before."""
     emb = _t(spark, sf_dir, "embeddings")
     exact = _adjacency_edges_shared(spark, sf_dir).select(
         F.col("id").alias("qid"), F.col("neighbor").alias("id")
@@ -3961,7 +3969,7 @@ def q_graph_build_lsh_recall(spark, sf_dir):
     approx = adjacency_edges(
         emb, maxdegree=ADJ_DEGREE, metric="euclidean",
         id_col="vec_id", vec_col="embedding",
-        use_lsh=True, dim=64, lsh_tables=8, candidate_factor=2,
+        use_lsh=True, dim=64, candidate_factor=2,
     ).select(F.col("id").alias("qid"), F.col("neighbor").alias("id"))
     r = recall_at_k(approx, exact, k=ADJ_DEGREE)
     return _recall_row(spark, r)
@@ -6326,7 +6334,9 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # v_time_travel_ivf, v_auto_search, a_beam_recall,
     # a_filtered_beam_recall, a_beam_pq_recall, a_beam_pq_cosine_recall,
     # a_ivf_recall, a_pq_recall, a_ivfpq_recall,
-    # a_incremental_insert_recall) re-verifies first, so a disk-layer bug
+    # a_incremental_insert_recall), plus a_graph_build_lsh_recall (its
+    # build default moved to the AUTO operating point), re-verifies
+    # first, so a disk-layer bug
     # would surface in the freshest window, not the stalest. ---
     "d_span_removal": 12, "k_keymap_count": 12, "k_keymap_delete": 12,
     "k_keymap_list": 12, "k_keymap_lookup": 12,
@@ -6360,7 +6370,7 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "v_reduce_dim": 11,
     # --- r10 window (CORRECTNESS_r10.json) ---
     "a_extract_features": 10,
-    "a_graph_build_lsh_recall": 10, "d_dedup_exact": 10, "d_dup_clusters": 10,
+    "d_dedup_exact": 10, "d_dup_clusters": 10,
     "d_dup_clusters_star": 10, "d_duplicate_spans": 10, "d_keep_best": 10,
     "d_minhash_lsh_pairs": 10, "d_minhash_signatures": 10, "d_simhash": 10,
     "d_simhash_neardup": 10, "d_span_profile": 10, "m_frame_plan": 10,

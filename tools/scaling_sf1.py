@@ -66,6 +66,12 @@ QUERIES = [
     "a_filtered_beam_recall",
     "a_beam_pq_recall",
     "a_beam_pq_cosine_recall",
+    # round 13 (third pass): the graph-BUILD path at the decade.  The old
+    # pinned-8-table default measured 0.312 at n=20000; the AUTO-resolved
+    # default (occupancy planes + quarter-budget multiprobe tables)
+    # measures 0.996 — the rule the production ingest path (insert_batch
+    # past LSH_INSERT_THRESHOLD) now inherits.
+    "a_graph_build_lsh_recall",
 ]
 
 
