@@ -1706,11 +1706,31 @@ class LMDiskANNIndex:
 
     def _blocks_seeds(self, n_entrypoints: int) -> list[int]:
         """Seed ids for a blocks-path search: the stored single entrypoint
-        for n<=1 (reference semantics), else the layout's stored spread set."""
+        for n<=1 (reference semantics), else the layout's stored spread set.
+
+        Asking for more seeds than the layout stores is NOT silently
+        truncated (round-14 review): a scale rule that widens entrypoints
+        per decade would otherwise measure a weaker probe than it claims
+        whenever the index was built with a smaller ``n_entrypoints``.
+        The search still runs (with every stored seed), but the divergence
+        is surfaced loudly so gates and callers can rebuild the layout
+        with ``build_beam_blocks(n_entrypoints=...)`` at the wider count."""
         stored = [int(e) for e in self.meta["beam_blocks"]["entrypoints"]]
         if n_entrypoints <= 1:
             ep = int(self.meta["entrypoint"])
             return [ep] if ep >= 0 else stored[:1]
+        if n_entrypoints > len(stored):
+            import warnings
+
+            warnings.warn(
+                f"beam search requested n_entrypoints={n_entrypoints} but the "
+                f"block layout stores only {len(stored)} spread seeds — "
+                f"searching with {len(stored)}; rebuild via "
+                f"build_beam_blocks(n_entrypoints={n_entrypoints}) for the "
+                "full probe width",
+                RuntimeWarning,
+                stacklevel=3,
+            )
         return stored[:n_entrypoints]
 
     def _blocks_fetcher(self):

@@ -248,24 +248,37 @@ LSH_MAX_TABLES = 128
 
 
 def auto_lsh_config(
-    n: int, k: int, multiprobe: bool = True
+    n: int, k: int, multiprobe: bool = True, probes: int | None = None
 ) -> tuple[int, int, int]:
     """(n_planes, n_tables, probes) at the AUTO operating point for corpus
     size n.  ``multiprobe=True`` (the default since round 13) returns the
     quarter-budget multiprobe point; ``multiprobe=False`` returns the
     classic full-table point with probes=1 — kept reachable so the two
     can be A/B'd at any scale (that A/B is exactly the round-12
-    measurement that justified the switch)."""
+    measurement that justified the switch).
+
+    ``probes`` (round-14 review): a caller pinning the probe count while
+    keeping AUTO tables gets the stored-table budget divided by
+    ``min(probes, LSH_MULTIPROBE_DIV)`` — the ACTUAL probe count, capped
+    at the calibrated divisor — never by the fixed divisor alone.  Before
+    this, probes=2 silently kept the /4 division, so the probe-bucket
+    candidate budget fell to half the calibrated n^(1+rho) floor with no
+    warning.  The cap means probes > 4 buys extra probe buckets above the
+    floor (conservative: deeper bit-flips collide with lower true-pair
+    probability, so they are credited as bonus, not as stored-table
+    substitutes)."""
     n_planes = max(2, min(24, round(math.log2(max(2.0, n / (LSH_OCC_K * k))))))
     n_tables = max(
         LSH_T_REF,
         min(LSH_MAX_TABLES, round(LSH_T_REF * (n / LSH_N_REF) ** LSH_RHO)),
     )
     if multiprobe:
+        q = LSH_MULTIPROBE_PROBES if probes is None else max(1, int(probes))
+        div = min(q, LSH_MULTIPROBE_DIV)
         return (
             n_planes,
-            max(2, math.ceil(n_tables / LSH_MULTIPROBE_DIV)),
-            LSH_MULTIPROBE_PROBES,
+            max(2, math.ceil(n_tables / div)),
+            q,
         )
     return n_planes, n_tables, 1
 
@@ -307,8 +320,10 @@ def lsh_knn_join(
     bit-for-bit, so the fixed recall gates and the graph-build path are
     untouched by the AUTO default change).  Passing ``probes=1`` with AUTO
     tables explicitly requests the classic FULL-TABLE point — the A/B
-    handle; any explicit ``probes`` > 1 with AUTO tables takes the
-    quarter-table budget with that probe count.
+    handle; any explicit ``probes`` > 1 with AUTO tables divides the
+    stored-table budget by ``min(probes, LSH_MULTIPROBE_DIV)`` (round-14
+    review: dividing by the fixed 4 regardless of the actual probe count
+    dropped probes=2/3 callers below the calibrated candidate floor).
 
     Pinning n_tables while leaving planes auto keeps the
     calibrated round() plane rule but carries NO general recall claim — the
@@ -332,7 +347,7 @@ def lsh_knn_join(
         # — see the behavior note above (n_rows skips it)
         n = n_rows if n_rows is not None else right.count()
         auto_p, auto_t, auto_q = auto_lsh_config(
-            n, k, multiprobe=(probes is None or probes > 1)
+            n, k, multiprobe=(probes is None or probes > 1), probes=probes
         )
         n_planes = auto_p if n_planes is None else n_planes
         if n_tables is None:

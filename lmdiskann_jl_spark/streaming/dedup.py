@@ -407,7 +407,10 @@ def embedding_neardup_stream(
     SCALING.md).  The (n_planes, n_tables, probes, seed) tuple is part of
     the store's identity: it must stay fixed for the stream's lifetime,
     exactly like the plane seed — state bucketed under one table count
-    cannot be joined under another.
+    cannot be joined under another.  ENFORCED since round 14: the first
+    write stamps the resolved tuple into the state meta and a restart
+    with a different configuration raises at its first micro-batch, the
+    same contract the lineage token carries.
 
     Returns the StreamingQuery handle."""
     from lmdiskann_jl_spark.functions.vector import cosine_similarity
@@ -445,6 +448,25 @@ def embedding_neardup_stream(
             meta = {"versions": {}}
         token = _lineage_token(checkpoint_dir)
         _check_lineage(meta, token, epoch_id, "embedding_neardup_stream")
+        # ENFORCE the config <-> state binding (round-14 review): the
+        # docstring has always declared (n_planes, n_tables, probes, seed)
+        # part of the store's identity, but only the lineage token was
+        # checked — restarting with a different probes/tables value against
+        # existing state would silently join buckets computed under an
+        # incompatible table count and corrupt dup flags.  First write
+        # stamps the resolved tuple; every later batch must match.
+        lsh_cfg = [int(n_planes), int(n_tables), int(probes), int(seed)]
+        stored_cfg = meta.get("lsh_config")
+        if stored_cfg is not None and [int(x) for x in stored_cfg] != lsh_cfg:
+            raise ValueError(
+                "embedding_neardup_stream config violation: state_dir was "
+                f"written under (n_planes, n_tables, probes, seed)="
+                f"{tuple(int(x) for x in stored_cfg)} but this stream "
+                f"resolved {tuple(lsh_cfg)} — state bucketed under one LSH "
+                "configuration cannot be joined under another; restart with "
+                "the original configuration or drop state_dir and "
+                "checkpoint_dir together"
+            )
         sel = batch_df.select(
             F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec")
         )
@@ -548,6 +570,7 @@ def embedding_neardup_stream(
                 meta = cat.write("vecs", vstamped, meta)
             meta["max_epoch"] = int(epoch_id)
             meta["lineage_token"] = token
+            meta["lsh_config"] = lsh_cfg
             if len(cat._segments("buckets", meta)) > NEARDUP_STATE_SEGMENTS:
                 # same inline read-amplification + disk bounds as the text
                 # band store; _process is the store's only reader

@@ -950,3 +950,26 @@ def test_pq_blocks_cosine_maintained_delete_repairs(spark, idx_path, batch):
         F.explode("neighbors").alias("nbr")
     )
     assert {int(r["nbr"]) for r in ex.distinct().collect()} <= live_ids
+
+
+def test_oversubscribed_entrypoints_warn_not_silent(spark, idx_path, batch, queries):
+    """Round 14 (advisor): requesting more seeds than the layout stores
+    must SURFACE the divergence — a per-decade probe-width rule would
+    otherwise measure a weaker probe than it claims.  The search still
+    runs with every stored seed."""
+    import warnings
+
+    idx = _built(spark, idx_path, batch)  # stores 4 spread seeds
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        seeds = idx._blocks_seeds(16)
+        assert len(seeds) <= 4
+        assert any(
+            "n_entrypoints=16" in str(x.message) and "stores only" in str(x.message)
+            for x in w
+        ), "oversubscription must warn"
+    # within-budget requests stay silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        idx._blocks_seeds(4)
+        assert not [x for x in w if issubclass(x.category, RuntimeWarning)]

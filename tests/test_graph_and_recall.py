@@ -88,6 +88,20 @@ def test_auto_lsh_config_scale_rule():
         mp, mt, mq = auto_lsh_config(n, k)
         assert (mp, mt, mq) == (p, max(2, math.ceil(t / 4)), 4)
         prev_p, prev_t = p, t
+    # round 14 (advisor): an explicit probe count divides the stored-table
+    # budget by min(probes, 4) — the ACTUAL probes — so the probe-bucket
+    # candidate budget never drops below the calibrated n^(1+rho) floor.
+    # Before this, probes=2 silently kept the /4 division (half the floor).
+    full_t = auto_lsh_config(2000, k, multiprobe=False)[1]
+    for q_req in (2, 3, 4, 8):
+        p2, t2, q2 = auto_lsh_config(2000, k, probes=q_req)
+        assert q2 == q_req
+        div = min(q_req, 4)
+        assert t2 == max(2, math.ceil(full_t / div))
+        # probe-bucket budget >= the full-table floor
+        assert t2 * q_req >= full_t
+    # probes=None keeps the calibrated default point bit-for-bit
+    assert auto_lsh_config(2000, k, probes=None) == auto_lsh_config(2000, k)
 
 
 def test_auto_lsh_point_recall_meets_reference_bar(emb):

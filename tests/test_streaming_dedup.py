@@ -476,3 +476,67 @@ def test_embedding_neardup_stream_rejects_foreign_lineage(
     with pytest.raises(Exception, match="lineage violation"):
         q.processAllAvailable()
     q.stop()
+
+
+def test_embedding_neardup_stream_rejects_config_mismatch(
+    spark, tmp_path, finish_stream
+):
+    """Round 14: the (n_planes, n_tables, probes, seed) tuple is ENFORCED
+    state identity, not just documented — a continuation of the same
+    checkpoint lineage with a different probes value must raise at its
+    first micro-batch instead of silently joining buckets computed under
+    an incompatible table count (which would corrupt dup flags)."""
+    import os
+    import shutil
+    import time
+
+    import pytest
+
+    from lmdiskann_jl_spark.sources.tables import read_meta
+    from lmdiskann_jl_spark.streaming.dedup import embedding_neardup_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    t0 = time.time()
+
+    def add_file(i, rows):
+        tmp = str(tmp_path / f"half_{i}")
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>").coalesce(
+            1
+        ).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = str(src / f"f{i}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    add_file(0, [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])])
+    state, out, ckpt = (
+        str(tmp_path / "state"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+
+    def start(probes):
+        return embedding_neardup_stream(
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src)),
+            state, out, ckpt, threshold=0.99, probes=probes,
+        )
+
+    q = start(4)
+    finish_stream(q, timeout=300)
+    cfg = read_meta(state).get("lsh_config")
+    assert cfg is not None and int(cfg[2]) == 4, "resolved tuple must be stamped"
+
+    # same lineage (same checkpoint), new data, DIFFERENT probes: the
+    # lineage token matches, so only the config guard can catch this
+    add_file(1, [(2, [1.0, 0.0, 0.0, 0.0])])
+    q2 = start(1)
+    with pytest.raises(Exception, match="config violation"):
+        q2.processAllAvailable()
+    q2.stop()
+
+    # the original configuration still continues cleanly
+    q3 = start(4)
+    finish_stream(q3, timeout=300)
+    got = {r["vec_id"]: r["is_dup"] for r in spark.read.parquet(out).collect()}
+    assert got[2] is True  # twin of vec 0, seen earlier
