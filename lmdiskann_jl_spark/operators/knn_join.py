@@ -218,13 +218,27 @@ def add_lsh_buckets(
 #   any LSH family — rho > 0 is a lower bound, not an implementation
 #   artifact, and the isotropic-worst-case exponent is the price of a
 #   recall GUARANTEE rather than a clustered-data expectation.
-# - the table cap (128) binds near n ~ 300k under the constant-C model;
-#   the model is conservative there — the k-th-NN angle SHRINKS as n
-#   grows, so C_TRUE rises and fewer tables are needed than constant-C
-#   predicts — but the floor is only MEASURED through n=20000
-#   (tools/scaling_sf1.py); a deployment past the cap re-measures with
-#   its own a_lsh_auto_recall-style gate rather than trusting the
-#   extrapolation, exactly as this round did for the last decade.
+# - the CAP ERA (round 14, MEASURED): the table cap (128) binds the
+#   FULL-table rule from n ~ 28k (16 * (n/500)^0.515 = 128 at
+#   LSH_CAP_N ~ 28,356), and the prior claim that rising C_TRUE (k-NN
+#   angles shrink as n grows) would cover the gap was FALSIFIED at
+#   n=200,000 exactly as rho=0.3 was at n=20,000: the capped point with
+#   probes=4 measured recall 0.630 < 0.70 (tools/scaling_cap.py,
+#   SCALING.md's cap-decade table).  The rule that holds the floor with
+#   the table budget pinned is GROWN PROBES: each plane the occupancy
+#   rule adds beyond the cap-binding point cuts per-table true-pair
+#   collision by C_TRUE, so the query-side probe count grows by
+#   ~1/C_TRUE ~ 1.42 per plane — implemented as
+#   probes = 4 * 2^ceil(delta_planes / 2) (~1.41x/plane; the measured
+#   anchor: probes=16 at n=200k's delta of 3 planes measured 0.823,
+#   comfortably above bar at HALF the candidate volume of the
+#   frozen-planes alternative — 0.881 but ~100k cands/query — and with
+#   UNCHANGED stored state).
+#   Stored tables stay ceil(128/4)=32 — the cap era grows only the
+#   query-side expansion, never state.  A deployment a further decade
+#   past the measured anchor (n >> 200k) re-measures with its own
+#   a_lsh_auto_recall-style gate, the same contract as before — but the
+#   anchor is now one decade PAST the cap, not one before it.
 LSH_OCC_K = 8.0
 LSH_T_REF = 16
 LSH_N_REF = 500.0
@@ -245,6 +259,9 @@ LSH_RHO = 0.515  # = log2(1 / C_TRUE), C_TRUE ~ 0.70 measured
 LSH_MULTIPROBE_DIV = 4
 LSH_MULTIPROBE_PROBES = 4
 LSH_MAX_TABLES = 128
+# the corpus size where the full-table rule hits LSH_MAX_TABLES:
+# 500 * (128/16)^(1/0.515) — beyond this the cap-era probe rule takes over
+LSH_CAP_N = LSH_N_REF * (LSH_MAX_TABLES / LSH_T_REF) ** (1.0 / LSH_RHO)
 
 
 def auto_lsh_config(
@@ -266,14 +283,40 @@ def auto_lsh_config(
     warning.  The cap means probes > 4 buys extra probe buckets above the
     floor (conservative: deeper bit-flips collide with lower true-pair
     probability, so they are credited as bonus, not as stored-table
-    substitutes)."""
+    substitutes).
+
+    CAP ERA (round 14, measured at n=200,000 — see the calibration
+    comment above and SCALING.md's cap-decade table): once the full-table
+    rule saturates LSH_MAX_TABLES (n > LSH_CAP_N ~ 28k), each further
+    plane the occupancy rule adds has no table growth left to compensate
+    it, and the capped point with probes=4 measured recall 0.630 < 0.70.
+    AUTO therefore grows the QUERY-SIDE probe count instead:
+    probes = 4 * 2^ceil(delta_planes / 2) where delta_planes is the
+    plane count beyond the cap-binding decade's — ~1.41x per plane, the
+    1/C_TRUE growth the table rule can no longer provide.  Stored state
+    is unchanged (still ceil(128/4) tables).  Measured anchor: probes=16
+    at n=200k holds 0.823.  The classic full-table point
+    (``multiprobe=False``) has NO cap-era compensation — past LSH_CAP_N
+    it is strictly a legacy A/B handle whose recall decays; the
+    multiprobe AUTO point is the scale path.  An explicitly pinned
+    ``probes`` suppresses the cap rule (the caller owns the trade)."""
     n_planes = max(2, min(24, round(math.log2(max(2.0, n / (LSH_OCC_K * k))))))
     n_tables = max(
         LSH_T_REF,
         min(LSH_MAX_TABLES, round(LSH_T_REF * (n / LSH_N_REF) ** LSH_RHO)),
     )
     if multiprobe:
-        q = LSH_MULTIPROBE_PROBES if probes is None else max(1, int(probes))
+        if probes is None:
+            q = LSH_MULTIPROBE_PROBES
+            if n > LSH_CAP_N:
+                cap_planes = max(
+                    2,
+                    min(24, round(math.log2(max(2.0, LSH_CAP_N / (LSH_OCC_K * k))))),
+                )
+                delta = max(0, n_planes - cap_planes)
+                q = LSH_MULTIPROBE_PROBES * 2 ** math.ceil(delta / 2)
+        else:
+            q = max(1, int(probes))
         div = min(q, LSH_MULTIPROBE_DIV)
         return (
             n_planes,

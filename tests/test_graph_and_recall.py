@@ -84,9 +84,14 @@ def test_auto_lsh_config_scale_rule():
         occ = n / 2**p
         assert 0.5 * 8 * k <= occ <= 2 * 8 * k or p == 24
         # the multiprobe point tracks the full one: same planes, a quarter
-        # of the tables (never below 2), 4 probes
+        # of the tables (never below 2); probes stay 4 below the table cap
+        # and grow past it (the round-14 cap-era rule — see
+        # test_auto_lsh_cap_era_probe_rule for the cap decade's contract)
+        from lmdiskann_jl_spark.operators.knn_join import LSH_CAP_N
+
         mp, mt, mq = auto_lsh_config(n, k)
-        assert (mp, mt, mq) == (p, max(2, math.ceil(t / 4)), 4)
+        assert (mp, mt) == (p, max(2, math.ceil(t / 4)))
+        assert mq == 4 if n <= LSH_CAP_N else mq >= 4
         prev_p, prev_t = p, t
     # round 14 (advisor): an explicit probe count divides the stored-table
     # budget by min(probes, 4) — the ACTUAL probes — so the probe-bucket
@@ -534,3 +539,38 @@ def test_multiprobe_probes_one_is_classic_bucketing(spark):
 
     with _pytest.raises(ValueError, match="Arrow"):
         add_lsh_buckets(df, planes, use_arrow=False, probes=2)
+
+
+def test_auto_lsh_cap_era_probe_rule():
+    """Round 14: past LSH_CAP_N (~28k, where the full-table rule saturates
+    the 128-table cap) AUTO grows the query-side probe count by ~1.41x per
+    plane the occupancy rule adds — measured at n=200k (probes=16 holds
+    0.823 vs the falsified probes=4 point's 0.630, tools/scaling_cap.py).
+    Stored state must NOT grow; driver SFs below the cap are untouched."""
+    import math
+
+    from lmdiskann_jl_spark.operators.knn_join import (
+        LSH_CAP_N,
+        LSH_MAX_TABLES,
+        LSH_MULTIPROBE_DIV,
+        auto_lsh_config,
+    )
+
+    k = 10
+    # below the cap: the round-13 point, bit-identical
+    assert auto_lsh_config(20_000, k) == (8, 27, 4)
+    # the measured anchor: n=200k resolves to the certified configuration
+    cap_tables = math.ceil(LSH_MAX_TABLES / LSH_MULTIPROBE_DIV)
+    assert auto_lsh_config(200_000, k) == (11, cap_tables, 16)
+    # monotone, state-flat cap era: probes grow, stored tables never do
+    prev_q = 4
+    for n in (50_000, 200_000, 800_000, 3_200_000):
+        p, t, q = auto_lsh_config(n, k)
+        assert t == cap_tables, "cap era must not grow stored state"
+        assert q >= prev_q, "probe count must not shrink as n grows"
+        prev_q = q
+    assert prev_q > 4, "the cap rule must actually have fired"
+    # the cap-binding corpus size matches the rule's closed form
+    assert int(LSH_CAP_N) in range(28_000, 29_000)
+    # an explicitly pinned probes suppresses the cap rule (caller owns it)
+    assert auto_lsh_config(200_000, k, probes=4)[2] == 4
