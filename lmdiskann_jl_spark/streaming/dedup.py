@@ -269,6 +269,21 @@ def neardup_stream(
             meta = {"versions": {}}
         token = _lineage_token(checkpoint_dir)
         _check_lineage(meta, token, epoch_id, "neardup_stream")
+        # config <-> state binding (round 14, same contract as the embedding
+        # store's lsh_config): bands computed under one (n_perm, band_rows)
+        # cannot be joined against a store banded under another — the
+        # mismatch silently changes every collision decision.  First write
+        # stamps the resolved pair; later batches must match.
+        band_cfg = [int(np_), int(br_)]
+        stored_cfg = meta.get("band_config")
+        if stored_cfg is not None and [int(x) for x in stored_cfg] != band_cfg:
+            raise ValueError(
+                "neardup_stream config violation: state_dir was banded under "
+                f"(n_perm, band_rows)={tuple(int(x) for x in stored_cfg)} but "
+                f"this stream resolved {tuple(band_cfg)} — restart with the "
+                "original configuration or drop state_dir and checkpoint_dir "
+                "together"
+            )
         bands = _minhash_bands(batch_df, np_, br_, id_col, text_col).persist()
         try:
             bands.count()  # eager: three consumers below reuse, not recompute
@@ -313,6 +328,7 @@ def neardup_stream(
                 meta = cat.write("bands", stamped, meta)
             meta["max_epoch"] = int(epoch_id)  # the lineage high-water mark
             meta["lineage_token"] = token
+            meta["band_config"] = band_cfg
             if len(cat._segments("bands", meta)) > NEARDUP_STATE_SEGMENTS:
                 # inline read-amplification bound (the unlucky-batch latency
                 # spike contract stream_insert documents for the index tables)

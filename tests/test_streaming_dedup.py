@@ -540,3 +540,57 @@ def test_embedding_neardup_stream_rejects_config_mismatch(
     finish_stream(q3, timeout=300)
     got = {r["vec_id"]: r["is_dup"] for r in spark.read.parquet(out).collect()}
     assert got[2] is True  # twin of vec 0, seen earlier
+
+
+def test_neardup_stream_rejects_band_config_mismatch(
+    spark, tmp_path, finish_stream
+):
+    """Round 14: the text band store enforces its (n_perm, band_rows)
+    identity the same way the embedding store enforces its LSH tuple — a
+    continuation with different banding parameters raises instead of
+    silently joining incompatible band signatures."""
+    import os
+    import shutil
+    import time
+
+    import pytest
+
+    from lmdiskann_jl_spark.sources.tables import read_meta
+    from lmdiskann_jl_spark.streaming.dedup import neardup_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    t0 = time.time()
+
+    def add_file(i, rows):
+        tmp = str(tmp_path / f"half_{i}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = str(src / f"f{i}.parquet")
+        shutil.copy(os.path.join(tmp, part), dst)
+        os.utime(dst, (t0 + i, t0 + i))
+
+    add_file(0, [(0, "the quick brown fox jumps over the lazy dog")])
+    state, out, ckpt = (
+        str(tmp_path / "state"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+
+    def start(n_perm):
+        return neardup_stream(
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src)),
+            state, out, ckpt, n_perm=n_perm,
+        )
+
+    q = start(32)
+    finish_stream(q, timeout=300)
+    assert [int(x) for x in read_meta(state)["band_config"]][0] == 32
+
+    add_file(1, [(1, "an entirely different document body")])
+    q2 = start(16)
+    with pytest.raises(Exception, match="config violation"):
+        q2.processAllAvailable()
+    q2.stop()
