@@ -4102,11 +4102,16 @@ def beam_gate_params(n: int) -> tuple[int, int, int]:
     the ef/eps doublings grow per-hop candidate volume ~n^0.3 — against
     the exact scan's n.  At driver scales (n <= 2000) the rule resolves
     to exactly the historical point, so every <= sf0.1 gate result is
-    bit-unchanged.  Structural alternative for real deployments: build
-    with alpha-diversified pruning (graph.py alpha, RobustPrune), whose
-    long-range edges restore navigability instead of paying wider
-    probes; the gate keeps reference-parity pruning because that is the
-    surface being gated."""
+    bit-unchanged.  The structural alternative — alpha-diversified
+    pruning (graph.py alpha, RobustPrune) — was A/B'd at this decade in
+    round 14 (tools/alpha_ab_sf1.py, SCALING.md): on THIS corpus the
+    graphs come out statistically identical (isotropic 64-dim data never
+    fires the dominance rule — concentration of measure, graph.py's
+    round-11 geometry note) and the lean point stays below the bar
+    either way, so the probe-width rule IS the scale path here; alpha
+    remains the documented build knob for clustered real-world corpora,
+    where the long-range edges exist to be kept.  The gate keeps
+    reference-parity pruning because that is the surface being gated."""
     import math
 
     decades = max(0.0, math.log10(max(1, n) / 2000.0))
