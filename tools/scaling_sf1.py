@@ -246,7 +246,10 @@ def main() -> int:
     )
     with open(out) as f:
         txt = f.read()
-    txt = re.sub(r"\n## sf1 extension.*\Z", "", txt, flags=re.S)
+    # replace ONLY this tool's section — up to the next heading, not end of
+    # file (round 14: the greedy form deleted the cap-decade and alpha-A/B
+    # sections appended after it)
+    txt = re.sub(r"\n## sf1 extension.*?(?=\n## |\Z)", "", txt, flags=re.S)
     with open(out, "a" if not txt else "w") as f:
         f.write(txt + section)
     print("SCALING.md sf1 section updated", file=sys.stderr)
