@@ -46,6 +46,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 CAP_DIR = "/tmp/lmdiskann_scaling_cap"
+# default = the committed gate point; pass an explicit row count
+# (`python3 tools/scaling_cap.py 2000000`) to run an EXPLORATORY
+# measurement at another size — exploratory runs print their rows and
+# raise below the bar but do NOT rewrite SCALING.md's gate section
 N_ROWS = 200_000
 N_QUERIES = 100
 K = 10
@@ -53,31 +57,33 @@ SEED = 10_042
 BAR = 0.70
 
 
-def _ensure_corpus() -> str:
-    dest = os.path.join(CAP_DIR, "embeddings.parquet")
+def _ensure_corpus(n_rows: int) -> str:
+    root = CAP_DIR if n_rows == N_ROWS else f"{CAP_DIR}_{n_rows}"
+    dest = os.path.join(root, "embeddings.parquet")
     if os.path.exists(dest):
-        return CAP_DIR
+        return root
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     rng = np.random.default_rng(SEED)
-    x = rng.standard_normal((N_ROWS, 64)).astype(np.float32)
+    x = rng.standard_normal((n_rows, 64)).astype(np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     tbl = pa.table(
         {
-            "vec_id": pa.array(range(N_ROWS), pa.int64()),
+            "vec_id": pa.array(range(n_rows), pa.int64()),
             "embedding": pa.array(list(x), pa.list_(pa.float32())),
-            "label": pa.array([i % 10 for i in range(N_ROWS)], pa.int32()),
+            "label": pa.array([i % 10 for i in range(n_rows)], pa.int32()),
         }
     )
-    os.makedirs(CAP_DIR, exist_ok=True)
+    os.makedirs(root, exist_ok=True)
     pq.write_table(tbl, dest)
-    print(f"# synthesized cap corpus: {N_ROWS} rows at {dest}", file=sys.stderr)
-    return CAP_DIR
+    print(f"# synthesized cap corpus: {n_rows} rows at {dest}", file=sys.stderr)
+    return root
 
 
-def main() -> int:
+def main(n_rows: int = N_ROWS) -> int:
+    gate_mode = n_rows == N_ROWS
     from pyspark.sql import functions as F
 
     from lmdiskann_jl_spark.operators.knn_join import (
@@ -89,11 +95,11 @@ def main() -> int:
     from lmdiskann_jl_spark.operators.topk import batch_topk, recall_at_k
     from lmdiskann_jl_spark.session import get_spark
 
-    cap_dir = _ensure_corpus()
+    cap_dir = _ensure_corpus(n_rows)
     spark = get_spark(app_name="scaling-cap")
     emb = spark.read.parquet(f"{cap_dir}/embeddings.parquet")
     # seeded query sample: every 2000th id -> 100 spread queries
-    qids = list(range(0, N_ROWS, N_ROWS // N_QUERIES))
+    qids = list(range(0, n_rows, n_rows // N_QUERIES))
     qdf = (
         emb.filter(F.col("vec_id").isin(qids))
         .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
@@ -111,9 +117,9 @@ def main() -> int:
     exact.count()
     print(f"# exact baseline: {time.time() - t0:.1f}s", file=sys.stderr)
 
-    auto_p, auto_t, auto_q = auto_lsh_config(N_ROWS, K)
+    auto_p, auto_t, auto_q = auto_lsh_config(n_rows, K)
     assert auto_t == -(-LSH_MAX_TABLES // LSH_MULTIPROBE_DIV), (
-        "expected the capped quarter budget at n=200k"
+        f"expected the capped quarter budget at n={n_rows}"
     )
     from lmdiskann_jl_spark.operators.knn_join import LSH_CAP_N
 
@@ -145,11 +151,22 @@ def main() -> int:
         r = recall_at_k(approx, exact, k=K)
         wall = time.time() - t0
         # candidate volume proxy: expected probe-bucket occupancy x probes x tables
-        cand = round(t * q * N_ROWS / 2**p)
+        cand = round(t * q * n_rows / 2**p)
         results[name] = r
         line = f"| {name} | {p} | {t} | {q} | {r:.3f} | {wall:.1f} | ~{cand}/query |"
         lines.append(line)
         print(line, file=sys.stderr)
+
+    if not gate_mode:
+        # exploratory run: the printed rows + the loud below-bar raise are
+        # the artifact; the committed gate section stays anchored at N_ROWS
+        r = results["auto (production)"]
+        print(f"# exploratory n={n_rows}: production AUTO recall {r:.3f}", file=sys.stderr)
+        if r < BAR:
+            raise AssertionError(
+                f"exploratory cap run failed: production AUTO recall {r:.3f} < {BAR} at n={n_rows}"
+            )
+        return 0
 
     section = (
         "\n## cap decade — n=200,000, where LSH_MAX_TABLES binds (round 14)\n\n"
@@ -204,4 +221,4 @@ def main() -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(int(sys.argv[1]) if len(sys.argv) > 1 else N_ROWS))
