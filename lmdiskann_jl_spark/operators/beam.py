@@ -126,7 +126,11 @@ def beam_search(
     regions at once, cutting hops to convergence.
     """
     spark = vectors.sparkSession
-    dist_fn = resolve_metric(metric)
+    try:
+        _dim = len(query)  # Column queries have no static length
+    except TypeError:
+        _dim = None
+    dist_fn = resolve_metric(metric, _dim)
     q = query_vector_lit(query)
     fetch_vec = vectors_fetch or default_fetcher(vectors, id_col)
     fetch_adj = adjacency_fetch or default_fetcher(adjacency, "id")
@@ -207,6 +211,7 @@ def beam_search_batch(
     stats: dict | None = None,
     entrypoints: Sequence[int] | None = None,
     n_entrypoints: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """Beam search for a BATCH of queries in one shared driver loop.
 
@@ -223,7 +228,7 @@ def beam_search_batch(
     scored; caller applies per-qid window top-k.
     """
     spark = vectors.sparkSession
-    dist_fn = resolve_metric(metric)
+    dist_fn = resolve_metric(metric, dim)
     q_small = F.broadcast(queries.select(qid_col, qvec_col))
     # qid type follows the caller's queries schema (nothing restricts it to
     # long — string qids are valid); all driver-built frames use it

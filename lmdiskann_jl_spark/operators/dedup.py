@@ -590,6 +590,7 @@ def lsh_neardup_pairs(
     n_tables: int | None = None,
     seed: int = 42,
     miss_target: float = 1e-4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Threshold-radius near-dup pairs via LSH candidates + exact verify.
 
@@ -621,8 +622,12 @@ def lsh_neardup_pairs(
         k, tables, _ = lsh_neardup_params(threshold, miss_target)
         n_planes = n_planes or k
         n_tables = n_tables or tables
+    if dim is None:
+        # probe the RAW frame, not the _spread projection: the repartition
+        # lineage would turn this one-row peek into a full-shuffle job
+        # (optimization round 14 — callers that know dim skip the job)
+        dim = len(embeddings.select(vec_col).first()[vec_col])
     sel = _spread(embeddings.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")))
-    dim = len(sel.select("_v").first()["_v"])
     planes = random_hyperplanes(dim, n_planes, n_tables, seed)
     bucketed = (
         add_lsh_buckets(sel, planes, vec_col="_v")
@@ -646,7 +651,7 @@ def lsh_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            F.round(cosine_similarity(F.col("va"), F.col("vb"), dim), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -658,6 +663,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "auto",
+    dim: int | None = None,
     **lsh_kw,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine similarity >= threshold.
@@ -675,7 +681,9 @@ def embedding_neardup_pairs(
         _, _, est_frac = lsh_neardup_params(threshold)
         method = "lsh" if est_frac < 0.5 else "brute"
     if method == "lsh":
-        return lsh_neardup_pairs(embeddings, threshold, id_col, vec_col, **lsh_kw)
+        return lsh_neardup_pairs(
+            embeddings, threshold, id_col, vec_col, dim=dim, **lsh_kw
+        )
 
     from lmdiskann_jl_spark.operators.knn_join import _spread
 
@@ -687,7 +695,7 @@ def embedding_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            F.round(cosine_similarity(F.col("va"), F.col("vb"), dim), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -862,6 +870,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style cluster-pruned semantic near-dup (Abbas et al. 2023,
     arXiv:2303.09540): coarse k-means buckets the corpus so candidate pairs
@@ -889,20 +898,31 @@ def semantic_dedup_pairs(
     # it in the transform lambda recomputes it per element, O(dim^2)) and
     # drop zero-norm vectors: cosine is undefined for them, and a null nvec
     # would poison the k-means sample collect
+    norm = l2_norm(F.col(vec_col), dim)
+    # dim known -> build nvec as a plain array constructor (codegen'd,
+    # element-for-element the same divisions as the interpreted transform);
+    # unknown dim keeps the HOF form.  Both act on the RENAMED "vec"/"_norm"
+    # columns of the projection below.
+    hof_nvec = F.transform(
+        F.col("vec"), lambda x: x.cast("double") / F.col("_norm")
+    )
+    if dim is not None:
+        nvec = F.when(
+            F.size(F.col("vec")) == F.lit(dim),
+            F.array(
+                *[F.col("vec")[i].cast("double") / F.col("_norm") for i in range(dim)]
+            ),
+        ).otherwise(hof_nvec)
+    else:
+        nvec = hof_nvec
     emb = (
         embeddings.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
-            l2_norm(F.col(vec_col)).alias("_norm"),
+            norm.alias("_norm"),
         )
         .filter(F.col("_norm") > 0)
-        .select(
-            "id",
-            "vec",
-            F.transform(
-                F.col("vec"), lambda x: x.cast("double") / F.col("_norm")
-            ).alias("nvec"),
-        )
+        .select("id", "vec", nvec.alias("nvec"))
     )
     X = sample_matrix(emb, "nvec", seed=seed)
     centers = fit_kmeans(X, n_cells, seed=seed)
@@ -917,7 +937,7 @@ def semantic_dedup_pairs(
     w = Window.partitionBy("id").orderBy(F.col("_d").asc(), F.col("cell").asc())
     assigned = (
         emb.crossJoin(centroids)
-        .withColumn("_d", sq_euclidean_distance(F.col("nvec"), F.col("centroid")))
+        .withColumn("_d", sq_euclidean_distance(F.col("nvec"), F.col("centroid"), dim))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= assign_probes)
         .select("id", "vec", "cell")
@@ -926,16 +946,24 @@ def semantic_dedup_pairs(
     assigned.count()  # eager: both self-join branches must reuse, not recompute
     a = assigned.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "cell")
     b = assigned.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "cell")
-    cand = (
+    # Score and threshold-filter BEFORE the pair dedup (optimization round
+    # 14, guide §2.3 "shuffle keys, not payloads"): duplicate candidate rows
+    # from shared probe cells carry identical vectors, hence identical
+    # cos_sim, so filter∘dedup == dedup∘filter on (id_a, id_b) — but with
+    # the verify in the join's own stage the dedup exchange moves only the
+    # (id_a, id_b, cos_sim) triples of pairs ABOVE the threshold, instead
+    # of every within-cell candidate with both full vectors attached.  A
+    # pair colliding in both probe cells pays one redundant (cheap,
+    # codegen'd) re-score; the shuffle drops from O(candidates x payload)
+    # to O(matches x 24 bytes).
+    return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cand.select(
+        .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            F.round(cosine_similarity(F.col("va"), F.col("vb"), dim), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
     )

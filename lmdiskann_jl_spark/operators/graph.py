@@ -77,6 +77,7 @@ def alpha_prune_and_collect(
     metric: str = "euclidean",
     id_col: str = "id",
     vec_col: str = "vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """RobustPrune-style alpha-DIVERSIFIED prune (the DiskANN paper's
     Algorithm 2, Subramanya et al., NeurIPS 2019 — public literature):
@@ -136,7 +137,7 @@ def alpha_prune_and_collect(
         if isinstance(metric, str) and metric.lower() == "sqeuclidean"
         else alpha
     )
-    dist_fn = resolve_metric(metric)
+    dist_fn = resolve_metric(metric, dim)
     cand_vecs = vectors.select(
         F.col(id_col).alias("id_r"),
         F.col(vec_col).cast("array<double>").alias("_cvec"),
@@ -213,7 +214,7 @@ def adjacency_edges(
         knn = brute_force_knn_join(
             vectors, vectors, k=k, metric=metric,
             left_id=id_col, right_id=id_col, vec_col=vec_col,
-            broadcast_right=True,
+            broadcast_right=True, dim=dim,
         )
     lcol, rcol = f"{id_col}_l", f"{id_col}_r"
     # back-links (the batch form of src/LMDiskANN.jl:568-573): emit BOTH edge
@@ -276,7 +277,7 @@ def build_adjacency(
             candidate_factor=candidate_factor,
         ).select(F.col("id").alias("id_l"), F.col("neighbor").alias("id_r"), "dist")
         pruned = alpha_prune_and_collect(
-            pool, vectors, maxdegree, alpha, metric, id_col, vec_col
+            pool, vectors, maxdegree, alpha, metric, id_col, vec_col, dim=dim
         )
     else:
         edges = adjacency_edges(
@@ -396,7 +397,8 @@ def insert_batch_adjacency(
     else:
         knn = brute_force_knn_join(
             new_vectors, all_vecs, k=maxdegree, metric=metric,
-            left_id=id_col, right_id=id_col, vec_col=vec_col, broadcast_right=False,
+            left_id=id_col, right_id=id_col, vec_col=vec_col,
+            broadcast_right=False, dim=dim,
         )
     if alpha is not None:
         # alpha candidates must include CROSS edges: a far batch's nearest
@@ -419,7 +421,7 @@ def insert_batch_adjacency(
             cross = brute_force_knn_join(
                 new_vectors, vectors, k=maxdegree, metric=metric,
                 left_id=id_col, right_id=id_col, vec_col=vec_col,
-                broadcast_right=False,
+                broadcast_right=False, dim=dim,
             )
         knn = knn.unionByName(cross)
     lcol, rcol = f"{id_col}_l", f"{id_col}_r"
@@ -440,7 +442,7 @@ def insert_batch_adjacency(
     touched_ids = new_edges.select(F.col("id_l").alias("id")).distinct()
     touched = adjacency.join(touched_ids, "id", "left_semi")
     vec_by_id = all_vecs.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
-    dist_fn = resolve_metric(metric)
+    dist_fn = resolve_metric(metric, dim)
     old_edges = (
         touched.select(F.col("id").alias("id_l"), F.explode("neighbors").alias("id_r"))
         .join(vec_by_id.withColumnRenamed("_vid", "id_l").withColumnRenamed("_v", "_lv"), "id_l")
@@ -450,7 +452,7 @@ def insert_batch_adjacency(
     merged = new_edges.unionByName(old_edges).dropDuplicates(["id_l", "id_r"])
     if alpha is not None:
         repruned = alpha_prune_and_collect(
-            merged, all_vecs, maxdegree, alpha, metric, id_col, vec_col
+            merged, all_vecs, maxdegree, alpha, metric, id_col, vec_col, dim=dim
         )
     else:
         repruned = _prune_and_collect(merged, maxdegree)

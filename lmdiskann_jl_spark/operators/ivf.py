@@ -37,6 +37,7 @@ def build_ivf(
     vec_col: str = "vec",
     seed: int = 42,
     sample_fraction: float | None = None,
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fit centroids and assign every vector to its nearest cell.
 
@@ -60,7 +61,7 @@ def build_ivf(
         ],
         "cell int, centroid array<double>",
     )
-    assigned = assign_cells(vectors, centroids, metric, id_col, vec_col)
+    assigned = assign_cells(vectors, centroids, metric, id_col, vec_col, dim=dim)
     return centroids, assigned
 
 
@@ -70,6 +71,7 @@ def assign_cells(
     metric: str = "euclidean",
     id_col: str = "id",
     vec_col: str = "vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment as ONE scan-stage expression: the (tiny,
     broadcast-sized by construction) centroid table collects to a nested
@@ -81,13 +83,28 @@ def assign_cells(
     Small-file inputs are spread across cores (no-op on wider tables)."""
     from lmdiskann_jl_spark.operators.knn_join import _spread
 
-    dist_fn = resolve_metric(metric)
+    dist_fn = resolve_metric(metric, dim)
     cents = sorted(centroids.collect(), key=lambda r: r["cell"])
     cent_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in r["centroid"]]) for r in cents]
     )
     cells_lit = F.array(*[F.lit(int(r["cell"])) for r in cents])
-    dists = F.transform(cent_lit, lambda c: dist_fn(F.col(vec_col), c))
+    if dim is not None and len(cents) * dim <= 8192:
+        # per-centroid distances as a plain array constructor: same values
+        # in the same order as the interpreted transform, but the whole
+        # argmin expression stays inside codegen (round-14 optimization;
+        # bounded so a huge n_cells*dim product cannot bloat the plan)
+        dists = F.array(
+            *[
+                dist_fn(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in r["centroid"]]),
+                )
+                for r in cents
+            ]
+        )
+    else:
+        dists = F.transform(cent_lit, lambda c: dist_fn(F.col(vec_col), c))
     idx = F.array_position(dists, F.array_min(dists)).cast("int")
     return _spread(vectors).select(
         id_col, vec_col, F.element_at(cells_lit, idx).alias("cell")
@@ -109,6 +126,7 @@ def ivf_search(
     metric: str = "euclidean",
     id_col: str = "id",
     vec_col: str = "vec",
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k over the nprobe nearest cells only.
 
@@ -116,7 +134,7 @@ def ivf_search(
     is read from a cell-partitioned layout (write_ivf).  Returns
     (id, dist, cell) nearest-first.
     """
-    dist_fn = resolve_metric(metric)
+    dist_fn = resolve_metric(metric, dim)
     q = query_vector_lit(query)
     probes = [
         r["cell"]
@@ -145,6 +163,7 @@ def ivf_search_batch(
     qid_col: str = "qid",
     qvec_col: str = "qvec",
     tiebreak_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Batched IVF probe: per-query top-k for a whole queries DataFrame in
     ONE job — the batch amortization the single-query probe lacks.
@@ -159,7 +178,7 @@ def ivf_search_batch(
     this column instead of ``id_col`` — same contract as
     ``topk.batch_topk``; the column is dropped from the output.
     """
-    dist_fn = resolve_metric(metric)
+    dist_fn = resolve_metric(metric, dim)
     cw = Window.partitionBy(qid_col).orderBy(F.col("_cd").asc(), F.col("cell").asc())
     probes = (
         queries.crossJoin(F.broadcast(centroids))

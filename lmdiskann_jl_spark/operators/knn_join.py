@@ -58,13 +58,16 @@ def brute_force_knn_join(
     vec_col: str = "vec",
     exclude_self: bool = True,
     broadcast_right: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """For each left row, its k nearest right rows.
 
     Output: (left_id, right_id, dist, rank).  Deterministic tie-break on
-    (dist, right_id).
+    (dist, right_id).  ``dim``: static vector dimension hint — routes the
+    per-pair distance through the codegen'd unrolled kernel
+    (functions/vector.py; bit-identical to the HOF form).
     """
-    dist_fn = resolve_metric(metric)
+    dist_fn = resolve_metric(metric, dim)
     l = _spread(left.select(F.col(left_id).alias("_lid"), F.col(vec_col).alias("_lvec")))
     r = right.select(F.col(right_id).alias("_rid"), F.col(vec_col).alias("_rvec"))
     if broadcast_right:
@@ -399,7 +402,7 @@ def lsh_knn_join(
                 probes = auto_q
     if probes is None:
         probes = 1  # pinned tables: classic single-bucket, bit-for-bit
-    dist_fn = resolve_metric(metric)
+    dist_fn = resolve_metric(metric, dim)
     planes = random_hyperplanes(dim, n_planes, n_tables, seed)
 
     lname = left_id + "_l" if left_id == right_id else left_id
@@ -434,15 +437,27 @@ def lsh_knn_join(
         cand = cand.filter(F.col("_lid") != F.col("_rid"))
     # score BEFORE deduplicating collisions: distance is recomputed for pairs
     # that collide in several tables (cheap, stays in codegen), but the dedup
-    # shuffle then moves only (lid, rid, dist) triples — never the vectors —
-    # and the groupBy gets map-side partial aggregation.  At 100 TB this is
-    # the difference between shuffling 8x the vector payload and 24 bytes/pair.
+    # shuffle then moves only (lid, rid, dist) triples — never the vectors.
+    # At 100 TB this is the difference between shuffling 8x the vector
+    # payload and 24 bytes/pair.
+    #
+    # ONE exchange for dedup + rank (optimization round 14, guide §2.4):
+    # the triples are explicitly hash-partitioned by the LEFT id, which
+    # satisfies the clustering requirement of BOTH the (lid, rid) groupBy
+    # (lid ⊆ {lid, rid}) and the per-lid rank window — so the dedup
+    # aggregate and the window run in the same post-shuffle stage and the
+    # triples cross the network ONCE instead of twice.  Nothing is lost by
+    # skipping the pre-exchange partial aggregate: a pair collides at most
+    # once per (table, bucket) partition group (the corpus side stores one
+    # bucket per table), so cross-table duplicates never share a map
+    # partition and map-side combine collapsed nothing.
     scored = (
         cand.select(
             F.col("_lid").alias(lname),
             F.col("_rid").alias(rname),
             dist_fn(F.col("_lvec"), F.col("_rvec")).alias("dist"),
         )
+        .repartition(F.col(lname))
         .groupBy(lname, rname)
         .agg(F.min("dist").alias("dist"))
     )

@@ -151,7 +151,7 @@ def pq_adc_topk(
         qs = query[sub * width : (sub + 1) * width]
         lut[sub][code] = float(sum((float(a) - float(b)) ** 2 for a, b in zip(qs, c)))
     lut_lit = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
-    dist = F.sqrt(
+    hof = F.sqrt(
         F.aggregate(
             F.zip_with(
                 F.col("codes"),
@@ -164,6 +164,14 @@ def pq_adc_topk(
             lambda acc, x: acc + x,
         )
     )
+    # unrolled codegen form (optimization round 14): same left-to-right sum
+    # over the m lookups, guarded so a ragged code array keeps the HOF path
+    acc = F.lit(0.0)
+    for sub in range(m):
+        acc = acc + F.element_at(
+            F.element_at(lut_lit, sub + 1), F.col("codes")[sub] + 1
+        )
+    dist = F.when(F.size(F.col("codes")) == F.lit(m), F.sqrt(acc)).otherwise(hof)
     return (
         codes.select(F.col(id_col), dist.alias("adc_dist"))
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
@@ -191,7 +199,7 @@ def pq_search(
     from lmdiskann_jl_spark.functions.vector import query_vector_lit, resolve_metric
 
     shortlist = pq_adc_topk(codes, codebook, query, k=rerank, m=m, id_col=id_col)
-    dist_fn = resolve_metric(metric)
+    dist_fn = resolve_metric(metric, dim=len(query))
     q = query_vector_lit(query)
     return (
         vectors.join(F.broadcast(shortlist.select(id_col)), id_col, "left_semi")
@@ -227,7 +235,7 @@ def ivfpq_search(
     """
     from lmdiskann_jl_spark.functions.vector import query_vector_lit, resolve_metric
 
-    dist_fn = resolve_metric(metric)
+    dist_fn = resolve_metric(metric, dim=len(query))
     q = query_vector_lit(query)
     probes = [
         r["cell"]
@@ -268,8 +276,11 @@ def _lut_rows(codebook_rows, queries, m: int, qid_col: str, qvec_col: str):
 
 
 def _adc_batch_scores(codes_with_qid: DataFrame, m: int) -> F.Column:
-    """ADC distance over (codes, lut) columns — scan-stage HOF arithmetic."""
-    return F.sqrt(
+    """ADC distance over (codes, lut) columns — scan-stage arithmetic.
+    Unrolled codegen form with a size guard (optimization round 14): the
+    interpreted zip_with/aggregate fold is kept for ragged code arrays;
+    the sum order is identical, so values are bit-for-bit equal."""
+    hof = F.sqrt(
         F.aggregate(
             F.zip_with(
                 F.col("codes"),
@@ -282,6 +293,12 @@ def _adc_batch_scores(codes_with_qid: DataFrame, m: int) -> F.Column:
             lambda acc, x: acc + x,
         )
     )
+    acc = F.lit(0.0)
+    for sub in range(m):
+        acc = acc + F.element_at(
+            F.element_at(F.col("lut"), sub + 1), F.col("codes")[sub] + 1
+        )
+    return F.when(F.size(F.col("codes")) == F.lit(m), F.sqrt(acc)).otherwise(hof)
 
 
 def pq_search_batch(
@@ -324,7 +341,9 @@ def pq_search_batch(
         .filter(F.col("_rn") <= rerank)
         .select(qid_col, id_col)
     )
-    dist_fn = resolve_metric(metric)
+    dist_fn = resolve_metric(
+        metric, dim=len(qrows[0][qvec_col]) if qrows else None
+    )
     exact = (
         vectors.join(F.broadcast(shortlist), id_col)
         .join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col)
@@ -356,8 +375,11 @@ def ivfpq_search_batch(
     batch shape.  Returns (qid, id, dist, rank <= k)."""
     from lmdiskann_jl_spark.functions.vector import resolve_metric
 
-    dist_fn = resolve_metric(metric)
     spark = assigned_codes.sparkSession
+    qrows = queries.select(qid_col, qvec_col).collect()
+    dist_fn = resolve_metric(
+        metric, dim=len(qrows[0][qvec_col]) if qrows else None
+    )
     cw = Window.partitionBy(qid_col).orderBy(F.col("_cd").asc(), F.col("cell").asc())
     probes = (
         queries.crossJoin(F.broadcast(cell_centroids))
@@ -368,7 +390,6 @@ def ivfpq_search_batch(
     )
     cell_list = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
     cb = codebook.collect()
-    qrows = queries.select(qid_col, qvec_col).collect()
     luts = spark.createDataFrame(
         _lut_rows(cb, qrows, m, qid_col, qvec_col),
         f"{qid_col} long, lut array<array<double>>",

@@ -42,13 +42,18 @@ def exact_topk(
     vec_col: str = "vec",
     id_col: str = "id",
     extra_cols: Sequence[str] = (),
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k nearest rows to one query vector.
 
     Returns ``(id_col, *extra_cols, dist)`` sorted by (dist, id) ascending —
     the Spark form of the reference's ``search`` with ef = n (exact).
+
+    ``dim``: static vector dimension hint — routes the distance through the
+    codegen'd unrolled kernel (functions/vector.py), bit-identical to the
+    HOF form.
     """
-    dist_fn = resolve_metric(metric)
+    dist_fn = resolve_metric(metric, dim)
     q = query_vector_lit(query) if not isinstance(query, Column) else query
     cols = [id_col, *extra_cols]
     return (
@@ -68,6 +73,7 @@ def batch_topk(
     vec_col: str = "vec",
     id_col: str = "id",
     tiebreak_col: str | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k per query for a batch of queries.
 
@@ -78,9 +84,10 @@ def batch_topk(
     this column instead of ``id_col`` — e.g. a user key, whose order is
     stable across index rebuilds while internal id assignment order is not.
     The tiebreak decides the ranking (including which row survives the
-    top-k boundary) but is dropped from the output.
+    top-k boundary) but is dropped from the output.  ``dim``: static vector
+    dimension hint for the codegen'd distance kernel (bit-identical).
     """
-    dist_fn = resolve_metric(metric)
+    dist_fn = resolve_metric(metric, dim)
     from lmdiskann_jl_spark.operators.knn_join import _spread
 
     tb = tiebreak_col or id_col
@@ -114,6 +121,7 @@ def knn_classify(
     vec_col: str = "vec",
     id_col: str = "id",
     exclude_self: bool = True,
+    dim: int | None = None,
 ) -> DataFrame:
     """k-NN majority-vote classification: each query takes the modal label of
     its k nearest labeled vectors.  ``exclude_self`` drops id == qid matches
@@ -128,7 +136,7 @@ def knn_classify(
 
     Returns ``(qid, pred_label, votes)``.
     """
-    dist_fn = resolve_metric(metric)
+    dist_fn = resolve_metric(metric, dim)
     from lmdiskann_jl_spark.operators.knn_join import _spread
 
     scored = (

@@ -40,6 +40,11 @@ NEARDUP_COS = 0.45
 JACCARD_T = 0.5
 ADJ_DEGREE = 8
 KNN_K = 4
+# static dimension of the embeddings fixtures at every SF — passed as the
+# codegen'd-kernel hint to the distance expressions (functions/vector.py:
+# size-guarded, bit-identical; a corpus with a different dim silently keeps
+# the HOF path)
+EMB_DIM = 64
 BATCH_QUERIES = 8
 BATCH_K = 5
 
@@ -83,7 +88,10 @@ def q_exact_topk_euclidean(spark, sf_dir):
     """search() in exact mode, Euclidean (SURVEY §2 op 11/30)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
-    return exact_topk(emb, q, k=10, metric="euclidean", vec_col="embedding", id_col="vec_id").select(
+    return exact_topk(
+        emb, q, k=10, metric="euclidean", vec_col="embedding", id_col="vec_id",
+        dim=EMB_DIM,
+    ).select(
         "vec_id", F.round("dist", 4).alias("dist")
     )
 
@@ -92,7 +100,10 @@ def q_exact_topk_cosine(spark, sf_dir):
     """search() in exact mode, CosineDist (op 11, test/runtests.jl:31-67)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
-    return exact_topk(emb, q, k=10, metric="cosine", vec_col="embedding", id_col="vec_id").select(
+    return exact_topk(
+        emb, q, k=10, metric="cosine", vec_col="embedding", id_col="vec_id",
+        dim=EMB_DIM,
+    ).select(
         "vec_id", F.round("dist", 4).alias("dist")
     )
 
@@ -104,7 +115,7 @@ def q_range_search(spark, sf_dir):
     from lmdiskann_jl_spark.functions.vector import euclidean_distance, query_vector_lit
 
     return (
-        emb.select("vec_id", euclidean_distance(F.col("embedding"), query_vector_lit(q)).alias("d"))
+        emb.select("vec_id", euclidean_distance(F.col("embedding"), query_vector_lit(q), EMB_DIM).alias("d"))
         .filter(F.col("d") <= RADIUS)
         .select("vec_id", F.round("d", 4).alias("dist"))
     )
@@ -116,7 +127,10 @@ def q_batch_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return batch_topk(queries, emb, k=BATCH_K, metric="euclidean", vec_col="embedding", id_col="vec_id").select(
+    return batch_topk(
+        queries, emb, k=BATCH_K, metric="euclidean", vec_col="embedding",
+        id_col="vec_id", dim=EMB_DIM,
+    ).select(
         "qid", "vec_id", F.round("dist", 4).alias("dist"), F.col("rank").cast("long").alias("rank")
     )
 
@@ -148,7 +162,7 @@ def q_hard_negatives(spark, sf_dir):
             "qid",
             "vec_id",
             "label",
-            euclidean_distance(F.col("embedding"), F.col("qvec")).alias("d"),
+            euclidean_distance(F.col("embedding"), F.col("qvec"), EMB_DIM).alias("d"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vec_id").asc())
@@ -163,7 +177,8 @@ def q_knn_join(spark, sf_dir):
     """kNN self-join — the candidate generator of batch ann_insert! (op 9)."""
     emb = _t(spark, sf_dir, "embeddings")
     return brute_force_knn_join(
-        emb, emb, k=KNN_K, metric="euclidean", left_id="vec_id", right_id="vec_id", vec_col="embedding"
+        emb, emb, k=KNN_K, metric="euclidean", left_id="vec_id",
+        right_id="vec_id", vec_col="embedding", dim=EMB_DIM,
     ).select(
         "vec_id_l", "vec_id_r", F.round("dist", 4).alias("dist"), F.col("rank").cast("long").alias("rank")
     )
@@ -577,7 +592,10 @@ def q_partial_topk(spark, sf_dir):
     oracle-comparable form uses a modulo subset)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
     q = _query_vec(spark, sf_dir)
-    return exact_topk(emb, q, k=10, metric="euclidean", vec_col="embedding", id_col="vec_id").select(
+    return exact_topk(
+        emb, q, k=10, metric="euclidean", vec_col="embedding", id_col="vec_id",
+        dim=EMB_DIM,
+    ).select(
         "vec_id", F.round("dist", 4).alias("dist")
     )
 
@@ -825,7 +843,9 @@ def q_embedding_neardup(spark, sf_dir):
     examine 1.5-3x MORE pairs at recall 1.0 (measured on these fixtures);
     at realistic thresholds (>= ~0.8) it switches to the bucketed LSH
     candidate path, which a_embedding_neardup_lsh exercises."""
-    return D.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS)
+    return D.embedding_neardup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS, dim=EMB_DIM
+    )
 
 
 def q_embedding_neardup_lsh(spark, sf_dir):
@@ -836,7 +856,7 @@ def q_embedding_neardup_lsh(spark, sf_dir):
     candidate-recall test, not a SQL oracle."""
     return D.lsh_neardup_pairs(
         _t(spark, sf_dir, "embeddings"), threshold=NEARDUP_COS,
-        n_planes=4, n_tables=24, seed=7,
+        n_planes=4, n_tables=24, seed=7, dim=EMB_DIM,
     )
 
 
@@ -903,6 +923,7 @@ def q_semantic_dedup(spark, sf_dir):
         emb.unionByName(twins),
         threshold=SEMANTIC_GATE_COS,
         n_cells=SEMANTIC_DEDUP_CELLS,
+        dim=EMB_DIM,
     )
 
 
@@ -1094,7 +1115,7 @@ def q_knn_classify(spark, sf_dir):
 
     return knn_classify(
         queries, emb, k=KNN_CLASSIFY_K, metric="euclidean",
-        vec_col="embedding", id_col="vec_id",
+        vec_col="embedding", id_col="vec_id", dim=EMB_DIM,
     ).select("qid", F.col("pred_label").cast("long").alias("pred_label"), "votes")
 
 
@@ -1310,7 +1331,8 @@ def q_filtered_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("label") == FILTER_LABEL)
     q = _query_vec(spark, sf_dir)
     return exact_topk(
-        emb, q, k=10, metric="euclidean", vec_col="embedding", id_col="vec_id", extra_cols=("label",)
+        emb, q, k=10, metric="euclidean", vec_col="embedding", id_col="vec_id",
+        extra_cols=("label",), dim=EMB_DIM,
     ).select("vec_id", F.col("label").cast("long").alias("label"), F.round("dist", 4).alias("dist"))
 
 
@@ -1356,7 +1378,7 @@ def q_hybrid_search(spark, sf_dir):
     overlap = F.size(
         F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(w) for w in HYBRID_TERMS]), t))
     )
-    cos = cosine_similarity(F.col("embedding"), query_vector_lit(q))
+    cos = cosine_similarity(F.col("embedding"), query_vector_lit(q), EMB_DIM)
     fused = cos + F.lit(0.1) * overlap
     return (
         j.select(
@@ -1397,7 +1419,7 @@ def q_mmr_rerank(spark, sf_dir):
 
     qv = _query_vec(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
-    cos = cosine_similarity(F.col("embedding"), query_vector_lit(qv))
+    cos = cosine_similarity(F.col("embedding"), query_vector_lit(qv), EMB_DIM)
     cands = (
         emb.select(
             F.col("vec_id").alias("id"),
@@ -1446,7 +1468,7 @@ def q_normalize_embeddings(spark, sf_dir):
     from lmdiskann_jl_spark.functions.vector import l2_norm
 
     emb = _t(spark, sf_dir, "embeddings")
-    norm = l2_norm(F.col("embedding"))
+    norm = l2_norm(F.col("embedding"), EMB_DIM)
     return emb.select(
         "vec_id",
         F.round(norm, 4).alias("norm"),
@@ -1585,7 +1607,7 @@ def q_rrf_fusion(spark, sf_dir):
         .select(
             F.col("vec_id").alias("id"),
             F.round(
-                cosine_distance(F.col("embedding"), query_vector_lit(qv)), 4
+                cosine_distance(F.col("embedding"), query_vector_lit(qv), EMB_DIM), 4
             ).alias("d"),
         )
         .orderBy("d", "id")
@@ -1709,7 +1731,7 @@ def q_reduce_dim(spark, sf_dir):
 
         emb = _t(spark, sf_dir, "embeddings")
         cols = [
-            F.round(dot_product(F.col("embedding"), query_vector_lit(p)), 4).alias(f"c{j}")
+            F.round(dot_product(F.col("embedding"), query_vector_lit(p), EMB_DIM), 4).alias(f"c{j}")
             for j, p in enumerate(_reduce_planes())
         ]
         _GATE_CACHE[key] = emb.select("vec_id", *cols)
@@ -3735,7 +3757,7 @@ def _gate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "exact",
         lambda: batch_topk(
             _recall_queries(_gate_emb(spark, sf_dir)),
-            _gate_emb(spark, sf_dir), k=10, metric="euclidean",
+            _gate_emb(spark, sf_dir), k=10, metric="euclidean", dim=EMB_DIM,
         ),
     )
 
@@ -3750,7 +3772,9 @@ def _gate_ivf(spark: SparkSession, sf_dir: str):
         if not ready:
             from lmdiskann_jl_spark.operators.ivf import build_ivf
 
-            centroids, assigned = build_ivf(_gate_emb(spark, sf_dir), n_cells=16)
+            centroids, assigned = build_ivf(
+                _gate_emb(spark, sf_dir), n_cells=16, dim=EMB_DIM
+            )
             centroids.write.parquet(f"{root}/centroids")
             assigned.select("id", "vec", "cell").write.parquet(f"{root}/assigned")
             root = _commit_gate_root(root)
@@ -3803,7 +3827,9 @@ def q_ivf_recall(spark, sf_dir):
     centroids, assigned = _gate_ivf(spark, sf_dir)
     qdf = _recall_queries(emb)
     exact = _gate_exact(spark, sf_dir)
-    approx = ivf_search_batch(assigned, centroids, qdf, k=10, nprobe=8)
+    approx = ivf_search_batch(
+        assigned, centroids, qdf, k=10, nprobe=8, dim=EMB_DIM
+    )
     r = recall_at_k(approx, exact, k=10)
     return _recall_row(spark, r)
 
@@ -3911,7 +3937,7 @@ def q_lsh_auto_recall(spark, sf_dir):
     sample = emb.filter(F.col("vec_id") % 10 == 0)
     exact = brute_force_knn_join(
         sample, emb, k=KNN_K, metric="euclidean",
-        left_id="vec_id", right_id="vec_id", vec_col="embedding",
+        left_id="vec_id", right_id="vec_id", vec_col="embedding", dim=EMB_DIM,
     ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
     approx = lsh_knn_join(
         sample, emb, k=KNN_K, dim=64, metric="euclidean",
@@ -3943,7 +3969,7 @@ def q_lsh_multiprobe_recall(spark, sf_dir):
     sample = emb.filter(F.col("vec_id") % 10 == 0)
     exact = brute_force_knn_join(
         sample, emb, k=KNN_K, metric="euclidean",
-        left_id="vec_id", right_id="vec_id", vec_col="embedding",
+        left_id="vec_id", right_id="vec_id", vec_col="embedding", dim=EMB_DIM,
     ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
     approx = lsh_knn_join(
         sample, emb, k=KNN_K, dim=64, metric="euclidean",
@@ -3966,7 +3992,8 @@ def q_lsh_recall(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     sample = emb.filter(F.col("vec_id") % 10 == 0)
     exact = brute_force_knn_join(
-        sample, emb, k=KNN_K, metric="euclidean", left_id="vec_id", right_id="vec_id", vec_col="embedding"
+        sample, emb, k=KNN_K, metric="euclidean", left_id="vec_id",
+        right_id="vec_id", vec_col="embedding", dim=EMB_DIM,
     ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
     approx = lsh_knn_join(
         sample, emb, k=KNN_K, dim=64, metric="euclidean",
@@ -4267,7 +4294,8 @@ def q_filtered_beam_recall(spark, sf_dir):
         allowed_df = id_map.filter(F.col("vec_id") % 2 == 0).select("id").persist()
         allowed_df.count()
         exact = batch_topk(
-            qdf, emb.filter(F.col("id") % 2 == 0), k=10, metric="euclidean"
+            qdf, emb.filter(F.col("id") % 2 == 0), k=10, metric="euclidean",
+            dim=EMB_DIM,
         ).select("qid", "id").persist()
         exact.count()
         _GATE_CACHE[key] = (allowed_df, exact)
@@ -4419,7 +4447,7 @@ def _gate_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "exact_cos",
         lambda: batch_topk(
             _recall_queries(_gate_emb(spark, sf_dir)),
-            _gate_emb(spark, sf_dir), k=10, metric="cosine",
+            _gate_emb(spark, sf_dir), k=10, metric="cosine", dim=EMB_DIM,
         ),
     )
 
@@ -4557,9 +4585,9 @@ def _build_ivf_maintained(spark, sf_dir, root):
             "qid",
             F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("id"),
         )
-        ex = batch_topk(qdf_gate, corpus_df, k=10, metric="euclidean").select(
-            "qid", "id"
-        )
+        ex = batch_topk(
+            qdf_gate, corpus_df, k=10, metric="euclidean", dim=EMB_DIM
+        ).select("qid", "id")
         return recall_at_k(approx, ex, k=10)
 
     # wave 1: frozen-centroid assignment (below budget) — gate it NOW,
@@ -4604,7 +4632,7 @@ def _build_ivf_maintained(spark, sf_dir, root):
     )
     exact = batch_topk(
         _recall_queries(_gate_emb(spark, sf_dir)), corpus,
-        k=10, metric="euclidean",
+        k=10, metric="euclidean", dim=EMB_DIM,
     ).select("qid", "id")
     exact.write.parquet(f"{root}/exact")
 
