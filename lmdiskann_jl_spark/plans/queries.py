@@ -699,15 +699,31 @@ def q_simhash(spark, sf_dir):
     return D.simhash(_t(spark, sf_dir, "documents"))
 
 
+def _dup_clusters_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One min-label-sweep connected-components run feeds d_dup_clusters,
+    p_corpus_clean, and d_keep_best (optimization round 14) — the same
+    share-the-subplan pattern as _minhash_pairs_shared one level up: the
+    iterative sweeps (localCheckpoint + convergence count per round) were
+    recomputed identically by all three queries.  d_dup_clusters_star
+    stays independent by design — its point is that the OTHER algorithm
+    reproduces these labels."""
+    key = (spark.sparkContext.applicationId, sf_dir, "dup_clusters")
+    labels = _LSH_PAIRS_CACHE.get(key)
+    if labels is None:
+        docs = _t(spark, sf_dir, "documents")
+        pairs = _minhash_pairs_shared(spark, sf_dir)
+        labels = D.dup_clusters(pairs, docs.select("doc_id")).persist()
+        _LSH_PAIRS_CACHE[key] = labels
+    return labels
+
+
 def q_dup_clusters(spark, sf_dir):
     """Transitive closure of the MinHash-LSH near-dup relation: connected
     components -> (cluster_id, cluster_size, keep) per document — the
     keep/drop decision a dedup pipeline actually applies (pairs alone are
     not transitive).  Oracle: WITH RECURSIVE reachability over the same
     pair CTE."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = _minhash_pairs_shared(spark, sf_dir)
-    return D.dup_clusters(pairs, docs.select("doc_id"))
+    return _dup_clusters_shared(spark, sf_dir)
 
 
 def q_dup_clusters_star(spark, sf_dir):
@@ -773,8 +789,7 @@ def q_corpus_clean(spark, sf_dir):
     mirrors all three stages."""
     docs = _t(spark, sf_dir, "documents")
     ex_keep = D.exact_dedup(docs).select(F.col("keep_doc_id").alias("doc_id"))
-    pairs = _minhash_pairs_shared(spark, sf_dir)
-    clusters = D.dup_clusters(pairs, docs.select("doc_id")).select(
+    clusters = _dup_clusters_shared(spark, sf_dir).select(
         "doc_id", "cluster_id"
     )
     quality = docs.select(
@@ -802,8 +817,7 @@ def q_dedup_keep_best(spark, sf_dir):
     selection is one max_by aggregate keyed by cluster_id — map-side
     partial, no window over the corpus."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = _minhash_pairs_shared(spark, sf_dir)
-    clusters = D.dup_clusters(pairs, docs.select("doc_id")).select(
+    clusters = _dup_clusters_shared(spark, sf_dir).select(
         "doc_id", "cluster_id", "cluster_size"
     )
     quality = docs.select(
@@ -3924,6 +3938,29 @@ def q_lsh_knn_auto(spark, sf_dir):
     ).select("vec_id_l", "vec_id_r", F.round("dist", 4).alias("dist"))
 
 
+def _gate_lsh_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN of the deterministic 1-in-10 query sample vs the full
+    corpus — the SHARED baseline of the three LSH recall gates
+    (a_lsh_recall / a_lsh_auto_recall / a_lsh_multiprobe_recall), which
+    previously each recomputed the identical brute-force join per
+    invocation (optimization round 14).  Session-memoized + cached like
+    the beam/IVF/PQ family's _gate_exact; the gates' own LSH joins and
+    recall computations still run per invocation."""
+    key = _gate_key(spark, sf_dir, "lsh_exact")
+    if key not in _GATE_CACHE:
+        emb = _t(spark, sf_dir, "embeddings")
+        sample = emb.filter(F.col("vec_id") % 10 == 0)
+        df = brute_force_knn_join(
+            sample, emb, k=KNN_K, metric="euclidean",
+            left_id="vec_id", right_id="vec_id", vec_col="embedding",
+            dim=EMB_DIM,
+        ).select(
+            F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id")
+        ).cache()
+        _GATE_CACHE[key] = df
+    return _GATE_CACHE[key]
+
+
 def q_lsh_auto_recall(spark, sf_dir):
     """recall@k of the AUTO-operating-point LSH join (q_lsh_knn_auto's
     exact configuration, resolved through the same auto_lsh_config rule —
@@ -3935,10 +3972,7 @@ def q_lsh_auto_recall(spark, sf_dir):
     the fixed-point gate."""
     emb = _t(spark, sf_dir, "embeddings")
     sample = emb.filter(F.col("vec_id") % 10 == 0)
-    exact = brute_force_knn_join(
-        sample, emb, k=KNN_K, metric="euclidean",
-        left_id="vec_id", right_id="vec_id", vec_col="embedding", dim=EMB_DIM,
-    ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
+    exact = _gate_lsh_exact(spark, sf_dir)
     approx = lsh_knn_join(
         sample, emb, k=KNN_K, dim=64, metric="euclidean",
         n_planes=None, n_tables=None,
@@ -3967,10 +4001,7 @@ def q_lsh_multiprobe_recall(spark, sf_dir):
     n = emb.count()
     auto_p, auto_t, auto_q = auto_lsh_config(n, KNN_K, multiprobe=True)
     sample = emb.filter(F.col("vec_id") % 10 == 0)
-    exact = brute_force_knn_join(
-        sample, emb, k=KNN_K, metric="euclidean",
-        left_id="vec_id", right_id="vec_id", vec_col="embedding", dim=EMB_DIM,
-    ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
+    exact = _gate_lsh_exact(spark, sf_dir)
     approx = lsh_knn_join(
         sample, emb, k=KNN_K, dim=64, metric="euclidean",
         n_planes=auto_p, n_tables=auto_t, probes=auto_q,
@@ -3991,10 +4022,7 @@ def q_lsh_recall(spark, sf_dir):
     baseline cost (the full-corpus pytest gates remain)."""
     emb = _t(spark, sf_dir, "embeddings")
     sample = emb.filter(F.col("vec_id") % 10 == 0)
-    exact = brute_force_knn_join(
-        sample, emb, k=KNN_K, metric="euclidean", left_id="vec_id",
-        right_id="vec_id", vec_col="embedding", dim=EMB_DIM,
-    ).select(F.col("vec_id_l").alias("qid"), F.col("vec_id_r").alias("id"))
+    exact = _gate_lsh_exact(spark, sf_dir)
     approx = lsh_knn_join(
         sample, emb, k=KNN_K, dim=64, metric="euclidean",
         n_planes=LSH_GATE_PLANES, n_tables=LSH_GATE_TABLES,
