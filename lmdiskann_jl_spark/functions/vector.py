@@ -156,7 +156,10 @@ def manhattan_distance(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
-    return dot_product(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
+    # try_divide: a zero-norm vector has no defined cosine — yield NULL (the
+    # SQL-idiomatic "undefined") instead of an ANSI DIVIDE_BY_ZERO crash.
+    # Bit-identical to plain division whenever the norms are non-zero.
+    return F.try_divide(dot_product(a, b, dim), l2_norm(a, dim) * l2_norm(b, dim))
 
 
 def cosine_distance(a: Column, b: Column, dim: int | None = None) -> Column:

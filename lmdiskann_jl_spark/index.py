@@ -1032,7 +1032,6 @@ class LMDiskANNIndex:
                 centroids, assigned = _build(
                     live, n_cells=int(ivf["n_cells"]),
                     metric=self.meta["metric"], seed=int(ivf.get("seed", 42)),
-                    dim=int(self.meta["dim"]),
                 )
                 meta = self.catalog.write("ivf_centroids", centroids, meta)
                 meta = self.catalog.write(
@@ -1062,10 +1061,8 @@ class LMDiskANNIndex:
                 centroids = self.catalog.read("ivf_centroids", self.meta)
                 meta = self.catalog.append(
                     "ivf_cells",
-                    assign_cells(
-                        prepared, centroids, self.meta["metric"],
-                        dim=int(self.meta["dim"]),
-                    ).select("id", "vec", "cell"),
+                    assign_cells(prepared, centroids, self.meta["metric"])
+                    .select("id", "vec", "cell"),
                     meta,
                     partition_by=["cell"],
                 )
@@ -1312,8 +1309,7 @@ class LMDiskANNIndex:
         from lmdiskann_jl_spark.operators.ivf import build_ivf as _build
 
         centroids, assigned = _build(
-            self.vectors, n_cells=n_cells, metric=self.meta["metric"], seed=seed,
-            dim=int(self.meta["dim"]),
+            self.vectors, n_cells=n_cells, metric=self.meta["metric"], seed=seed
         )
         meta = self.catalog.write("ivf_centroids", centroids, self.meta)
         meta = self.catalog.write(
@@ -1814,10 +1810,7 @@ class LMDiskANNIndex:
                 )
             else:
                 filtered = self.vectors.join(F.broadcast(allowed), "id", "left_semi")
-                result = exact_topk(
-                    filtered, query, k=topk, metric=self.meta["metric"],
-                    dim=int(self.meta["dim"]),
-                )
+                result = exact_topk(filtered, query, k=topk, metric=self.meta["metric"])
             return (
                 result.join(F.broadcast(self.key_map), "id", "left")
                 .select("key", "id", "dist")
@@ -1889,13 +1882,10 @@ class LMDiskANNIndex:
             centroids = self.catalog.read("ivf_centroids", self.meta)
             result = ivf_search(
                 self._ivf_assigned(), centroids, query, k=topk, nprobe=nprobe,
-                metric=self.meta["metric"], dim=int(self.meta["dim"]),
+                metric=self.meta["metric"],
             ).select("id", "dist")
         else:
-            result = exact_topk(
-                self.vectors, query, k=topk, metric=self.meta["metric"],
-                dim=int(self.meta["dim"]),
-            )
+            result = exact_topk(self.vectors, query, k=topk, metric=self.meta["metric"])
         return (
             result.join(F.broadcast(self.key_map), "id", "left")
             .select("key", "id", "dist")
@@ -1971,7 +1961,7 @@ class LMDiskANNIndex:
                 assigned = assigned.join(F.broadcast(self.key_map), "id")
             res = ivf_search_batch(
                 assigned, centroids, queries, k=topk, nprobe=nprobe,
-                metric=self.meta["metric"], dim=int(self.meta["dim"]),
+                metric=self.meta["metric"],
                 tiebreak_col="key" if tiebreak == "key" else None,
             )
         elif mode == "beam":
@@ -2004,7 +1994,6 @@ class LMDiskANNIndex:
                     max_hops=max_hops,
                     vectors_fetch=self._fetcher("vectors"),
                     adjacency_fetch=self._fetcher("adjacency"),
-                    dim=int(self.meta["dim"]),
                 )
             if tiebreak == "key":
                 cand = cand.join(F.broadcast(self.key_map), "id")
@@ -2029,7 +2018,6 @@ class LMDiskANNIndex:
             res = batch_topk(
                 queries, self.vectors, k=topk, metric=self.meta["metric"],
                 tiebreak_col="key" if tiebreak == "key" else None,
-                dim=int(self.meta["dim"]),
             )
         return res.join(F.broadcast(self.key_map), "id", "left").select(
             "qid", "key", "id", "dist", "rank"
@@ -2067,10 +2055,7 @@ class LMDiskANNIndex:
             res = cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= topk)
         else:
             filtered = self.vectors.join(F.broadcast(allowed), "id", "left_semi")
-            res = batch_topk(
-                queries, filtered, k=topk, metric=metric,
-                dim=int(self.meta["dim"]),
-            )
+            res = batch_topk(queries, filtered, k=topk, metric=metric)
         return res.join(F.broadcast(self.key_map), "id", "left").select(
             "qid", "key", "id", "dist", "rank"
         )

@@ -126,11 +126,7 @@ def beam_search(
     regions at once, cutting hops to convergence.
     """
     spark = vectors.sparkSession
-    try:
-        _dim = len(query)  # Column queries have no static length
-    except TypeError:
-        _dim = None
-    dist_fn = resolve_metric(metric, _dim)
+    dist_fn = resolve_metric(metric)
     q = query_vector_lit(query)
     fetch_vec = vectors_fetch or default_fetcher(vectors, id_col)
     fetch_adj = adjacency_fetch or default_fetcher(adjacency, "id")
@@ -228,7 +224,9 @@ def beam_search_batch(
     scored; caller applies per-qid window top-k.
     """
     spark = vectors.sparkSession
-    dist_fn = resolve_metric(metric, dim)
+    dist_fn = resolve_metric(metric, dim)  # callers pass dim only for
+    # large per-hop score sets; the declared gates leave it None (the
+    # unrolled tree costs more in per-hop plan analysis than it saves)
     q_small = F.broadcast(queries.select(qid_col, qvec_col))
     # qid type follows the caller's queries schema (nothing restricts it to
     # long — string qids are valid); all driver-built frames use it

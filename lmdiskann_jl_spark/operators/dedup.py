@@ -651,7 +651,7 @@ def lsh_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb"), dim), 4).alias("cos_sim"),
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -695,7 +695,7 @@ def embedding_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb"), dim), 4).alias("cos_sim"),
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -898,31 +898,20 @@ def semantic_dedup_pairs(
     # it in the transform lambda recomputes it per element, O(dim^2)) and
     # drop zero-norm vectors: cosine is undefined for them, and a null nvec
     # would poison the k-means sample collect
-    norm = l2_norm(F.col(vec_col), dim)
-    # dim known -> build nvec as a plain array constructor (codegen'd,
-    # element-for-element the same divisions as the interpreted transform);
-    # unknown dim keeps the HOF form.  Both act on the RENAMED "vec"/"_norm"
-    # columns of the projection below.
-    hof_nvec = F.transform(
-        F.col("vec"), lambda x: x.cast("double") / F.col("_norm")
-    )
-    if dim is not None:
-        nvec = F.when(
-            F.size(F.col("vec")) == F.lit(dim),
-            F.array(
-                *[F.col("vec")[i].cast("double") / F.col("_norm") for i in range(dim)]
-            ),
-        ).otherwise(hof_nvec)
-    else:
-        nvec = hof_nvec
     emb = (
         embeddings.select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("vec"),
-            norm.alias("_norm"),
+            l2_norm(F.col(vec_col)).alias("_norm"),
         )
         .filter(F.col("_norm") > 0)
-        .select("id", "vec", nvec.alias("nvec"))
+        .select(
+            "id",
+            "vec",
+            F.transform(
+                F.col("vec"), lambda x: x.cast("double") / F.col("_norm")
+            ).alias("nvec"),
+        )
     )
     X = sample_matrix(emb, "nvec", seed=seed)
     centers = fit_kmeans(X, n_cells, seed=seed)
@@ -937,7 +926,7 @@ def semantic_dedup_pairs(
     w = Window.partitionBy("id").orderBy(F.col("_d").asc(), F.col("cell").asc())
     assigned = (
         emb.crossJoin(centroids)
-        .withColumn("_d", sq_euclidean_distance(F.col("nvec"), F.col("centroid"), dim))
+        .withColumn("_d", sq_euclidean_distance(F.col("nvec"), F.col("centroid")))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= assign_probes)
         .select("id", "vec", "cell")
@@ -962,7 +951,7 @@ def semantic_dedup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb"), dim), 4).alias("cos_sim"),
+            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])

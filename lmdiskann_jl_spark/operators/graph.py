@@ -137,7 +137,7 @@ def alpha_prune_and_collect(
         if isinstance(metric, str) and metric.lower() == "sqeuclidean"
         else alpha
     )
-    dist_fn = resolve_metric(metric, dim)
+    dist_fn = resolve_metric(metric)
     cand_vecs = vectors.select(
         F.col(id_col).alias("id_r"),
         F.col(vec_col).cast("array<double>").alias("_cvec"),
@@ -442,7 +442,7 @@ def insert_batch_adjacency(
     touched_ids = new_edges.select(F.col("id_l").alias("id")).distinct()
     touched = adjacency.join(touched_ids, "id", "left_semi")
     vec_by_id = all_vecs.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_v"))
-    dist_fn = resolve_metric(metric, dim)
+    dist_fn = resolve_metric(metric)
     old_edges = (
         touched.select(F.col("id").alias("id_l"), F.explode("neighbors").alias("id_r"))
         .join(vec_by_id.withColumnRenamed("_vid", "id_l").withColumnRenamed("_v", "_lv"), "id_l")

@@ -528,9 +528,13 @@ def token_budget_mix(
     offsets = bucket_tot.select(
         "source", "bucket", F.coalesce(F.sum("bt").over(bw), F.lit(0)).alias("offset")
     )
+    # derive the budget from the per-(source, bucket) aggregate instead of a
+    # third scan of ``t``: sum(bt) grouped by source equals sum(t) grouped by
+    # source exactly (integer sums over the same rows), so the expensive
+    # token_counts subplan is evaluated once less per run (round 14)
     budget = (
-        t.groupBy("source")
-        .agg(F.sum("t").alias("st"))
+        bucket_tot.groupBy("source")
+        .agg(F.sum("bt").alias("st"))
         .agg(
             F.expr(
                 f"(sum(st) * {MIX_BUDGET_NUM}) div ({MIX_BUDGET_DEN} * count(*))"

@@ -199,7 +199,7 @@ def pq_search(
     from lmdiskann_jl_spark.functions.vector import query_vector_lit, resolve_metric
 
     shortlist = pq_adc_topk(codes, codebook, query, k=rerank, m=m, id_col=id_col)
-    dist_fn = resolve_metric(metric, dim=len(query))
+    dist_fn = resolve_metric(metric)
     q = query_vector_lit(query)
     return (
         vectors.join(F.broadcast(shortlist.select(id_col)), id_col, "left_semi")
@@ -235,7 +235,7 @@ def ivfpq_search(
     """
     from lmdiskann_jl_spark.functions.vector import query_vector_lit, resolve_metric
 
-    dist_fn = resolve_metric(metric, dim=len(query))
+    dist_fn = resolve_metric(metric)
     q = query_vector_lit(query)
     probes = [
         r["cell"]
@@ -341,9 +341,7 @@ def pq_search_batch(
         .filter(F.col("_rn") <= rerank)
         .select(qid_col, id_col)
     )
-    dist_fn = resolve_metric(
-        metric, dim=len(qrows[0][qvec_col]) if qrows else None
-    )
+    dist_fn = resolve_metric(metric)
     exact = (
         vectors.join(F.broadcast(shortlist), id_col)
         .join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col)
@@ -377,9 +375,7 @@ def ivfpq_search_batch(
 
     spark = assigned_codes.sparkSession
     qrows = queries.select(qid_col, qvec_col).collect()
-    dist_fn = resolve_metric(
-        metric, dim=len(qrows[0][qvec_col]) if qrows else None
-    )
+    dist_fn = resolve_metric(metric)
     cw = Window.partitionBy(qid_col).orderBy(F.col("_cd").asc(), F.col("cell").asc())
     probes = (
         queries.crossJoin(F.broadcast(cell_centroids))

@@ -88,10 +88,7 @@ def q_exact_topk_euclidean(spark, sf_dir):
     """search() in exact mode, Euclidean (SURVEY §2 op 11/30)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
-    return exact_topk(
-        emb, q, k=10, metric="euclidean", vec_col="embedding", id_col="vec_id",
-        dim=EMB_DIM,
-    ).select(
+    return exact_topk(emb, q, k=10, metric="euclidean", vec_col="embedding", id_col="vec_id").select(
         "vec_id", F.round("dist", 4).alias("dist")
     )
 
@@ -100,10 +97,7 @@ def q_exact_topk_cosine(spark, sf_dir):
     """search() in exact mode, CosineDist (op 11, test/runtests.jl:31-67)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
-    return exact_topk(
-        emb, q, k=10, metric="cosine", vec_col="embedding", id_col="vec_id",
-        dim=EMB_DIM,
-    ).select(
+    return exact_topk(emb, q, k=10, metric="cosine", vec_col="embedding", id_col="vec_id").select(
         "vec_id", F.round("dist", 4).alias("dist")
     )
 
@@ -115,7 +109,7 @@ def q_range_search(spark, sf_dir):
     from lmdiskann_jl_spark.functions.vector import euclidean_distance, query_vector_lit
 
     return (
-        emb.select("vec_id", euclidean_distance(F.col("embedding"), query_vector_lit(q), EMB_DIM).alias("d"))
+        emb.select("vec_id", euclidean_distance(F.col("embedding"), query_vector_lit(q)).alias("d"))
         .filter(F.col("d") <= RADIUS)
         .select("vec_id", F.round("d", 4).alias("dist"))
     )
@@ -127,10 +121,7 @@ def q_batch_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < BATCH_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return batch_topk(
-        queries, emb, k=BATCH_K, metric="euclidean", vec_col="embedding",
-        id_col="vec_id", dim=EMB_DIM,
-    ).select(
+    return batch_topk(queries, emb, k=BATCH_K, metric="euclidean", vec_col="embedding", id_col="vec_id").select(
         "qid", "vec_id", F.round("dist", 4).alias("dist"), F.col("rank").cast("long").alias("rank")
     )
 
@@ -162,7 +153,7 @@ def q_hard_negatives(spark, sf_dir):
             "qid",
             "vec_id",
             "label",
-            euclidean_distance(F.col("embedding"), F.col("qvec"), EMB_DIM).alias("d"),
+            euclidean_distance(F.col("embedding"), F.col("qvec")).alias("d"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.col("d").asc(), F.col("vec_id").asc())
@@ -592,10 +583,7 @@ def q_partial_topk(spark, sf_dir):
     oracle-comparable form uses a modulo subset)."""
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 5 == 0)
     q = _query_vec(spark, sf_dir)
-    return exact_topk(
-        emb, q, k=10, metric="euclidean", vec_col="embedding", id_col="vec_id",
-        dim=EMB_DIM,
-    ).select(
+    return exact_topk(emb, q, k=10, metric="euclidean", vec_col="embedding", id_col="vec_id").select(
         "vec_id", F.round("dist", 4).alias("dist")
     )
 
@@ -937,7 +925,6 @@ def q_semantic_dedup(spark, sf_dir):
         emb.unionByName(twins),
         threshold=SEMANTIC_GATE_COS,
         n_cells=SEMANTIC_DEDUP_CELLS,
-        dim=EMB_DIM,
     )
 
 
@@ -1085,9 +1072,7 @@ def q_leakage_safe_split(spark, sf_dir):
     in test silently inflates benchmarks).  Costs one broadcast-size join
     beyond the shared clustering; the split itself stays a pure hash of the
     cluster id."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = _minhash_pairs_shared(spark, sf_dir)
-    clusters = D.dup_clusters(pairs, docs.select("doc_id")).select(
+    clusters = _dup_clusters_shared(spark, sf_dir).select(
         "doc_id", "cluster_id"
     )
     per_cluster = P.dataset_split(
@@ -1129,7 +1114,7 @@ def q_knn_classify(spark, sf_dir):
 
     return knn_classify(
         queries, emb, k=KNN_CLASSIFY_K, metric="euclidean",
-        vec_col="embedding", id_col="vec_id", dim=EMB_DIM,
+        vec_col="embedding", id_col="vec_id",
     ).select("qid", F.col("pred_label").cast("long").alias("pred_label"), "votes")
 
 
@@ -1345,8 +1330,7 @@ def q_filtered_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("label") == FILTER_LABEL)
     q = _query_vec(spark, sf_dir)
     return exact_topk(
-        emb, q, k=10, metric="euclidean", vec_col="embedding", id_col="vec_id",
-        extra_cols=("label",), dim=EMB_DIM,
+        emb, q, k=10, metric="euclidean", vec_col="embedding", id_col="vec_id", extra_cols=("label",)
     ).select("vec_id", F.col("label").cast("long").alias("label"), F.round("dist", 4).alias("dist"))
 
 
@@ -1392,7 +1376,7 @@ def q_hybrid_search(spark, sf_dir):
     overlap = F.size(
         F.filter(toks, lambda t: F.array_contains(F.array(*[F.lit(w) for w in HYBRID_TERMS]), t))
     )
-    cos = cosine_similarity(F.col("embedding"), query_vector_lit(q), EMB_DIM)
+    cos = cosine_similarity(F.col("embedding"), query_vector_lit(q))
     fused = cos + F.lit(0.1) * overlap
     return (
         j.select(
@@ -1433,7 +1417,7 @@ def q_mmr_rerank(spark, sf_dir):
 
     qv = _query_vec(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
-    cos = cosine_similarity(F.col("embedding"), query_vector_lit(qv), EMB_DIM)
+    cos = cosine_similarity(F.col("embedding"), query_vector_lit(qv))
     cands = (
         emb.select(
             F.col("vec_id").alias("id"),
@@ -1482,7 +1466,7 @@ def q_normalize_embeddings(spark, sf_dir):
     from lmdiskann_jl_spark.functions.vector import l2_norm
 
     emb = _t(spark, sf_dir, "embeddings")
-    norm = l2_norm(F.col("embedding"), EMB_DIM)
+    norm = l2_norm(F.col("embedding"))
     return emb.select(
         "vec_id",
         F.round(norm, 4).alias("norm"),
@@ -1621,7 +1605,7 @@ def q_rrf_fusion(spark, sf_dir):
         .select(
             F.col("vec_id").alias("id"),
             F.round(
-                cosine_distance(F.col("embedding"), query_vector_lit(qv), EMB_DIM), 4
+                cosine_distance(F.col("embedding"), query_vector_lit(qv)), 4
             ).alias("d"),
         )
         .orderBy("d", "id")
@@ -1745,7 +1729,7 @@ def q_reduce_dim(spark, sf_dir):
 
         emb = _t(spark, sf_dir, "embeddings")
         cols = [
-            F.round(dot_product(F.col("embedding"), query_vector_lit(p), EMB_DIM), 4).alias(f"c{j}")
+            F.round(dot_product(F.col("embedding"), query_vector_lit(p)), 4).alias(f"c{j}")
             for j, p in enumerate(_reduce_planes())
         ]
         _GATE_CACHE[key] = emb.select("vec_id", *cols)
@@ -3771,7 +3755,7 @@ def _gate_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "exact",
         lambda: batch_topk(
             _recall_queries(_gate_emb(spark, sf_dir)),
-            _gate_emb(spark, sf_dir), k=10, metric="euclidean", dim=EMB_DIM,
+            _gate_emb(spark, sf_dir), k=10, metric="euclidean",
         ),
     )
 
@@ -3786,9 +3770,7 @@ def _gate_ivf(spark: SparkSession, sf_dir: str):
         if not ready:
             from lmdiskann_jl_spark.operators.ivf import build_ivf
 
-            centroids, assigned = build_ivf(
-                _gate_emb(spark, sf_dir), n_cells=16, dim=EMB_DIM
-            )
+            centroids, assigned = build_ivf(_gate_emb(spark, sf_dir), n_cells=16)
             centroids.write.parquet(f"{root}/centroids")
             assigned.select("id", "vec", "cell").write.parquet(f"{root}/assigned")
             root = _commit_gate_root(root)
@@ -3841,9 +3823,7 @@ def q_ivf_recall(spark, sf_dir):
     centroids, assigned = _gate_ivf(spark, sf_dir)
     qdf = _recall_queries(emb)
     exact = _gate_exact(spark, sf_dir)
-    approx = ivf_search_batch(
-        assigned, centroids, qdf, k=10, nprobe=8, dim=EMB_DIM
-    )
+    approx = ivf_search_batch(assigned, centroids, qdf, k=10, nprobe=8)
     r = recall_at_k(approx, exact, k=10)
     return _recall_row(spark, r)
 
@@ -4322,8 +4302,7 @@ def q_filtered_beam_recall(spark, sf_dir):
         allowed_df = id_map.filter(F.col("vec_id") % 2 == 0).select("id").persist()
         allowed_df.count()
         exact = batch_topk(
-            qdf, emb.filter(F.col("id") % 2 == 0), k=10, metric="euclidean",
-            dim=EMB_DIM,
+            qdf, emb.filter(F.col("id") % 2 == 0), k=10, metric="euclidean"
         ).select("qid", "id").persist()
         exact.count()
         _GATE_CACHE[key] = (allowed_df, exact)
@@ -4475,7 +4454,7 @@ def _gate_exact_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, "exact_cos",
         lambda: batch_topk(
             _recall_queries(_gate_emb(spark, sf_dir)),
-            _gate_emb(spark, sf_dir), k=10, metric="cosine", dim=EMB_DIM,
+            _gate_emb(spark, sf_dir), k=10, metric="cosine",
         ),
     )
 
@@ -4613,9 +4592,9 @@ def _build_ivf_maintained(spark, sf_dir, root):
             "qid",
             F.regexp_extract("key", r"vec-(\d+)", 1).cast("long").alias("id"),
         )
-        ex = batch_topk(
-            qdf_gate, corpus_df, k=10, metric="euclidean", dim=EMB_DIM
-        ).select("qid", "id")
+        ex = batch_topk(qdf_gate, corpus_df, k=10, metric="euclidean").select(
+            "qid", "id"
+        )
         return recall_at_k(approx, ex, k=10)
 
     # wave 1: frozen-centroid assignment (below budget) — gate it NOW,
@@ -4660,7 +4639,7 @@ def _build_ivf_maintained(spark, sf_dir, root):
     )
     exact = batch_topk(
         _recall_queries(_gate_emb(spark, sf_dir)), corpus,
-        k=10, metric="euclidean", dim=EMB_DIM,
+        k=10, metric="euclidean",
     ).select("qid", "id")
     exact.write.parquet(f"{root}/exact")
 

@@ -566,12 +566,7 @@ def embedding_neardup_stream(
                 cands = cands.unionByName(extra)
             dups = (
                 cands.join(batch_vecs, "vec_id")
-                .filter(
-                    cosine_similarity(
-                        F.col("vec"), F.col("_ov"), next(iter(planes_by_dim), None)
-                    )
-                    >= threshold
-                )
+                .filter(cosine_similarity(F.col("vec"), F.col("_ov")) >= threshold)
                 .select("vec_id")
                 .distinct()
             )
