@@ -550,9 +550,15 @@ def beam_search_batch_blocks(
 
 
 class _AllowedMembership:
-    """Executor-side allowed-set admission for filtered block search.
+    """Allowed-set admission for filtered block search.
 
-    Holds the allowed ids as a TABLE (never collected): each ``resolve``
+    Two regimes, switched on the snapshot's cardinality at construction:
+    at or below ``_DRIVER_SET_LIMIT`` the ids are collected ONCE into a
+    driver-side frozenset and every membership question is answered locally
+    (zero per-hop cluster work — optimization round 14); above it the
+    executor-side table path below applies unchanged.
+
+    Executor path: holds the allowed ids as a TABLE: each ``resolve``
     call runs one pruned membership lookup (literal isin below the plan
     threshold, broadcast semi-join above — default_fetcher's split) for the
     batch of candidate ids whose status is still unknown, and caches the
@@ -588,7 +594,25 @@ class _AllowedMembership:
     # of <=1M cached longs is microseconds per task
     _COALESCE_LIMIT = 1_000_000
 
-    def __init__(self, allowed_df: DataFrame, id_col: str = "id"):
+    # at or below this many allowed ids the snapshot is ALSO collected into
+    # a driver-side frozenset at construction (~8 bytes/id: <= 1M longs is
+    # the same driver-memory class as the sweep's block/copy caches) and
+    # every membership question is answered without touching the cluster —
+    # the per-hop union+semi-join membership branch costs ~6x the plain
+    # block fetch at bench scale (measured 0.65 s vs 0.11 s per hop), all
+    # of it avoidable when the filter is small enough to hold locally.
+    # Unbounded 100-TB filters (> the limit) keep the executor-side
+    # resolution path unchanged.  ``driver_set_limit=0`` forces the
+    # executor path regardless of size (tests use it to exercise the
+    # large-set contract on small fixtures).
+    _DRIVER_SET_LIMIT = 1_000_000
+
+    def __init__(
+        self,
+        allowed_df: DataFrame,
+        id_col: str = "id",
+        driver_set_limit: int | None = None,
+    ):
         self._cached = allowed_df.select(
             F.col(id_col).cast("long").alias("id")
         ).persist()
@@ -600,6 +624,12 @@ class _AllowedMembership:
             # would accumulate cache entries the lifecycle exists to prevent
             self._cached.unpersist()
             raise
+        limit = self._DRIVER_SET_LIMIT if driver_set_limit is None else driver_set_limit
+        self._set: frozenset[int] | None = None
+        if n <= limit:
+            self._set = frozenset(
+                int(r["id"]) for r in self._cached.collect()
+            )
         self._small = n <= self._COALESCE_LIMIT
         src = self._cached.coalesce(1) if self._small else self._cached
         self._fetch = default_fetcher(src, "id")
@@ -616,7 +646,10 @@ class _AllowedMembership:
         (``collect_blocks_with_membership``), so the standalone lookup job
         below is a safety net for ids that arrive outside that contract —
         ``stats['allowed_lookups']`` counts it and stays 0 on the block
-        path."""
+        path.  With a driver-side set (small filters) this is a pure local
+        lookup — no job, no cache growth."""
+        if self._set is not None:
+            return {int(i) for i in ids if int(i) in self._set}
         unknown = sorted({int(i) for i in ids} - self._known.keys())
         if unknown:
             hit = {int(r["id"]) for r in self._fetch(unknown).select("id").collect()}
@@ -653,7 +686,14 @@ class _AllowedMembership:
         invariant holds even on indexes with stale seeds after deletes.
         Misses are learned driver-side: the probed universe is recoverable
         from the block rows + the requested list, so absent ids mark
-        ``known=False`` without shipping a miss list."""
+        ``known=False`` without shipping a miss list.
+
+        With a driver-side set (small filters, ``_DRIVER_SET_LIMIT``) the
+        membership branch is skipped entirely — the hop collects the plain
+        block rows and every admission check reads the local frozenset, so
+        filtered traversal costs exactly what unfiltered traversal costs."""
+        if self._set is not None:
+            return blocks_df.collect()
         # no distinct() on the probe: it would shuffle every hop, while
         # duplicate hit ids collapse driver-side for free.  Small snapshots
         # get an explicit broadcast hint so the semi-join stays in the

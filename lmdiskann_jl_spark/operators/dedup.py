@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lmdiskann_jl_spark.functions.text import HASH_MOD, tokens, word_shingles
-from lmdiskann_jl_spark.functions.vector import cosine_similarity
+from lmdiskann_jl_spark.functions.vector import cosine_similarity, dot_product
 
 DEFAULT_N_PERM = 16
 DEFAULT_BAND_ROWS = 4
@@ -284,6 +284,15 @@ def simhash_neardup_pairs(
     )
 
 
+def capped_shingles(sh: DataFrame, df_cap: int) -> DataFrame:
+    """Drop shingles present in more than ``df_cap`` documents — the hot-key
+    mitigation ``ngram_jaccard_pairs`` applies before its inverted-index
+    join, extracted so callers that pre-materialize a shared shingle table
+    derive the capped variant through the identical expression."""
+    rare = sh.groupBy("h").agg(F.count("*").alias("_df")).filter(F.col("_df") <= df_cap)
+    return sh.join(rare.select("h"), "h", "left_semi")
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.5,
@@ -291,6 +300,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = SHINGLE_N,
     df_cap: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by word n-gram Jaccard similarity >= threshold.
 
@@ -304,16 +314,37 @@ def ngram_jaccard_pairs(
     carrying no dedup signal).  Jaccard is then computed over the capped
     shingle sets (both sizes and intersections), keeping the semantics
     well-defined and oracle-expressible.
+
+    ``shingles``: a pre-materialized (doc_id, h) table — ``doc_shingles``
+    output, already df_cap-filtered (``capped_shingles``) if applicable —
+    in which case ``documents``/``df_cap`` are ignored and the caller owns
+    persistence.  Lets several queries over the same corpus share one
+    tokenize+explode+distinct materialization instead of each rebuilding
+    (and re-persisting) it per invocation.
     """
+    if shingles is not None:
+        sh = shingles
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+        return _jaccard_from_branches(a, b, sizes, threshold)
     sh = doc_shingles(documents, id_col, text_col, n)
     if df_cap is not None:
-        rare = sh.groupBy("h").agg(F.count("*").alias("_df")).filter(F.col("_df") <= df_cap)
-        sh = sh.join(rare.select("h"), "h", "left_semi")
+        sh = capped_shingles(sh, df_cap)
     sh = sh.persist()
     sh.count()  # eager: sizes + both join branches reuse one materialization
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "h")
     b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    return _jaccard_from_branches(a, b, sizes, threshold)
+
+
+def _jaccard_from_branches(
+    a: DataFrame, b: DataFrame, sizes: DataFrame, threshold: float
+) -> DataFrame:
+    """The join/aggregate tail of ``ngram_jaccard_pairs`` — one body for the
+    build-own-shingles and caller-shared-shingles paths, so both produce the
+    identical expressions (hash-gate bit-parity)."""
     common = (
         a.join(b, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -929,12 +960,12 @@ def semantic_dedup_pairs(
         .withColumn("_d", sq_euclidean_distance(F.col("nvec"), F.col("centroid")))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= assign_probes)
-        .select("id", "vec", "cell")
+        .select("id", "nvec", "cell")
         .persist()
     )
     assigned.count()  # eager: both self-join branches must reuse, not recompute
-    a = assigned.select(F.col("id").alias("id_a"), F.col("vec").alias("va"), "cell")
-    b = assigned.select(F.col("id").alias("id_b"), F.col("vec").alias("vb"), "cell")
+    a = assigned.select(F.col("id").alias("id_a"), F.col("nvec").alias("na"), "cell")
+    b = assigned.select(F.col("id").alias("id_b"), F.col("nvec").alias("nb"), "cell")
     # Score and threshold-filter BEFORE the pair dedup (optimization round
     # 14, guide §2.3 "shuffle keys, not payloads"): duplicate candidate rows
     # from shared probe cells carry identical vectors, hence identical
@@ -945,13 +976,19 @@ def semantic_dedup_pairs(
     # pair colliding in both probe cells pays one redundant (cheap,
     # codegen'd) re-score; the shuffle drops from O(candidates x payload)
     # to O(matches x 24 bytes).
+    #
+    # The verify scores the NORMALIZED vectors the pipeline already carries
+    # for clustering: for unit vectors dot(na, nb) IS the exact cosine, so
+    # the per-pair work drops from three interpreted aggregate chains
+    # (dot + two norms over the raw vectors) to one (optimization round
+    # 14) — the candidate verify is the operator's O(n^2/cells) hot loop.
     return (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            F.round(dot_product(F.col("na"), F.col("nb")), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])

@@ -692,10 +692,13 @@ def test_filtered_search_batch(spark, idx_path, batch, queries):
 
 
 def test_allowed_dataframe_membership_bounded_driver_state(spark, idx_path, batch, queries):
-    """A LARGE allowed set passed as a DataFrame must (a) return the same
-    results as the driver-side set form, (b) never materialize the full set
-    driver-side — the membership cache holds only ids the sweep actually
-    scored — and (c) batch membership into at most one lookup job per hop."""
+    """A LARGE allowed set (forced via driver_set_limit=0 on this fixture)
+    must (a) return the same results as the driver-side set form, (b) never
+    materialize the full set driver-side — the membership cache holds only
+    ids the sweep actually scored — and (c) batch membership into at most
+    one lookup job per hop, prefetched inside the hop's own block-fetch
+    job.  A fixture-sized set passed as a raw DataFrame takes the
+    driver-set fast path instead (see the dedicated test below)."""
     from lmdiskann_jl_spark.operators.beam import _AllowedMembership
 
     idx = _built(spark, idx_path, batch)
@@ -706,26 +709,33 @@ def test_allowed_dataframe_membership_bounded_driver_state(spark, idx_path, batc
 
     MAX_HOPS = 8
     stats: dict = {}
-    via_df = beam_search_batch_blocks(
-        spark, idx._blocks_fetcher(), queries, ef=40, seeds=seeds,
-        max_hops=MAX_HOPS, allowed=allowed_df, stats=stats,
-    )
-    via_set = beam_search_batch_blocks(
-        spark, idx._blocks_fetcher(), queries, ef=40, seeds=seeds,
-        max_hops=MAX_HOPS, allowed=set(even),
-    )
-    as_rows = lambda df: {(r["qid"], r["id"], round(r["dist"], 9)) for r in df.collect()}
-    assert as_rows(via_df) == as_rows(via_set)
-    assert all(i % 2 == 0 for _, i, _ in as_rows(via_df))
-    # membership is PREFETCHED inside each hop's block-fetch job (one
-    # column-pruned union branch over the same pruned scan), so filtered
-    # traversal adds ZERO standalone lookup jobs — resolve()'s fallback
-    # job never fires on the block path
-    assert stats.get("allowed_lookups", 0) == 0
-    assert stats.get("allowed_prefetches", 0) >= 1
+    m = _AllowedMembership(allowed_df, driver_set_limit=0)
+    try:
+        via_df = beam_search_batch_blocks(
+            spark, idx._blocks_fetcher(), queries, ef=40, seeds=seeds,
+            max_hops=MAX_HOPS, allowed=m, stats=stats,
+        )
+        via_set = beam_search_batch_blocks(
+            spark, idx._blocks_fetcher(), queries, ef=40, seeds=seeds,
+            max_hops=MAX_HOPS, allowed=set(even),
+        )
+        as_rows = lambda df: {(r["qid"], r["id"], round(r["dist"], 9)) for r in df.collect()}
+        assert as_rows(via_df) == as_rows(via_set)
+        assert all(i % 2 == 0 for _, i, _ in as_rows(via_df))
+        # membership is PREFETCHED inside each hop's block-fetch job (one
+        # column-pruned union branch over the same pruned scan), so filtered
+        # traversal adds ZERO standalone lookup jobs — resolve()'s fallback
+        # job never fires on the block path
+        assert stats.get("allowed_lookups", 0) == 0
+        assert stats.get("allowed_prefetches", 0) >= 1
+        # bounded state: the membership cache holds only ids the sweep saw
+        assert 0 < len(m._known) < len(all_ids) + len(even)
+        assert m._set is None  # executor path: no full-set collect
+    finally:
+        m.close()
 
-    # bounded state: resolve() caches only the ids it was asked about
-    m = _AllowedMembership(allowed_df)
+    # bounded state via resolve(): caches only the ids it was asked about
+    m = _AllowedMembership(allowed_df, driver_set_limit=0)
     got = m.resolve(all_ids[:10])
     assert got == {i for i in all_ids[:10] if i % 2 == 0}
     assert len(m._known) == 10  # NOT len(even): no full-set collect
@@ -737,6 +747,45 @@ def test_allowed_dataframe_membership_bounded_driver_state(spark, idx_path, batc
     assert not (m._cached.storageLevel.useMemory or m._cached.storageLevel.useDisk)
 
 
+def test_allowed_small_set_resolves_driver_side(spark, idx_path, batch, queries):
+    """A small allowed set (<= _DRIVER_SET_LIMIT) passed as a raw DataFrame
+    is collected once into a driver-side frozenset: results are identical
+    to the executor-side path, and the traversal runs ZERO membership jobs
+    — no prefetch branch, no fallback lookup (optimization round 14)."""
+    from lmdiskann_jl_spark.operators.beam import _AllowedMembership
+
+    idx = _built(spark, idx_path, batch)
+    seeds = idx._blocks_seeds(4)
+    all_ids = [int(r["id"]) for r in idx.vectors.select("id").collect()]
+    even = sorted(i for i in all_ids if i % 2 == 0)
+    allowed_df = spark.createDataFrame([(i,) for i in even], "id long")
+
+    stats: dict = {}
+    via_df = beam_search_batch_blocks(
+        spark, idx._blocks_fetcher(), queries, ef=40, seeds=seeds,
+        max_hops=8, allowed=allowed_df, stats=stats,
+    )
+    forced = _AllowedMembership(allowed_df, driver_set_limit=0)
+    try:
+        via_exec = beam_search_batch_blocks(
+            spark, idx._blocks_fetcher(), queries, ef=40, seeds=seeds,
+            max_hops=8, allowed=forced,
+        )
+        as_rows = lambda df: {(r["qid"], r["id"], round(r["dist"], 9)) for r in df.collect()}
+        assert as_rows(via_df) == as_rows(via_exec)
+        assert all(i % 2 == 0 for _, i, _ in as_rows(via_df))
+    finally:
+        forced.close()
+    assert stats.get("allowed_lookups", 0) == 0
+    assert stats.get("allowed_prefetches", 0) == 0
+    # resolve() on the driver set is a pure local lookup: no cache growth
+    m = _AllowedMembership(allowed_df)
+    assert m._set is not None
+    assert m.resolve(all_ids[:10]) == {i for i in all_ids[:10] if i % 2 == 0}
+    assert len(m._known) == 0
+    m.close()
+
+
 def test_allowed_membership_stale_seed_stays_zero_lookup_jobs(
     spark, idx_path, batch, queries
 ):
@@ -745,7 +794,11 @@ def test_allowed_membership_stale_seed_stays_zero_lookup_jobs(
     but used to miss the membership probe (built only from RETURNED block
     rows), so resolve()'s standalone fallback job fired exactly for those
     ids.  The probe now unions the requested id list itself, so the
-    zero-extra-jobs invariant holds on indexes with stale seeds too."""
+    zero-extra-jobs invariant holds on indexes with stale seeds too.
+    Forced onto the executor path (driver_set_limit=0) — fixture-sized
+    sets otherwise resolve driver-side and never probe at all."""
+    from lmdiskann_jl_spark.operators.beam import _AllowedMembership
+
     idx = _built(spark, idx_path, batch)
     seeds = idx._blocks_seeds(4)
     all_ids = [int(r["id"]) for r in idx.vectors.select("id").collect()]
@@ -754,12 +807,16 @@ def test_allowed_membership_stale_seed_stays_zero_lookup_jobs(
     dead_seed = max(all_ids) + 1_000  # never inserted: no block row exists
 
     stats: dict = {}
-    out = beam_search_batch_blocks(
-        spark, idx._blocks_fetcher(), queries, ef=40,
-        seeds=list(seeds) + [dead_seed], max_hops=8,
-        allowed=allowed_df, stats=stats,
-    )
-    rows = out.collect()
+    m = _AllowedMembership(allowed_df, driver_set_limit=0)
+    try:
+        out = beam_search_batch_blocks(
+            spark, idx._blocks_fetcher(), queries, ef=40,
+            seeds=list(seeds) + [dead_seed], max_hops=8,
+            allowed=m, stats=stats,
+        )
+        rows = out.collect()
+    finally:
+        m.close()
     assert rows and all(r["id"] % 2 == 0 for r in rows)
     assert dead_seed not in {r["id"] for r in rows}
     # the dead seed's membership was learned inside the hop's fetch job —
@@ -783,7 +840,7 @@ def test_prebuilt_allowed_membership_amortizes_snapshot(
     even = sorted(i for i in all_ids if i % 2 == 0)
     allowed_df = spark.createDataFrame([(i,) for i in even], "id long")
 
-    m = _AllowedMembership(allowed_df)
+    m = _AllowedMembership(allowed_df, driver_set_limit=0)
     try:
         first = beam_search_batch_blocks(
             spark, idx._blocks_fetcher(), queries, ef=40, seeds=seeds,
