@@ -48,6 +48,107 @@ _D = "double"
 # codegen; such calls keep the HOF form.
 _UNROLL_MAX_DIM = 512
 
+# Single-parse construction of the unrolled form (optimization round 14).
+# Building the unrolled chain through the Column DSL costs one py4j
+# round-trip per operator — measured 0.8 s (dot / sqeuclidean) to 2.1 s
+# (cosine: three chains + guards) of pure DRIVER time per invocation at
+# dim=64, dwarfing the execution win on all but the largest joins, and it
+# is paid again on every fresh DataFrame build (every bench rep, every
+# real call).  Assembling the identical expression as ONE SQL string and
+# parsing it with a single F.expr() call costs ~1 ms to build and the same
+# ~50-150 ms of analysis the DSL tree pays anyway.  The SQL text mirrors
+# the DSL construction operator for operator (same left-to-right fold,
+# same casts, same size() guard routing ragged/null arrays through the
+# original HOF aggregate), so results stay bit-for-bit identical — pinned
+# by tests/test_r14_kernels.py across all three forms.  The string path
+# needs the inputs' SQL names, so it applies when both inputs are plain
+# single-part column references (what every bulk call site passes); any
+# other input shape keeps the Column-DSL construction below.
+
+_SQL_ZERO = "CAST(0.0 AS DOUBLE)"
+
+
+def _attr_sql(c: Column) -> str | None:
+    """Backtick-quoted SQL text for a plain single-part column reference,
+    else None (caller falls back to Column-DSL construction)."""
+    try:
+        node = c._jc.node()
+        if node.getClass().getSimpleName() != "UnresolvedAttribute":
+            return None
+        parts = node.nameParts()
+        if parts.size() != 1:
+            return None
+        name = parts.apply(0)
+    except Exception:
+        return None
+    if "`" in name:
+        return None
+    return f"`{name}`"
+
+
+def _sql_cast(e: str) -> str:
+    return f"CAST({e} AS DOUBLE)"
+
+
+def _sql_fold(terms: list[str]) -> str:
+    # left-associative `0.0 + t0 + t1 + ...` parses to the identical
+    # ((0+t0)+t1)+... tree the DSL _unrolled_fold builds
+    return "(" + " + ".join([_SQL_ZERO, *terms]) + ")"
+
+
+def _sql_guard2(asql: str, bsql: str, dim: int, fast: str, hof: str) -> str:
+    return (
+        f"CASE WHEN ((size({asql}) = {dim}) AND (size({bsql}) = {dim})) "
+        f"THEN {fast} ELSE {hof} END"
+    )
+
+
+def _dot_sql(asql: str, bsql: str, dim: int) -> str:
+    fast = _sql_fold(
+        [f"{_sql_cast(f'{asql}[{i}]')} * {_sql_cast(f'{bsql}[{i}]')}" for i in range(dim)]
+    )
+    hof = (
+        f"aggregate(zip_with({asql}, {bsql}, (x, y) -> "
+        f"CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), {_SQL_ZERO}, (acc, x) -> acc + x)"
+    )
+    return _sql_guard2(asql, bsql, dim, fast, hof)
+
+
+def _l2_sql(asql: str, dim: int) -> str:
+    fast = "sqrt(" + _sql_fold(
+        [f"{_sql_cast(f'{asql}[{i}]')} * {_sql_cast(f'{asql}[{i}]')}" for i in range(dim)]
+    ) + ")"
+    hof = (
+        f"sqrt(aggregate({asql}, {_SQL_ZERO}, "
+        f"(acc, x) -> acc + (CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+    return f"CASE WHEN (size({asql}) = {dim}) THEN {fast} ELSE {hof} END"
+
+
+def _sqeuclid_sql(asql: str, bsql: str, dim: int) -> str:
+    def term(i: int) -> str:
+        x, y = _sql_cast(f"{asql}[{i}]"), _sql_cast(f"{bsql}[{i}]")
+        return f"({x} - {y}) * ({x} - {y})"
+
+    fast = _sql_fold([term(i) for i in range(dim)])
+    hof = (
+        f"aggregate(zip_with({asql}, {bsql}, (x, y) -> "
+        f"(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        f"{_SQL_ZERO}, (acc, x) -> acc + x)"
+    )
+    return _sql_guard2(asql, bsql, dim, fast, hof)
+
+
+def _manhattan_sql(asql: str, bsql: str, dim: int) -> str:
+    fast = _sql_fold(
+        [f"abs({_sql_cast(f'{asql}[{i}]')} - {_sql_cast(f'{bsql}[{i}]')})" for i in range(dim)]
+    )
+    hof = (
+        f"aggregate(zip_with({asql}, {bsql}, (x, y) -> "
+        f"abs(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), {_SQL_ZERO}, (acc, x) -> acc + x)"
+    )
+    return _sql_guard2(asql, bsql, dim, fast, hof)
+
 
 def _guarded(a: Column, b: Column | None, dim: int, fast: Column, hof: Column) -> Column:
     ok = F.size(a) == F.lit(dim)
@@ -70,6 +171,10 @@ def query_vector_lit(vec: Sequence[float]) -> Column:
 
 def dot_product(a: Column, b: Column, dim: int | None = None) -> Column:
     """sum_i a_i * b_i, accumulated in double."""
+    if dim is not None and dim <= _UNROLL_MAX_DIM:
+        asql, bsql = _attr_sql(a), _attr_sql(b)
+        if asql is not None and bsql is not None:
+            return F.expr(_dot_sql(asql, bsql, dim))
     hof = F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast(_D) * y.cast(_D)),
         F.lit(0.0).cast(_D),
@@ -82,6 +187,10 @@ def dot_product(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def l2_norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None and dim <= _UNROLL_MAX_DIM:
+        asql = _attr_sql(a)
+        if asql is not None:
+            return F.expr(_l2_sql(asql, dim))
     hof = F.sqrt(
         F.aggregate(
             a,
@@ -123,6 +232,10 @@ def l2_normalize_col(df, vec_col: str, out_col: str | None = None):
 
 def sq_euclidean_distance(a: Column, b: Column, dim: int | None = None) -> Column:
     """Squared L2 — monotone in L2, cheaper: use for ranking, sqrt only at the end."""
+    if dim is not None and dim <= _UNROLL_MAX_DIM:
+        asql, bsql = _attr_sql(a), _attr_sql(b)
+        if asql is not None and bsql is not None:
+            return F.expr(_sqeuclid_sql(asql, bsql, dim))
     hof = F.aggregate(
         F.zip_with(a, b, lambda x, y: (x.cast(_D) - y.cast(_D)) * (x.cast(_D) - y.cast(_D))),
         F.lit(0.0).cast(_D),
@@ -144,6 +257,10 @@ def euclidean_distance(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def manhattan_distance(a: Column, b: Column, dim: int | None = None) -> Column:
+    if dim is not None and dim <= _UNROLL_MAX_DIM:
+        asql, bsql = _attr_sql(a), _attr_sql(b)
+        if asql is not None and bsql is not None:
+            return F.expr(_manhattan_sql(asql, bsql, dim))
     hof = F.aggregate(
         F.zip_with(a, b, lambda x, y: F.abs(x.cast(_D) - y.cast(_D))),
         F.lit(0.0).cast(_D),
@@ -159,6 +276,13 @@ def cosine_similarity(a: Column, b: Column, dim: int | None = None) -> Column:
     # try_divide: a zero-norm vector has no defined cosine — yield NULL (the
     # SQL-idiomatic "undefined") instead of an ANSI DIVIDE_BY_ZERO crash.
     # Bit-identical to plain division whenever the norms are non-zero.
+    if dim is not None and dim <= _UNROLL_MAX_DIM:
+        asql, bsql = _attr_sql(a), _attr_sql(b)
+        if asql is not None and bsql is not None:
+            return F.expr(
+                f"try_divide({_dot_sql(asql, bsql, dim)}, "
+                f"({_l2_sql(asql, dim)}) * ({_l2_sql(bsql, dim)}))"
+            )
     return F.try_divide(dot_product(a, b, dim), l2_norm(a, dim) * l2_norm(b, dim))
 
 

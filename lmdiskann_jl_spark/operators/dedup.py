@@ -682,7 +682,9 @@ def lsh_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            # dim: the verify is this operator's bulk loop (every candidate
+            # pair the buckets surface) — the unrolled kernel applies
+            F.round(cosine_similarity(F.col("va"), F.col("vb"), dim), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -726,7 +728,8 @@ def embedding_neardup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine_similarity(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            # dim: n^2/2 scored pairs — the unrolled kernel's home turf
+            F.round(cosine_similarity(F.col("va"), F.col("vb"), dim), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -988,7 +991,7 @@ def semantic_dedup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(dot_product(F.col("na"), F.col("nb")), 4).alias("cos_sim"),
+            F.round(dot_product(F.col("na"), F.col("nb"), dim), 4).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])

@@ -958,6 +958,7 @@ def q_semantic_dedup(spark, sf_dir):
         emb.unionByName(twins),
         threshold=SEMANTIC_GATE_COS,
         n_cells=SEMANTIC_DEDUP_CELLS,
+        dim=EMB_DIM,
     )
 
 

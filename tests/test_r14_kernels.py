@@ -91,6 +91,34 @@ def test_unrolled_matches_hof_bitwise(vec_pairs, fn, binary):
         assert repr(r["h"]) == repr(r["u"]), f"id={r['id']}: {r['h']} != {r['u']}"
 
 
+def test_expr_string_fastpath_and_dsl_fallback(vec_pairs):
+    """With dim and plain column refs the kernel is assembled as ONE parsed
+    SQL string (a single py4j round-trip, ~1 ms, vs 0.8-2.1 s for the
+    operator-by-operator Column-DSL chain — optimization round 14); any
+    other input shape (qualified, computed, literal) keeps the DSL
+    construction.  Both constructions must stay bit-identical to each other
+    and to the HOF form on every row shape."""
+    from lmdiskann_jl_spark.functions.vector import _attr_sql
+
+    # detection: plain single-part refs in; qualified/computed shapes out
+    assert _attr_sql(F.col("a")) == "`a`"
+    assert _attr_sql(F.col("t.a")) is None
+    assert _attr_sql(F.col("a") + 1) is None
+    assert _attr_sql(F.array(F.lit(1.0))) is None
+
+    # identity transform keeps values but is NOT an attribute ref, so it
+    # routes construction through the DSL fallback; the plain ref routes
+    # through the SQL string.  Same data -> results must match bitwise.
+    via_sql = sq_euclidean_distance(F.col("a"), F.col("b"), 4)
+    via_dsl = sq_euclidean_distance(
+        F.transform(F.col("a"), lambda x: x), F.col("b"), 4
+    )
+    rows = vec_pairs.select("id", via_sql.alias("s"), via_dsl.alias("d")).collect()
+    assert len(rows) == 7
+    for r in rows:
+        assert repr(r["s"]) == repr(r["d"]), f"id={r['id']}: {r['s']} != {r['d']}"
+
+
 def test_unrolled_dim_cap_returns_hof():
     # above the unroll cap the call must degrade to the plain HOF column.
     # Lambda variable ids (x_12, y_13, ...) are allocated from a global
