@@ -80,31 +80,27 @@ def assign_cells(
     the previous window's (dist, cell) ordering.  Zero shuffles, zero
     windows: assigning 100 TB costs exactly one pass over the data (the
     earlier crossJoin + per-id window shuffled the whole corpus once).
-    Small-file inputs are spread across cores (no-op on wider tables)."""
+    Small-file inputs are spread across cores (no-op on wider tables).
+    ``dim`` is accepted for call-site symmetry but ignored: the measured
+    note below explains why the unrolled kernel loses on this shape."""
     from lmdiskann_jl_spark.operators.knn_join import _spread
 
-    dist_fn = resolve_metric(metric, dim)
+    # The metric deliberately resolves WITHOUT the dim fast path here: an
+    # n_cells-wide array of guarded unrolled kernels over literal centroid
+    # arrays was measured (n_cells=16, dim=64, sf0.1) at 34.3 s of driver
+    # construction + 9.5 s execution — the ~40k-node expression overflows
+    # whole-stage codegen into interpreted evaluation of every guard AND
+    # its HOF fallback branch — vs 1.2 s + 0.5 s for this plain HOF
+    # transform over the broadcast centroid literal.  (Optimization round
+    # 14: the earlier "codegen'd array constructor" variant of this site
+    # was re-measured and reverted.)
+    dist_fn = resolve_metric(metric)
     cents = sorted(centroids.collect(), key=lambda r: r["cell"])
     cent_lit = F.array(
         *[F.array(*[F.lit(float(x)) for x in r["centroid"]]) for r in cents]
     )
     cells_lit = F.array(*[F.lit(int(r["cell"])) for r in cents])
-    if dim is not None and len(cents) * dim <= 8192:
-        # per-centroid distances as a plain array constructor: same values
-        # in the same order as the interpreted transform, but the whole
-        # argmin expression stays inside codegen (round-14 optimization;
-        # bounded so a huge n_cells*dim product cannot bloat the plan)
-        dists = F.array(
-            *[
-                dist_fn(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in r["centroid"]]),
-                )
-                for r in cents
-            ]
-        )
-    else:
-        dists = F.transform(cent_lit, lambda c: dist_fn(F.col(vec_col), c))
+    dists = F.transform(cent_lit, lambda c: dist_fn(F.col(vec_col), c))
     idx = F.array_position(dists, F.array_min(dists)).cast("int")
     return _spread(vectors).select(
         id_col, vec_col, F.element_at(cells_lit, idx).alias("cell")
