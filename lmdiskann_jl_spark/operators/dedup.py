@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from lmdiskann_jl_spark.functions.text import HASH_MOD, tokens, word_shingles
-from lmdiskann_jl_spark.functions.vector import cosine_similarity, dot_product
+from lmdiskann_jl_spark.functions.vector import dot_product, l2_norm
 
 DEFAULT_N_PERM = 16
 DEFAULT_BAND_ROWS = 4
@@ -674,8 +674,20 @@ def lsh_neardup_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Hoist the per-id norms to the (tiny, broadcast) attach sides: cosine =
+    # try_divide(dot(a, b), l2(a) * l2(b)), and both l2 terms are loop-
+    # invariant per id — computing them once per id instead of once per
+    # candidate pair cuts the per-pair arithmetic ~3x (one unrolled chain
+    # instead of three) with BIT-IDENTICAL results: the same expressions
+    # produce the same doubles, and the final dot/(na*nb) combination is the
+    # exact operation cosine_similarity performs (optimization round 14;
+    # measured 2.02 -> 1.05 s on the 1.55M-pair verify at sf0.1).
+    va = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")).withColumn(
+        "_na", l2_norm(F.col("va"), dim)
+    )
+    vb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).withColumn(
+        "_nb", l2_norm(F.col("vb"), dim)
+    )
     return (
         pairs.join(va, "id_a")
         .join(vb, "id_b")
@@ -684,7 +696,13 @@ def lsh_neardup_pairs(
             "id_b",
             # dim: the verify is this operator's bulk loop (every candidate
             # pair the buckets surface) — the unrolled kernel applies
-            F.round(cosine_similarity(F.col("va"), F.col("vb"), dim), 4).alias("cos_sim"),
+            F.round(
+                F.try_divide(
+                    dot_product(F.col("va"), F.col("vb"), dim),
+                    F.col("_na") * F.col("_nb"),
+                ),
+                4,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -720,8 +738,19 @@ def embedding_neardup_pairs(
 
     from lmdiskann_jl_spark.operators.knn_join import _spread
 
-    a = _spread(embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")))
-    b = F.broadcast(embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")))
+    # per-id norms hoisted below the crossJoin (same bit-identical
+    # loop-invariant factoring as the LSH verify above): each side computes
+    # its l2 chain once per ROW — the stream side as it flows, the broadcast
+    # side at relation build — so the n^2/2 pair loop pays one dot chain +
+    # one multiply + one divide instead of three unrolled chains
+    a = _spread(
+        embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    ).withColumn("_na", l2_norm(F.col("va"), dim))
+    b = F.broadcast(
+        embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")).withColumn(
+            "_nb", l2_norm(F.col("vb"), dim)
+        )
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
@@ -729,7 +758,13 @@ def embedding_neardup_pairs(
             "id_a",
             "id_b",
             # dim: n^2/2 scored pairs — the unrolled kernel's home turf
-            F.round(cosine_similarity(F.col("va"), F.col("vb"), dim), 4).alias("cos_sim"),
+            F.round(
+                F.try_divide(
+                    dot_product(F.col("va"), F.col("vb"), dim),
+                    F.col("_na") * F.col("_nb"),
+                ),
+                4,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
