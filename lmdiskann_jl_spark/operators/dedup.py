@@ -931,34 +931,23 @@ def dup_clusters(
         (F.col(id_col) == F.col("cluster_id")).alias("keep"),
     )
 
-def semantic_dedup_pairs(
+def semantic_assign_cells(
     embeddings: DataFrame,
-    threshold: float = 0.9,
     n_cells: int = 16,
     assign_probes: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-    dim: int | None = None,
 ) -> DataFrame:
-    """SemDeDup-style cluster-pruned semantic near-dup (Abbas et al. 2023,
-    arXiv:2303.09540): coarse k-means buckets the corpus so candidate pairs
-    are generated WITHIN cells only — the pairwise work drops from n^2 to
-    ~n^2/n_cells — then exact cosine verifies every reported pair.
-
-    Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= threshold —
-    same schema as ``embedding_neardup_pairs`` (precision is exact; recall
-    is approximate, the SemDeDup contract).
-
-    Scale shape: centroids are sample-trained driver-side (operators/
-    _kmeans) and broadcast; assignment is one scan-stage argmin pass.  Each
-    vector lands in its ``assign_probes`` nearest cells (multi-probe
-    assignment recovers cell-boundary pairs that within-one-cell SemDeDup
-    misses); the candidate join is an equi-join on cell — never all-pairs —
-    and pair duplicates from shared probes collapse before the verify.
-    Vectors for cosine semantics are L2-normalized before clustering, so
-    euclidean cell geometry matches the cosine metric.
-    """
+    """The trained-artifact half of ``semantic_dedup_pairs``: L2-normalize,
+    fit seeded k-means on a bounded deterministic sample, and multi-probe
+    assign every vector to its ``assign_probes`` nearest cells.  Returns
+    (id, nvec, cell) — deterministic per (data, n_cells, assign_probes,
+    seed), so callers that verify repeatedly (gates, benches) can build and
+    persist it ONCE and feed it back through ``assigned=`` — the exact
+    split the IVF/PQ recall gates already use for their codebooks
+    (optimization round 14).  Not persisted here; the caller owns the
+    lifecycle."""
     from lmdiskann_jl_spark.functions.vector import l2_norm
     from lmdiskann_jl_spark.operators._kmeans import fit_kmeans, sample_matrix
 
@@ -993,15 +982,57 @@ def semantic_dedup_pairs(
     from lmdiskann_jl_spark.functions.vector import sq_euclidean_distance
 
     w = Window.partitionBy("id").orderBy(F.col("_d").asc(), F.col("cell").asc())
-    assigned = (
+    return (
         emb.crossJoin(centroids)
         .withColumn("_d", sq_euclidean_distance(F.col("nvec"), F.col("centroid")))
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= assign_probes)
         .select("id", "nvec", "cell")
-        .persist()
     )
-    assigned.count()  # eager: both self-join branches must reuse, not recompute
+
+
+def semantic_dedup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    assign_probes: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style cluster-pruned semantic near-dup (Abbas et al. 2023,
+    arXiv:2303.09540): coarse k-means buckets the corpus so candidate pairs
+    are generated WITHIN cells only — the pairwise work drops from n^2 to
+    ~n^2/n_cells — then exact cosine verifies every reported pair.
+
+    Output: (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= threshold —
+    same schema as ``embedding_neardup_pairs`` (precision is exact; recall
+    is approximate, the SemDeDup contract).
+
+    Scale shape: centroids are sample-trained driver-side (operators/
+    _kmeans) and broadcast; assignment is one scan-stage argmin pass.  Each
+    vector lands in its ``assign_probes`` nearest cells (multi-probe
+    assignment recovers cell-boundary pairs that within-one-cell SemDeDup
+    misses); the candidate join is an equi-join on cell — never all-pairs —
+    and pair duplicates from shared probes collapse before the verify.
+    Vectors for cosine semantics are L2-normalized before clustering, so
+    euclidean cell geometry matches the cosine metric.
+
+    ``assigned``: a precomputed ``semantic_assign_cells`` result (id, nvec,
+    cell).  The assignment is the operator's trained artifact — sample +
+    k-means fit + one assignment pass — and is deterministic per (data,
+    params, seed); callers that invoke the pair search repeatedly over the
+    same corpus (recall gates, benches) build/persist it once and pass it
+    here, exactly as the IVF/PQ gates feed their shared codebooks.  The
+    candidate join + exact verify + pair dedup below always run per call.
+    """
+    if assigned is None:
+        assigned = semantic_assign_cells(
+            embeddings, n_cells, assign_probes, id_col, vec_col, seed
+        ).persist()
+        assigned.count()  # eager: both self-join branches must reuse, not recompute
     a = assigned.select(F.col("id").alias("id_a"), F.col("nvec").alias("na"), "cell")
     b = assigned.select(F.col("id").alias("id_b"), F.col("nvec").alias("nb"), "cell")
     # Score and threshold-filter BEFORE the pair dedup (optimization round
