@@ -671,8 +671,10 @@ def lsh_neardup_pairs(
     low thresholds are fundamentally brute-force territory.
     """
     from lmdiskann_jl_spark.operators.knn_join import (
+        FIRST_COLLISION_MAX_TERMS,
         _spread,
         add_lsh_buckets,
+        first_collision_keep,
         random_hyperplanes,
     )
 
@@ -695,17 +697,40 @@ def lsh_neardup_pairs(
     # write/read, and leaked one cached frame per invocation).  The same
     # holds at scale: recomputing a per-row transform beats materializing
     # n_tables x n rows of bucket state.
-    bucketed = add_lsh_buckets(sel, planes, vec_col="_v").select(
-        "_id", "lsh_table", "bucket"
-    )
-    a = bucketed.select(F.col("_id").alias("id_a"), "lsh_table", "bucket")
-    b = bucketed.select(F.col("_id").alias("id_b"), "lsh_table", "bucket")
-    pairs = (
-        a.join(b, ["lsh_table", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # FIRST-COLLISION dedup (optimization round 14, guide §2.4): the
+    # multi-table collision collapse used to be a .distinct() — an exchange
+    # of the FULL candidate multiset (n_tables x the unique pairs at the
+    # recall-1.0 gate config).  Both sides carry their bucket arrays, so a
+    # join row keeps the pair iff ITS table is the first index where the
+    # arrays agree — map-side, inside the join stage, exact same pair set,
+    # zero dedup exchange.  Guarded by the measured codegen cliff
+    # (FIRST_COLLISION_MAX_TERMS): wider table counts keep the distinct.
+    use_fc = n_tables <= FIRST_COLLISION_MAX_TERMS
+    bucketed = add_lsh_buckets(
+        sel, planes, vec_col="_v", arrays_col="_bk" if use_fc else None
+    ).select("_id", "lsh_table", "bucket", *(["_bk"] if use_fc else []))
+    if use_fc:
+        a = bucketed.select(
+            F.col("_id").alias("id_a"), "lsh_table", "bucket", F.col("_bk").alias("_bka")
+        )
+        b = bucketed.select(
+            F.col("_id").alias("id_b"), "lsh_table", "bucket", F.col("_bk").alias("_bkb")
+        )
+        pairs = (
+            a.join(b, ["lsh_table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(first_collision_keep("_bka", "_bkb", n_tables, qp=1))
+            .select("id_a", "id_b")
+        )
+    else:
+        a = bucketed.select(F.col("_id").alias("id_a"), "lsh_table", "bucket")
+        b = bucketed.select(F.col("_id").alias("id_b"), "lsh_table", "bucket")
+        pairs = (
+            a.join(b, ["lsh_table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
     # Hoist the per-id norms to the (tiny, broadcast) attach sides: cosine =
     # try_divide(dot(a, b), l2(a) * l2(b)), and both l2 terms are loop-
     # invariant per id — computing them once per id instead of once per

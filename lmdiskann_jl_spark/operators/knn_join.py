@@ -103,8 +103,17 @@ def add_lsh_buckets(
     use_arrow: bool = True,
     probes: int = 1,
     probe_col: str | None = None,
+    arrays_col: str | None = None,
 ) -> DataFrame:
     """Explode each row into one row per LSH table with its sign-bit bucket id.
+
+    ``arrays_col`` (optional): keep the row's FULL bucket array (length
+    ``n_tables * probes``, probe-major within each table — exactly the
+    explode order) as a column on every exploded row.  Consumers use it for
+    first-collision dedup: a candidate pair that shares several (table,
+    bucket) keys can be emitted from exactly one of them by comparing the
+    two sides' arrays — which turns the post-join ``distinct``/``groupBy``
+    dedup exchange into a map-side filter (optimization round 14).
 
     ``probe_col`` (optional): also emit the probe index — 0 for the base
     bucket, 1..probes-1 for the margin-ordered flips — so a caller can
@@ -170,7 +179,11 @@ def add_lsh_buckets(
         bucketed = df.withColumn("_buckets", _buckets(F.col(vec_col)))
         exploded = bucketed.select(
             "*", F.posexplode("_buckets").alias("_pos", bucket_col)
-        ).drop("_buckets")
+        )
+        if arrays_col is not None:
+            exploded = exploded.withColumnRenamed("_buckets", arrays_col)
+        else:
+            exploded = exploded.drop("_buckets")
         # posexplode index -> table id (qp consecutive probes per table)
         out = exploded.withColumn(
             table_col, (F.col("_pos") / F.lit(qp)).cast("int")
@@ -180,13 +193,20 @@ def add_lsh_buckets(
         return out.drop("_pos")
 
     per_table = []
+    bucket_exprs = []
     for t, table_planes in enumerate(planes):
         bucket = F.lit(0).cast("long")
         for p, plane in enumerate(table_planes):
             bit = (dot_product(F.col(vec_col), query_vector_lit(plane)) >= 0).cast("long")
             bucket = bucket + F.shiftleft(bit, p)
+        bucket_exprs.append(bucket)
         per_table.append(F.struct(F.lit(t).alias(table_col), bucket.alias(bucket_col)))
-    out = df.withColumn("_tb", F.explode(F.array(*per_table))).select(
+    base = df
+    if arrays_col is not None:
+        # same expressions as the exploded buckets (deterministic), so the
+        # array agrees with the per-row bucket by construction
+        base = base.withColumn(arrays_col, F.array(*bucket_exprs))
+    out = base.withColumn("_tb", F.explode(F.array(*per_table))).select(
         "*", F.col(f"_tb.{table_col}").alias(table_col), F.col(f"_tb.{bucket_col}").alias(bucket_col)
     ).drop("_tb")
     if probe_col is not None:
@@ -329,6 +349,55 @@ def auto_lsh_config(
     return n_planes, n_tables, 1
 
 
+# First-collision dedup stays on only while its CASE chain compiles into the
+# join stage's whole-stage codegen.  Measured at sf0.1 (2.2M-candidate AUTO
+# multiprobe join, optimization round 14): chains of 8/16/24/32 terms cost
+# +0.1-0.3 s over no filter, 36 terms jumps to +2.3 s — the expression falls
+# out of codegen and every branch evaluates interpreted (a branch-free
+# bitmask variant of the same 36 comparisons measured even worse, +4.9 s,
+# confirming the cliff is evaluation mode, not branch prediction).  Above
+# the cliff the single-exchange groupBy dedup is strictly faster, so the
+# operator switches shapes on this measured bound rather than extrapolating.
+FIRST_COLLISION_MAX_TERMS = 32
+
+
+def first_collision_keep(
+    left_arr: str,
+    right_arr: str,
+    n_tables: int,
+    qp: int = 1,
+    right_stride: int | None = None,
+    table_col: str = "lsh_table",
+    probe_col: str | None = None,
+):
+    """Predicate: this bucket-join row is the FIRST (table, probe) index at
+    which the two sides' bucket arrays collide — true for exactly ONE of the
+    rows a multi-table/multi-probe collision produces, so filtering on it
+    de-duplicates candidate pairs WITHOUT a distinct/groupBy exchange
+    (optimization round 14, guide §2.4: the dedup becomes a map-side filter
+    inside the join stage; only unique pairs ever reach a shuffle).
+
+    ``left_arr``: the probing side's full bucket array (length
+    ``n_tables * qp``, probe-major — ``add_lsh_buckets(arrays_col=...)``'s
+    layout).  ``right_arr``: the stored side's array; its base bucket for
+    table t sits at index ``t * right_stride`` (stride ``qp`` when the
+    stored side is a base-probe slice of the same multiprobe bucketing,
+    1 when it was bucketed separately with probes=1).  The CASE chain is
+    static (n_tables * qp terms of long equality on array elements), stays
+    in whole-stage codegen, and can never be NULL: the join-key equality
+    guarantees at least the current row's own index matches."""
+    stride = qp if right_stride is None else right_stride
+    first = None
+    for j in range(n_tables * qp):
+        t = j // qp
+        cond = F.col(left_arr).getItem(j) == F.col(right_arr).getItem(t * stride)
+        first = F.when(cond, F.lit(j)) if first is None else first.when(cond, F.lit(j))
+    cur = F.col(table_col).cast("long") * qp
+    if probe_col is not None:
+        cur = cur + F.col(probe_col).cast("long")
+    return first.cast("long") == cur
+
+
 def lsh_knn_join(
     left: DataFrame,
     right: DataFrame,
@@ -408,10 +477,21 @@ def lsh_knn_join(
     lname = left_id + "_l" if left_id == right_id else left_id
     rname = right_id + "_r" if left_id == right_id else right_id
     self_join = left is right and left_id == right_id
+    # the EFFECTIVE probe count: add_lsh_buckets clamps to n_planes + 1
+    # (a k-plane bucket has only k single-bit flips) — every index into the
+    # kept bucket arrays must use this clamped width, not the request
+    qp = max(1, min(int(probes), n_planes + 1))
+    # first-collision dedup applies only while its predicate stays inside
+    # whole-stage codegen — see FIRST_COLLISION_MAX_TERMS for the measured
+    # cliff; above it the single-exchange groupBy dedup below is faster
+    use_fc = n_tables * qp <= FIRST_COLLISION_MAX_TERMS
     lb = add_lsh_buckets(
         _spread(left.select(F.col(left_id).alias("_lid"), F.col(vec_col).alias("_lvec"))),
         planes, vec_col="_lvec", probes=probes,
-        probe_col="_probe" if (self_join and probes > 1) else None,
+        # the base-slice derivation (self-join) and the first-collision
+        # index both need the probe position; plain fallback paths don't
+        probe_col="_probe" if probes > 1 and (self_join or use_fc) else None,
+        arrays_col="_lbk" if use_fc else None,
     )
     if self_join:
         # self-join (the dedup/build case): derive the right side from the
@@ -427,17 +507,51 @@ def lsh_knn_join(
         # is single-bucket by contract) — so the right side is the
         # probe_col==0 slice of the same deterministic bucketing.
         base = lb.filter(F.col("_probe") == 0) if probes > 1 else lb
-        rb = base.select(
-            F.col("_lid").alias("_rid"), F.col("_lvec").alias("_rvec"), "lsh_table", "bucket"
-        )
+        rb_cols = [
+            F.col("_lid").alias("_rid"), F.col("_lvec").alias("_rvec"),
+            F.col("lsh_table"), F.col("bucket"),
+        ]
+        if use_fc:
+            rb_cols.append(F.col("_lbk").alias("_rbk"))
+        rb = base.select(*rb_cols)
+        # the stored side is the base-probe slice of the SAME multiprobe
+        # bucketing: its base bucket for table t sits at index t * qp
+        rb_stride = qp
     else:
         rb = add_lsh_buckets(
             _spread(right.select(F.col(right_id).alias("_rid"), F.col(vec_col).alias("_rvec"))),
-            planes, vec_col="_rvec",
+            planes, vec_col="_rvec", arrays_col="_rbk" if use_fc else None,
         )
+        rb_stride = 1  # bucketed separately with probes=1: length n_tables
     cand = lb.join(rb, ["lsh_table", "bucket"], "inner")
     if exclude_self:
         cand = cand.filter(F.col("_lid") != F.col("_rid"))
+    if use_fc:
+        # FIRST-COLLISION dedup (optimization round 14, guide §2.4): a pair
+        # colliding in several (table, probe) buckets used to be scored per
+        # collision and collapsed by a groupBy(min) — an exchange of the
+        # FULL candidate multiset.  Both sides carry their bucket arrays,
+        # so each join row decides map-side whether ITS (table, probe)
+        # index is the pair's first collision; every pair survives exactly
+        # once and the dedup aggregate disappears from the plan.  min(dist)
+        # over collision copies equaled any copy's dist (identical vectors
+        # -> identical doubles), so emitting the first copy is
+        # bit-identical.  The only remaining exchange is the rank window's,
+        # and it moves UNIQUE (lid, rid, dist) triples — never the vectors,
+        # never the duplicates.
+        cand = cand.filter(
+            first_collision_keep(
+                "_lbk", "_rbk", n_tables, qp=qp, right_stride=rb_stride,
+                probe_col="_probe" if qp > 1 else None,
+            )
+        )
+        scored = cand.select(
+            F.col("_lid").alias(lname),
+            F.col("_rid").alias(rname),
+            dist_fn(F.col("_lvec"), F.col("_rvec")).alias("dist"),
+        )
+        w = Window.partitionBy(lname).orderBy(F.col("dist").asc(), F.col(rname).asc())
+        return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     # score BEFORE deduplicating collisions: distance is recomputed for pairs
     # that collide in several tables (cheap, stays in codegen), but the dedup
     # shuffle then moves only (lid, rid, dist) triples — never the vectors.

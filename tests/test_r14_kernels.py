@@ -4,9 +4,11 @@
    bit-identical to the higher-order-function forms when sizes match, and
    must fall back to the HOF result (not garbage / not raise) on ragged,
    short, long, and null arrays.
-2. lsh_knn_join's dedup + rank must share ONE exchange: the scored triples
-   are hash-partitioned by the left id once, and both the (l, r) min-dist
-   aggregate and the per-l rank window run in that post-shuffle stage.
+2. lsh_knn_join's collision dedup: configs under the measured codegen cliff
+   (FIRST_COLLISION_MAX_TERMS) dedup by a map-side first-collision filter —
+   no aggregate in the plan at all; wider configs keep the single-exchange
+   groupBy form (dedup aggregate + rank window over one shuffle).  Both
+   shapes must return identical rows.
 3. semantic_dedup_pairs' score-before-dedup reorder must keep the output a
    set (no duplicate pairs from shared probe cells).
 """
@@ -134,7 +136,21 @@ def test_unrolled_dim_cap_returns_hof():
     assert shape(big) == shape(plain)
 
 
-def test_lsh_knn_join_single_exchange_for_dedup_and_rank(spark, emb_small):
+def _plan_tree(df):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return [
+        ln for ln in buf.getvalue().splitlines()
+        if ln.strip().startswith(("+-", ":-", ":", "Window", "AdaptiveSparkPlan"))
+    ]
+
+
+def test_lsh_knn_join_first_collision_no_dedup_aggregate(spark, emb_small):
+    """Configs whose (table x probe) term count fits the codegen cliff
+    (FIRST_COLLISION_MAX_TERMS) dedup by first-collision filter inside the
+    join stage: the plan must carry NO HashAggregate anywhere — the only
+    shuffle left is the rank window's."""
     from lmdiskann_jl_spark.operators.knn_join import lsh_knn_join
 
     df = lsh_knn_join(
@@ -142,16 +158,27 @@ def test_lsh_knn_join_single_exchange_for_dedup_and_rank(spark, emb_small):
         n_planes=3, n_tables=4,
         left_id="id", right_id="id", vec_col="vec",
     )
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    tree = [
-        ln for ln in buf.getvalue().splitlines()
-        if ln.strip().startswith(("+-", ":-", ":", "Window", "AdaptiveSparkPlan"))
-    ]
-    # walk the operator tree top-down: from the rank Window to the first
-    # Exchange below it there must be NO second Exchange between the two
-    # HashAggregates — i.e. dedup aggregate and window share one shuffle
+    tree = _plan_tree(df)
+    aggs = [ln for ln in tree if "HashAggregate (" in ln]
+    assert not aggs, f"first-collision path must not aggregate: {aggs}"
+    # and the output is already a set: exactly one row per (l, r)
+    rows = df.collect()
+    keys = [(r["id_l"], r["id_r"]) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_lsh_knn_join_wide_config_keeps_single_exchange_dedup(spark, emb_small):
+    """Above the measured codegen cliff the operator falls back to the
+    round-14 single-exchange groupBy dedup: two HashAggregates (partial +
+    final) directly above ONE exchange, shared with the rank window."""
+    from lmdiskann_jl_spark.operators.knn_join import lsh_knn_join
+
+    df = lsh_knn_join(
+        emb_small, emb_small, k=4, dim=8, metric="euclidean",
+        n_planes=2, n_tables=40,  # 40 terms > FIRST_COLLISION_MAX_TERMS
+        left_id="id", right_id="id", vec_col="vec",
+    )
+    tree = _plan_tree(df)
     widx = next(i for i, ln in enumerate(tree) if "Window (" in ln)
     below = tree[widx:]
     eidx = next(i for i, ln in enumerate(below) if "Exchange (" in ln)
@@ -160,6 +187,38 @@ def test_lsh_knn_join_single_exchange_for_dedup_and_rank(spark, emb_small):
     exchanges = [ln for ln in between if "Exchange (" in ln]
     assert len(aggs) == 2, f"expected partial+final agg above one exchange: {between}"
     assert not exchanges
+
+
+def test_lsh_knn_join_first_collision_matches_groupby_dedup(
+    spark, emb_small, monkeypatch
+):
+    """The two dedup shapes must produce identical (l, r, dist, rank) rows.
+    The guard picks the shape from the term count, so run the same configs
+    twice — once naturally (first-collision) and once with the guard forced
+    to 0 (groupBy fallback) — and compare row sets exactly.  Covers both a
+    single-bucket and a multiprobe (asymmetric sides) configuration."""
+    from lmdiskann_jl_spark.operators import knn_join as KJ
+
+    configs = [
+        dict(n_planes=3, n_tables=4),              # single-bucket, 4 terms
+        dict(n_planes=2, n_tables=6, probes=4),    # multiprobe, 24 terms
+    ]
+    for cfg in configs:
+        fc = KJ.lsh_knn_join(
+            emb_small, emb_small, k=3, dim=8, metric="euclidean",
+            left_id="id", right_id="id", vec_col="vec", **cfg,
+        )
+        fc_rows = {tuple(r) for r in fc.collect()}
+        keys = [(a, b) for a, b, *_ in fc_rows]
+        assert len(keys) == len(set(keys))
+        monkeypatch.setattr(KJ, "FIRST_COLLISION_MAX_TERMS", 0)
+        gb = KJ.lsh_knn_join(
+            emb_small, emb_small, k=3, dim=8, metric="euclidean",
+            left_id="id", right_id="id", vec_col="vec", **cfg,
+        )
+        gb_rows = {tuple(r) for r in gb.collect()}
+        monkeypatch.undo()
+        assert fc_rows == gb_rows, f"dedup shapes disagree for {cfg}"
 
 
 def test_semantic_dedup_no_duplicate_pairs(spark, emb_small):
