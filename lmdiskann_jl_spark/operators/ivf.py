@@ -221,7 +221,7 @@ def ivf_search_batch(
     """
     dist_fn = resolve_metric(metric, dim)
     cw = Window.partitionBy(qid_col).orderBy(F.col("_cd").asc(), F.col("cell").asc())
-    probes = (
+    probes_df = (
         queries.crossJoin(F.broadcast(centroids))
         .withColumn("_cd", dist_fn(F.col(qvec_col), F.col("centroid")))
         .withColumn("_rn", F.row_number().over(cw))
@@ -229,8 +229,15 @@ def ivf_search_batch(
         .select(qid_col, qvec_col, "cell")
     )
     # the union of probed cells collects to a tiny literal list so the scan
-    # partition-prunes statically (a derived semi-join would rely on DPP)
-    cell_list = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    # partition-prunes statically (a derived semi-join would rely on DPP).
+    # The probe table is collected ONCE and re-created as a local relation
+    # for the join side (optimization round 14, guide §1.2: the broadcast
+    # build used to re-execute the whole probe subtree — crossJoin + window
+    # — as a second job; n_queries x nprobe rows are driver-sized by
+    # contract, so one collect feeds both consumers).
+    probe_rows = probes_df.collect()
+    cell_list = sorted({r["cell"] for r in probe_rows})
+    probes = probes_df.sparkSession.createDataFrame(probe_rows, probes_df.schema)
     cand = assigned.filter(F.col("cell").isin(cell_list))
     tb = tiebreak_col or id_col
     scored = cand.join(F.broadcast(probes), "cell").select(

@@ -363,7 +363,11 @@ def pq_search_batch(
 
     spark = codes.sparkSession
     cb = codebook.collect()
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qsel = queries.select(qid_col, qvec_col)
+    qrows = qsel.collect()
+    # the exact-rerank join side below reuses the collected rows as a local
+    # relation instead of re-executing the queries subtree (opt round 14)
+    qlocal = spark.createDataFrame(qrows, qsel.schema)
     luts = spark.createDataFrame(
         _lut_rows(cb, qrows, m, qid_col, qvec_col),
         f"{qid_col} long, lut array<array<double>>",
@@ -380,7 +384,7 @@ def pq_search_batch(
     dist_fn = resolve_metric(metric)
     exact = (
         vectors.join(F.broadcast(shortlist), id_col)
-        .join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col)
+        .join(F.broadcast(qlocal), qid_col)
         .select(qid_col, F.col(id_col), dist_fn(F.col(vec_col), F.col(qvec_col)).alias("dist"))
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())
@@ -410,17 +414,26 @@ def ivfpq_search_batch(
     from lmdiskann_jl_spark.functions.vector import resolve_metric
 
     spark = assigned_codes.sparkSession
-    qrows = queries.select(qid_col, qvec_col).collect()
+    qsel = queries.select(qid_col, qvec_col)
+    qrows = qsel.collect()
+    # reused for the LUTs AND (as a local relation) the exact-rerank join
+    qlocal = spark.createDataFrame(qrows, qsel.schema)
     dist_fn = resolve_metric(metric)
     cw = Window.partitionBy(qid_col).orderBy(F.col("_cd").asc(), F.col("cell").asc())
-    probes = (
+    probes_df = (
         queries.crossJoin(F.broadcast(cell_centroids))
         .withColumn("_cd", dist_fn(F.col(qvec_col), F.col("centroid")))
         .withColumn("_rn", F.row_number().over(cw))
         .filter(F.col("_rn") <= nprobe)
         .select(qid_col, "cell")
     )
-    cell_list = sorted(r["cell"] for r in probes.select("cell").distinct().collect())
+    # collect the probe table ONCE; the broadcast join side is re-created
+    # as a local relation instead of re-executing the probe subtree as a
+    # second job (optimization round 14, guide §1.2 — n_queries x nprobe
+    # rows, driver-sized by contract)
+    probe_rows = probes_df.collect()
+    cell_list = sorted({r["cell"] for r in probe_rows})
+    probes = spark.createDataFrame(probe_rows, probes_df.schema)
     cb = codebook.collect()
     luts = spark.createDataFrame(
         _lut_rows(cb, qrows, m, qid_col, qvec_col),
@@ -440,7 +453,7 @@ def ivfpq_search_batch(
     )
     exact = (
         vectors.join(F.broadcast(shortlist), id_col)
-        .join(F.broadcast(queries.select(qid_col, qvec_col)), qid_col)
+        .join(F.broadcast(qlocal), qid_col)
         .select(qid_col, F.col(id_col), dist_fn(F.col(vec_col), F.col(qvec_col)).alias("dist"))
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("dist").asc(), F.col(id_col).asc())

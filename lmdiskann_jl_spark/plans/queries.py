@@ -6515,10 +6515,14 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # near-dup cosine verifies (norm hoisting) and the semantic gate's
     # shared assignment artifact — d_embedding_neardup,
     # a_embedding_neardup_lsh, a_semantic_dedup unstamped to re-verify
-    # first. ---
+    # first.  Optimization session 5: the first-collision LSH pair dedup
+    # (knn_join/dedup) rewired every lsh_knn_join consumer — a_lsh_knn and
+    # a_lsh_recall unstamped (the AUTO/multiprobe gates already were) —
+    # and the Arrow-batched argmins (pq_encode, assign_cells) rewired the
+    # IVF/PQ gate builds — a_ivf_recall, a_ivf_maintained_recall,
+    # a_ivfpq_recall, a_pq_recall unstamped. ---
     # --- r13 window ---
-    "a_extract_features": 13, "a_ivf_maintained_recall": 13,
-    "a_ivf_recall": 13, "a_ivfpq_recall": 13, "a_pq_recall": 13,
+    "a_extract_features": 13,
     "d_dedup_exact": 13, "d_dup_clusters": 13, "d_dup_clusters_star": 13,
     "d_duplicate_spans": 13, "d_keep_best": 13, "d_minhash_lsh_pairs": 13,
     "d_minhash_signatures": 13, "d_simhash": 13, "d_simhash_neardup": 13,
@@ -6548,7 +6552,6 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "v_get_embedding": 12, "v_get_embedding_by_key": 12,
     "v_knn_classify": 12, "v_partial_topk": 12,
     # --- r11 window ---
-    "a_lsh_knn": 11, "a_lsh_recall": 11,
     "a_mmr_rerank": 11, "d_ngram_jaccard_capped": 11, "d_ngram_jaccard_pairs": 11,
     "m_decode_samples": 11, "m_payload_stats": 11, "p_group_sample_k": 11,
     "p_leakage_safe_split": 11, "p_stratified_sample": 11,
