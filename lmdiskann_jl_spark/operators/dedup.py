@@ -399,6 +399,37 @@ def _jaccard_from_branches(
 SPAN_W = 8  # duplicated-span window, in tokens
 
 
+def span_windows(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = SPAN_W,
+) -> DataFrame:
+    """(doc_id, start, h): every w-token window with its 1-based start
+    position and 60-bit md5 span hash — the shared scan-stage feeder of the
+    whole span family (duplicate_spans / dup_span_profile /
+    remove_duplicate_spans all derive from exactly this table).
+
+    The tokenize + shingle explode + md5 hash is by far the family's
+    dominant CPU (optimization round 15 measurement), and each consumer
+    references the window table 1-3 times per invocation with NO exchange
+    underneath — so without a materialized input the scan-stage explode
+    re-executes per reference.  Callers that run several span queries over
+    the same corpus should compute this once, persist it, and pass it via
+    the operators' ``windows=`` input; results are bit-identical because
+    the operators' own derivation is exactly this expression."""
+    from lmdiskann_jl_spark.functions.text import hash60
+    from lmdiskann_jl_spark.operators.knn_join import _spread
+
+    base = _spread(
+        documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    ).select("doc_id", tokens(F.col("_text")).alias("tk"))
+    return base.select(
+        "doc_id",
+        F.posexplode(word_shingles(F.col("tk"), w)).alias("pos0", "s"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("start"), hash60(F.col("s")).alias("h"))
+
+
 def duplicate_spans(
     documents: DataFrame,
     id_col: str = "doc_id",
@@ -406,6 +437,7 @@ def duplicate_spans(
     w: int = SPAN_W,
     min_docs: int = 2,
     df_cap: int | None = None,
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-document duplicated w-token spans — the candidate step of exact
     substring deduplication (Lee et al. 2022, "Deduplicating Training Data
@@ -430,15 +462,25 @@ def duplicate_spans(
     above a document-frequency ceiling AFTER the count (cheap — a filter
     on the aggregated output) for consumers that want dedup candidates
     without the boilerplate tail.
+
+    ``windows``: a precomputed ``span_windows`` table for the same
+    (documents, w) — positions are ignored here; the hash multiset is the
+    same, so counts are bit-identical (optimization round 15: one shared
+    scan-stage explode feeds the whole span family).
     """
     from lmdiskann_jl_spark.functions.text import hash60
     from lmdiskann_jl_spark.operators.knn_join import _spread
 
-    spans = (
-        _spread(documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")))
-        .select("doc_id", F.explode(word_shingles(tokens(F.col("_text")), w)).alias("s"))
-        .select("doc_id", hash60(F.col("s")).alias("span_hash"))
-    )
+    if windows is not None:
+        # positions are ignored; the (doc_id, hash) multiset is identical
+        spans = windows.select("doc_id", F.col("h").alias("span_hash"))
+    else:
+        # self-contained path: plain explode (no unused position column)
+        spans = (
+            _spread(documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")))
+            .select("doc_id", F.explode(word_shingles(tokens(F.col("_text")), w)).alias("s"))
+            .select("doc_id", hash60(F.col("s")).alias("span_hash"))
+        )
     per_doc = spans.groupBy("span_hash", "doc_id").agg(F.count("*").alias("cnt"))
     agg = per_doc.groupBy("span_hash").agg(
         F.count("*").alias("n_docs"),
@@ -456,6 +498,7 @@ def dup_span_profile(
     text_col: str = "text",
     w: int = SPAN_W,
     min_docs: int = 2,
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document duplicated-token profile — the ACTION side of exact
     substring dedup: for every document, how many of its token positions
@@ -471,6 +514,12 @@ def dup_span_profile(
     a position explode bounded by w, deduplicated with a distinct that
     gets map-side partial aggregation.  Work is O(corpus tokens * w) rows
     at peak — linear in the corpus for fixed w, no self-joins.
+
+    ``windows``: a precomputed (ideally persisted) ``span_windows`` table
+    for the same (documents, w).  The window table is referenced twice
+    below (flag aggregate + coverage join) with no exchange underneath, so
+    without a materialized input the tokenize+shingle+md5 explode — the
+    family's dominant CPU — re-executes per reference (round 15).
     """
     from lmdiskann_jl_spark.functions.text import hash60
     from lmdiskann_jl_spark.operators.knn_join import _spread
@@ -478,10 +527,11 @@ def dup_span_profile(
     base = _spread(
         documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
     ).select("doc_id", tokens(F.col("_text")).alias("tk"))
-    windows = base.select(
-        "doc_id",
-        F.posexplode(word_shingles(F.col("tk"), w)).alias("pos0", "s"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("start"), hash60(F.col("s")).alias("h"))
+    if windows is None:
+        windows = base.select(
+            "doc_id",
+            F.posexplode(word_shingles(F.col("tk"), w)).alias("pos0", "s"),
+        ).select("doc_id", (F.col("pos0") + 1).alias("start"), hash60(F.col("s")).alias("h"))
     flagged = (
         windows.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -521,6 +571,7 @@ def remove_duplicate_spans(
     text_col: str = "text",
     w: int = SPAN_W,
     min_docs: int = 2,
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Apply exact substring dedup (Lee et al. 2022): REMOVE every token
     whose position is covered by at least one cross-document duplicated
@@ -538,6 +589,10 @@ def remove_duplicate_spans(
     document is rebuilt with one per-doc sort/concat aggregate.  Peak row
     volume is O(corpus tokens * w); per-task memory is bounded by the
     longest single document (the same bound any per-doc text rebuild has).
+
+    ``windows``: a precomputed (ideally persisted) ``span_windows`` table
+    for the same (documents, w) — see dup_span_profile; the same
+    two-references-no-exchange shape applies here (round 15).
     """
     from lmdiskann_jl_spark.functions.text import hash60
     from lmdiskann_jl_spark.operators.knn_join import _spread
@@ -545,10 +600,11 @@ def remove_duplicate_spans(
     base = _spread(
         documents.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
     ).select("doc_id", tokens(F.col("_text")).alias("tk"))
-    windows = base.select(
-        "doc_id",
-        F.posexplode(word_shingles(F.col("tk"), w)).alias("pos0", "s"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("start"), hash60(F.col("s")).alias("h"))
+    if windows is None:
+        windows = base.select(
+            "doc_id",
+            F.posexplode(word_shingles(F.col("tk"), w)).alias("pos0", "s"),
+        ).select("doc_id", (F.col("pos0") + 1).alias("start"), hash60(F.col("s")).alias("h"))
     flagged = (
         windows.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("nd"))

@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 
 from lmdiskann_jl_spark.functions.vector import query_vector_lit, resolve_metric
 
+# per-task bound on the (batch, cell-chunk, dim) float64 intermediate in the
+# Arrow euclidean assignment — tests shrink this to force multi-chunk runs
+_ARROW_CHUNK_BYTES = 64_000_000
+
 
 def build_ivf(
     vectors: DataFrame,
@@ -120,11 +124,31 @@ def assign_cells(
                 d = 1.0 - (X @ C.T) / (
                     np.linalg.norm(X, axis=1)[:, None] * Cn[None, :]
                 )
-            else:
-                diff = X[:, None, :] - C[None, :, :]  # (batch, cells, dim)
+                # argmin keeps the FIRST minimum = lowest cell (cents sorted)
+                return pd.Series(ids[d.argmin(axis=1)])
+            # euclidean/sqeuclidean: exact squared distances, computed over
+            # CELL CHUNKS so the (batch, chunk, dim) intermediate stays
+            # bounded (~64 MB) — the unchunked broadcast-difference form
+            # materialized (batch x n_cells x dim) doubles, ~5 GB/task at
+            # n_cells=1024/dim=64/10k-row batches (round-15 fix; the matmul
+            # form was rejected: its rounding differs from the exact
+            # per-pair subtraction, which could flip argmin on near-ties —
+            # chunking keeps every float op identical to the r14 path).
+            chunk = max(1, _ARROW_CHUNK_BYTES // max(1, X.shape[0] * X.shape[1] * 8))
+            best_d = None
+            best_i = None
+            for lo in range(0, C.shape[0], chunk):
+                diff = X[:, None, :] - C[None, lo : lo + chunk, :]
                 d = np.einsum("bkw,bkw->bk", diff, diff)
-            # argmin keeps the FIRST minimum = lowest cell (cents sorted)
-            return pd.Series(ids[d.argmin(axis=1)])
+                am = d.argmin(axis=1)  # first minimum within the chunk
+                dm = d[np.arange(d.shape[0]), am]
+                if best_d is None:
+                    best_d, best_i = dm, am + lo
+                else:
+                    upd = dm < best_d  # strict: earlier chunk wins ties
+                    best_d = np.where(upd, dm, best_d)
+                    best_i = np.where(upd, am + lo, best_i)
+            return pd.Series(ids[best_i])
 
         return _spread(vectors).select(
             id_col, vec_col,
@@ -210,10 +234,14 @@ def ivf_search_batch(
     ONE job — the batch amortization the single-query probe lacks.
 
     Per-query probe cells are computed against the broadcast centroid table
-    (tiny crossJoin + window — no collect, no driver loop); the scan is then
-    filtered to the UNION of all probed cells (partition-pruned) and each
-    row is scored only against the queries that probed its cell (equi-join
-    on cell, never queries x corpus).  Returns (qid, id, dist, rank <= k).
+    (tiny crossJoin + window), collected ONCE — one row per query,
+    (qid, qvec, probed cells), so the driver payload is
+    n_queries x (dim + nprobe), not n_queries x nprobe x dim — and re-fed
+    as a local relation (round 14/15); the scan is then filtered to the
+    UNION of all probed cells (a static isin list -> partition-pruned) and
+    each row is scored only against the queries that probed its cell
+    (equi-join on cell, never queries x corpus).  Returns
+    (qid, id, dist, rank <= k).
 
     ``tiebreak_col`` (must exist in ``assigned``): break distance ties on
     this column instead of ``id_col`` — same contract as
@@ -233,10 +261,17 @@ def ivf_search_batch(
     # The probe table is collected ONCE and re-created as a local relation
     # for the join side (optimization round 14, guide §1.2: the broadcast
     # build used to re-execute the whole probe subtree — crossJoin + window
-    # — as a second job; n_queries x nprobe rows are driver-sized by
-    # contract, so one collect feeds both consumers).
-    probe_rows = probes_df.collect()
-    cell_list = sorted({r["cell"] for r in probe_rows})
+    # — as a second job).  Round 15: the collect is grouped to ONE row per
+    # query (qid, qvec, cells) — qvec crosses the driver once, not nprobe
+    # times — then expanded locally; same-keyed groupBy, so no extra
+    # exchange or job.  n_queries rows are driver-sized by contract.
+    agg_rows = (
+        probes_df.groupBy(qid_col)
+        .agg(F.first(qvec_col).alias(qvec_col), F.collect_list("cell").alias("_cells"))
+        .collect()
+    )
+    cell_list = sorted({c for r in agg_rows for c in r["_cells"]})
+    probe_rows = [(r[qid_col], r[qvec_col], c) for r in agg_rows for c in r["_cells"]]
     probes = probes_df.sparkSession.createDataFrame(probe_rows, probes_df.schema)
     cand = assigned.filter(F.col("cell").isin(cell_list))
     tb = tiebreak_col or id_col

@@ -733,20 +733,44 @@ def q_dup_clusters_star(spark, sf_dir):
     return D.dup_clusters(pairs, docs.select("doc_id"), algorithm="star")
 
 
+def _span_windows_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted (doc_id, start, h) span-window table per
+    (session, sf_dir) — the tokenize + shingle + md5 explode all three span
+    queries derive from (optimization round 15; the _shingles_shared /
+    _minhash_pairs_shared shared-INPUT pattern).  Each consumer references
+    the window table 1-3 times per invocation with no exchange underneath,
+    so without this artifact the family's dominant scan-stage CPU ran up to
+    THREE times per invocation and once more per query.  Each query's own
+    aggregates / coverage joins / rebuilds still run per invocation."""
+    key = (spark.sparkContext.applicationId, sf_dir, "span_windows")
+    win = _LSH_PAIRS_CACHE.get(key)
+    if win is None:
+        win = D.span_windows(_t(spark, sf_dir, "documents")).persist()
+        win.count()
+        _LSH_PAIRS_CACHE[key] = win
+    return win
+
+
 def q_duplicate_spans(spark, sf_dir):
     """Cross-document duplicated spans — the candidate step of exact
     substring dedup (Lee et al. 2022): every SPAN_W-token window occurring
     in >= 2 distinct documents, with document and occurrence counts.  One
     scan-stage hash + one groupBy; plan rationale in
     operators/dedup.duplicate_spans."""
-    return D.duplicate_spans(_t(spark, sf_dir, "documents"))
+    return D.duplicate_spans(
+        _t(spark, sf_dir, "documents"),
+        windows=_span_windows_shared(spark, sf_dir),
+    )
 
 
 def q_span_profile(spark, sf_dir):
     """Per-document duplicated-token profile — the action side of exact
     substring dedup (how much of each doc a substring-dedup pass would
     cut).  Plan rationale in operators/dedup.dup_span_profile."""
-    return D.dup_span_profile(_t(spark, sf_dir, "documents"))
+    return D.dup_span_profile(
+        _t(spark, sf_dir, "documents"),
+        windows=_span_windows_shared(spark, sf_dir),
+    )
 
 
 def q_span_removal(spark, sf_dir):
@@ -755,7 +779,10 @@ def q_span_removal(spark, sf_dir):
     rebuilt from the survivors — the final ACTION of the substring-dedup
     pipeline (duplicate_spans finds, dup_span_profile measures, this cuts).
     Plan rationale in operators/dedup.remove_duplicate_spans."""
-    return D.remove_duplicate_spans(_t(spark, sf_dir, "documents"))
+    return D.remove_duplicate_spans(
+        _t(spark, sf_dir, "documents"),
+        windows=_span_windows_shared(spark, sf_dir),
+    )
 
 
 def q_corpus_clean(spark, sf_dir):
@@ -6496,79 +6523,73 @@ def _token_count_oracle() -> str:
 # Update after each round from the new CORRECTNESS file; the declaration
 # order below is the stable tiebreak.
 _LAST_DRIVER_VERIFIED: dict[str, int] = {
-    # --- restamped from CORRECTNESS_r13.json: 37 green rows+schema+hash,
-    # 13 rows-only recall gates (no_oracle by design; a completed
-    # a_*_recall row IS a pass — _recall_row raises below 0.70), 0 reds —
-    # seventh consecutive fully-green window.  UNSTAMPED for r14
-    # (machinery this round rewires re-verifies first, per protocol —
-    # FOURTEEN): the shared exact edge set + graph-build recall gate moved
-    # into the cross-process disk cache (v_adjacency_build,
-    # v_degree_histogram, v_delete_repair, a_graph_build_lsh_recall,
-    # a_incremental_insert_recall, a_beam_pq_recall — all consume
-    # _adjacency_edges_shared), the shared auto/cosine gate indexes now
-    # store scale-rule entrypoint counts (a_beam_recall,
-    # a_filtered_beam_recall, v_auto_search, a_beam_pq_cosine_recall),
-    # auto_lsh_config gained the actual-probes table divisor
-    # (a_lsh_knn_auto, a_lsh_auto_recall, a_lsh_multiprobe_recall), and
-    # the streaming band store now stamps + enforces its LSH config tuple
-    # (s_stream_embedding_neardup).  Optimization session 4 rewired the
-    # near-dup cosine verifies (norm hoisting) and the semantic gate's
-    # shared assignment artifact — d_embedding_neardup,
-    # a_embedding_neardup_lsh, a_semantic_dedup unstamped to re-verify
-    # first.  Optimization session 5: the first-collision LSH pair dedup
-    # (knn_join/dedup) rewired every lsh_knn_join consumer — a_lsh_knn and
-    # a_lsh_recall unstamped (the AUTO/multiprobe gates already were) —
-    # and the Arrow-batched argmins (pq_encode, assign_cells) rewired the
-    # IVF/PQ gate builds — a_ivf_recall, a_ivf_maintained_recall,
-    # a_ivfpq_recall, a_pq_recall unstamped. ---
+    # --- restamped from CORRECTNESS_r14.json (optimization round 15):
+    # 34 green rows+schema+hash, 16 rows-only recall gates (no_oracle by
+    # design; a completed a_* recall row IS a pass — _recall_row raises
+    # below 0.70), 0 reds — eighth consecutive fully-green window.  The
+    # r14 window covered every query the r14 optimizations rewired (they
+    # were unstamped first, per protocol).  Queries whose machinery the
+    # r15 optimizations rewire are unstamped below as changes land, so
+    # the driver's rotating 50-query window re-verifies them first.
+    # UNSTAMPED for r15 so far: the span family (d_duplicate_spans,
+    # d_span_profile, d_span_removal — shared span_windows artifact), and
+    # the IVF machinery consumers (a_ivf_recall, a_ivf_maintained_recall,
+    # a_ivfpq_recall, v_auto_search, v_time_travel_ivf — chunked Arrow
+    # assign_cells + grouped probe collect). ---
+    # --- r14 window ---
+    "a_beam_pq_cosine_recall": 14, "a_beam_pq_recall": 14,
+    "a_beam_recall": 14, "a_embedding_neardup_lsh": 14,
+    "a_filtered_beam_recall": 14, "a_graph_build_lsh_recall": 14,
+    "a_incremental_insert_recall": 14, "a_lsh_auto_recall": 14,
+    "a_lsh_knn": 14, "a_lsh_knn_auto": 14, "a_lsh_multiprobe_recall": 14,
+    "a_lsh_recall": 14, "a_pq_recall": 14, "a_semantic_dedup": 14,
+    "d_embedding_neardup": 14, "d_ngram_jaccard_capped": 14,
+    "d_ngram_jaccard_pairs": 14, "m_frame_plan": 14, "p_group_sample_k": 14,
+    "p_leakage_safe_split": 14, "r_asof_attribution": 14,
+    "r_events_hourly": 14, "r_events_props": 14, "r_grouping_sets": 14,
+    "r_range_join_windows": 14, "r_revenue_rollup": 14,
+    "r_top_orders_per_segment": 14, "r_user_sessions": 14,
+    "s_stream_embedding_neardup": 14, "t_tfidf_top_terms": 14,
+    "t_top_terms": 14, "t_unigram_logprob": 14, "t_vocab_build": 14,
+    "v_adjacency_build": 14, "v_batch_topk": 14,
+    "v_degree_histogram": 14, "v_delete_repair": 14,
+    "v_exact_topk_cosine": 14, "v_exact_topk_euclidean": 14,
+    "v_filtered_topk": 14, "v_hard_negatives": 14, "v_knn_join": 14,
+    "v_normalize": 14, "v_quantize": 14, "v_range_search": 14,
+    "v_reduce_dim": 14,
     # --- r13 window ---
-    "a_extract_features": 13,
-    "d_dedup_exact": 13, "d_dup_clusters": 13, "d_dup_clusters_star": 13,
-    "d_duplicate_spans": 13, "d_keep_best": 13, "d_minhash_lsh_pairs": 13,
-    "d_minhash_signatures": 13, "d_simhash": 13, "d_simhash_neardup": 13,
-    "d_span_profile": 13, "p_corpus_clean": 13, "r_above_avg_orders": 13,
-    "r_above_avg_probe": 13, "r_session_windows": 13,
-    "r_sketch_accuracy": 13, "r_table_stats": 13, "r_tpch_q11": 13,
-    "r_tpch_q16": 13, "r_tpch_q17": 13, "r_tpch_q19": 13, "r_tpch_q2": 13,
-    "r_tpch_q20": 13, "r_tpch_q21": 13, "r_tpch_q22": 13,
+    "a_extract_features": 13, "d_dedup_exact": 13, "d_dup_clusters": 13,
+    "d_dup_clusters_star": 13, "d_keep_best": 13,
+    "d_minhash_lsh_pairs": 13, "d_minhash_signatures": 13, "d_simhash": 13,
+    "d_simhash_neardup": 13, "p_corpus_clean": 13,
+    "r_above_avg_orders": 13, "r_above_avg_probe": 13,
+    "r_session_windows": 13, "r_sketch_accuracy": 13, "r_table_stats": 13,
+    "r_tpch_q11": 13, "r_tpch_q16": 13, "r_tpch_q17": 13, "r_tpch_q19": 13,
+    "r_tpch_q2": 13, "r_tpch_q20": 13, "r_tpch_q21": 13, "r_tpch_q22": 13,
     "s_stream_churn": 13, "s_stream_clean": 13, "s_stream_neardup": 13,
     "t_bm25_search": 13, "t_snippets": 13, "v_hybrid_search": 13,
-    "v_label_centroids": 13, "v_rrf_fusion": 13, "v_time_travel_ivf": 13,
-    "v_time_travel_search": 13,
+    "v_label_centroids": 13, "v_rrf_fusion": 13, "v_time_travel_search": 13,
     # --- r12 window ---
-    "d_span_removal": 12, "k_keymap_count": 12, "k_keymap_delete": 12,
-    "k_keymap_list": 12, "k_keymap_lookup": 12,
-    "k_keymap_reverse_lookup": 12, "m_media_decode": 12,
-    "p_dataset_split": 12, "p_decontaminate": 12, "p_pack_sequences": 12,
-    "p_quality_filter": 12, "p_source_weighted_sample": 12,
-    "p_token_budget_mix": 12, "r_customer_deciles": 12,
-    "r_customers_no_orders": 12, "r_events_moving_avg": 12,
-    "r_events_pivot": 12, "r_price_quantiles": 12, "r_set_ops": 12,
-    "r_source_mix": 12, "r_tpch_q1": 12, "r_tpch_q10": 12,
+    "k_keymap_count": 12, "k_keymap_delete": 12,
+    "k_keymap_list": 12, "k_keymap_lookup": 12, "k_keymap_reverse_lookup": 12,
+    "m_media_decode": 12, "p_dataset_split": 12, "p_decontaminate": 12,
+    "p_pack_sequences": 12, "p_quality_filter": 12,
+    "p_source_weighted_sample": 12, "p_token_budget_mix": 12,
+    "r_customer_deciles": 12, "r_customers_no_orders": 12,
+    "r_events_moving_avg": 12, "r_events_pivot": 12, "r_price_quantiles": 12,
+    "r_set_ops": 12, "r_source_mix": 12, "r_tpch_q1": 12, "r_tpch_q10": 12,
     "r_tpch_q12": 12, "r_tpch_q13": 12, "r_tpch_q14": 12, "r_tpch_q15": 12,
     "r_tpch_q18": 12, "r_tpch_q3": 12, "r_tpch_q4": 12, "r_tpch_q5": 12,
     "r_tpch_q6": 12, "r_tpch_q7": 12, "r_tpch_q8": 12, "r_tpch_q9": 12,
     "s_stream_dedup": 12, "s_stream_rollup": 12, "s_stream_sessions": 12,
-    "v_get_embedding": 12, "v_get_embedding_by_key": 12,
-    "v_knn_classify": 12, "v_partial_topk": 12,
+    "v_get_embedding": 12, "v_get_embedding_by_key": 12, "v_knn_classify": 12,
+    "v_partial_topk": 12,
     # --- r11 window ---
-    "a_mmr_rerank": 11, "d_ngram_jaccard_capped": 11, "d_ngram_jaccard_pairs": 11,
-    "m_decode_samples": 11, "m_payload_stats": 11, "p_group_sample_k": 11,
-    "p_leakage_safe_split": 11, "p_stratified_sample": 11,
-    "r_asof_forward": 11, "r_events_props": 11, "t_chunk_documents": 11,
+    "a_mmr_rerank": 11, "m_decode_samples": 11, "m_payload_stats": 11,
+    "p_stratified_sample": 11, "r_asof_forward": 11, "t_chunk_documents": 11,
     "t_fingerprint": 11, "t_lang_id": 11, "t_langid_accuracy": 11,
     "t_phrase_proximity": 11, "t_pii_redact": 11, "t_quality_score": 11,
-    "t_repetition": 11, "t_token_count": 11, "t_top_terms": 11,
-    "t_vocab_build": 11, "v_batch_topk": 11, "v_exact_topk_cosine": 11,
-    "v_exact_topk_euclidean": 11, "v_filtered_topk": 11,
-    "v_hard_negatives": 11, "v_knn_join": 11, "v_normalize": 11,
-    "v_quantize": 11, "v_range_search": 11, "v_reduce_dim": 11,
-    # --- r10 window ---
-    "m_frame_plan": 10, "r_asof_attribution": 10, "r_events_hourly": 10,
-    "r_grouping_sets": 10, "r_range_join_windows": 10,
-    "r_revenue_rollup": 10, "r_top_orders_per_segment": 10,
-    "r_user_sessions": 10, "t_tfidf_top_terms": 10,
-    "t_unigram_logprob": 10,
+    "t_repetition": 11, "t_token_count": 11,
 }
 
 
