@@ -761,12 +761,19 @@ class LMDiskANNIndex:
         def fetch(ids):
             vals = sorted({int(i) for i in ids})
             df = raw
-            if has_bucket:
-                df = df.filter(
-                    F.col("_b").isin(sorted({v % N_ID_BUCKETS for v in vals}))
-                )
-            if len(vals) <= 512:
-                df = df.filter(F.col("id").isin(vals))
+            if has_bucket and vals:
+                # the IN lists are assembled as ONE parsed SQL string: the
+                # Column DSL's isin() pays one py4j round-trip per literal
+                # (~0.7 ms each — 0.19 s of driver time per 200-id fetch,
+                # measured round 15), the parsed form ~1 ms total for the
+                # identical In(attr, literals) predicate.  Values are ints
+                # by construction.  Same plan, same pushdown.
+                buckets = sorted({v % N_ID_BUCKETS for v in vals})
+                df = df.filter(F.expr(f"_b IN ({','.join(map(str, buckets))})"))
+            if not vals:
+                df = df.filter(F.lit(False))
+            elif len(vals) <= 512:
+                df = df.filter(F.expr(f"id IN ({','.join(map(str, vals))})"))
             else:
                 ids_df = F.broadcast(
                     spark.createDataFrame([(v,) for v in vals], "id long")

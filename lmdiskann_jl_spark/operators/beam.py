@@ -88,8 +88,12 @@ def default_fetcher(df: DataFrame, id_col: str = "id") -> Callable[[Sequence[int
 
     def fetch(ids: Sequence[int]) -> DataFrame:
         vals = sorted({int(i) for i in ids})
+        if not vals:
+            return df.filter(F.lit(False))
         if len(vals) <= _ISIN_LIMIT:
-            return df.filter(F.col(id_col).isin(vals))
+            # one parsed IN string, not isin(): the DSL pays one py4j
+            # round-trip per literal (round 15 — see index._fetcher)
+            return df.filter(F.expr(f"`{id_col}` IN ({','.join(map(str, vals))})"))
         ids_df = F.broadcast(
             df.sparkSession.createDataFrame([(i,) for i in vals], f"{id_col} long")
         )

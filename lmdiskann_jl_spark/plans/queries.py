@@ -6559,12 +6559,15 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # the IVF machinery consumers (a_ivf_recall, a_ivf_maintained_recall,
     # a_ivfpq_recall, v_auto_search, v_time_travel_ivf — chunked Arrow
     # assign_cells + grouped probe collect); t_bm25_search / v_rrf_fusion
-    # (shared per-doc BM25 profile). ---
+    # (shared per-doc BM25 profile); the beam family + point-fetch
+    # consumers (a_beam_recall, a_beam_pq_recall, a_beam_pq_cosine_recall,
+    # a_filtered_beam_recall, a_incremental_insert_recall,
+    # v_time_travel_search, v_delete_repair — parsed IN-string point
+    # fetch). ---
     # --- r14 window ---
-    "a_beam_pq_cosine_recall": 14, "a_beam_pq_recall": 14,
-    "a_beam_recall": 14, "a_embedding_neardup_lsh": 14,
-    "a_filtered_beam_recall": 14, "a_graph_build_lsh_recall": 14,
-    "a_incremental_insert_recall": 14, "a_lsh_auto_recall": 14,
+    "a_embedding_neardup_lsh": 14,
+    "a_graph_build_lsh_recall": 14,
+    "a_lsh_auto_recall": 14,
     "a_lsh_knn": 14, "a_lsh_knn_auto": 14, "a_lsh_multiprobe_recall": 14,
     "a_lsh_recall": 14, "a_pq_recall": 14, "a_semantic_dedup": 14,
     "d_embedding_neardup": 14, "d_ngram_jaccard_capped": 14,
@@ -6576,8 +6579,7 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "s_stream_embedding_neardup": 14, "t_tfidf_top_terms": 14,
     "t_top_terms": 14, "t_unigram_logprob": 14, "t_vocab_build": 14,
     "v_adjacency_build": 14, "v_batch_topk": 14,
-    "v_degree_histogram": 14, "v_delete_repair": 14,
-    "v_exact_topk_cosine": 14, "v_exact_topk_euclidean": 14,
+    "v_degree_histogram": 14, "v_exact_topk_cosine": 14, "v_exact_topk_euclidean": 14,
     "v_filtered_topk": 14, "v_hard_negatives": 14, "v_knn_join": 14,
     "v_normalize": 14, "v_quantize": 14, "v_range_search": 14,
     "v_reduce_dim": 14,
@@ -6592,8 +6594,7 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "r_tpch_q2": 13, "r_tpch_q20": 13, "r_tpch_q21": 13, "r_tpch_q22": 13,
     "s_stream_churn": 13, "s_stream_clean": 13, "s_stream_neardup": 13,
     "t_snippets": 13, "v_hybrid_search": 13,
-    "v_label_centroids": 13, "v_time_travel_search": 13,
-    # --- r12 window ---
+    "v_label_centroids": 13, # --- r12 window ---
     "k_keymap_count": 12, "k_keymap_delete": 12,
     "k_keymap_list": 12, "k_keymap_lookup": 12, "k_keymap_reverse_lookup": 12,
     "m_media_decode": 12, "p_dataset_split": 12, "p_decontaminate": 12,
