@@ -253,6 +253,7 @@ def simhash_neardup_pairs(
     bits: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sim: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs with simhash hamming distance <= threshold, via
     pigeonhole banding — never an O(n^2) crossJoin.
@@ -270,11 +271,17 @@ def simhash_neardup_pairs(
     ``bits=64`` and a tighter threshold (e.g. 3) so chunks are ~16 bits wide
     (65k buckets/chunk) — the classic Google-crawl simhash configuration.
     The banding is correct for any (bits, threshold); width only affects cost.
+
+    ``sim``: a precomputed (ideally persisted) ``simhash`` table for the
+    same (documents, bits) — callers that also consume the simhash table
+    elsewhere share one materialization instead of this operator rebuilding
+    and re-persisting it per invocation (round 15).
     """
-    sim = _swap_persisted(
-        "simhash", simhash(documents, bits=bits, id_col=id_col, text_col=text_col)
-    )
-    sim.count()  # eager: both self-join branches reuse one materialization
+    if sim is None:
+        sim = _swap_persisted(
+            "simhash", simhash(documents, bits=bits, id_col=id_col, text_col=text_col)
+        )
+        sim.count()  # eager: both self-join branches reuse one materialization
     n_chunks = hamming_threshold + 1
     base, extra = divmod(bits, n_chunks)
     widths = [base + (1 if c < extra else 0) for c in range(n_chunks)]
