@@ -105,6 +105,7 @@ def minhash_signatures_wide(
     text_col: str = "text",
     n: int = SHINGLE_N,
     seed: int = MINHASH_SEED,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures, wide form: (doc_id, mh_0 .. mh_{n_perm-1}).
 
@@ -112,11 +113,17 @@ def minhash_signatures_wide(
     16x row explosion, one shuffle with map-side partial mins (shuffle volume
     = n_docs x n_perm longs regardless of shingle count).  This is the scale
     form; ``minhash_signatures`` unpivots it to the narrow contract.
+
+    ``shingles``: a precomputed (ideally persisted) ``doc_shingles`` table
+    for the same (documents, n) — round-14 measured a per-invocation cached
+    feed a loss for this one-pass consumer, round 15 re-measured the
+    session-shared artifact a win (1.03-1.33 -> 0.91-1.00 s at sf0.1) once
+    its build amortizes across the jaccard/minhash family.
     """
     perms = minhash_perms(n_perm, seed)
-    hashed = doc_shingles(documents, id_col, text_col, n).select(
-        "doc_id", (F.col("h") % HASH_MOD).alias("h")
-    )
+    if shingles is None:
+        shingles = doc_shingles(documents, id_col, text_col, n)
+    hashed = shingles.select("doc_id", (F.col("h") % HASH_MOD).alias("h"))
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % HASH_MOD).alias(f"mh_{i}")
         for i, a, b in perms
@@ -131,13 +138,16 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = SHINGLE_N,
     seed: int = MINHASH_SEED,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures, narrow contract: (doc_id, perm, minhash).
 
     Classic permutation-hash minwise sketch: min over shingles of
     (a*h(shingle)+b) mod p.  Computed wide (one shuffle), then unpivoted.
     """
-    wide = minhash_signatures_wide(documents, n_perm, id_col, text_col, n, seed)
+    wide = minhash_signatures_wide(
+        documents, n_perm, id_col, text_col, n, seed, shingles=shingles
+    )
     pairs = F.array(
         *[
             F.struct(F.lit(i).alias("perm"), F.col(f"mh_{i}").alias("minhash"))

@@ -669,7 +669,10 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    return D.minhash_signatures(_t(spark, sf_dir, "documents"))
+    return D.minhash_signatures(
+        _t(spark, sf_dir, "documents"),
+        shingles=_shingles_shared(spark, sf_dir),
+    )
 
 
 _LSH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -6627,7 +6630,7 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # v_time_travel_search, v_delete_repair — parsed IN-string point
     # fetch); the shared term-tf / simhash artifacts (t_vocab_build,
     # t_tfidf_top_terms, t_unigram_logprob, d_simhash,
-    # d_simhash_neardup). ---
+    # d_simhash_neardup, d_minhash_signatures). ---
     # --- r14 window ---
     "a_embedding_neardup_lsh": 14,
     "a_graph_build_lsh_recall": 14,
@@ -6648,7 +6651,7 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # --- r13 window ---
     "a_extract_features": 13, "d_dedup_exact": 13, "d_dup_clusters": 13,
     "d_dup_clusters_star": 13, "d_keep_best": 13,
-    "d_minhash_lsh_pairs": 13, "d_minhash_signatures": 13, "p_corpus_clean": 13,
+    "d_minhash_lsh_pairs": 13, "p_corpus_clean": 13,
     "r_above_avg_orders": 13, "r_above_avg_probe": 13,
     "r_session_windows": 13, "r_sketch_accuracy": 13, "r_table_stats": 13,
     "r_tpch_q11": 13, "r_tpch_q16": 13, "r_tpch_q17": 13, "r_tpch_q19": 13,
