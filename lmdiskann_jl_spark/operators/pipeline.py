@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from lmdiskann_jl_spark.functions.text import (
     hash60,
@@ -478,6 +479,10 @@ MIX_SALT = "mix:"
 MIX_BUDGET_NUM = 1  # target corpus = 1/2 of total tokens, split uniformly
 MIX_BUDGET_DEN = 2
 MIX_ORDER_BUCKETS = 64
+# token_budget_mix collects the per-(source, bucket) totals when they fit on
+# the driver; above this bound (pathological group cardinality) the operator
+# keeps the all-plan broadcast shape.
+_MIX_COLLECT_LIMIT = 262_144
 
 
 def token_budget_mix(
@@ -520,27 +525,63 @@ def token_budget_mix(
     ).withColumn("bucket", F.expr(f"r div {width}"))
 
     bucket_tot = t.groupBy("source", "bucket").agg(F.sum("t").alias("bt"))
-    bw = (
-        Window.partitionBy("source")
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = bucket_tot.select(
-        "source", "bucket", F.coalesce(F.sum("bt").over(bw), F.lit(0)).alias("offset")
-    )
-    # derive the budget from the per-(source, bucket) aggregate instead of a
-    # third scan of ``t``: sum(bt) grouped by source equals sum(t) grouped by
-    # source exactly (integer sums over the same rows), so the expensive
-    # token_counts subplan is evaluated once less per run (round 14)
-    budget = (
-        bucket_tot.groupBy("source")
-        .agg(F.sum("bt").alias("st"))
-        .agg(
-            F.expr(
-                f"(sum(st) * {MIX_BUDGET_NUM}) div ({MIX_BUDGET_DEN} * count(*))"
-            ).alias("budget")
+    # the offsets and budget subtrees both derive from ``bucket_tot``, but as
+    # two separate broadcast inputs Catalyst re-executes the expensive
+    # token_counts subplan under EACH of them (plus once for ``cum`` itself —
+    # three scans total, zero reuse, measured).  bucket_tot is
+    # n_sources x MIX_ORDER_BUCKETS rows — already assumed broadcast-small —
+    # so collect it ONCE and derive the running offsets and the global budget
+    # driver-side in exact integer math; the token_counts subplan then
+    # evaluates twice per run instead of three times.  Above the row bound
+    # (a pathological group column) fall back to the all-plan shape.
+    rows = bucket_tot.limit(_MIX_COLLECT_LIMIT + 1).collect()
+    use_local = 0 < len(rows) <= _MIX_COLLECT_LIMIT
+    if use_local:
+        per_source: dict = {}
+        for row in rows:
+            per_source.setdefault(row["source"], []).append(
+                (row["bucket"], row["bt"])
+            )
+        total = 0
+        off_rows = []
+        for src, buckets in per_source.items():
+            running = 0
+            for bucket, bt in sorted(buckets):
+                off_rows.append((src, bucket, running))
+                running += bt
+            total += running
+        budget_val = (total * MIX_BUDGET_NUM) // (MIX_BUDGET_DEN * len(per_source))
+        spark = documents.sparkSession
+        offsets = spark.createDataFrame(
+            off_rows,
+            T.StructType(
+                [
+                    bucket_tot.schema["source"],
+                    T.StructField("bucket", T.LongType(), False),
+                    T.StructField("offset", T.LongType(), False),
+                ]
+            ),
         )
-    )
+    else:
+        bw = (
+            Window.partitionBy("source")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = bucket_tot.select(
+            "source",
+            "bucket",
+            F.coalesce(F.sum("bt").over(bw), F.lit(0)).alias("offset"),
+        )
+        budget = (
+            bucket_tot.groupBy("source")
+            .agg(F.sum("bt").alias("st"))
+            .agg(
+                F.expr(
+                    f"(sum(st) * {MIX_BUDGET_NUM}) div ({MIX_BUDGET_DEN} * count(*))"
+                ).alias("budget")
+            )
+        )
     iw = (
         Window.partitionBy("source", "bucket")
         .orderBy(F.col("r").asc(), F.col("doc_id").asc())
@@ -550,8 +591,14 @@ def token_budget_mix(
         t.join(F.broadcast(offsets), ["source", "bucket"])
         .withColumn("cum_tokens", (F.col("offset") + F.sum("t").over(iw)).cast("long"))
     )
-    return (
-        cum.crossJoin(F.broadcast(budget))
-        .filter(F.col("cum_tokens") - F.col("t") < F.col("budget"))
-        .select("doc_id", "source", F.col("t").alias("n_tokens"), "cum_tokens")
+    if use_local:
+        kept = cum.filter(
+            F.col("cum_tokens") - F.col("t") < F.lit(budget_val).cast("long")
+        )
+    else:
+        kept = cum.crossJoin(F.broadcast(budget)).filter(
+            F.col("cum_tokens") - F.col("t") < F.col("budget")
+        )
+    return kept.select(
+        "doc_id", "source", F.col("t").alias("n_tokens"), "cum_tokens"
     )

@@ -6630,7 +6630,8 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # v_time_travel_search, v_delete_repair — parsed IN-string point
     # fetch); the shared term-tf / simhash artifacts (t_vocab_build,
     # t_tfidf_top_terms, t_unigram_logprob, d_simhash,
-    # d_simhash_neardup, d_minhash_signatures). ---
+    # d_simhash_neardup, d_minhash_signatures); p_token_budget_mix
+    # (collect-once bucket offsets/budget). ---
     # --- r14 window ---
     "a_embedding_neardup_lsh": 14,
     "a_graph_build_lsh_recall": 14,
@@ -6663,7 +6664,7 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "k_keymap_list": 12, "k_keymap_lookup": 12, "k_keymap_reverse_lookup": 12,
     "m_media_decode": 12, "p_dataset_split": 12, "p_decontaminate": 12,
     "p_pack_sequences": 12, "p_quality_filter": 12,
-    "p_source_weighted_sample": 12, "p_token_budget_mix": 12,
+    "p_source_weighted_sample": 12,
     "r_customer_deciles": 12, "r_customers_no_orders": 12,
     "r_events_moving_avg": 12, "r_events_pivot": 12, "r_price_quantiles": 12,
     "r_set_ops": 12, "r_source_mix": 12, "r_tpch_q1": 12, "r_tpch_q10": 12,

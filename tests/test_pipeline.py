@@ -164,5 +164,20 @@ def test_vocab_build_results_survive_reinvocation(spark, sf_dir):
     # the rank-cache nodes were released inline; what remains in storage is
     # at most ONE small checkpoint per live returned frame (vocab-sized,
     # reclaimed by the ContextCleaner once the frame is GC'd) — never the
-    # full-corpus rank node the registry used to hold across calls
-    assert n_cached() <= base + 2
+    # full-corpus rank node the registry used to hold across calls — plus
+    # exactly ONE session-shared term-frequency table (round 15: vocab /
+    # unigram / tfidf all feed from a single persisted tf artifact, so two
+    # invocations add two checkpoints and one shared node, never more)
+    assert n_cached() <= base + 3
+
+
+def test_token_budget_mix_local_path_matches_plan_path(docs, monkeypatch):
+    """The collect-once offsets/budget (round 15) must be row-identical to
+    the all-plan broadcast shape it replaced, including the overflow
+    fallback wiring."""
+    fast = P.token_budget_mix(docs)
+    monkeypatch.setattr(P, "_MIX_COLLECT_LIMIT", 0)  # force the plan path
+    slow = P.token_budget_mix(docs)
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+    assert fast.count() > 0
