@@ -63,6 +63,29 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     return df.withColumn("n_bytes", F.length(F.col(payload_col)).cast("long"))
 
 
+def _byte_budget_layout(
+    df: DataFrame, payload_col: str, target_partition_bytes: int
+) -> DataFrame:
+    """Byte-budget partitioning for fat binary rows, without a gratuitous
+    shuffle: the sizing job (which every decode stage already paid) now sums
+    payload bytes PER SOURCE PARTITION, and the full repartition only runs
+    when some partition actually exceeds the budget.  Parquet scans split at
+    ~128 MB, so at every scale the common case is already within budget and
+    the decode kernel runs directly on the scan layout — the old
+    unconditional ``repartition(n)`` re-shuffled every payload byte (and at
+    small inputs collapsed the kernel onto a single task)."""
+    per_part = (
+        df.groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.sum(F.length(payload_col)).alias("b"))
+        .collect()
+    )
+    sizes = [r["b"] or 0 for r in per_part]
+    if not sizes or max(sizes) <= target_partition_bytes:
+        return df
+    n_parts = max(1, int(sum(sizes) // target_partition_bytes) + 1)
+    return df.repartition(n_parts)
+
+
 # ----------------------------------------------------- container bytes (JVM)
 #
 # int -> bytes as scan-stage expressions: hex() gives the big-endian digit
@@ -325,11 +348,14 @@ def decode_media_headers(
     by magic number, never by trusting a metadata column.  Arrow-batched
     mapInPandas; same byte-budget partitioning as extract_features (binary
     rows are fat — row-count partitioning skews task memory)."""
-    total = media.agg(F.sum(F.length(payload_col))).collect()[0][0] or 0
-    n_parts = max(1, int(total // target_partition_bytes) + 1)
-    slim = media.select(
-        F.col(id_col).cast("long").alias("media_id"), F.col(payload_col).alias("payload")
-    ).repartition(n_parts)
+    slim = _byte_budget_layout(
+        media.select(
+            F.col(id_col).cast("long").alias("media_id"),
+            F.col(payload_col).alias("payload"),
+        ),
+        "payload",
+        target_partition_bytes,
+    )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -495,12 +521,14 @@ def decode_media_samples(
     statistics (count/sum/sum-of-squares/min/max) so the result is
     oracle-comparable without float risk.  Same Arrow-batched mapInPandas +
     byte-budget partitioning shape as decode_media_headers."""
-    total = media.agg(F.sum(F.length(payload_col))).collect()[0][0] or 0
-    n_parts = max(1, int(total // target_partition_bytes) + 1)
-    slim = media.select(
-        F.col(id_col).cast("long").alias("media_id"),
-        F.col(payload_col).alias("payload"),
-    ).repartition(n_parts)
+    slim = _byte_budget_layout(
+        media.select(
+            F.col(id_col).cast("long").alias("media_id"),
+            F.col(payload_col).alias("payload"),
+        ),
+        "payload",
+        target_partition_bytes,
+    )
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -539,13 +567,11 @@ def extract_features(
 ) -> DataFrame:
     """Decode + feature-extract as an Arrow-batched mapInPandas stage.
 
-    Repartitions by total byte volume first so each task handles
-    ~``target_partition_bytes`` of payload (binary rows are fat; row-count
-    partitioning would skew task memory).
+    Byte-budget partitioned: tasks handle at most ~``target_partition_bytes``
+    of payload (binary rows are fat; row-count partitioning would skew task
+    memory), re-shuffling only when some source partition exceeds the budget.
     """
-    total = media.agg(F.sum(F.length("payload"))).collect()[0][0] or 0
-    n_parts = max(1, int(total // target_partition_bytes) + 1)
-    media = media.repartition(n_parts)
+    media = _byte_budget_layout(media, "payload", target_partition_bytes)
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

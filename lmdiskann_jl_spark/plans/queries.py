@@ -6631,7 +6631,9 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     # fetch); the shared term-tf / simhash artifacts (t_vocab_build,
     # t_tfidf_top_terms, t_unigram_logprob, d_simhash,
     # d_simhash_neardup, d_minhash_signatures); p_token_budget_mix
-    # (collect-once bucket offsets/budget). ---
+    # (collect-once bucket offsets/budget); the multimodal decode stages
+    # (a_extract_features, m_media_decode, m_decode_samples — conditional
+    # byte-budget repartition). ---
     # --- r14 window ---
     "a_embedding_neardup_lsh": 14,
     "a_graph_build_lsh_recall": 14,
@@ -6650,7 +6652,7 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "v_normalize": 14, "v_quantize": 14, "v_range_search": 14,
     "v_reduce_dim": 14,
     # --- r13 window ---
-    "a_extract_features": 13, "d_dedup_exact": 13, "d_dup_clusters": 13,
+    "d_dedup_exact": 13, "d_dup_clusters": 13,
     "d_dup_clusters_star": 13, "d_keep_best": 13,
     "d_minhash_lsh_pairs": 13, "p_corpus_clean": 13,
     "r_above_avg_orders": 13, "r_above_avg_probe": 13,
@@ -6662,7 +6664,7 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "v_label_centroids": 13, # --- r12 window ---
     "k_keymap_count": 12, "k_keymap_delete": 12,
     "k_keymap_list": 12, "k_keymap_lookup": 12, "k_keymap_reverse_lookup": 12,
-    "m_media_decode": 12, "p_dataset_split": 12, "p_decontaminate": 12,
+    "p_dataset_split": 12, "p_decontaminate": 12,
     "p_pack_sequences": 12, "p_quality_filter": 12,
     "p_source_weighted_sample": 12,
     "r_customer_deciles": 12, "r_customers_no_orders": 12,
@@ -6675,7 +6677,7 @@ _LAST_DRIVER_VERIFIED: dict[str, int] = {
     "v_get_embedding": 12, "v_get_embedding_by_key": 12, "v_knn_classify": 12,
     "v_partial_topk": 12,
     # --- r11 window ---
-    "a_mmr_rerank": 11, "m_decode_samples": 11, "m_payload_stats": 11,
+    "a_mmr_rerank": 11, "m_payload_stats": 11,
     "p_stratified_sample": 11, "r_asof_forward": 11, "t_chunk_documents": 11,
     "t_fingerprint": 11, "t_lang_id": 11, "t_langid_accuracy": 11,
     "t_phrase_proximity": 11, "t_pii_redact": 11, "t_quality_score": 11,

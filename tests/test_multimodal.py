@@ -218,3 +218,29 @@ def test_wav_pcm_zero_amplitude_encodes_zero_samples(spark):
 
     codec, n, s, sq, lo, hi = _sample_stats(payload)
     assert (codec, n, s, sq, lo, hi) == ("wav", 6, 0, 0, 0, 0)
+
+
+def test_byte_budget_layout_shuffle_only_when_over_budget(spark, sf_dir):
+    """Round 15: the byte-budget repartition runs only when a source
+    partition exceeds the budget; both layouts produce identical rows."""
+    import lmdiskann_jl_spark.operators.multimodal as M
+    from pyspark.sql import functions as F
+
+    media = M.attach_media_metadata(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("modality"),
+            F.lit("raw").alias("codec"),
+            F.encode("text", "UTF-8").alias("payload"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        )
+    )
+    kept = M._byte_budget_layout(media, "payload", 128 << 20)
+    assert kept.rdd.getNumPartitions() == media.rdd.getNumPartitions()
+    forced = M._byte_budget_layout(media, "payload", 1)  # 1-byte budget
+    assert forced.rdd.getNumPartitions() > 1
+    a = M.extract_features(media).drop("features")
+    b = M.extract_features(media, target_partition_bytes=1).drop("features")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
