@@ -278,6 +278,16 @@ def main() -> None:
             "warm_ratio_band": WARM_RATIO_BAND,
             "remeasured": attempts,
         },
+        # self-describing validity caveat so readers of the JSON alone
+        # (round-15 ADVICE) do not treat an invalid run's total as attested
+        "validity_note": (
+            "valid:true — warm-probe ratio within the band; totals usable "
+            "for round-over-round comparison"
+            if valid
+            else "valid:false — co-tenant load exceeded the warm-probe "
+            "band; totals are NOT attested, use only same-run relative "
+            "comparisons"
+        ),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
