@@ -1949,11 +1949,13 @@ def q_unigram_logprob(spark, sf_dir):
     never re-shuffles on term and the only wide exchanges are the tf agg
     and the final per-doc agg; past the threshold both join sides
     hash-exchange on term (a web-scale vocabulary is GBs — never ship it
-    to every executor).  The tokenize lineage evaluates 3x in this plan
-    (dict / total / scoring branches — same convention as _bm25_scores):
-    measured FASTER than persisting tf at bench scale (0.61 vs 1.11 s,
-    materialization dominates tiny corpora); a 100-TB run flips that —
-    persist tf eagerly there so the corpus tokenizes once."""
+    to every executor).  The tf input is the session-shared persisted
+    (doc_id, term, tf) artifact (round 15): reading it here measured a
+    WASH against recomputing the tokenize inline at sf0.1 (1.18 vs 1.16 s
+    interleaved — the r12 "recompute beats persist on tiny corpora" note
+    no longer pays for a third evaluation once the artifact also feeds
+    vocab/tfidf), and at scale one corpus tokenize feeding three queries
+    strictly dominates three."""
     docs = _t(spark, sf_dir, "documents")
     # the (doc_id, term, tf) reduction is the shared session artifact —
     # identical definition, computed once per (session, sf_dir) (round 15)
